@@ -1,0 +1,36 @@
+"""Reusable column expressions (all JVM-side Catalyst, no Python UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def weekday_mon0(ts: Column | str) -> Column:
+    """Day-of-week with Monday=0 (pandas ``Index.dayofweek`` convention).
+
+    The reference appends this at data_collector.py:226-227.  Spark's
+    ``dayofweek`` is Sunday=1, so we use ``weekday`` (Spark >= 3.5,
+    Monday=0) which matches pandas exactly.  Cast to BIGINT for stable
+    cross-engine schema comparison.
+    """
+    return F.weekday(ts).cast("bigint")
+
+
+def hour_of_day(ts: Column | str) -> Column:
+    """Hour 0-23 (data_collector.py:227)."""
+    return F.hour(ts).cast("bigint")
+
+
+def clip01(c: Column) -> Column:
+    """Clamp to [0, 1] — the stub autoencoder's sigmoid-like output range."""
+    return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+
+def coerce_double(c: Column) -> Column:
+    """String -> double with NULL on failure.
+
+    Matches ``pd.to_numeric(errors='coerce')`` at data_collector.py:66 —
+    Spark's cast yields NULL for unparseable input, same semantics.
+    """
+    return c.cast("double")

@@ -1,0 +1,371 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, and SimHash — each expressed in
+pure Catalyst (no Python UDFs) so the 100-TB path is JVM-side:
+
+* exact: one hash-groupBy shuffle on the content digest.
+* n-gram Jaccard: shingle explode -> distinct -> self-equi-join on
+  shingle (the classic inverted-index join) -> group pair -> ratio.
+* MinHash/LSH: k independent min-hashes from md5(seed:shingle) — string
+  md5 keeps the signature bit-identical across engines (oracle parity) —
+  banded into buckets so the candidate join touches only colliding
+  bands, never the full n² pair space.
+* SimHash: 16-bit sign-aggregate of per-shingle md5 nibble parities;
+  near-dup = small Hamming distance on the fingerprint.
+
+All shuffles key on digests/shingles (uniform — no skew); candidate
+verification joins are a tiny fraction of the corpus at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+
+#: MinHash parameters: k = bands * rows_per_band.
+MINHASH_K = 8
+LSH_BANDS = 4
+LSH_ROWS = 2
+JACCARD_THRESHOLD = 0.12
+SHINGLE_N = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content digest: keep lowest doc_id per digest."""
+    return (
+        docs.withColumn("digest", F.md5(F.col("text").cast("binary")))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    words = F.split(F.col("text"), " ")
+    return (
+        docs.withColumn("words", words)
+        .filter(F.size("words") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(words) - {n - 1})")).alias("i"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(words, i, {n}))").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: |pairs sharing a shingle| << n² for
+    discriminative shingles.  Output (doc_a, doc_b, jaccard).
+    """
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig_1..sig_k): k independent min-hashes of the shingle set.
+
+    sig_i = min over shingles of md5('<i>:' || shingle) — lexicographic
+    min of lowercase hex is engine-portable and a valid random-oracle
+    min-hash family.
+    """
+    sh = shingles(docs)
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
+        ).alias(f"sig_{i}")
+        for i in range(1, k + 1)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Banded LSH: docs sharing ANY band bucket become a candidate pair."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r + 1}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts).cast("binary")).alias("bucket"),
+            )
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash->LSH candidates verified with exact Jaccard.
+
+    The scale path for near-dedup: the only joins are (a) band-bucket
+    equi-join over colliding buckets and (b) shingle join restricted to
+    candidate pairs.  Output (doc_a, doc_b, jaccard).
+    """
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash fingerprint per doc: (doc_id, simhash BIGINT).
+
+    Bit i = sign of sum over shingles of (2·parity(nibble_i) − 1) where
+    nibble_i is the i-th hex digit of the shingle's md5.  Pure string /
+    integer expressions -> identical across engines.
+    """
+    sh = shingles(docs).withColumn(
+        "h", F.md5(F.col("shingle").cast("binary"))
+    )
+    bit_sums = [
+        F.sum(
+            (
+                F.expr(
+                    f"(locate(substr(h, {i + 1}, 1), '0123456789abcdef') - 1) % 2"
+                )
+            )
+            * 2
+            - 1
+        ).alias(f"s_{i}")
+        for i in range(16)
+    ]
+    agg = sh.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(16):
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Doc pairs whose SimHash Hamming distance <= max_hamming."""
+    fps = simhash16(docs)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+def _shingle_cte(n: int = SHINGLE_N) -> str:
+    concat = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= {n}
+),
+sh AS (
+  SELECT DISTINCT doc_id, {concat} AS shingle
+  FROM w, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+)"""
+
+
+ORACLE_EXACT_DUPLICATES = """SELECT md5(text) AS digest,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1"""
+
+ORACLE_NGRAM_JACCARD = f"""WITH {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}"""
+
+
+def _sig_cols(k: int = MINHASH_K) -> str:
+    return ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(1, k + 1)
+    )
+
+
+def _band_select(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
+    parts = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"sig_{b * rows + r + 1}" for r in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_MINHASH_LSH = f"""WITH {_shingle_cte()},
+sigs AS (
+  SELECT doc_id, {_sig_cols()}
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+{_band_select()}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}"""
+
+
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(((strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) % 2) * 2 - 1) AS s_{i}"
+        for i in range(16)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16)
+    )
+    return f"""WITH {_shingle_cte()},
+hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits"""
+
+
+ORACLE_SIMHASH = _simhash_sql()
+
+
+# ------------------------------------------------------------- registry
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(_docs(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(_docs(spark, sf_dir))
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, ORACLE_EXACT_DUPLICATES),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
+    "dedup_simhash": (q_simhash, ORACLE_SIMHASH),
+}

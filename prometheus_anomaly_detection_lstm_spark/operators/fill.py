@@ -1,0 +1,166 @@
+"""NaN-handling strategies (SURVEY §2.5-A1/A2/A3, §2.6-W1).
+
+The reference's ``handle_missing_values`` (preprocess_data.py:41-75)
+supports ``ffill_then_bfill`` (default), ``mean``, ``median``,
+``drop_rows``, ``none``; unknown strategy is a no-op.
+
+Scale design (SURVEY H1): ffill/bfill are defined over the TOTAL
+timestamp order.  A naive ``Window.orderBy(ts)`` with no partitioning
+collapses to one task.  ``ffill_bfill_scalable`` keeps the data
+day-partitioned: per-day boundary values are aggregated (tiny — one row
+per day), the cross-day "carry" is computed with a window over that
+small summary, broadcast-joined back, and the heavy per-row pass runs
+as a day-partitioned window.  Identical results, no global single
+partition on the big table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nan_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A1: per-column NULL count (preprocess_data.py:44, :72-74)."""
+    return df.agg(
+        *[F.sum(F.col(c).isNull().cast("bigint")).alias(c) for c in cols]
+    )
+
+
+def fill_mean(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A2: fill each column's NULLs with its mean (preprocess_data.py:48-55).
+
+    Global agg -> tiny one-row frame -> broadcast cross join -> coalesce:
+    two map stages plus one all-to-one exchange; never a per-column
+    driver loop with collect.
+    """
+    means = df.agg(*[F.avg(c).alias(f"__mean_{c}") for c in cols])
+    out = df.crossJoin(F.broadcast(means))
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__mean_{c}")))
+    return out.drop(*[f"__mean_{c}" for c in cols])
+
+
+def fill_median(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A3: fill with exact median (preprocess_data.py:56-62).
+
+    Exact ``median`` (Spark >= 3.4) — exactness matters for oracle
+    parity; swap for percentile_approx only when scale demands.
+    """
+    meds = df.agg(*[F.expr(f"median({c})").alias(f"__med_{c}") for c in cols])
+    out = df.crossJoin(F.broadcast(meds))
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__med_{c}")))
+    return out.drop(*[f"__med_{c}" for c in cols])
+
+
+def drop_rows(df: DataFrame, cols: list[str]) -> DataFrame:
+    """``drop_rows`` strategy: drop any row with a NULL metric."""
+    return df.na.drop(subset=cols)
+
+
+def ffill_bfill(df: DataFrame, cols: list[str], ts_col: str = "ts") -> DataFrame:
+    """W1 (reference-faithful, small scale): global-order ffill then bfill.
+
+    ``df.ffill().bfill()`` at preprocess_data.py:46-47 — interior NULLs
+    take the last prior value, leading NULLs the first following value.
+    Uses an unpartitioned window: correct at any size but single-task;
+    prefer :func:`ffill_bfill_scalable` on big tables.
+    """
+    w_back = Window.orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_back))
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w_fwd))
+    return out
+
+
+def ffill_bfill_scalable(
+    df: DataFrame, cols: list[str], ts_col: str = "ts"
+) -> DataFrame:
+    """W1 at scale: day-partitioned fill with broadcast cross-day carry.
+
+    Three steps, none requiring a global single partition:
+      1. per-day last/first non-null value per column (one shuffle over
+         ~#days keys; summary is tiny);
+      2. running carry across days on the summary (window over a frame
+         of #days rows — negligible);
+      3. per-row fill with a window PARTITIONED BY day, seeded by the
+         broadcast carry for values crossing midnight.
+    Result is identical to the global two-pass fill.
+    """
+    day = F.to_date(F.col(ts_col)).alias("__day")
+    with_day = df.withColumn("__day", day)
+
+    summary = with_day.groupBy("__day").agg(
+        *[
+            F.expr(f"max_by({c}, CASE WHEN {c} IS NOT NULL THEN {ts_col} END)").alias(
+                f"__last_{c}"
+            )
+            for c in cols
+        ],
+        *[
+            F.expr(f"min_by({c}, CASE WHEN {c} IS NOT NULL THEN {ts_col} END)").alias(
+                f"__first_{c}"
+            )
+            for c in cols
+        ],
+    )
+    w_prev = (
+        Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = Window.orderBy("__day").rowsBetween(1, Window.unboundedFollowing)
+    carry = summary.select(
+        "__day",
+        *[
+            F.last(f"__last_{c}", ignorenulls=True).over(w_prev).alias(f"__carry_{c}")
+            for c in cols
+        ],
+        *[
+            F.first(f"__first_{c}", ignorenulls=True)
+            .over(w_next)
+            .alias(f"__lead_{c}")
+            for c in cols
+        ],
+    )
+
+    joined = with_day.join(F.broadcast(carry), "__day")
+    w_back = (
+        Window.partitionBy("__day")
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("__day")
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = joined
+    for c in cols:
+        ff = F.coalesce(
+            F.last(c, ignorenulls=True).over(w_back), F.col(f"__carry_{c}")
+        )
+        out = out.withColumn(c, ff)
+    for c in cols:
+        bf = F.coalesce(
+            F.first(c, ignorenulls=True).over(w_fwd), F.col(f"__lead_{c}")
+        )
+        out = out.withColumn(c, bf)
+    return out.drop("__day", *[f"__carry_{c}" for c in cols], *[f"__lead_{c}" for c in cols])
+
+
+STRATEGIES = {
+    "ffill_then_bfill": ffill_bfill_scalable,
+    "mean": fill_mean,
+    "median": fill_median,
+    "drop_rows": drop_rows,
+}
+
+
+def handle_missing_values(
+    df: DataFrame, cols: list[str], strategy: str = "ffill_then_bfill"
+) -> DataFrame:
+    """Strategy dispatch; unknown strategy -> no-op (preprocess_data.py:68-70)."""
+    fn = STRATEGIES.get(strategy)
+    return fn(df, cols) if fn else df

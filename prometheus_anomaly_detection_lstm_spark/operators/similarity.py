@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Brute-force cosine top-k as the correctness baseline, plus a
+sign-LSH-bucketed variant as the scale path.  The dot products run
+JVM-side via higher-order functions (``zip_with`` + ``aggregate``) — no
+Python in the hot loop; at 100 TB the candidate set is cut by the LSH
+bucket equi-join before any distance is computed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+
+TOP_K = 10
+N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
+LSH_PLANES = 8  # sign-LSH bits for the bucketed variant
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _as_double(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def with_norm(df: DataFrame) -> DataFrame:
+    """(vec_id, vec ARRAY<DOUBLE>, norm DOUBLE)."""
+    vec = _as_double("embedding")
+    return df.select(
+        "vec_id",
+        vec.alias("vec"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("norm"),
+    )
+
+
+def cosine_pairs(queries: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Cosine similarity for every (query, candidate) pair.
+
+    Query side is tiny -> broadcast; candidates stream through one
+    map stage.  dot = fold over zip_with products (sequential left
+    fold — same summation order as the oracle).
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = candidates.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", dot / (F.col("q_norm") * F.col("c_norm")))
+        .select("q_id", "c_id", "cosine")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force top-k: (q_id, c_id, cosine, rk) for rk <= k."""
+    normed = with_norm(emb)
+    queries = normed.filter(F.col("vec_id") < n_queries)
+    pairs = cosine_pairs(queries, normed)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rk"
+        )
+    )
+
+
+def lsh_buckets(df: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
+    """Sign-LSH bucket id per vector.
+
+    Hyperplane p (p=0..planes-1) uses deterministic pseudo-random
+    weights w_pj = 2·frac(sin(p·1000 + j)·43758.5453) − 1 computed
+    inline from the dimension index — no external random state, so the
+    bucketing is reproducible everywhere.  bit_p = sign(w_p · v).
+    """
+    def _plane(p: int):
+        def weight(j):
+            return (
+                F.sin(F.lit(float(p * 1000)) + j.cast("double"))
+                * F.lit(43758.5453)
+            ) % 1.0 * 2.0 - 1.0
+
+        return weight
+
+    bits = []
+    for p in range(planes):
+        w = F.transform(F.sequence(F.lit(0), F.size("vec") - 1), _plane(p))
+        dot = F.aggregate(
+            F.zip_with(w, F.col("vec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("bucket", bucket.cast("bigint"))
+
+
+def cosine_topk_lsh(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The scale path — the crossJoin becomes a bucket equi-join, cutting
+    compared pairs by ~2^planes.  Recall is validated against
+    brute-force in tests (not an oracle query: approximate by design).
+    """
+    normed = lsh_buckets(with_norm(emb))
+    queries = normed.filter(F.col("vec_id") < n_queries)
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        "bucket",
+    )
+    c = normed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", dot / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
+def embedding_norms(emb: DataFrame) -> DataFrame:
+    """L2 norm per vector (JVM-side fold)."""
+    normed = with_norm(emb)
+    return normed.select("vec_id", F.round("norm", 6).alias("l2_norm"))
+
+
+# ------------------------------------------------------------- oracles
+
+ORACLE_COSINE_TOPK = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cosine
+  FROM v q, v c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rk
+  FROM pairs
+)
+SELECT q_id, c_id, round(cosine, 6) AS cosine, rk FROM ranked WHERE rk <= {TOP_K}"""
+
+ORACLE_EMBEDDING_NORMS = """SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings"""
+
+
+# ------------------------------------------------------------- registry
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_emb(spark, sf_dir))
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_lsh(_emb(spark, sf_dir))
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_norms(_emb(spark, sf_dir))
+
+
+QUERIES = {
+    "ann_cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
+    "ann_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design
+    "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
+}

@@ -1,0 +1,199 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all pure
+Catalyst string/array expressions (codegen'd, no Python), each with a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "und", "die", "das"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "la", "les", "et"],
+}
+#: BPE-ish token pattern: word pieces, digits, punctuation runs.
+TOKEN_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"
+QUALITY_STOPWORDS = ["the", "a", "and", "of", "in"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace + regex tokens."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    score = 0.4·min(n_words/100, 1) + 0.3·(1 − punct_ratio)
+          + 0.3·min(stopword_ratio·5, 1)  — a deterministic blend of the
+    standard quality signals (length, punctuation density, stopword
+    density) used to filter web-scraped corpora.
+    """
+    words = F.split(F.col("text"), " ")
+    sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_words = F.size(words).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
+    ).cast("double")
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> w IN ({sw})))").cast(
+        "double"
+    )
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_words
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic: most-hit language wins, 'und'
+    (undetermined) when no list hits; deterministic tie-break by
+    language code order."""
+    words = F.split(F.col("text"), " ")
+    hit_cols = []
+    for lang, stops in sorted(LANG_STOPWORDS.items()):
+        sw = ", ".join(f"'{w}'" for w in stops)
+        hit_cols.append(
+            F.expr(f"size(filter(split(text, ' '), w -> w IN ({sw})))").alias(
+                f"hits_{lang}"
+            )
+        )
+    scored = docs.select("doc_id", *hit_cols)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier languages win ties
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("bigint") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text."""
+    norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+ORACLE_TOKEN_COUNTS = f"""SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+_SW = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+ORACLE_QUALITY_SCORES = f"""WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(n_stop / n_words, 6) AS stopword_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + (1.0 - n_punct / n_chars) * 0.3
+             + least(n_stop / n_words * 5.0, 1.0) * 0.3, 6) AS quality_score
+FROM f"""
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    hits = ",\n         ".join(
+        "CAST(len(list_filter(string_split(text, ' '), w -> w IN ({}))) AS BIGINT) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"hits_{lang}" for lang in langs))
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""WITH h AS (
+  SELECT doc_id,
+         {hits}
+  FROM documents
+),
+b AS (SELECT *, {best} AS best FROM h)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)}, {case} AS pred_lang
+FROM b"""
+
+
+ORACLE_LANG_ID = _lang_id_sql()
+
+ORACLE_FINGERPRINTS = """WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fingerprint,
+       CAST(length(norm) AS BIGINT) AS norm_len
+FROM n"""
+
+
+# ------------------------------------------------------------- registry
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_docs(spark, sf_dir))
+
+
+QUERIES = {
+    "text_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "text_quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
+    "text_lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "text_fingerprints": (q_fingerprints, ORACLE_FINGERPRINTS),
+}

@@ -1,0 +1,95 @@
+"""Composed end-to-end anomaly pipeline over the testdata `events` table.
+
+The reference's domain is a wide metrics frame sampled on a regular time
+grid (SURVEY §1.1).  The driver's `events` table is a long event stream
+(event_id, ts, user_id, event_type, value, props) — the exact shape of a
+raw Prometheus response stream — so the pipeline adapter here treats:
+
+    event_type  ->  metric alias (the config.yaml `queries:` key)
+    minute-truncated ts -> the step-aligned sample grid (step = 1 min)
+    event_id    ->  provenance order for keep-first dedup (SURVEY H4)
+
+Stages mirror SURVEY §3.1-§3.4: align (pivot) -> calendar features ->
+ffill/bfill -> MinMax scale (calendar features scaled too — load-bearing
+reference semantics, preprocess_data.py:167-178) -> stride-1 windows ->
+stub-autoencoder reconstruction MSE -> threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hour_of_day, weekday_mon0
+from ..io_tables import load_table
+from ..operators import fill, scale, score
+from ..operators.align import metrics_wide
+
+#: metric aliases present in the testdata events table (sorted).
+METRICS = ["click", "error", "purchase", "signup", "view"]
+CALENDAR = ["day_of_week", "hour_of_day"]
+#: full feature order — queries + calendar, realtime_detector.py:43-44.
+FEATURES = METRICS + CALENDAR
+SEQUENCE_LENGTH = 20
+#: near the p95 of stub-model MSE on the testdata (the practice config.yaml:113-118
+#: documents); the reference ships a hand-tuned 0.0025 (config.yaml:119).
+ANOMALY_THRESHOLD = 0.0013
+STUB_A, STUB_B = 0.9, 0.02
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> canonical long (ts, metric, value, seq) frame."""
+    return load(spark, sf_dir, "events").select(
+        F.col("ts"),
+        F.col("event_type").alias("metric"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def wide_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collector alignment output: step grid x one column per metric (J1+U3)."""
+    return metrics_wide(events_long(spark, sf_dir), METRICS)
+
+
+def with_calendar(df: DataFrame) -> DataFrame:
+    """P4: append day_of_week (Mon=0) and hour_of_day."""
+    return df.withColumn("day_of_week", weekday_mon0("ts")).withColumn(
+        "hour_of_day", hour_of_day("ts")
+    )
+
+
+def preprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect + preprocess stages: aligned, calendar'd, filled, scaled."""
+    df = with_calendar(wide_frame(spark, sf_dir))
+    df = fill.ffill_bfill_scalable(df, METRICS)
+    return scale.minmax_transform(df, FEATURES)
+
+
+def anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per stride-1 window, the stub-model reconstruction MSE.
+
+    The exact question filter_anomalous_data.py answers (:112-156):
+    "which 20-step windows are anomalous and what is each window's MSE?"
+    """
+    df = preprocessed(spark, sf_dir)
+    out = score.window_mse(df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B)
+    return out.select(
+        "window_id", "start_ts", F.round("mse", 8).alias("mse")
+    )
+
+
+def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagged windows: mse + is_anomaly bit (P7)."""
+    df = preprocessed(spark, sf_dir)
+    out = score.window_mse(df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B)
+    return out.select(
+        "window_id",
+        "start_ts",
+        F.round("mse", 8).alias("mse"),
+        (F.col("mse") > F.lit(ANOMALY_THRESHOLD)).cast("bigint").alias("is_anomaly"),
+    )

@@ -1,0 +1,261 @@
+"""Relational operator coverage on the TPC-H-ish testdata tables.
+
+The reference's own join/agg surface is tiny (SURVEY §2.3-§2.5); these
+queries prove the engine's general relational capability at scale —
+multi-way broadcast joins, partial aggregation, semi/anti joins,
+rollups, top-k-per-group — with Catalyst picking physical strategies
+(AQE on; dimension tables broadcast explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..io_tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide partial-aggregable scan (map-side combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-fact join + broadcast dim filter + agg."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_TPCH_Q3 = """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, dims broadcast, one fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_TPCH_Q5 = """SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — predicate pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_TPCH_Q6 = """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer (rank window, deterministic
+    tiebreak on orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 3"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins: customers with/without orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    okeys = orders.select(F.col("o_custkey"))
+    with_orders = cust.join(
+        okeys, cust.c_custkey == okeys.o_custkey, "left_semi"
+    ).select("c_custkey").withColumn("has_orders", F.lit(1).cast("bigint"))
+    without = cust.join(
+        okeys, cust.c_custkey == okeys.o_custkey, "left_anti"
+    ).select("c_custkey").withColumn("has_orders", F.lit(0).cast("bigint"))
+    return with_orders.unionByName(without)
+
+
+ORACLE_SEMI_ANTI_JOIN = """SELECT c_custkey, CAST(1 AS BIGINT) AS has_orders
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, CAST(0 AS BIGINT) AS has_orders
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping-id — hierarchical totals in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+ORACLE_ROLLUP_AGG = """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (the batch twin of the streaming
+    detector's per-trigger window, SURVEY §2.8-T5)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+ORACLE_WINDOWED_EVENTS = """SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2"""
+
+
+QUERIES = {
+    "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
+    "semi_anti_join": (q_semi_anti_join, ORACLE_SEMI_ANTI_JOIN),
+    "rollup_agg": (q_rollup_agg, ORACLE_ROLLUP_AGG),
+    "windowed_events": (q_windowed_events, ORACLE_WINDOWED_EVENTS),
+}

@@ -1,0 +1,256 @@
+"""Query registry: every implemented operator as (Spark callable, oracle SQL).
+
+The driver contract (``__spark_entry__.py``) runs each callable at
+sf=0.01 and hash-compares it against the oracle SQL run by DuckDB on the
+same parquet tables.  Column names and float rounding are aligned on
+both sides (see oracles.py).
+
+Each entry exercises one or more SURVEY §2 operators; the mapping is
+noted per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracles
+from .operators import align, fill, scale, score
+from .plans import pipeline as P
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _utc(spark: SparkSession) -> None:
+    """Pin session TZ — reference timestamps are tz-naive UTC (SURVEY H3)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --------------------------------------------------------------- domain
+
+def q_metrics_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 outer align + U3 keep-first dedup fused into one pivot shuffle."""
+    _utc(spark)
+    return P.wide_frame(spark, sf_dir)
+
+
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: weekday Mon=0 + hour-of-day (pandas convention, SURVEY H3)."""
+    _utc(spark)
+    return P.with_calendar(P.wide_frame(spark, sf_dir)).select(
+        "ts", "day_of_week", "hour_of_day"
+    )
+
+
+def q_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: day-partitioned scalable ffill->bfill (exact-copy values)."""
+    _utc(spark)
+    df = P.with_calendar(P.wide_frame(spark, sf_dir))
+    return fill.ffill_bfill_scalable(df, P.METRICS).select("ts", *P.METRICS)
+
+
+def q_fill_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: mean-fill strategy."""
+    _utc(spark)
+    df = fill.fill_mean(P.wide_frame(spark, sf_dir), P.METRICS)
+    return df.select("ts", *[F.round(m, 6).alias(m) for m in P.METRICS])
+
+
+def q_fill_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact-median fill strategy."""
+    _utc(spark)
+    df = fill.fill_median(P.wide_frame(spark, sf_dir), P.METRICS)
+    return df.select("ts", *[F.round(m, 6).alias(m) for m in P.METRICS])
+
+
+def q_scaler_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5/S9: the scaler artifact as a params table (sklearn-exact)."""
+    _utc(spark)
+    df = P.with_calendar(P.wide_frame(spark, sf_dir))
+    df = fill.ffill_bfill_scalable(df, P.METRICS)
+    params = scale.fit_params(df, P.FEATURES)
+    return params.select(
+        "feature",
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std_pop", 6).alias("std_pop"),
+    )
+
+
+def q_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/A4: MinMax transform, calendar features scaled too (SURVEY §3.2)."""
+    _utc(spark)
+    df = P.preprocessed(spark, sf_dir)
+    return df.select("ts", *[F.round(c, 6).alias(c) for c in P.FEATURES])
+
+
+def q_standard_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/A5: StandardScaler transform with POPULATION std (SURVEY H2)."""
+    _utc(spark)
+    df = P.with_calendar(P.wide_frame(spark, sf_dir))
+    df = fill.ffill_bfill_scalable(df, P.METRICS)
+    df = scale.standard_transform(df, P.FEATURES)
+    return df.select("ts", *[F.round(c, 6).alias(c) for c in P.FEATURES])
+
+
+def q_anomaly_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — A6/W2: per-window stub-model reconstruction MSE."""
+    _utc(spark)
+    return P.anomaly_scores(spark, sf_dir)
+
+
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: threshold predicate on window MSE."""
+    _utc(spark)
+    return P.anomaly_flags(spark, sf_dir)
+
+
+def q_threshold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/A9: normal-vs-anomalous counts and percentages."""
+    _utc(spark)
+    df = P.preprocessed(spark, sf_dir)
+    mse = score.window_mse(df, P.FEATURES, P.SEQUENCE_LENGTH)
+    out = score.threshold_split(mse, P.ANOMALY_THRESHOLD)
+    return out.select("is_anomaly", "n", F.round("pct", 6).alias("pct"))
+
+
+def q_mse_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: 50-bin error histogram (bucketed on rounded MSE for parity)."""
+    _utc(spark)
+    mse = P.anomaly_scores(spark, sf_dir)
+    return score.mse_histogram(mse.select("mse"), bins=50)
+
+
+def q_threshold_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: exact p95/p99 threshold suggestion."""
+    _utc(spark)
+    mse = P.anomaly_scores(spark, sf_dir)
+    out = score.threshold_percentiles(mse)
+    return out.select(
+        F.round("p95", 8).alias("p95"), F.round("p99", 8).alias("p99")
+    )
+
+
+def q_per_feature_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-feature reconstruction MSE (labeled-gauge shape)."""
+    _utc(spark)
+    df = P.preprocessed(spark, sf_dir)
+    out = score.per_feature_mse(df, P.FEATURES)
+    return out.select("feature", F.round("mse", 8).alias("mse"))
+
+
+def q_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: last-L-rows by recency (TakeOrderedAndProject, no full sort)."""
+    _utc(spark)
+    return align.tail_n(P.wide_frame(spark, sf_dir), P.SEQUENCE_LENGTH)
+
+
+def q_inner_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: intersection-only alignment (realtime semantics)."""
+    _utc(spark)
+    return align.inner_align(P.wide_frame(spark, sf_dir), P.METRICS)
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: keep-first dedup with provenance ordering."""
+    _utc(spark)
+    long = P.events_long(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("minute", F.col("ts"))
+    )
+    return align.dedup_keep_first(long, ["ts", "metric"], ["seq"])
+
+
+def q_multi_series_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: first-series collapse (keep lowest series id per group)."""
+    _utc(spark)
+    df = P.load(spark, sf_dir, "events").select(
+        F.date_trunc("minute", "ts").alias("ts"),
+        F.col("event_type").alias("metric"),
+        "user_id",
+        "value",
+    )
+    return align.first_series(df, ["ts", "metric"], "user_id")
+
+
+def q_union_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2+U3: period union then keep-first dedup by (period, seq)."""
+    _utc(spark)
+    long = P.events_long(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("minute", F.col("ts"))
+    )
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    p0 = long.filter(F.col("ts") < split).withColumn("period_idx", F.lit(0))
+    p1 = long.filter(F.col("ts") >= split).withColumn("period_idx", F.lit(1))
+    both = align.union_periods([p0, p1])
+    out = align.dedup_keep_first(both, ["ts", "metric"], ["period_idx", "seq"])
+    return out.select("ts", "metric", "value")
+
+
+def q_backfill_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: absent metrics materialized as all-NULL double columns."""
+    _utc(spark)
+    wide = P.wide_frame(spark, sf_dir)
+    return align.backfill_missing_columns(
+        wide, P.METRICS + ["latency", "cpu"]
+    )
+
+
+def q_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: to-numeric with NULL on unparseable input (try_cast)."""
+    _utc(spark)
+    ev = P.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(
+            "try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS DOUBLE)"
+        ).alias("k_num"),
+        F.expr("try_cast(event_type AS DOUBLE)").alias("bad"),
+    )
+
+
+DOMAIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "metrics_wide": (q_metrics_wide, oracles.ORACLE_WIDE),
+    "calendar_features": (q_calendar_features, oracles.ORACLE_CALENDAR),
+    "ffill_bfill": (q_ffill_bfill, oracles.ORACLE_FFILL_BFILL),
+    "fill_mean": (q_fill_mean, oracles.ORACLE_FILL_MEAN),
+    "fill_median": (q_fill_median, oracles.ORACLE_FILL_MEDIAN),
+    "scaler_params": (q_scaler_params, oracles.ORACLE_SCALER_PARAMS),
+    "minmax_scaled": (q_minmax_scaled, oracles.ORACLE_MINMAX_SCALED),
+    "standard_scaled": (q_standard_scaled, oracles.ORACLE_STANDARD_SCALED),
+    "anomaly_mse": (q_anomaly_mse, oracles.ORACLE_ANOMALY_MSE),
+    "anomaly_flags": (q_anomaly_flags, oracles.ORACLE_ANOMALY_FLAGS),
+    "threshold_split": (q_threshold_split, oracles.ORACLE_THRESHOLD_SPLIT),
+    "mse_histogram": (q_mse_histogram, oracles.ORACLE_MSE_HISTOGRAM),
+    "threshold_percentiles": (
+        q_threshold_percentiles,
+        oracles.ORACLE_THRESHOLD_PERCENTILES,
+    ),
+    "per_feature_mse": (q_per_feature_mse, oracles.ORACLE_PER_FEATURE_MSE),
+    "tail_n": (q_tail_n, oracles.ORACLE_TAIL_N),
+    "inner_align": (q_inner_align, oracles.ORACLE_INNER_ALIGN),
+    "dedup_keep_first": (q_dedup_keep_first, oracles.ORACLE_DEDUP_KEEP_FIRST),
+    "multi_series_first": (
+        q_multi_series_first,
+        oracles.ORACLE_MULTI_SERIES_FIRST,
+    ),
+    "union_periods": (q_union_periods, oracles.ORACLE_UNION_PERIODS),
+    "backfill_missing": (q_backfill_missing, oracles.ORACLE_BACKFILL_MISSING),
+    "numeric_coercion": (q_numeric_coercion, oracles.ORACLE_NUMERIC_COERCION),
+}
+
+
+def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
+    from .plans import relational
+    from .operators import dedup, similarity, text, multimodal
+
+    out: dict[str, tuple[QueryFn, str | None]] = {}
+    out.update(DOMAIN_QUERIES)
+    out.update(relational.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(text.QUERIES)
+    out.update(multimodal.QUERIES)
+    return out
