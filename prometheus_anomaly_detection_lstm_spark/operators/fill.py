@@ -66,14 +66,26 @@ def ffill_bfill(df: DataFrame, cols: list[str], ts_col: str = "ts") -> DataFrame
     take the last prior value, leading NULLs the first following value.
     Uses an unpartitioned window: correct at any size but single-task;
     prefer :func:`ffill_bfill_scalable` on big tables.
+
+    Both passes are RUNNING frames (UNBOUNDED PRECEDING .. CURRENT ROW,
+    the backward one over a descending sort): Spark evaluates running
+    frames incrementally in O(n), whereas an UNBOUNDED FOLLOWING frame
+    with ``first(ignorenulls)`` degrades to O(n²) re-scans.
     """
-    w_back = Window.orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = Window.orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
-    out = df
-    for c in cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_back))
-        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w_fwd))
-    return out
+    w_back = Window.orderBy(F.col(ts_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_rev = Window.orderBy(F.col(ts_col).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ff = df.select(
+        *[c for c in df.columns if c not in cols],
+        *[F.last(c, ignorenulls=True).over(w_back).alias(c) for c in cols],
+    )
+    return ff.select(
+        *[c for c in ff.columns if c not in cols],
+        *[F.last(c, ignorenulls=True).over(w_rev).alias(c) for c in cols],
+    )
 
 
 def ffill_bfill_scalable(
@@ -126,28 +138,41 @@ def ffill_bfill_scalable(
     )
 
     joined = with_day.join(F.broadcast(carry), "__day")
+    # Running frames only (asc for ffill, desc for bfill): O(n) incremental
+    # evaluation; an UNBOUNDED FOLLOWING first(ignorenulls) frame is O(n²).
     w_back = (
         Window.partitionBy("__day")
-        .orderBy(ts_col)
+        .orderBy(F.col(ts_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_fwd = (
+    w_rev = (
         Window.partitionBy("__day")
-        .orderBy(ts_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined
-    for c in cols:
-        ff = F.coalesce(
-            F.last(c, ignorenulls=True).over(w_back), F.col(f"__carry_{c}")
-        )
-        out = out.withColumn(c, ff)
-    for c in cols:
-        bf = F.coalesce(
-            F.first(c, ignorenulls=True).over(w_fwd), F.col(f"__lead_{c}")
-        )
-        out = out.withColumn(c, bf)
-    return out.drop("__day", *[f"__carry_{c}" for c in cols], *[f"__lead_{c}" for c in cols])
+    keep = [c for c in df.columns if c not in cols]
+    ffilled = joined.select(
+        *keep,
+        "__day",
+        *[F.col(f"__lead_{c}") for c in cols],
+        *[
+            F.coalesce(
+                F.last(c, ignorenulls=True).over(w_back),
+                F.col(f"__carry_{c}"),
+            ).alias(c)
+            for c in cols
+        ],
+    )
+    return ffilled.select(
+        *keep,
+        *[
+            F.coalesce(
+                F.last(c, ignorenulls=True).over(w_rev),
+                F.col(f"__lead_{c}"),
+            ).alias(c)
+            for c in cols
+        ],
+    )
 
 
 STRATEGIES = {
