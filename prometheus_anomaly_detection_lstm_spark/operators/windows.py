@@ -56,12 +56,17 @@ def sequence_windows(
 def sequence_windows_scalable(
     df: DataFrame, feature_cols: list[str], length: int, ts_col: str = "ts"
 ) -> DataFrame:
-    """W2 at scale: day-bucketed build with L-1 rows of boundary overlap.
+    """W2 at scale: day-bucketed build with cross-day boundary overlap.
 
-    Window ids are assigned per-day then offset by the global running
-    count of prior days' rows (computed on the tiny per-day summary), so
-    ids equal the global 0-based start-row offset without any global
-    row-numbering pass.
+    No global row-numbering pass: each row's global index is its rank
+    within its calendar day plus the day's offset (cumulative prior-day
+    counts, computed on the tiny per-day summary).  A row with global
+    index g is shipped to every day-bucket whose windows can reach it —
+    ``offset_d <= g < offset_d + n_d + L - 1`` — via a broadcast range
+    join against the per-day summary, so overlap spanning ANY number of
+    sparse days is handled (not just the adjacent day).  Window ids are
+    the global 0-based start-row offsets; each stride-1 window is built
+    exactly once, in the bucket where its start row is native.
     """
     day = F.to_date(F.col(ts_col))
     with_day = df.select(
@@ -69,27 +74,33 @@ def sequence_windows_scalable(
         *[F.col(c).cast("double") for c in feature_cols],
     ).withColumn("__day", day)
 
-    # Global offset of each day's first row = cumulative rows of prior days.
+    # Tiny per-day summary: row count and global offset of first row.
     counts = with_day.groupBy("__day").agg(F.count("*").alias("__n"))
     w_days = Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__day", F.coalesce(F.sum("__n").over(w_days), F.lit(0)).alias("__offset")
+    summary = counts.select(
+        "__day",
+        "__n",
+        F.coalesce(F.sum("__n").over(w_days), F.lit(0)).alias("__offset"),
     )
 
-    # Overlap: first L-1 rows of each day also join the PREVIOUS day.
     w_in_day = Window.partitionBy("__day").orderBy(ts_col)
-    ranked = with_day.withColumn("__rk", F.row_number().over(w_in_day))
-    native = ranked.withColumn("__bucket", F.col("__day")).withColumn(
-        "__is_native", F.lit(True)
+    ranked = (
+        with_day.withColumn("__rk", F.row_number().over(w_in_day))
+        .join(F.broadcast(summary), "__day")
+        .withColumn("__g", F.col("__offset") + F.col("__rk") - 1)
+        .drop("__rk", "__n", "__offset")
     )
-    overlap = (
-        ranked.filter(F.col("__rk") <= length - 1)
-        .withColumn("__bucket", F.date_sub(F.col("__day"), 1))
-        .withColumn("__is_native", F.lit(False))
+    buckets = F.broadcast(
+        summary.select(
+            F.col("__day").alias("__bucket"),
+            F.col("__offset"),
+            (F.col("__offset") + F.col("__n") + length - 1).alias("__limit"),
+        )
     )
-    both = native.unionByName(overlap).join(
-        F.broadcast(offsets.withColumnRenamed("__day", "__bucket")), "__bucket"
-    )
+    both = ranked.join(
+        buckets,
+        (F.col("__g") >= F.col("__offset")) & (F.col("__g") < F.col("__limit")),
+    ).withColumn("__is_native", F.col("__day") == F.col("__bucket"))
 
     schema = "window_id bigint, start_ts timestamp, features array<array<double>>"
 
@@ -108,6 +119,14 @@ def sequence_windows_scalable(
                 out_feat.append(vals[i : i + length].tolist())
             if is_native:
                 native_rank += 1
+        if not out_id:  # empty bucket: keep Arrow-castable dtypes
+            return pd.DataFrame(
+                {
+                    "window_id": pd.Series(dtype="int64"),
+                    "start_ts": pd.Series(dtype="datetime64[us]"),
+                    "features": pd.Series(dtype="object"),
+                }
+            )
         return pd.DataFrame(
             {"window_id": out_id, "start_ts": out_ts, "features": out_feat}
         )

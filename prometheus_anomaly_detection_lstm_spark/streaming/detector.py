@@ -1,0 +1,149 @@
+"""Realtime anomaly detector as Structured Streaming (SURVEY §2.8).
+
+The reference's detector (realtime_detector.py:350-398) is a
+``while True: sleep(interval)`` loop that each cycle re-fetches the last
+L points per metric, preprocesses, scores one window, and pushes gauges.
+The Spark-native port keeps the same *stateless recompute* semantics
+(T2) inside ``foreachBatch`` of a processing-time-triggered streaming
+query (T1); the exporter sink (S12) receives "update-mode" gauge writes
+(T4) and the reference's guard/sentinel behaviors are preserved:
+
+* missing metric -> whole cycle skipped                 (T3, :176-190)
+* short window (n < L) -> skipped, point-count gauge    (T3, :211-215)
+* scoring failure -> mse gauge -1, flag 0               (M6, :339-348)
+
+``run_detector_on_batch`` is trigger-agnostic: production wires it to a
+rate source (``trigger(processingTime='30 seconds')``); tests drive it
+with a replayed fixture micro-batch (FIXTURES F7 cycles).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.autoencoder import StubAutoencoder
+from .exporter import DetectorMetrics
+
+
+@dataclass
+class DetectorConfig:
+    metrics: list[str]
+    sequence_length: int = 20
+    threshold: float = 0.0013
+    interval_seconds: int = 30
+    scaler_params: pd.DataFrame | None = None  # feature -> (min, max)
+    model: StubAutoencoder = field(default_factory=StubAutoencoder)
+
+    @property
+    def features(self) -> list[str]:
+        return self.metrics + ["day_of_week", "hour_of_day"]
+
+
+def _prep_window(pdf: pd.DataFrame, cfg: DetectorConfig) -> np.ndarray | None:
+    """The reference's _preprocess_and_create_sequence
+    (realtime_detector.py:220-242) on one aligned window."""
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    pdf["day_of_week"] = pdf["ts"].dt.dayofweek
+    pdf["hour_of_day"] = pdf["ts"].dt.hour
+    vals = pdf[cfg.features].astype("float64")
+    if vals.isna().any().any():  # ffill/bfill only when NaN present (:224-230)
+        vals = vals.ffill().bfill()
+    if cfg.scaler_params is not None:
+        p = cfg.scaler_params.set_index("feature")
+        lo = p["min"].reindex(cfg.features).to_numpy()
+        hi = p["max"].reindex(cfg.features).to_numpy()
+        rng = np.where(hi == lo, 1.0, hi - lo)
+        vals = (vals.to_numpy() - lo) / rng
+    else:
+        vals = vals.to_numpy()
+    return vals[np.newaxis, :, :]  # (1, L, F) — :242
+
+
+def run_detection_cycle(
+    window_long: pd.DataFrame, cfg: DetectorConfig, sinks: DetectorMetrics
+) -> dict | None:
+    """One cycle over a long-format window (ts, metric, value).
+
+    Returns the cycle outcome dict, or None when skipped (guards).
+    """
+    present = set(window_long["metric"].unique())
+    if present != set(cfg.metrics):  # all-or-nothing (:176-193)
+        return None
+    wide = window_long.pivot_table(
+        index="ts", columns="metric", values="value", aggfunc="first"
+    ).reset_index()
+    # inner-align: rows where every metric has a sample (:195)
+    aligned = wide.dropna(subset=cfg.metrics)
+    sinks.window_points.set(len(aligned))
+    if len(aligned) < cfg.sequence_length:  # short window (:211-215)
+        return None
+    tail = aligned.tail(cfg.sequence_length)  # U5 (:210)
+    seq = _prep_window(tail, cfg)
+    try:
+        recon = cfg.model.predict(seq)
+        err = seq - recon
+        mse = float((err * err).mean())
+        feat_mse = (err * err).mean(axis=(0, 1))
+    except Exception:
+        sinks.latest_mse.set(-1.0)  # sentinel (M6, :339-348)
+        sinks.is_anomaly.set(0.0)
+        return None
+    is_anom = mse > cfg.threshold
+    sinks.latest_mse.set(mse)
+    sinks.is_anomaly.set(1.0 if is_anom else 0.0)
+    if is_anom:
+        sinks.total_anomalies.inc()
+    for name, v in zip(cfg.features, feat_mse):
+        sinks.feature_mse.set(float(v), feature_name=name)
+    sinks.last_success.set_to_current_time()
+    return {"mse": mse, "is_anomaly": is_anom, "n_points": len(aligned)}
+
+
+def run_detector_on_batch(
+    batch_df: DataFrame, cfg: DetectorConfig, sinks: DetectorMetrics
+) -> list[dict]:
+    """foreachBatch body: each distinct cycle_id in the batch is one
+    detection cycle (exceptions per cycle are logged-and-continue,
+    matching the reference loop :392-398)."""
+    pdf = batch_df.select("cycle_id", "ts", "metric", "value").toPandas()
+    outcomes = []
+    for cycle_id in sorted(pdf["cycle_id"].unique()):
+        try:
+            out = run_detection_cycle(
+                pdf[pdf["cycle_id"] == cycle_id], cfg, sinks
+            )
+        except Exception:
+            out = None
+        outcomes.append({"cycle_id": int(cycle_id), "outcome": out})
+    return outcomes
+
+
+def start_streaming_detector(
+    spark: SparkSession,
+    source: DataFrame,
+    cfg: DetectorConfig,
+    sinks: DetectorMetrics,
+    checkpoint_dir: str,
+):
+    """Wire the detector to a streaming source of long-format samples.
+
+    ``source`` must be a streaming DataFrame with columns
+    (cycle_id, ts, metric, value).  Stateless recompute -> no watermark
+    needed (SURVEY T3); a stateful ring-buffer upgrade would add
+    ``withWatermark('ts', 2*step)``.
+    """
+    return (
+        source.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _epoch: run_detector_on_batch(df, cfg, sinks)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{cfg.interval_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,183 @@
+"""Edge-case suite drawn from the reference's own guards (SURVEY §5.3)
+plus scalable-vs-simple implementation equivalence."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark.operators import (
+    align,
+    fill,
+    scale,
+    windows,
+)
+from prometheus_anomaly_detection_lstm_spark.config import (
+    load_config,
+    parse_duration_seconds,
+    validate_periods,
+)
+
+
+def _ts(i):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=137 * i)
+
+
+@pytest.fixture()
+def metric_df(spark):
+    # spans several days; m2 has leading nulls, m3 trailing, m4 all-null
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                _ts(i),
+                float(i),
+                None if i < 5 else float(i * 2),
+                None if i > 54 else float(i * 3),
+                None,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "ts timestamp, m1 double, m2 double, m3 double, m4 double"
+    )
+
+
+COLS = ["m1", "m2", "m3", "m4"]
+
+
+def test_ffill_bfill_scalable_equals_global(spark, metric_df):
+    a = fill.ffill_bfill(metric_df, COLS).orderBy("ts").collect()
+    b = fill.ffill_bfill_scalable(metric_df, COLS).orderBy("ts").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_ffill_bfill_leading_trailing(spark, metric_df):
+    out = {r.ts: r for r in fill.ffill_bfill_scalable(metric_df, COLS).collect()}
+    # leading nulls in m2 take the first following value (bfill)
+    assert out[_ts(0)].m2 == 10.0
+    # trailing nulls in m3 take the last prior value (ffill)
+    assert out[_ts(59)].m3 == 54.0 * 3
+    # all-null column survives every strategy (preprocess_data.py:72-74)
+    assert all(r.m4 is None for r in out.values())
+
+
+def test_unknown_strategy_is_noop(spark, metric_df):
+    out = fill.handle_missing_values(metric_df, COLS, "bogus")
+    assert out is metric_df
+
+
+def test_drop_rows_strategy(spark, metric_df):
+    out = fill.handle_missing_values(metric_df, ["m2", "m3"], "drop_rows")
+    assert out.count() == 60 - 5 - 5
+
+
+def test_minmax_degenerate_and_unknown_scaler(spark):
+    df = spark.createDataFrame(
+        [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)], ["a", "const"]
+    )
+    out = scale.scale_data(df, ["a", "const"], "NoSuchScaler").collect()
+    # unknown scaler falls back to MinMax (preprocess_data.py:89-91)
+    assert sorted(r.a for r in out) == [0.0, 0.5, 1.0]
+    # degenerate range -> 0 (sklearn scale_=1 handling, SURVEY H2)
+    assert {r.const for r in out} == {0.0}
+
+
+def test_standard_scaler_population_std(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["a"])
+    out = sorted(r.a for r in scale.standard_transform(df, ["a"]).collect())
+    # ddof=0: std = sqrt(2/3), NOT sample std 1.0 (SURVEY H2/A5)
+    import math
+
+    sd = math.sqrt(2.0 / 3.0)
+    assert out == pytest.approx([-1.0 / sd, 0.0, 1.0 / sd])
+
+
+def test_sequence_windows_short_input_empty(spark):
+    df = spark.createDataFrame(
+        [(_ts(i), float(i)) for i in range(5)], ["ts", "m1"]
+    )
+    # n < L -> empty (train_autoencoder.py:67-69)
+    assert windows.sequence_windows(df, ["m1"], 20).count() == 0
+    assert windows.sequence_windows_scalable(df, ["m1"], 20).count() == 0
+
+
+def test_sequence_windows_scalable_equals_simple(spark, metric_df):
+    filled = fill.ffill_bfill_scalable(metric_df, COLS)
+    L = 7
+    a = (
+        windows.sequence_windows(filled, ["m1", "m2"], L)
+        .orderBy("window_id")
+        .collect()
+    )
+    b = (
+        windows.sequence_windows_scalable(filled, ["m1", "m2"], L)
+        .orderBy("window_id")
+        .collect()
+    )
+    assert len(a) == 60 - L + 1
+    assert [r.window_id for r in a] == [r.window_id for r in b]
+    assert [r.start_ts for r in a] == [r.start_ts for r in b]
+    assert [r.features for r in a] == [r.features for r in b]
+
+
+def test_window_count_property(spark, metric_df):
+    # count = max(0, n - L + 1) for several L (SURVEY §5.5)
+    filled = fill.ffill_bfill_scalable(metric_df, COLS)
+    for L in (1, 13, 59, 60, 61):
+        got = windows.sequence_windows_scalable(filled, ["m1"], L).count()
+        assert got == max(0, 60 - L + 1), L
+
+
+def test_dedup_keep_first_provenance(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts(0), "m", 1.0, 1, 5),
+            (_ts(0), "m", 2.0, 0, 9),  # earlier period wins despite later seq
+            (_ts(1), "m", 3.0, 0, 1),
+        ],
+        ["ts", "metric", "value", "period_idx", "seq"],
+    )
+    out = align.dedup_keep_first(df, ["ts", "metric"], ["period_idx", "seq"])
+    vals = {r.ts: r.value for r in out.collect()}
+    assert vals[_ts(0)] == 2.0
+
+
+def test_tail_n_ascending(spark, metric_df):
+    out = align.tail_n(metric_df, 5).collect()
+    assert [r.ts for r in out] == [_ts(i) for i in range(55, 60)]
+
+
+def test_backfill_missing_noop_when_present(spark, metric_df):
+    out = align.backfill_missing_columns(metric_df, ["m1", "m9"])
+    assert out.columns == metric_df.columns + ["m9"]
+    assert out.select("m9").distinct().collect()[0].m9 is None
+
+
+def test_duration_parse():
+    # realtime_detector.py:128-140
+    assert parse_duration_seconds("30s") == 30
+    assert parse_duration_seconds("2m") == 120
+    assert parse_duration_seconds("1h") == 3600
+    assert parse_duration_seconds(45) == 45
+    assert parse_duration_seconds("junk") == 30
+
+
+def test_period_validation():
+    # data_collector.py:176-189
+    periods = [
+        {"start": "2024-01-01T00:00:00", "end": "2024-01-02T00:00:00"},
+        {"start": "2024-01-03T00:00:00", "end": "2024-01-02T00:00:00"},
+        {"start": "not-a-date", "end": "2024-01-02T00:00:00"},
+        {"start": "2024-01-05T00:00:00"},
+    ]
+    assert validate_periods(periods) == periods[:1]
+
+
+def test_config_defaults_and_feature_order():
+    cfg = load_config(data={"queries": {"q1": "up", "q2": "rate(x[1m])"}})
+    assert cfg.sequence_length == 20
+    assert cfg.step_seconds == 120
+    assert cfg.feature_columns == ["q1", "q2", "day_of_week", "hour_of_day"]
