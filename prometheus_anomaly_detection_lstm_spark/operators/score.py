@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import clip01
-from .windows import sliding_mean
+from .windows import sliding_mean_scalable
 
 
 def row_error(
@@ -64,7 +64,7 @@ def window_mse(
 ) -> DataFrame:
     """A6: (window_id, start_ts, mse) for every full stride-1 window."""
     scored = row_error(df, feature_cols, a, b)
-    out = sliding_mean(
+    out = sliding_mean_scalable(
         scored.select(ts_col, "row_err"), "row_err", length, ts_col
     )
     return out.withColumnRenamed("row_err", "mse")

@@ -53,28 +53,22 @@ def sequence_windows(
     )
 
 
-def sequence_windows_scalable(
-    df: DataFrame, feature_cols: list[str], length: int, ts_col: str = "ts"
-) -> DataFrame:
-    """W2 at scale: day-bucketed build with cross-day boundary overlap.
+def bucket_assign(df: DataFrame, length: int, ts_col: str = "ts") -> DataFrame:
+    """Ship every row to each day-bucket whose L-windows can reach it.
 
-    No global row-numbering pass: each row's global index is its rank
-    within its calendar day plus the day's offset (cumulative prior-day
-    counts, computed on the tiny per-day summary).  A row with global
-    index g is shipped to every day-bucket whose windows can reach it —
-    ``offset_d <= g < offset_d + n_d + L - 1`` — via a broadcast range
-    join against the per-day summary, so overlap spanning ANY number of
-    sparse days is handled (not just the adjacent day).  Window ids are
-    the global 0-based start-row offsets; each stride-1 window is built
-    exactly once, in the bucket where its start row is native.
+    The shared scale primitive behind the window operators.  Adds:
+      __g          global 0-based row index (day offset + in-day rank —
+                   no global row-numbering pass)
+      __bucket     owning calendar day (one output row per covering day)
+      __is_native  row belongs to __bucket (vs shipped as overlap)
+
+    The per-day summary (count + cumulative offset) is tiny, so both the
+    index join and the coverage range join are broadcasts; overlap rows
+    are the L-1 global successors of each day, wherever they live.
     """
     day = F.to_date(F.col(ts_col))
-    with_day = df.select(
-        F.col(ts_col),
-        *[F.col(c).cast("double") for c in feature_cols],
-    ).withColumn("__day", day)
+    with_day = df.withColumn("__day", day)
 
-    # Tiny per-day summary: row count and global offset of first row.
     counts = with_day.groupBy("__day").agg(F.count("*").alias("__n"))
     w_days = Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, -1)
     summary = counts.select(
@@ -97,10 +91,39 @@ def sequence_windows_scalable(
             (F.col("__offset") + F.col("__n") + length - 1).alias("__limit"),
         )
     )
-    both = ranked.join(
-        buckets,
-        (F.col("__g") >= F.col("__offset")) & (F.col("__g") < F.col("__limit")),
-    ).withColumn("__is_native", F.col("__day") == F.col("__bucket"))
+    return (
+        ranked.join(
+            buckets,
+            (F.col("__g") >= F.col("__offset"))
+            & (F.col("__g") < F.col("__limit")),
+        )
+        .withColumn("__is_native", F.col("__day") == F.col("__bucket"))
+        .drop("__offset", "__limit", "__day")
+    )
+
+
+def sequence_windows_scalable(
+    df: DataFrame, feature_cols: list[str], length: int, ts_col: str = "ts"
+) -> DataFrame:
+    """W2 at scale: day-bucketed build with cross-day boundary overlap.
+
+    No global row-numbering pass: each row's global index is its rank
+    within its calendar day plus the day's offset (cumulative prior-day
+    counts, computed on the tiny per-day summary).  A row with global
+    index g is shipped to every day-bucket whose windows can reach it —
+    ``offset_d <= g < offset_d + n_d + L - 1`` — via a broadcast range
+    join against the per-day summary, so overlap spanning ANY number of
+    sparse days is handled (not just the adjacent day).  Window ids are
+    the global 0-based start-row offsets; each stride-1 window is built
+    exactly once, in the bucket where its start row is native.
+    """
+    both = bucket_assign(
+        df.select(
+            F.col(ts_col), *[F.col(c).cast("double") for c in feature_cols]
+        ),
+        length,
+        ts_col,
+    )
 
     schema = "window_id bigint, start_ts timestamp, features array<array<double>>"
 
@@ -109,16 +132,11 @@ def sequence_windows_scalable(
         vals = pdf[feature_cols].to_numpy()
         n = len(pdf)
         out_id, out_ts, out_feat = [], [], []
-        offset = int(pdf["__offset"].iloc[0]) if n else 0
-        native_rank = 0
         for i in range(n):
-            is_native = bool(pdf["__is_native"].iloc[i])
-            if is_native and i + length <= n:
-                out_id.append(offset + native_rank)
+            if bool(pdf["__is_native"].iloc[i]) and i + length <= n:
+                out_id.append(int(pdf["__g"].iloc[i]))
                 out_ts.append(pdf[ts_col].iloc[i])
                 out_feat.append(vals[i : i + length].tolist())
-            if is_native:
-                native_rank += 1
         if not out_id:  # empty bucket: keep Arrow-castable dtypes
             return pd.DataFrame(
                 {
@@ -153,6 +171,37 @@ def sliding_mean(
         .filter(F.col("__cnt") == length)
         .select(
             "window_id",
+            F.col(ts_col).alias("start_ts"),
+            F.col("__avg").alias(value_col),
+        )
+    )
+
+
+def sliding_mean_scalable(
+    df: DataFrame, value_col: str, length: int, ts_col: str = "ts"
+) -> DataFrame:
+    """:func:`sliding_mean` without the global single-partition sort.
+
+    Pure Catalyst at scale: rows are day-bucketed with cross-day overlap
+    (:func:`bucket_assign`), then the L-row frame runs PARTITIONED BY
+    bucket — overlap rows complete the boundary windows, only
+    native-start full windows are emitted, and the window id is the
+    row's global index.  No Python, no driver loop, no global sort.
+    """
+    both = bucket_assign(
+        df.select(F.col(ts_col), F.col(value_col)), length, ts_col
+    )
+    w_frame = (
+        Window.partitionBy("__bucket")
+        .orderBy(ts_col)
+        .rowsBetween(0, length - 1)
+    )
+    return (
+        both.withColumn("__cnt", F.count(value_col).over(w_frame))
+        .withColumn("__avg", F.avg(value_col).over(w_frame))
+        .filter(F.col("__is_native") & (F.col("__cnt") == length))
+        .select(
+            F.col("__g").alias("window_id"),
             F.col(ts_col).alias("start_ts"),
             F.col("__avg").alias(value_col),
         )

@@ -1,0 +1,252 @@
+"""Extended operator coverage beyond the reference surface.
+
+Temporal operators a production metrics/training-data platform needs
+that neither the reference nor plain TPC-H exercises: sessionization,
+as-of alignment, NaN accounting, corpus vocabulary statistics, and
+element-wise aggregation over embedding vectors.  All pure Catalyst,
+each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+from ..operators import fill
+from ..plans import pipeline as P
+
+SESSION_GAP_MIN = 30
+
+
+def q_nan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-column NULL accounting on the aligned wide frame
+    (preprocess_data.py:44, :72-74)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wide = P.wide_frame(spark, sf_dir)
+    return fill.nan_counts(wide, P.METRICS)
+
+
+ORACLE_NAN_COUNTS = None  # set below (needs oracles import at module load)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new session.
+
+    lag + cumulative-sum-of-boundaries per user — the standard Spark
+    sessionization idiom (one shuffle on user_id).  Output: per-session
+    (user_id, session_id, n_events, start/end).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(
+        w_user
+    )
+    new_sess = (
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    )
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess)
+        .over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of alignment: for each 'error' event, the most recent 'click'
+    at-or-before it (global time order).
+
+    Spark lacks a native as-of join; the union+running-last idiom
+    expresses it in one window pass — at scale, partition by a coarse
+    time bucket with boundary carry exactly like operators/fill.py.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = tagged.withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return out.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "last_click_ts"
+    )
+
+
+ORACLE_ASOF_JOIN = """WITH tagged AS (
+  SELECT event_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'error')
+),
+r AS (
+  SELECT event_id, ts, event_type,
+         last_value(click_ts IGNORE NULLS) OVER (
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM tagged
+)
+SELECT event_id, ts, last_click_ts FROM r WHERE event_type = 'error'"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue over order time (cumsum window)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_revenue"),
+    )
+
+
+ORACLE_RUNNING_REVENUE = """SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_revenue
+FROM orders"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per event type (count-distinct shuffle)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_USERS = """SELECT event_type,
+       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1"""
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: document frequency + total count per word,
+    top level of any token-frequency pipeline (explode -> two-level agg)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("total_count"),
+    )
+
+
+ORACLE_VOCAB_STATS = """SELECT word,
+       count(DISTINCT doc_id) AS doc_freq, count(*) AS total_count
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY 1"""
+
+
+def q_embedding_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label (posexplode -> keyed agg) —
+    the centroid step of IVF index builds / k-means."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v")
+    ).select(F.col("label").cast("bigint").alias("label"), F.col("dim").cast("bigint").alias("dim"), "mean_v")
+
+
+ORACLE_EMBEDDING_MEAN_BY_LABEL = """SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim - 1 AS BIGINT) AS dim,
+       round(avg(v), 6) AS mean_v
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+)
+GROUP BY 1, 2"""
+
+
+def q_events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event-type count matrix (pivot flavor #2)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.hour("ts").cast("bigint"))
+        .groupBy("hour")
+        .pivot("event_type", P.METRICS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, P.METRICS)
+    )
+
+
+ORACLE_EVENTS_HOURLY_PIVOT = (
+    "SELECT CAST(hour(ts) AS BIGINT) AS hour,\n"
+    + ",\n".join(
+        f"       coalesce(count(*) FILTER (WHERE event_type = '{m}'), 0) AS {m}"
+        for m in P.METRICS
+    )
+    + "\nFROM events GROUP BY 1"
+)
+
+
+QUERIES = {
+    "nan_counts": (q_nan_counts, None),  # oracle set at import bottom
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+    "running_revenue": (q_running_revenue, ORACLE_RUNNING_REVENUE),
+    "distinct_users": (q_distinct_users, ORACLE_DISTINCT_USERS),
+    "vocab_stats": (q_vocab_stats, ORACLE_VOCAB_STATS),
+    "embedding_mean_by_label": (
+        q_embedding_mean_by_label,
+        ORACLE_EMBEDDING_MEAN_BY_LABEL,
+    ),
+    "events_hourly_pivot": (q_events_hourly_pivot, ORACLE_EVENTS_HOURLY_PIVOT),
+}
+
+
+def _nan_counts_oracle() -> str:
+    from ..oracles import pipeline_prefix
+
+    cols = ", ".join(
+        f"CAST(count(*) - count({m}) AS BIGINT) AS {m}" for m in P.METRICS
+    )
+    return pipeline_prefix("wide") + f"\nSELECT {cols} FROM wide"
+
+
+QUERIES["nan_counts"] = (q_nan_counts, _nan_counts_oracle())

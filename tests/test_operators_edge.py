@@ -181,3 +181,24 @@ def test_config_defaults_and_feature_order():
     assert cfg.sequence_length == 20
     assert cfg.step_seconds == 120
     assert cfg.feature_columns == ["q1", "q2", "day_of_week", "hour_of_day"]
+
+
+def test_sliding_mean_scalable_equals_simple(spark, metric_df):
+    filled = fill.ffill_bfill_scalable(metric_df, COLS)
+    for L in (3, 14):
+        a = (
+            windows.sliding_mean(filled.select("ts", "m1"), "m1", L)
+            .orderBy("window_id")
+            .collect()
+        )
+        b = (
+            windows.sliding_mean_scalable(filled.select("ts", "m1"), "m1", L)
+            .orderBy("window_id")
+            .collect()
+        )
+        assert [(r.window_id, r.start_ts) for r in a] == [
+            (r.window_id, r.start_ts) for r in b
+        ]
+        import pytest as _pt
+
+        assert [r.m1 for r in a] == _pt.approx([r.m1 for r in b])
