@@ -34,8 +34,13 @@ def score_windows(
 
     ``model_factory`` must be picklable and cheap; it is invoked once
     per task (e.g. ``lambda: StubAutoencoder()`` or a closure that
-    rebuilds Keras from broadcast weights).
+    rebuilds Keras from broadcast weights).  The package is shipped to
+    executors first — factories referencing package classes unpickle by
+    module path on the Python worker.
     """
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(windows.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = model_factory()

@@ -344,6 +344,13 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits"""
 
 ORACLE_SIMHASH = _simhash_sql()
 
+ORACLE_SIMHASH_PAIRS = f"""WITH fp AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
 
 # ------------------------------------------------------------- registry
 
@@ -363,9 +370,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(_docs(spark, sf_dir))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT_DUPLICATES),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
     "dedup_simhash": (q_simhash, ORACLE_SIMHASH),
+    "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
 }

@@ -211,6 +211,23 @@ def q_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mse_via_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: the Arrow-batched mapInPandas inference path (broadcast-weight
+    scoring over materialized windows) — same oracle as the Catalyst
+    scoring path, proving the two physical strategies agree."""
+    _utc(spark)
+    from .ml.autoencoder import StubAutoencoder
+    from .ml.infer import score_windows
+    from .operators.windows import sequence_windows_scalable
+
+    df = P.preprocessed(spark, sf_dir)
+    windows = sequence_windows_scalable(df, P.FEATURES, P.SEQUENCE_LENGTH)
+    scored = score_windows(windows, StubAutoencoder)
+    return scored.select(
+        "window_id", "start_ts", F.round("mse", 8).alias("mse")
+    )
+
+
 DOMAIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "metrics_wide": (q_metrics_wide, oracles.ORACLE_WIDE),
     "calendar_features": (q_calendar_features, oracles.ORACLE_CALENDAR),
@@ -221,6 +238,7 @@ DOMAIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "minmax_scaled": (q_minmax_scaled, oracles.ORACLE_MINMAX_SCALED),
     "standard_scaled": (q_standard_scaled, oracles.ORACLE_STANDARD_SCALED),
     "anomaly_mse": (q_anomaly_mse, oracles.ORACLE_ANOMALY_MSE),
+    "anomaly_mse_mapinpandas": (q_mse_via_mapinpandas, oracles.ORACLE_ANOMALY_MSE),
     "anomaly_flags": (q_anomaly_flags, oracles.ORACLE_ANOMALY_FLAGS),
     "threshold_split": (q_threshold_split, oracles.ORACLE_THRESHOLD_SPLIT),
     "mse_histogram": (q_mse_histogram, oracles.ORACLE_MSE_HISTOGRAM),

@@ -1,0 +1,96 @@
+"""Property-based tests (SURVEY §5.5): fill idempotence, scaler
+round-trip, window-count law — over hypothesis-generated frames."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark.operators import fill, scale, windows
+
+# One shared frame shape: (n rows, value-or-null per row)
+values = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _df(spark, vals):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=173 * i), v) for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, m double")
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=values)
+def test_ffill_bfill_idempotent_and_null_free(spark, vals):
+    df = _df(spark, vals)
+    once = fill.ffill_bfill_scalable(df, ["m"])
+    twice = fill.ffill_bfill_scalable(once, ["m"])
+    a = [r.m for r in once.orderBy("ts").collect()]
+    b = [r.m for r in twice.orderBy("ts").collect()]
+    assert a == b  # idempotent
+    if any(v is not None for v in vals):
+        assert all(v is not None for v in a)  # no NULLs survive
+    else:
+        assert all(v is None for v in a)  # all-null column unchanged
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=values)
+def test_minmax_range_and_roundtrip(spark, vals):
+    present = [v for v in vals if v is not None]
+    if not present:
+        return
+    df = _df(spark, vals)
+    scaled = scale.minmax_transform(df, ["m"])
+    out = [r.m for r in scaled.orderBy("ts").collect() if r.m is not None]
+    assert all(-1e-9 <= v <= 1 + 1e-9 for v in out)  # range law
+    # round-trip: inverse(transform(x)) == x
+    lo, hi = min(present), max(present)
+    inv = [v * (hi - lo) + lo if hi != lo else v + lo for v in out]
+    assert inv == pytest.approx(present, abs=1e-6 * max(1.0, abs(hi)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=50),
+    length=st.integers(min_value=1, max_value=55),
+)
+def test_window_count_law(spark, n, length):
+    df = _df(spark, [float(i) for i in range(n)])
+    got = windows.sliding_mean_scalable(df, "m", length).count()
+    assert got == max(0, n - length + 1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=values)
+def test_standard_scaler_moments(spark, vals):
+    present = [v for v in vals if v is not None]
+    if len(present) < 2 or len(set(present)) == 1:
+        return
+    df = _df(spark, vals)
+    out = [
+        r.m
+        for r in scale.standard_transform(df, ["m"]).orderBy("ts").collect()
+        if r.m is not None
+    ]
+    mean = sum(out) / len(out)
+    var = sum((v - mean) ** 2 for v in out) / len(out)
+    scale_mag = max(abs(v) for v in present) or 1.0
+    assert mean == pytest.approx(0.0, abs=1e-6)
+    # population-std scaling -> unit population variance
+    assert math.sqrt(var) == pytest.approx(1.0, rel=1e-6)
