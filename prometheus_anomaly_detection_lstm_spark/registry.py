@@ -262,12 +262,13 @@ DOMAIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import extended, relational
-    from .operators import dedup, similarity, text, multimodal
+    from .operators import approx, dedup, similarity, text, multimodal
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
     out.update(DOMAIN_QUERIES)
     out.update(relational.QUERIES)
     out.update(extended.QUERIES)
+    out.update(approx.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(text.QUERIES)
