@@ -165,10 +165,17 @@ def minhash_lsh_dedup(
     The scale path for near-dedup: the only joins are (a) band-bucket
     equi-join over colliding buckets and (b) shingle join restricted to
     candidate pairs.  Output (doc_a, doc_b, jaccard).
+
+    The shingle set feeds three consumers (signatures, sizes, candidate
+    verification).  It is deliberately RECOMPUTED per consumer rather
+    than persisted: the explode+distinct is a cheap map-side stage, and
+    measured locally a ``persist()`` here costs more (forced
+    materialization + cache memory pressure) than three recomputes.
+    Revisit only if the shingle stage grows an expensive upstream.
     """
+    sh = shingles(docs)
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs)
-    sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
