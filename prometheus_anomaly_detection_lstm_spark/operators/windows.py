@@ -62,9 +62,13 @@ def bucket_assign(df: DataFrame, length: int, ts_col: str = "ts") -> DataFrame:
       __bucket     owning calendar day (one output row per covering day)
       __is_native  row belongs to __bucket (vs shipped as overlap)
 
-    The per-day summary (count + cumulative offset) is tiny, so both the
-    index join and the coverage range join are broadcasts; overlap rows
-    are the L-1 global successors of each day, wherever they live.
+    Physical shape: the per-day summary (count + cumulative offset) is
+    metadata-scale, so it is collected once and turned into an explicit
+    (source day -> covering bucket) mapping joined EQUI on the day — a
+    broadcast HASH join touching each row ~once per covering bucket
+    (K ~= 2 for dense days).  A range-join formulation would plan as a
+    broadcast nested loop: O(rows x days), which dies at 100 TB with
+    tens of thousands of day buckets.
     """
     day = F.to_date(F.col(ts_col))
     with_day = df.withColumn("__day", day)
@@ -84,21 +88,38 @@ def bucket_assign(df: DataFrame, length: int, ts_col: str = "ts") -> DataFrame:
         .withColumn("__g", F.col("__offset") + F.col("__rk") - 1)
         .drop("__rk", "__n", "__offset")
     )
-    buckets = F.broadcast(
-        summary.select(
-            F.col("__day").alias("__bucket"),
-            F.col("__offset"),
-            (F.col("__offset") + F.col("__n") + length - 1).alias("__limit"),
-        )
+
+    # Coverage mapping built summary x summary (days x days, broadcast,
+    # lazy): day s ships rows to every bucket b <= s whose window horizon
+    # [offset_b, offset_b + n_b + L - 2] reaches into s.  The range
+    # condition only ever touches the metadata-scale summary; the
+    # row-side join below stays a broadcast HASH equi-join on the day.
+    src = summary.select(
+        F.col("__day").alias("src_day"),
+        F.col("__offset").alias("__src_offset"),
+        (F.col("__offset") + F.col("__n")).alias("__src_end"),
     )
+    bkt = summary.select(
+        F.col("__day").alias("__bucket"),
+        F.col("__offset"),
+        (F.col("__offset") + F.col("__n") + length - 1).alias("__limit"),
+    )
+    mapping = src.join(
+        F.broadcast(bkt),
+        (F.col("__bucket") <= F.col("src_day"))
+        & (F.col("__limit") > F.col("__src_offset"))
+        & (F.col("__offset") < F.col("__src_end")),
+    ).select("src_day", "__bucket", "__offset", "__limit")
     return (
         ranked.join(
-            buckets,
+            F.broadcast(mapping), ranked["__day"] == mapping["src_day"]
+        )
+        .filter(
             (F.col("__g") >= F.col("__offset"))
-            & (F.col("__g") < F.col("__limit")),
+            & (F.col("__g") < F.col("__limit"))
         )
         .withColumn("__is_native", F.col("__day") == F.col("__bucket"))
-        .drop("__offset", "__limit", "__day")
+        .drop("__offset", "__limit", "__day", "src_day")
     )
 
 
