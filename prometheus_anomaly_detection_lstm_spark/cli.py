@@ -138,9 +138,18 @@ def cmd_filter(cfg: EngineConfig, input_path: str | None = None) -> None:
     df = spark.read.parquet(path)
     features = [c for c in df.columns if c != "ts"]
     windows = sequence_windows_scalable(df, features, cfg.sequence_length)
+    # prefer the threshold fitted by `train` (p95 of validation errors,
+    # training_meta.json) over the hand-tuned config constant — the
+    # reference documents this practice but leaves it manual
+    # (config.yaml:113-118)
+    threshold = cfg.anomaly_threshold_mse
+    meta_path = os.path.join(cfg.artifacts_dir, "training_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            threshold = json.load(fh).get("threshold", threshold)
     scored = score_windows(windows, lambda: StubAutoencoder()).withColumn(
         "is_anomaly",
-        (F.col("mse") > F.lit(cfg.anomaly_threshold_mse)).cast("int"),
+        (F.col("mse") > F.lit(threshold)).cast("int"),
     )
     joined = windows.join(scored.select("window_id", "is_anomaly"), "window_id")
     joined.filter(F.col("is_anomaly") == 0).write.mode("overwrite").parquet(

@@ -381,10 +381,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .clusters import dedup_clusters
+
+    pairs = minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.05)
+    return dedup_clusters(pairs)
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT_DUPLICATES),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
     "dedup_simhash": (q_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
+    # iterative connected components: not one-query SQL-expressible ->
+    # rows-only driver check; union-find oracle lives in tests
+    "dedup_clusters": (q_dedup_clusters, None),
 }

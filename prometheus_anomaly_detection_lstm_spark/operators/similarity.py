@@ -167,6 +167,134 @@ def cosine_topk_lsh(
     )
 
 
+def kmeans_centroids(
+    normed: DataFrame, k: int = 8, iterations: int = 5
+) -> DataFrame:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer.
+
+    Seeds = the first k vectors by vec_id (deterministic, no RNG state);
+    each round: assign to nearest centroid (broadcast), recompute means
+    (posexplode -> keyed agg).  Iterative -> lineage truncated per round.
+    Returns (centroid_id, cvec ARRAY<DOUBLE>).
+    """
+    seeds = (
+        normed.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    cents = seeds
+    for _ in range(iterations):
+        assigned = _assign_nearest(normed, cents)
+        cents = (
+            assigned.select(
+                "centroid_id", F.posexplode("vec").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pairs"), lambda p: p["m"]).alias("cvec"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def _assign_nearest(normed: DataFrame, cents: DataFrame) -> DataFrame:
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = normed.crossJoin(F.broadcast(cents)).withColumn("__sim", dot)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__sim", "cvec")
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_lists: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means lists, probe the n_probe
+    nearest lists per query instead of the whole corpus.
+
+    The scale path for billion-vector search: candidate volume drops by
+    ~n_lists/n_probe; recall vs brute force is validated in tests.
+    """
+    normed = with_norm(emb)
+    cents = kmeans_centroids(normed, k=n_lists)
+    assigned = _assign_nearest(normed, cents).localCheckpoint()
+    queries = assigned.filter(F.col("vec_id") < n_queries)
+
+    # probe lists: the n_probe nearest centroids per query vector
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.drop("centroid_id")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sim", dot)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_probe)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+            "centroid_id",
+        )
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+        "centroid_id",
+    )
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        c.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", pair_dot / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
 def embedding_norms(emb: DataFrame) -> DataFrame:
     """L2 norm per vector (JVM-side fold)."""
     normed = with_norm(emb)
@@ -213,8 +341,13 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norms(_emb(spark, sf_dir))
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_ivf(_emb(spark, sf_dir))
+
+
 QUERIES = {
     "ann_cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design
+    "ann_cosine_topk_ivf": (q_cosine_topk_ivf, None),  # approximate by design
     "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
 }
