@@ -295,6 +295,51 @@ def cosine_topk_ivf(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= t).
+
+    The fifth dedup modality (exact / Jaccard / MinHash / SimHash /
+    embedding-cosine).  Brute-force formulation as the correctness
+    baseline; at corpus scale the pair space is first cut by
+    :func:`lsh_buckets` or :func:`cosine_topk_ivf` lists.
+    """
+    normed = with_norm(emb)
+    a = normed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("a_vec"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("b_vec"),
+        F.col("norm").alias("b_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_vec"), F.col("b_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("a_norm") * F.col("b_norm")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.5"""
+
+
 def embedding_norms(emb: DataFrame) -> DataFrame:
     """L2 norm per vector (JVM-side fold)."""
     normed = with_norm(emb)
@@ -345,9 +390,14 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(_emb(spark, sf_dir))
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(_emb(spark, sf_dir))
+
+
 QUERIES = {
     "ann_cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design
     "ann_cosine_topk_ivf": (q_cosine_topk_ivf, None),  # approximate by design
     "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
+    "dedup_embedding_cosine": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
 }
