@@ -106,6 +106,39 @@ def resize_stub(media: DataFrame, target: int = 224) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx bigint, frame_offset_bytes bigint, "
+    "frame_digest string"
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """STUB video frame sampling via mapInPandas.
+
+    A real implementation seeks the container and decodes every n-th
+    frame; the deterministic fake treats the payload as a stream of
+    64-byte "frames" and emits metadata for every ``every_n``-th one —
+    the Arrow-batch plumbing (one input row -> many output rows,
+    partition-parallel) is exactly what a video pipeline needs.
+    """
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_offset_bytes": [], "frame_digest": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // 64)
+                for idx in range(0, n_frames, every_n):
+                    chunk = bytes(payload[idx * 64 : (idx + 1) * 64])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset_bytes"].append(idx * 64)
+                    out["frame_digest"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
 ORACLE_BINARY_METADATA = """SELECT doc_id AS media_id,
        'image/fake' AS media_type,
        CAST(length(text) AS BIGINT) AS byte_len,
@@ -123,8 +156,16 @@ def q_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_batch(as_binary_table(_docs(spark, sf_dir)))
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return frame_sample(as_binary_table(_docs(spark, sf_dir)))
+
+
 QUERIES = {
     "multimodal_binary_metadata": (q_binary_metadata, ORACLE_BINARY_METADATA),
     # mapInPandas stub decode: rows-only check (Python batch path, no SQL twin)
     "multimodal_decode_stub": (q_decode_stub, None),
+    "multimodal_frame_sample": (q_frame_sample, None),
 }

@@ -53,7 +53,12 @@ def sequence_windows(
     )
 
 
-def bucket_assign(df: DataFrame, length: int, ts_col: str = "ts") -> DataFrame:
+def bucket_assign(
+    df: DataFrame,
+    length: int,
+    ts_col: str = "ts",
+    direction: str = "forward",
+) -> DataFrame:
     """Ship every row to each day-bucket whose L-windows can reach it.
 
     The shared scale primitive behind the window operators.  Adds:
@@ -61,6 +66,11 @@ def bucket_assign(df: DataFrame, length: int, ts_col: str = "ts") -> DataFrame:
                    no global row-numbering pass)
       __bucket     owning calendar day (one output row per covering day)
       __is_native  row belongs to __bucket (vs shipped as overlap)
+
+    ``direction="forward"`` covers windows STARTING at each native row
+    (needs the L-1 global successors); ``"backward"`` covers windows
+    ENDING at each native row (needs the L-1 predecessors — trailing
+    rolling features).
 
     Physical shape: the per-day summary (count + cumulative offset) is
     metadata-scale, so it is collected once and turned into an explicit
@@ -90,8 +100,9 @@ def bucket_assign(df: DataFrame, length: int, ts_col: str = "ts") -> DataFrame:
     )
 
     # Coverage mapping built summary x summary (days x days, broadcast,
-    # lazy): day s ships rows to every bucket b <= s whose window horizon
-    # [offset_b, offset_b + n_b + L - 2] reaches into s.  The range
+    # lazy): day s ships rows to every bucket whose coverage interval
+    # intersects s's rows.  forward: [offset_b, offset_b + n_b + L - 2];
+    # backward: [offset_b - (L-1), offset_b + n_b - 1].  The range
     # condition only ever touches the metadata-scale summary; the
     # row-side join below stays a broadcast HASH equi-join on the day.
     src = summary.select(
@@ -99,27 +110,32 @@ def bucket_assign(df: DataFrame, length: int, ts_col: str = "ts") -> DataFrame:
         F.col("__offset").alias("__src_offset"),
         (F.col("__offset") + F.col("__n")).alias("__src_end"),
     )
+    if direction == "forward":
+        cov_lo = F.col("__offset")
+        cov_hi_excl = F.col("__offset") + F.col("__n") + length - 1
+    else:
+        cov_lo = F.col("__offset") - (length - 1)
+        cov_hi_excl = F.col("__offset") + F.col("__n")
     bkt = summary.select(
         F.col("__day").alias("__bucket"),
-        F.col("__offset"),
-        (F.col("__offset") + F.col("__n") + length - 1).alias("__limit"),
+        cov_lo.alias("__cov_lo"),
+        cov_hi_excl.alias("__cov_hi"),
     )
     mapping = src.join(
         F.broadcast(bkt),
-        (F.col("__bucket") <= F.col("src_day"))
-        & (F.col("__limit") > F.col("__src_offset"))
-        & (F.col("__offset") < F.col("__src_end")),
-    ).select("src_day", "__bucket", "__offset", "__limit")
+        (F.col("__cov_hi") > F.col("__src_offset"))
+        & (F.col("__cov_lo") < F.col("__src_end")),
+    ).select("src_day", "__bucket", "__cov_lo", "__cov_hi")
     return (
         ranked.join(
             F.broadcast(mapping), ranked["__day"] == mapping["src_day"]
         )
         .filter(
-            (F.col("__g") >= F.col("__offset"))
-            & (F.col("__g") < F.col("__limit"))
+            (F.col("__g") >= F.col("__cov_lo"))
+            & (F.col("__g") < F.col("__cov_hi"))
         )
         .withColumn("__is_native", F.col("__day") == F.col("__bucket"))
-        .drop("__offset", "__limit", "__day", "src_day")
+        .drop("__cov_lo", "__cov_hi", "__day", "src_day")
     )
 
 
@@ -226,4 +242,43 @@ def sliding_mean_scalable(
             F.col(ts_col).alias("start_ts"),
             F.col("__avg").alias(value_col),
         )
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    value_cols: list[str],
+    length: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window feature engineering: mean/min/max over the last
+    ``length`` rows (including current) per column.
+
+    The standard ML-feature op over a time series — built on
+    ``bucket_assign(direction="backward")`` so the trailing frame never
+    needs a global sort; partial leading windows emit with whatever
+    history exists (pandas ``rolling(min_periods=1)`` semantics).
+    """
+    both = bucket_assign(
+        df.select(F.col(ts_col), *value_cols),
+        length,
+        ts_col,
+        direction="backward",
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(ts_col)
+        .rowsBetween(-(length - 1), 0)
+    )
+    aggs = []
+    for c in value_cols:
+        aggs += [
+            F.avg(c).over(w).alias(f"{c}_mean"),
+            F.min(c).over(w).alias(f"{c}_min"),
+            F.max(c).over(w).alias(f"{c}_max"),
+        ]
+    return (
+        both.select(ts_col, "__is_native", *value_cols, *aggs)
+        .filter(F.col("__is_native"))
+        .drop("__is_native")
     )

@@ -225,8 +225,47 @@ ORACLE_EVENTS_HOURLY_PIVOT = (
 )
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing rolling mean/min/max features over the filled metrics
+    frame — day-bucketed backward windows, no global sort."""
+    from ..operators.windows import rolling_features
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = P.wide_frame(spark, sf_dir)
+    df = fill.ffill_bfill_scalable(P.with_calendar(df), P.METRICS)
+    out = rolling_features(df.select("ts", *P.METRICS), P.METRICS, 10)
+    cols = [F.col("ts")]
+    for m in P.METRICS:
+        cols += [
+            F.round(f"{m}_mean", 6).alias(f"{m}_mean"),
+            F.col(f"{m}_min"),
+            F.col(f"{m}_max"),
+        ]
+    return out.select(*cols)
+
+
+def _rolling_oracle() -> str:
+    from ..oracles import pipeline_prefix
+
+    cols = []
+    for m in P.METRICS:
+        frame = "OVER (ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+        cols += [
+            f"round(avg({m}) {frame}, 6) AS {m}_mean",
+            f"min({m}) {frame} AS {m}_min",
+            f"max({m}) {frame} AS {m}_max",
+        ]
+    return (
+        pipeline_prefix("filled")
+        + "\nSELECT ts, "
+        + ", ".join(cols)
+        + " FROM filled"
+    )
+
+
 QUERIES = {
     "nan_counts": (q_nan_counts, None),  # oracle set at import bottom
+    "rolling_features": (q_rolling_features, None),  # oracle set at bottom
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "running_revenue": (q_running_revenue, ORACLE_RUNNING_REVENUE),
@@ -250,3 +289,4 @@ def _nan_counts_oracle() -> str:
 
 
 QUERIES["nan_counts"] = (q_nan_counts, _nan_counts_oracle())
+QUERIES["rolling_features"] = (q_rolling_features, _rolling_oracle())

@@ -29,8 +29,8 @@ def get_spark(app_name: str = "prometheus_anomaly_detection_lstm_spark") -> Spar
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
-    if os.environ.get("SPARK_MASTER") is None:
-        builder = builder.master(f"local[{cpus}]")
+    master = os.environ.get("SPARK_MASTER")
+    builder = builder.master(master if master else f"local[{cpus}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
