@@ -1,0 +1,34 @@
+# Mirrors the reference's Makefile targets (Makefile:74-88) on the
+# Spark engine; stages share one SparkSession via the CLI.
+
+CONFIG ?= config.yaml
+SF ?= /root/testdata/sf0.01
+
+.PHONY: collect preprocess train filter detect test parity bench clean
+
+collect:
+	python -m prometheus_anomaly_detection_lstm_spark.cli collect --config $(CONFIG)
+
+preprocess:
+	python -m prometheus_anomaly_detection_lstm_spark.cli preprocess --config $(CONFIG)
+
+train:
+	python -m prometheus_anomaly_detection_lstm_spark.cli train --config $(CONFIG)
+
+filter:
+	python -m prometheus_anomaly_detection_lstm_spark.cli filter --config $(CONFIG)
+
+detect:
+	python -m prometheus_anomaly_detection_lstm_spark.cli detect --config $(CONFIG)
+
+test:
+	python -m pytest tests/ -x -q
+
+parity:
+	SPARK_GRAFT_TEST_SF=$(SF) python -m pytest tests/test_oracle_parity.py -q
+
+bench:
+	python bench.py
+
+clean:
+	rm -rf spark-warehouse metastore_db derby.log .pytest_cache .hypothesis

@@ -145,3 +145,89 @@ def save_artifacts(
         pdf.to_parquet(path, index=False)
     with open(os.path.join(out_dir, "training_meta.json"), "w") as fh:
         json.dump({"history": history, "threshold": threshold}, fh)
+
+
+def train_linear_autoencoder_distributed(
+    windows,  # DataFrame (window_id, start_ts, features)
+    epochs: int = 50,
+    lr: float = 0.1,
+    patience: int = 10,
+) -> tuple[LinearAutoencoder, list[float]]:
+    """Distributed full-batch GD: gradients aggregate on the cluster,
+    parameters live on the driver (the north-star "Spark-integrated
+    training" shape).
+
+    Per epoch ONE Spark job computes partial (sum(err*x), sum(err),
+    sum(err^2), n) per Arrow batch under the current (a, b) — shipped
+    into the closure as plain arrays — and the driver applies the
+    update.  The windows DataFrame is persisted once and rescanned per
+    epoch; at the reference's scale this matches driver-side training
+    to float precision (partial-sum order is the only difference).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ module)
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(windows.sparkSession)
+    persisted = windows.select("features").persist()
+    try:
+        n_features = len(persisted.first()["features"][0])
+        a = np.full(n_features, 0.5)
+        b = np.zeros(n_features)
+        best = (np.inf, a.copy(), b.copy())
+        history: list[float] = []
+        stale = 0
+        schema = (
+            "sum_ex array<double>, sum_e array<double>, "
+            "sum_sq double, n bigint"
+        )
+        def epoch_stats(a_now: np.ndarray, b_now: np.ndarray):
+            def partials(batches):
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    x = np.array(
+                        [
+                            np.array([np.asarray(r) for r in w])
+                            for w in pdf["features"]
+                        ],
+                        dtype="float64",
+                    )
+                    err = x * a_now + b_now - x
+                    yield pd.DataFrame(
+                        {
+                            "sum_ex": [(err * x).sum(axis=(0, 1)).tolist()],
+                            "sum_e": [err.sum(axis=(0, 1)).tolist()],
+                            "sum_sq": [float((err * err).sum())],
+                            "n": [int(x.shape[0] * x.shape[1])],
+                        }
+                    )
+
+            parts = persisted.mapInPandas(partials, schema).toPandas()
+            n_total = int(parts["n"].sum())
+            sum_ex = np.sum([np.array(v) for v in parts["sum_ex"]], axis=0)
+            sum_e = np.sum([np.array(v) for v in parts["sum_e"]], axis=0)
+            loss = float(parts["sum_sq"].sum() / (n_total * n_features))
+            return sum_ex / n_total, sum_e / n_total, loss
+
+        # semantics aligned with train_linear_autoencoder: per epoch,
+        # update with the gradient, THEN record the post-update loss
+        # (the reference's val_loss-after-fit, train_autoencoder.py:203-237)
+        mean_ex, mean_e, _ = epoch_stats(a, b)
+        for _ in range(epochs):
+            a = a - lr * 2.0 * mean_ex
+            b = b - lr * 2.0 * mean_e
+            mean_ex, mean_e, loss = epoch_stats(a, b)
+            history.append(loss)
+            if loss < best[0] - 1e-12:
+                best = (loss, a.copy(), b.copy())
+                stale = 0
+            else:
+                stale += 1
+                if stale >= patience:
+                    break
+        _, a, b = best
+        return LinearAutoencoder(a=a, b=b), history
+    finally:
+        persisted.unpersist()

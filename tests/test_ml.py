@@ -106,3 +106,19 @@ def test_fit_threshold_percentile(windows_df):
 def test_keras_gate_raises_without_tf():
     with pytest.raises(NotImplementedError):
         build_lstm_autoencoder(20, 18)
+
+
+def test_distributed_training_matches_driver(windows_df):
+    from prometheus_anomaly_detection_lstm_spark.ml.train import (
+        train_linear_autoencoder_distributed,
+    )
+
+    x = collect_windows(windows_df)
+    m_drv, h_drv = train_linear_autoencoder(x, epochs=15, patience=50)
+    m_dist, h_dist = train_linear_autoencoder_distributed(
+        windows_df, epochs=15, patience=50
+    )
+    # same math, different partial-sum order -> equal to float tolerance
+    np.testing.assert_allclose(m_dist.a, m_drv.a, rtol=1e-9)
+    np.testing.assert_allclose(m_dist.b, m_drv.b, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(h_dist, h_drv, rtol=1e-9)
