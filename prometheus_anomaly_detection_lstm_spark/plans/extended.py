@@ -288,5 +288,69 @@ def _nan_counts_oracle() -> str:
     return pipeline_prefix("wide") + f"\nSELECT {cols} FROM wide"
 
 
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (continuous-aggregate pattern):
+    minute -> hour -> day, each level aggregating the PREVIOUS level so
+    the raw table is scanned exactly once.  Output: the union of all
+    three resolutions tagged by grain."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    out = (
+        minute.withColumn("grain", F.lit("minute"))
+        .unionByName(hour.withColumn("grain", F.lit("hour")))
+        .unionByName(day.withColumn("grain", F.lit("day")))
+    )
+    return out.select(
+        "grain",
+        "bucket",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sv", 6).alias("sum_value"),
+    )
+
+
+ORACLE_MULTIRES_ROLLUP = """WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket, event_type,
+         count(*) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+),
+hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         sum(n) AS n, sum(sv) AS sv
+  FROM minute GROUP BY 1, 2
+),
+day AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         sum(n) AS n, sum(sv) AS sv
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS grain, bucket, event_type, CAST(n AS BIGINT) AS n,
+       round(sv, 6) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour', bucket, event_type, CAST(n AS BIGINT), round(sv, 6) FROM hour
+UNION ALL
+SELECT 'day', bucket, event_type, CAST(n AS BIGINT), round(sv, 6) FROM day"""
+
+
 QUERIES["nan_counts"] = (q_nan_counts, _nan_counts_oracle())
+QUERIES["multires_rollup"] = (q_multires_rollup, ORACLE_MULTIRES_ROLLUP)
 QUERIES["rolling_features"] = (q_rolling_features, _rolling_oracle())
