@@ -89,7 +89,10 @@ def ffill_bfill(df: DataFrame, cols: list[str], ts_col: str = "ts") -> DataFrame
 
 
 def ffill_bfill_scalable(
-    df: DataFrame, cols: list[str], ts_col: str = "ts"
+    df: DataFrame,
+    cols: list[str],
+    ts_col: str = "ts",
+    day_col: str | None = None,
 ) -> DataFrame:
     """W1 at scale: day-partitioned fill with broadcast cross-day carry.
 
@@ -101,9 +104,18 @@ def ffill_bfill_scalable(
       3. per-row fill with a window PARTITIONED BY day, seeded by the
          broadcast carry for values crossing midnight.
     Result is identical to the global two-pass fill.
+
+    ``day_col``: name of a pre-existing calendar-day column.  When given
+    it is used as the partition key AND kept in the output, so a
+    pipeline of day-keyed operators (fill -> window -> score) shuffles
+    the full data ONCE and every later operator reuses the exchange
+    (Catalyst recognizes satisfied ClusteredDistribution only for the
+    same attribute).
     """
-    day = F.to_date(F.col(ts_col)).alias("__day")
-    with_day = df.withColumn("__day", day)
+    if day_col is not None:
+        with_day = df.withColumnRenamed(day_col, "__day")
+    else:
+        with_day = df.withColumn("__day", F.to_date(F.col(ts_col)))
 
     summary = with_day.groupBy("__day").agg(
         *[
@@ -150,7 +162,7 @@ def ffill_bfill_scalable(
         .orderBy(F.col(ts_col).desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    keep = [c for c in df.columns if c not in cols]
+    keep = [c for c in with_day.columns if c not in cols and c != "__day"]
     ffilled = joined.select(
         *keep,
         "__day",
@@ -163,8 +175,9 @@ def ffill_bfill_scalable(
             for c in cols
         ],
     )
-    return ffilled.select(
+    out = ffilled.select(
         *keep,
+        "__day",
         *[
             F.coalesce(
                 F.last(c, ignorenulls=True).over(w_rev),
@@ -173,6 +186,9 @@ def ffill_bfill_scalable(
             for c in cols
         ],
     )
+    if day_col is not None:
+        return out.withColumnRenamed("__day", day_col)
+    return out.drop("__day")
 
 
 STRATEGIES = {

@@ -61,11 +61,13 @@ def window_mse(
     ts_col: str = "ts",
     a: float = 0.9,
     b: float = 0.02,
+    day_col: str | None = None,
 ) -> DataFrame:
     """A6: (window_id, start_ts, mse) for every full stride-1 window."""
     scored = row_error(df, feature_cols, a, b)
+    sel = [ts_col, "row_err"] + ([day_col] if day_col else [])
     out = sliding_mean_scalable(
-        scored.select(ts_col, "row_err"), "row_err", length, ts_col
+        scored.select(*sel), "row_err", length, ts_col, day_col=day_col
     )
     return out.withColumnRenamed("row_err", "mse")
 

@@ -58,6 +58,7 @@ def bucket_assign(
     length: int,
     ts_col: str = "ts",
     direction: str = "forward",
+    day_col: str | None = None,
 ) -> DataFrame:
     """Ship every row to each day-bucket whose L-windows can reach it.
 
@@ -80,8 +81,10 @@ def bucket_assign(
     broadcast nested loop: O(rows x days), which dies at 100 TB with
     tens of thousands of day buckets.
     """
-    day = F.to_date(F.col(ts_col))
-    with_day = df.withColumn("__day", day)
+    if day_col is not None:
+        with_day = df.withColumnRenamed(day_col, "__day")
+    else:
+        with_day = df.withColumn("__day", F.to_date(F.col(ts_col)))
 
     counts = with_day.groupBy("__day").agg(F.count("*").alias("__n"))
     w_days = Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, -1)
@@ -215,7 +218,11 @@ def sliding_mean(
 
 
 def sliding_mean_scalable(
-    df: DataFrame, value_col: str, length: int, ts_col: str = "ts"
+    df: DataFrame,
+    value_col: str,
+    length: int,
+    ts_col: str = "ts",
+    day_col: str | None = None,
 ) -> DataFrame:
     """:func:`sliding_mean` without the global single-partition sort.
 
@@ -225,9 +232,10 @@ def sliding_mean_scalable(
     native-start full windows are emitted, and the window id is the
     row's global index.  No Python, no driver loop, no global sort.
     """
-    both = bucket_assign(
-        df.select(F.col(ts_col), F.col(value_col)), length, ts_col
-    )
+    cols = [F.col(ts_col), F.col(value_col)]
+    if day_col is not None:
+        cols.append(F.col(day_col))
+    both = bucket_assign(df.select(*cols), length, ts_col, day_col=day_col)
     w_frame = (
         Window.partitionBy("__bucket")
         .orderBy(ts_col)

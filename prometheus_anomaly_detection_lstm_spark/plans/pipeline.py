@@ -63,11 +63,21 @@ def with_calendar(df: DataFrame) -> DataFrame:
     )
 
 
-def preprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect + preprocess stages: aligned, calendar'd, filled, scaled."""
-    df = with_calendar(wide_frame(spark, sf_dir))
-    df = fill.ffill_bfill_scalable(df, METRICS)
-    return scale.minmax_transform(df, FEATURES)
+def preprocessed(
+    spark: SparkSession, sf_dir: str, keep_day: bool = False
+) -> DataFrame:
+    """collect + preprocess stages: aligned, calendar'd, filled, scaled.
+
+    ``keep_day=True`` threads a shared ``__day`` partition key through
+    the day-keyed operators so fill and downstream windowing reuse ONE
+    full-data exchange instead of re-shuffling per operator.
+    """
+    df = with_calendar(wide_frame(spark, sf_dir)).withColumn(
+        "__day", F.to_date("ts")
+    )
+    df = fill.ffill_bfill_scalable(df, METRICS, day_col="__day")
+    df = scale.minmax_transform(df, FEATURES)
+    return df if keep_day else df.drop("__day")
 
 
 def anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,8 +86,10 @@ def anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact question filter_anomalous_data.py answers (:112-156):
     "which 20-step windows are anomalous and what is each window's MSE?"
     """
-    df = preprocessed(spark, sf_dir)
-    out = score.window_mse(df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B)
+    df = preprocessed(spark, sf_dir, keep_day=True)
+    out = score.window_mse(
+        df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B, day_col="__day"
+    )
     return out.select(
         "window_id", "start_ts", F.round("mse", 8).alias("mse")
     )
@@ -85,8 +97,10 @@ def anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagged windows: mse + is_anomaly bit (P7)."""
-    df = preprocessed(spark, sf_dir)
-    out = score.window_mse(df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B)
+    df = preprocessed(spark, sf_dir, keep_day=True)
+    out = score.window_mse(
+        df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B, day_col="__day"
+    )
     return out.select(
         "window_id",
         "start_ts",
