@@ -112,6 +112,64 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (deterministic tie-break by term).
+
+    tf = term count in doc; idf = ln(N / df).  The foundational
+    relevance/feature-weighting operator: explode -> two keyed aggs ->
+    broadcast idf join -> per-doc top-k window.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).crossJoin(
+        tf.select("term").distinct()
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = (
+        n_docs.join(df_counts, "term")
+        .select("term", F.log(F.col("n") / F.col("df")).alias("idf"))
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rk"
+        )
+    )
+
+
+ORACLE_TFIDF = """WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * ln(n.n * 1.0 / dfc.df) AS tfidf
+  FROM tf JOIN dfc USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rk
+FROM ranked WHERE rk <= 3"""
+
+
 # ------------------------------------------------------------- oracles
 
 ORACLE_TOKEN_COUNTS = f"""SELECT doc_id,
@@ -191,9 +249,14 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "text_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
     "text_lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_fingerprints": (q_fingerprints, ORACLE_FINGERPRINTS),
+    "text_tfidf_top_terms": (q_tfidf, ORACLE_TFIDF),
 }

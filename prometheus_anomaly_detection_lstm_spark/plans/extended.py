@@ -351,6 +351,97 @@ UNION ALL
 SELECT 'day', bucket, event_type, CAST(n AS BIGINT), round(sv, 6) FROM day"""
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, did signup -> click -> purchase occur
+    in temporal order?  Stage timestamps via conditional min-aggregation,
+    ordering enforced by comparison — one shuffle on user_id."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    reached_click = (
+        F.col("t_signup").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") > F.col("t_signup"))
+    )
+    reached_purchase = reached_click & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    per_user = stages.select(
+        "user_id",
+        F.col("t_signup").isNotNull().cast("int").alias("s1"),
+        reached_click.cast("int").alias("s2"),
+        reached_purchase.cast("int").alias("s3"),
+    )
+    return per_user.agg(
+        F.sum("s1").cast("bigint").alias("n_signup"),
+        F.sum("s2").cast("bigint").alias("n_signup_click"),
+        F.sum("s3").cast("bigint").alias("n_signup_click_purchase"),
+    )
+
+
+ORACLE_FUNNEL = """WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+),
+flags AS (
+  SELECT
+    CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS s1,
+    CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+              AND t_click > t_signup THEN 1 ELSE 0 END AS s2,
+    CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+              AND t_click > t_signup AND t_purchase IS NOT NULL
+              AND t_purchase > t_click THEN 1 ELSE 0 END AS s3
+  FROM stages
+)
+SELECT CAST(sum(s1) AS BIGINT) AS n_signup,
+       CAST(sum(s2) AS BIGINT) AS n_signup_click,
+       CAST(sum(s3) AS BIGINT) AS n_signup_click_purchase
+FROM flags"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-subquery — suppliers whose account
+    balance equals the minimum within their nation."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    supp = load_table(spark, sf_dir, "supplier")
+    mins = supp.groupBy("s_nationkey").agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        supp.join(F.broadcast(mins), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "s_suppkey",
+            F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+            "s_acctbal",
+        )
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """SELECT s_suppkey,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+FROM supplier s
+WHERE s_acctbal = (
+  SELECT min(s2.s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = s.s_nationkey
+)"""
+
+
 QUERIES["nan_counts"] = (q_nan_counts, _nan_counts_oracle())
+QUERIES["funnel"] = (q_funnel, ORACLE_FUNNEL)
+QUERIES["min_cost_supplier"] = (q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER)
 QUERIES["multires_rollup"] = (q_multires_rollup, ORACLE_MULTIRES_ROLLUP)
 QUERIES["rolling_features"] = (q_rolling_features, _rolling_oracle())
