@@ -440,7 +440,58 @@ WHERE s_acctbal = (
 )"""
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long melt (the inverse of the alignment pivot): stack()
+    keeps it a single JVM-side projection, no shuffle at all."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wide = P.wide_frame(spark, sf_dir)
+    stack = ", ".join(f"'{m}', {m}" for m in P.METRICS)
+    return wide.selectExpr(
+        "ts", f"stack({len(P.METRICS)}, {stack}) AS (metric, value)"
+    ).filter(F.col("value").isNotNull())
+
+
+def _unpivot_oracle() -> str:
+    from ..oracles import pipeline_prefix
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT ts, '{m}' AS metric, {m} AS value FROM wide WHERE {m} IS NOT NULL"
+        for m in P.METRICS
+    )
+    return pipeline_prefix("wide") + "\n" + arms
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations the reference never needed (SURVEY §2.4): users
+    who clicked AND purchased (intersect) vs clicked but NEVER purchased
+    (except), tagged and unioned."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).withColumn("segment", F.lit("click_and_buy"))
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep a
+    # user whose click count merely exceeds their purchase count
+    only_click = clickers.subtract(buyers).withColumn(
+        "segment", F.lit("click_no_buy")
+    )
+    return both.unionByName(only_click)
+
+
+ORACLE_USER_SET_OPS = """SELECT user_id, 'click_and_buy' AS segment
+FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'click_no_buy' AS segment
+FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')"""
+
+
 QUERIES["nan_counts"] = (q_nan_counts, _nan_counts_oracle())
+QUERIES["unpivot_metrics"] = (q_unpivot_metrics, _unpivot_oracle())
+QUERIES["user_set_ops"] = (q_user_set_ops, ORACLE_USER_SET_OPS)
 QUERIES["funnel"] = (q_funnel, ORACLE_FUNNEL)
 QUERIES["min_cost_supplier"] = (q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER)
 QUERIES["multires_rollup"] = (q_multires_rollup, ORACLE_MULTIRES_ROLLUP)

@@ -68,3 +68,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS li_bkt")
     spark.sql("DROP TABLE IF EXISTS ord_bkt")
     shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned writes: a day filter prunes to one partition dir."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").withColumn("dt", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("dt").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-05")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(dt" in plan, plan[:500]
+    assert back.count() == ev.filter(F.col("dt") == "2024-01-05").count()
