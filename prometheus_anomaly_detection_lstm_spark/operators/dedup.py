@@ -20,7 +20,7 @@ verification joins are a tiny fraction of the corpus at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_tables import load_table
@@ -78,14 +78,41 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # AllPairs/PPJoin prefix filtering (EXACT): under a global shingle
+    # order (document frequency asc, then shingle — rarest first), any
+    # pair with Jaccard >= t shares >= ceil(t*|A|) shingles, so the
+    # rarest |A| - ceil(t*|A|) + 1 shingles of each doc (its "prefix")
+    # must overlap the other doc's prefix.  Candidate generation joins
+    # ONLY prefixes — a high-df stop-word shingle lands in a prefix only
+    # where it is among a doc's rarest (1-t) fraction, so the k² blowup
+    # of shared frequent shingles never reaches the join.
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select("doc_id", "shingle")
+    cands = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "shingle")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
         )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(
@@ -230,22 +257,61 @@ def simhash16(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Doc pairs whose SimHash Hamming distance <= max_hamming."""
+    """Doc pairs whose SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding (EXACT, not approximate): the 16-bit fingerprint
+    is split into ``max_hamming + 1`` bands; two fingerprints within
+    Hamming ``max_hamming`` can differ in at most ``max_hamming`` bands,
+    so they must agree EXACTLY on at least one band.  Candidates are
+    therefore a hash equi-join on (band_idx, band_bits) — never the n²
+    pair space — and each candidate is verified with the true Hamming
+    distance.  Same answer as the all-pairs formulation, scale-safe.
+    """
     fps = simhash16(docs)
-    a = fps.alias("a")
-    b = fps.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("bigint")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+    n_bands = max_hamming + 1
+    band_bits = 16 // n_bands  # 4 bands x 4 bits for the 16-bit simhash
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bits"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    keyed = fps.select(
+        "doc_id", "simhash", F.explode(bands).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bits").alias("bits"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            "hamming",
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint")
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import single_partition_key
+
 
 def nan_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     """A1: per-column NULL count (preprocess_data.py:44, :72-74)."""
@@ -131,10 +133,20 @@ def ffill_bfill_scalable(
             for c in cols
         ],
     )
+    # summary is metadata-scale (~#days rows): the constant partition
+    # key makes the deliberate single-partition window explicit and
+    # keeps WindowExec from warning about the big-table case
+    meta_key = single_partition_key("__day")
     w_prev = (
-        Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy(meta_key)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_next = Window.orderBy("__day").rowsBetween(1, Window.unboundedFollowing)
+    w_next = (
+        Window.partitionBy(meta_key)
+        .orderBy("__day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
     carry = summary.select(
         "__day",
         *[

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import clip01
+from ..functions import clip01, single_partition_key
 from .windows import sliding_mean_scalable
 
 
@@ -104,7 +104,9 @@ def threshold_split(mse_df: DataFrame, threshold: float) -> DataFrame:
     flagged = mse_df.withColumn(
         "is_anomaly", (F.col("mse") > F.lit(threshold)).cast("bigint")
     )
-    total = Window.partitionBy()
+    # 2-row frame (normal/anomalous): constant key = deliberate single
+    # partition, silences the big-table WindowExec warning
+    total = Window.partitionBy(single_partition_key("is_anomaly"))
     return (
         flagged.groupBy("is_anomaly")
         .agg(F.count("*").alias("n"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import single_partition_key
 from ..io_tables import load_table
 
 TOP_K = 10
@@ -182,7 +183,11 @@ def kmeans_centroids(
         .limit(k)
         .select(
             F.row_number()
-            .over(Window.orderBy("vec_id"))
+            .over(
+                Window.partitionBy(single_partition_key("vec_id")).orderBy(
+                    "vec_id"
+                )
+            )
             .alias("centroid_id"),
             F.col("vec").alias("cvec"),
         )
@@ -295,17 +300,79 @@ def cosine_topk_ivf(
     )
 
 
+def _euclid2(u, c):
+    """Squared Euclidean distance between two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.5
+    emb: DataFrame, threshold: float = 0.5, n_cells: int = 8
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= t).
 
     The fifth dedup modality (exact / Jaccard / MinHash / SimHash /
-    embedding-cosine).  Brute-force formulation as the correctness
-    baseline; at corpus scale the pair space is first cut by
-    :func:`lsh_buckets` or :func:`cosine_topk_ivf` lists.
+    embedding-cosine), computed EXACTLY without the n² pair space via
+    triangle-inequality cluster pruning:
+
+      1. unit-normalize; cosine >= t  <=>  Euclidean distance on the
+         unit sphere <= r = sqrt(2 - 2t);
+      2. k-means cells over the unit vectors (deterministic Lloyd,
+         :func:`kmeans_centroids`); per-cell radius = max member
+         distance to the centroid;
+      3. every vector PROBES each cell whose centroid is within
+         r + radius(cell): for any qualifying pair (x, y) with x home
+         in cell c, d(y, centroid_c) <= d(y, x) + d(x, centroid_c)
+         <= r + radius_c — so the (home x probe) cell equi-join is a
+         COMPLETE candidate set (no recall loss, unlike sign-LSH);
+      4. candidates verified with the exact cosine.
+
+    All heavy joins are hash equi-joins on cell_id / vec_id; the only
+    nested-loop is rows x n_cells centroids (metadata scale — the same
+    IVF assignment idiom as :func:`cosine_topk_ivf`).  Candidate volume
+    scales with cluster occupancy, not n².
     """
     normed = with_norm(emb)
+    unit = normed.withColumn(
+        "uvec", F.transform(F.col("vec"), lambda x: x / F.col("norm"))
+    )
+    cents = kmeans_centroids(
+        unit.select("vec_id", F.col("uvec").alias("vec")), k=n_cells
+    )
+    # home assignment by min Euclidean distance (exact nearest cell)
+    d_cell = F.sqrt(_euclid2(F.col("uvec"), F.col("cvec")))
+    w_near = Window.partitionBy("vec_id").orderBy(
+        F.col("__d").asc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        unit.crossJoin(F.broadcast(cents))
+        .withColumn("__d", d_cell)
+        .withColumn("__rk", F.row_number().over(w_near))
+        .filter(F.col("__rk") == 1)
+    )
+    radii = assigned.groupBy("centroid_id").agg(
+        F.max("__d").alias("radius")
+    )
+    r = float((2.0 - 2.0 * threshold) ** 0.5)
+    probes = (
+        unit.crossJoin(F.broadcast(cents.join(radii, "centroid_id")))
+        .withColumn("__d", d_cell)
+        .filter(F.col("__d") <= F.col("radius") + F.lit(r))
+        .select(F.col("vec_id").alias("id_b"), "centroid_id")
+    )
+    home = assigned.select(F.col("vec_id").alias("id_a"), "centroid_id")
+    cands = (
+        home.join(probes, "centroid_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
     a = normed.select(
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("a_vec"),
@@ -322,7 +389,8 @@ def embedding_near_dup_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", dot / (F.col("a_norm") * F.col("b_norm")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

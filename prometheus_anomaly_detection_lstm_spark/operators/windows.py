@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import single_partition_key
+
 
 def sequence_windows(
     df: DataFrame, feature_cols: list[str], length: int, ts_col: str = "ts"
@@ -87,7 +89,12 @@ def bucket_assign(
         with_day = df.withColumn("__day", F.to_date(F.col(ts_col)))
 
     counts = with_day.groupBy("__day").agg(F.count("*").alias("__n"))
-    w_days = Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, -1)
+    # metadata-scale (~#days rows): constant partition key is deliberate
+    w_days = (
+        Window.partitionBy(single_partition_key("__day"))
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     summary = counts.select(
         "__day",
         "__n",

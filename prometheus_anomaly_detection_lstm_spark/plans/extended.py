@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import single_partition_key
 from ..io_tables import load_table
 from ..operators import fill
 from ..plans import pipeline as P
@@ -83,23 +84,55 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of alignment: for each 'error' event, the most recent 'click'
     at-or-before it (global time order).
 
-    Spark lacks a native as-of join; the union+running-last idiom
-    expresses it in one window pass — at scale, partition by a coarse
-    time bucket with boundary carry exactly like operators/fill.py.
+    Spark lacks a native as-of join; the scalable formulation is the
+    same bucket + broadcast-carry shape as fill.ffill_bfill_scalable:
+    (1) per-day latest click (tiny summary, one row per day);
+    (2) running carry over the summary = latest click STRICTLY BEFORE
+        each day (metadata-scale window, deliberately one partition);
+    (3) per-row running last(click_ts) PARTITIONED BY day, seeded with
+        the broadcast carry for errors preceding their day's first
+        click.  Identical to the global-window answer, no global sort.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    tagged = ev.filter(F.col("event_type").isin("click", "error")).select(
-        "event_id",
-        "ts",
-        "event_type",
-        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    tagged = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(F.col("event_type") == "click", F.col("ts")).alias(
+                "click_ts"
+            ),
+        )
+        .withColumn("__day", F.to_date("ts"))
     )
-    w = Window.orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    summary = tagged.groupBy("__day").agg(
+        F.max("click_ts").alias("__day_last_click")
     )
-    out = tagged.withColumn(
-        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    # metadata-scale (~#days rows): constant partition key is deliberate
+    w_prev = (
+        Window.partitionBy(single_partition_key("__day"))
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        "__day",
+        F.last("__day_last_click", ignorenulls=True)
+        .over(w_prev)
+        .alias("__carry"),
+    )
+    w_day = (
+        Window.partitionBy("__day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = tagged.join(F.broadcast(carry), "__day").withColumn(
+        "last_click_ts",
+        F.coalesce(
+            F.last("click_ts", ignorenulls=True).over(w_day),
+            F.col("__carry"),
+        ),
     )
     return out.filter(F.col("event_type") == "error").select(
         "event_id", "ts", "last_click_ts"
