@@ -104,7 +104,7 @@ def cmd_train(cfg: EngineConfig, input_path: str | None = None) -> None:
         train_val_split,
     )
     from .ml.infer import score_windows
-    from .ml.autoencoder import StubAutoencoder
+    from .ml.train import LinearAutoencoder
 
     spark = get_spark("train")
     path = input_path or _art(cfg, cfg.processed_output_filename)
@@ -120,9 +120,13 @@ def cmd_train(cfg: EngineConfig, input_path: str | None = None) -> None:
         patience=cfg.early_stopping_patience,
         val=x_val,
     )
+    # the persisted threshold must describe the SAME model as the
+    # persisted weights: score validation windows with the trained
+    # model (weights captured in the factory closure, rebuilt per task)
+    a_fit, b_fit = model.a, model.b
     scored = score_windows(
         val_df if x_val.size else train_df,
-        lambda: StubAutoencoder(),
+        lambda: LinearAutoencoder(a=a_fit, b=b_fit),
     )
     threshold = fit_threshold(scored.select("mse"), 0.95)
     # scaler params were already persisted by the preprocess stage
@@ -132,6 +136,7 @@ def cmd_train(cfg: EngineConfig, input_path: str | None = None) -> None:
 def cmd_filter(cfg: EngineConfig, input_path: str | None = None) -> None:
     from .ml.autoencoder import StubAutoencoder
     from .ml.infer import score_windows
+    from .ml.train import LinearAutoencoder
 
     spark = get_spark("filter")
     path = input_path or _art(cfg, cfg.processed_output_filename)
@@ -147,7 +152,17 @@ def cmd_filter(cfg: EngineConfig, input_path: str | None = None) -> None:
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             threshold = json.load(fh).get("threshold", threshold)
-    scored = score_windows(windows, lambda: StubAutoencoder()).withColumn(
+    # score with the trained weights when the train stage ran (the
+    # threshold from training_meta.json describes THAT model); fall
+    # back to the deterministic stub otherwise
+    weights_path = os.path.join(cfg.artifacts_dir, "autoencoder_weights.npz")
+    if os.path.exists(weights_path):
+        trained = LinearAutoencoder.load(weights_path)
+        a_fit, b_fit = trained.a, trained.b
+        factory = lambda: LinearAutoencoder(a=a_fit, b=b_fit)  # noqa: E731
+    else:
+        factory = lambda: StubAutoencoder()  # noqa: E731
+    scored = score_windows(windows, factory).withColumn(
         "is_anomaly",
         (F.col("mse") > F.lit(threshold)).cast("int"),
     )

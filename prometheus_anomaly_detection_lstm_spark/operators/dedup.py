@@ -135,12 +135,16 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, with_size: bool = False
+) -> DataFrame:
     """(doc_id, sig_1..sig_k): k independent min-hashes of the shingle set.
 
     sig_i = min over shingles of md5('<i>:' || shingle) — lexicographic
     min of lowercase hex is engine-portable and a valid random-oracle
-    min-hash family.
+    min-hash family.  ``with_size=True`` fuses the shingle-set size
+    (``n_sh``) into the same aggregation — one shingle pass instead of
+    two for consumers needing both (Jaccard verification).
     """
     sh = shingles(docs)
     aggs = [
@@ -149,6 +153,8 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         ).alias(f"sig_{i}")
         for i in range(1, k + 1)
     ]
+    if with_size:
+        aggs.append(F.count("*").alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -201,9 +207,9 @@ def minhash_lsh_dedup(
     Revisit only if the shingle stage grows an expensive upstream.
     """
     sh = shingles(docs)
-    sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sig_sz = minhash_signatures(docs, with_size=True)
+    cands = lsh_candidate_pairs(sig_sz.drop("n_sh"))
+    sizes = sig_sz.select("doc_id", "n_sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

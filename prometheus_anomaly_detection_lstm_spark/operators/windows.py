@@ -101,7 +101,14 @@ def bucket_assign(
         F.coalesce(F.sum("__n").over(w_days), F.lit(0)).alias("__offset"),
     )
 
-    w_in_day = Window.partitionBy("__day").orderBy(ts_col)
+    # deterministic tie-breaker for duplicate timestamps within a day:
+    # pipeline inputs have distinct ts (pivot output), but
+    # rolling_features / sliding_mean_scalable accept arbitrary frames —
+    # a content hash keeps window membership/ids stable across runs
+    # (identical rows may still swap ranks, which leaves every window's
+    # CONTENT unchanged)
+    tie = F.hash(*[F.col(c) for c in with_day.columns])
+    w_in_day = Window.partitionBy("__day").orderBy(ts_col, tie)
     ranked = (
         with_day.withColumn("__rk", F.row_number().over(w_in_day))
         .join(F.broadcast(summary), "__day")
@@ -175,7 +182,9 @@ def sequence_windows_scalable(
     schema = "window_id bigint, start_ts timestamp, features array<array<double>>"
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col]).reset_index(drop=True)
+        # __g is the unique global row index — ordering by it keeps
+        # window contents deterministic even with duplicate timestamps
+        pdf = pdf.sort_values(["__g"]).reset_index(drop=True)
         vals = pdf[feature_cols].to_numpy()
         n = len(pdf)
         out_id, out_ts, out_feat = [], [], []
@@ -243,9 +252,11 @@ def sliding_mean_scalable(
     if day_col is not None:
         cols.append(F.col(day_col))
     both = bucket_assign(df.select(*cols), length, ts_col, day_col=day_col)
+    # frames order by __g (unique global index): consistent with window
+    # ids even when timestamps repeat
     w_frame = (
         Window.partitionBy("__bucket")
-        .orderBy(ts_col)
+        .orderBy("__g")
         .rowsBetween(0, length - 1)
     )
     return (
@@ -282,7 +293,7 @@ def rolling_features(
     )
     w = (
         Window.partitionBy("__bucket")
-        .orderBy(ts_col)
+        .orderBy("__g")
         .rowsBetween(-(length - 1), 0)
     )
     aggs = []

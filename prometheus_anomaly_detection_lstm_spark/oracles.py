@@ -252,9 +252,11 @@ ORACLE_INNER_ALIGN = (
     + " AND ".join(f"{m} IS NOT NULL" for m in METRICS)
 )
 
+# keep-first semantics: list(... ORDER BY)[1] keeps a NULL first value
+# (matching Spark's row_number keep-first), where arg_min would skip it
 ORACLE_DEDUP_KEEP_FIRST = """SELECT date_trunc('minute', ts) AS ts,
        event_type AS metric,
-       arg_min(value, event_id) AS value,
+       list(value ORDER BY event_id)[1] AS value,
        CAST(min(event_id) AS BIGINT) AS seq
 FROM events
 GROUP BY 1, 2"""
@@ -272,7 +274,7 @@ ORACLE_UNION_PERIODS = """WITH tagged AS (
   FROM events
 )
 SELECT ts, metric,
-       arg_min(value, period_idx * 10000000 + event_id) AS value
+       list(value ORDER BY period_idx, event_id)[1] AS value
 FROM tagged
 GROUP BY 1, 2"""
 

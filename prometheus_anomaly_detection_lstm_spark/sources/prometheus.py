@@ -124,12 +124,28 @@ def parse_response_df(
     )
 
 
-def _chunks(start: int, end: int, chunk_seconds: int) -> list[tuple[int, int]]:
+def _chunks(
+    start: int, end: int, chunk_seconds: int, step: int = 0
+) -> list[tuple[int, int]]:
+    """Disjoint [t, e] windows covering [start, end].
+
+    Prometheus ``query_range`` is inclusive at BOTH ends, so adjacent
+    chunks sharing a boundary instant would each return the boundary
+    sample — a duplicate (metric, ts) row for any direct
+    ``format('prometheus')`` read.  Each subsequent chunk therefore
+    starts one ``step`` after the previous chunk's end; with
+    ``chunk_seconds`` a multiple of ``step`` (the reference's 1 h chunks
+    at 2 min steps) the step grid alignment is preserved and every
+    instant is emitted exactly once.
+    """
     out = []
     t = start
-    while t < end:
-        out.append((t, min(t + chunk_seconds, end)))
-        t += chunk_seconds
+    while t <= end:
+        e = min(t + chunk_seconds, end)
+        out.append((t, e))
+        if e >= end:
+            break
+        t = e + step
     return out
 
 
@@ -170,7 +186,9 @@ class PrometheusReader(DataSourceReader):
         return [
             _PromPartition(alias, promql, s, e, self.step)
             for alias, promql in sorted(self.queries.items())
-            for (s, e) in _chunks(self.start, self.end, self.chunk_seconds)
+            for (s, e) in _chunks(
+                self.start, self.end, self.chunk_seconds, self.step
+            )
         ]
 
     def _cache_path(self, part: _PromPartition) -> str | None:

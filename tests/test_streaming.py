@@ -148,3 +148,55 @@ def test_exporter_http_exposition():
         in body
     )
     assert "# TYPE anomaly_detector_total_anomalies_count counter" in body
+
+
+def test_exposition_text_format_grammar():
+    """Every line must satisfy the Prometheus text-format 0.0.4 grammar
+    a strict scraper enforces: HELP/TYPE once per metric, TYPE before
+    samples, legal metric/label names, float-parsable values."""
+    import re
+
+    sinks = DetectorMetrics()
+    sinks.latest_mse.set(0.0042)
+    sinks.is_anomaly.set(1)
+    sinks.feature_mse.set(0.1, feature_name="m1")
+    sinks.feature_mse.set(0.2, feature_name="m2")
+    sinks.last_success.set_to_current_time()
+    sinks.window_points.set(20)
+    sinks.total_anomalies.inc()
+    body = sinks.exposition()
+    assert body.endswith("\n")  # final newline required by the format
+
+    name_re = r"[a-zA-Z_:][a-zA-Z0-9_:]*"
+    sample_re = re.compile(
+        rf"^({name_re})"
+        rf"(?:\{{([a-zA-Z_][a-zA-Z0-9_]*=\"[^\"]*\""
+        rf"(?:,[a-zA-Z_][a-zA-Z0-9_]*=\"[^\"]*\")*)\}})?"
+        r" (-?[0-9.eE+-]+|NaN|[+-]Inf)(?: [0-9]+)?$"
+    )
+    helped, typed, sampled = set(), set(), set()
+    for line in body.splitlines():
+        if line.startswith("# HELP "):
+            m = re.match(rf"^# HELP ({name_re}) .+$", line)
+            assert m, f"bad HELP line: {line!r}"
+            assert m.group(1) not in helped, f"duplicate HELP: {line!r}"
+            helped.add(m.group(1))
+        elif line.startswith("# TYPE "):
+            m = re.match(
+                rf"^# TYPE ({name_re}) "
+                r"(counter|gauge|histogram|summary|untyped)$",
+                line,
+            )
+            assert m, f"bad TYPE line: {line!r}"
+            name = m.group(1)
+            assert name not in typed, f"duplicate TYPE: {line!r}"
+            assert name not in sampled, f"TYPE after samples: {line!r}"
+            typed.add(name)
+        else:
+            m = sample_re.match(line)
+            assert m, f"bad sample line: {line!r}"
+            float(m.group(3))  # value parses
+            sampled.add(m.group(1))
+    # every exported sample belongs to a declared metric family
+    assert sampled <= typed
+    assert len(typed) == 6  # the reference's six metrics
