@@ -4,14 +4,18 @@ The reference renders a training-loss curve and a 50-bin density
 histogram with matplotlib (train_autoencoder.py:254-292).  Here the
 heavy part — the histogram — is computed IN SPARK (operators/score.py
 ``mse_histogram``: two scans, counts per bucket) and only the tiny
-bucket table reaches the driver; rendering is gated on matplotlib,
-which this image lacks, so the data path stays fully testable and the
-PNG step degrades to a clear error.
+bucket table reaches the driver.  Rendering prefers matplotlib when
+installed (axis labels, ticks) and otherwise falls back to the
+pure-stdlib PNG rasterizer in ``plans/png.py`` — either way a real PNG
+file is produced, closing the reference's plot-sink surface without
+new dependencies.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from . import png as _png
 
 
 def histogram_density(hist_df: DataFrame, bins: int = 50) -> list[dict]:
@@ -26,43 +30,44 @@ def histogram_density(hist_df: DataFrame, bins: int = 50) -> list[dict]:
     ]
 
 
-def save_histogram_png(
-    hist_df: DataFrame, path: str, bins: int = 50
-) -> None:  # pragma: no cover - matplotlib absent in CI image
-    try:
+def _try_matplotlib():
+    try:  # pragma: no cover - matplotlib absent in CI image
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-    except ImportError as exc:
-        raise NotImplementedError(
-            "matplotlib is not installed in this environment; use "
-            "histogram_density() for the data and render elsewhere"
-        ) from exc
+
+        return plt
+    except ImportError:
+        return None
+
+
+def save_histogram_png(hist_df: DataFrame, path: str, bins: int = 50) -> None:
+    """train_autoencoder.py:280-292: 50-bin error histogram -> PNG file."""
     dens = histogram_density(hist_df, bins)
-    plt.figure(figsize=(8, 4))
-    plt.bar([d["bucket"] for d in dens], [d["frac"] for d in dens])
-    plt.xlabel("error bucket")
-    plt.ylabel("fraction")
-    plt.savefig(path)
-    plt.close()
+    plt = _try_matplotlib()
+    if plt is not None:  # pragma: no cover - matplotlib absent in CI image
+        plt.figure(figsize=(8, 4))
+        plt.bar([d["bucket"] for d in dens], [d["frac"] for d in dens])
+        plt.xlabel("error bucket")
+        plt.ylabel("fraction")
+        plt.savefig(path)
+        plt.close()
+        return
+    with open(path, "wb") as fh:
+        fh.write(_png.render_bar_chart([d["frac"] for d in dens]))
 
 
 def save_loss_curve_png(history: list[float], path: str) -> None:
-    # pragma: no cover - matplotlib absent in CI image
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except ImportError as exc:
-        raise NotImplementedError(
-            "matplotlib is not installed; training history is persisted "
-            "in training_meta.json for external rendering"
-        ) from exc
-    plt.figure(figsize=(8, 4))
-    plt.plot(history)
-    plt.xlabel("epoch")
-    plt.ylabel("val_loss")
-    plt.savefig(path)
-    plt.close()
+    """train_autoencoder.py:254-270: per-epoch validation loss -> PNG file."""
+    plt = _try_matplotlib()
+    if plt is not None:  # pragma: no cover - matplotlib absent in CI image
+        plt.figure(figsize=(8, 4))
+        plt.plot(history)
+        plt.xlabel("epoch")
+        plt.ylabel("val_loss")
+        plt.savefig(path)
+        plt.close()
+        return
+    with open(path, "wb") as fh:
+        fh.write(_png.render_line_chart(list(history)))
