@@ -38,7 +38,9 @@ class DetectorConfig:
     threshold: float = 0.0013
     interval_seconds: int = 30
     scaler_params: pd.DataFrame | None = None  # feature -> (min, max)
-    model: StubAutoencoder = field(default_factory=StubAutoencoder)
+    #: any scorer exposing predict((1, L, F)) -> (1, L, F): the stub,
+    #: a trained LinearAutoencoder, or the NumPy LSTM (ml/lstm_np.py)
+    model: object = field(default_factory=StubAutoencoder)
 
     @property
     def features(self) -> list[str]:

@@ -53,6 +53,25 @@ def test_clean_cycle_sets_gauges(cfg):
     assert sinks.feature_mse.value(feature_name="day_of_week") is not None
 
 
+def test_cycle_scores_with_real_lstm(cfg):
+    """The realtime detector accepts any .predict scorer — the NumPy
+    LSTM runs through the identical cycle path as the stub (M3+T2)."""
+    from prometheus_anomaly_detection_lstm_spark.ml.lstm_np import (
+        LSTMAutoencoder,
+        init_weights,
+    )
+
+    cfg.model = LSTMAutoencoder(init_weights(len(cfg.features)))
+    sinks = DetectorMetrics()
+    out = run_detection_cycle(_cycle(0, L + 2), cfg, sinks)
+    assert out is not None and out["mse"] >= 0.0
+    assert sinks.latest_mse.value() == pytest.approx(out["mse"])
+    # deterministic: a rerun with freshly-built frozen weights agrees
+    cfg.model = LSTMAutoencoder(init_weights(len(cfg.features)))
+    again = run_detection_cycle(_cycle(0, L + 2), cfg, DetectorMetrics())
+    assert again["mse"] == pytest.approx(out["mse"], abs=0)
+
+
 def test_missing_metric_skips_cycle(cfg):
     sinks = DetectorMetrics()
     out = run_detection_cycle(
