@@ -1,0 +1,180 @@
+"""Corpus-construction operators for LLM training-data pipelines.
+
+Three staples of large-scale dataset building, each pure Catalyst,
+deterministic (no RNG state — reproducible shards/samples are a hard
+requirement for dataset lineage), and DuckDB-oracle-checkable:
+
+* :func:`hash_sample` — deterministic Bernoulli sampling: keep a doc iff
+  the first 6 hex digits of ``md5(doc_id)`` fall below the rate
+  threshold.  Hex-lexicographic compare == numeric compare, identical
+  in every engine; the SAME doc set is selected on any cluster, any
+  run, any engine — unlike ``df.sample`` whose result depends on
+  partitioning.
+* :func:`doc_chunks` — fixed-size token chunking (the LLM preprocessing
+  step: split each document into ``chunk_tokens``-token pieces).
+  ``split`` + ``sequence`` + ``slice``: one map stage, no shuffle.
+* :func:`doc_packing` — contiguous sequence packing: shard the corpus,
+  then assign docs to packs by cumulative token count so each pack
+  holds ~``target_tokens`` tokens (greedy contiguous packing, the
+  standard approximation of bin packing used by training pipelines).
+  The running sum is a window PARTITIONED BY shard — packing is
+  per-shard by construction, so no global sort exists at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+
+SAMPLE_RATE_HEX = "0ccccd"  # first 6 md5 hex digits < this ~= 5.0%
+CHUNK_TOKENS = 64
+PACK_TARGET_TOKENS = 512
+PACK_SHARDS = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def hash_sample(
+    docs: DataFrame, threshold_hex: str = SAMPLE_RATE_HEX, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ~rate sample: md5-hex prefix below threshold."""
+    prefix = F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 6)
+    return docs.filter(prefix < F.lit(threshold_hex)).select(
+        "doc_id", "text"
+    )
+
+
+def doc_chunks(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text): fixed-size token chunks.
+
+    The final partial chunk is kept (training pipelines pad or drop it
+    downstream); empty docs produce no chunks.
+    """
+    k = chunk_tokens
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            "__toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("__n") - 1) / k).cast("int"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.expr(f"slice(__toks, chunk_idx * {k} + 1, {k})").alias("__c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("__c").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+        )
+    )
+
+
+def doc_packing(
+    docs: DataFrame,
+    target_tokens: int = PACK_TARGET_TOKENS,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Per-pack summary of contiguous greedy packing.
+
+    Docs are sharded by ``doc_id % shards`` (each shard packs
+    independently — the parallel unit); within a shard, doc order is
+    doc_id and a doc joins pack ``floor(preceding_tokens /
+    target_tokens)``.  Output: (shard, pack_id, n_docs, total_tokens).
+    """
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    sharded = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sharded.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / target_tokens
+        ).cast("bigint"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+ORACLE_HASH_SAMPLE = f"""SELECT doc_id, text FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{SAMPLE_RATE_HEX}'"""
+
+ORACLE_DOC_CHUNKS = f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+),
+c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         list_slice(toks, i * {CHUNK_TOKENS} + 1, (i + 1) * {CHUNK_TOKENS}) AS ch
+  FROM t, unnest(generate_series(0, CAST(floor((n - 1) / {CHUNK_TOKENS}) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_tokens,
+       array_to_string(ch, ' ') AS chunk_text
+FROM c"""
+
+ORACLE_DOC_PACKING = f"""WITH s AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT shard, n_tokens,
+         CAST(floor(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_TARGET_TOKENS}) AS BIGINT) AS pack_id
+  FROM s
+)
+SELECT shard, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM p GROUP BY 1, 2"""
+
+
+# ------------------------------------------------------------- registry
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_sample(_docs(spark, sf_dir))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_chunks(_docs(spark, sf_dir))
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_packing(_docs(spark, sf_dir))
+
+
+QUERIES = {
+    "corpus_hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    "corpus_doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
+    "corpus_doc_packing": (q_doc_packing, ORACLE_DOC_PACKING),
+}

@@ -295,10 +295,13 @@ PRIORITY: list[str] = [
     "multimodal_frame_sample",
     # ML inference (real LSTM forward pass, NumPy weights)
     "anomaly_mse_lstm",
+    # LLM-pipeline: corpus construction (sampling / chunking / packing)
+    "corpus_hash_sample", "corpus_doc_chunks", "corpus_doc_packing",
     # changed-this-round + relational headliners
-    "asof_join", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "windowed_events", "sessionize", "rolling_features", "topk_per_group",
+    "asof_join", "tpch_q1", "tpch_q3", "tpch_q5",
+    "windowed_events", "rolling_features",
     # ---- past the driver's 50-query window: unchanged, green in r1 ----
+    "tpch_q6", "sessionize", "topk_per_group",
     "semi_anti_join", "rollup_agg", "nan_counts", "running_revenue",
     "distinct_users", "vocab_stats", "embedding_mean_by_label",
     "events_hourly_pivot", "unpivot_metrics", "user_set_ops", "funnel",
@@ -309,7 +312,7 @@ PRIORITY: list[str] = [
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import extended, relational
-    from .operators import approx, dedup, similarity, text, multimodal
+    from .operators import approx, corpus, dedup, similarity, text, multimodal
     from .ml import lstm_query
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
@@ -321,6 +324,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(similarity.QUERIES)
     merged.update(text.QUERIES)
     merged.update(multimodal.QUERIES)
+    merged.update(corpus.QUERIES)
     merged.update(lstm_query.QUERIES)
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
