@@ -53,11 +53,24 @@ def main() -> None:
     queries = all_queries()
 
     # warmup: JVM JIT + whole-stage-codegen compile + parquet footer
-    # caches, not measured — run the flagship pipeline at the smallest
-    # sf plus one relational query so compiled plans are hot.
-    queries["anomaly_flags"][0](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # caches, not measured — run each measured plan SHAPE once at the
+    # smallest sf (plus one relational query at the bench sf) so the
+    # recorded numbers are data-processing time, not compiler time.
+    warm_sf = "/root/testdata/sf0.001"
+    for warm_name in [
+        "anomaly_flags",
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "ann_cosine_topk",
+        "text_quality_scores",
+        "windowed_events",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+    ]:
+        queries[warm_name][0](spark, warm_sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
     queries["tpch_q6"][0](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
