@@ -1,0 +1,67 @@
+"""Corpus-construction operator invariants (beyond the oracle parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark.operators import corpus
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark):
+    return corpus._docs(spark, SF_SMALL)
+
+
+def test_chunks_reassemble_to_original(spark):
+    docs = _docs(spark)
+    chunks = corpus.doc_chunks(docs)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("rebuilt"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id")
+    bad = joined.filter(F.col("text") != F.col("rebuilt")).count()
+    assert bad == 0
+    # token accounting: every chunk except possibly the last is full
+    over = chunks.filter(F.col("n_tokens") > corpus.CHUNK_TOKENS).count()
+    assert over == 0
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    s1 = corpus.hash_sample(docs)
+    s2 = corpus.hash_sample(docs)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # same sample, every run
+    # ~5% rate with generous binomial slack for small corpora
+    assert 0 < len(ids1) < max(0.20 * n, 10)
+
+
+def test_packing_conserves_corpus_and_respects_shards(spark):
+    docs = _docs(spark)
+    packs = corpus.doc_packing(docs).collect()
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    total = docs.select(F.sum(toks)).first()[0]
+    assert sum(p.total_tokens for p in packs) == total
+    assert sum(p.n_docs for p in packs) == docs.count()
+    assert {p.shard for p in packs} <= set(range(corpus.PACK_SHARDS))
+    # contiguous packing: only a pack's LAST doc may overflow the
+    # target, so every pack except a shard's final one holds less than
+    # target + its closing doc; weaker invariant: pack ids are dense
+    for shard in {p.shard for p in packs}:
+        ids = sorted(p.pack_id for p in packs if p.shard == shard)
+        assert ids == list(range(len(ids)))
