@@ -2,15 +2,19 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata travelling alongside.  The decode/feature-extract step is a
-``mapInPandas`` Arrow-batch pipeline; the actual codec work is STUBBED
-(no image/audio libs in this container) behind a deterministic fake so
-the Spark-side plumbing — schema, batch shape, partitioning — is real
-and tested (see tests/test_multimodal.py).
+``mapInPandas`` Arrow-batch pipeline:
+
+* ``decode_png_batch`` — a REAL decoder for 8-bit RGB PNGs (stdlib
+  zlib/struct, all five scanline filters, ``plans/png.py``) with
+  per-record error isolation — no codec library needed;
+* ``decode_batch``/``frame_sample`` — deterministic STUBS for formats
+  whose codecs aren't in this container (JPEG/audio/video), keeping the
+  Spark-side plumbing (schema, batch shape, partitioning) real and
+  tested.
 
 ``binary_metadata`` (oracle-checked) derives byte length, digest and
 deterministic fake decode dimensions from the payload with pure
-Catalyst expressions; ``decode_batch``/``extract_features`` show the
-Arrow-batched UDF path a real decoder would take.
+Catalyst expressions.
 """
 
 from __future__ import annotations
@@ -94,6 +98,60 @@ def decode_batch(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, DECODE_SCHEMA)
+
+
+PNG_DECODE_SCHEMA = (
+    "media_id bigint, width bigint, height bigint, n_pixels bigint, "
+    "mean_intensity double, err string"
+)
+
+
+def decode_png_batch(media: DataFrame) -> DataFrame:
+    """REAL decode for PNG payloads — no codec library required.
+
+    The stdlib decoder in ``plans/png.py`` handles 8-bit RGB PNGs (all
+    five scanline filters); per Arrow batch each payload is parsed,
+    unfiltered, and reduced to (width, height, mean intensity).
+    Non-PNG / unsupported payloads yield NULL stats + an ``err`` string
+    instead of failing the task — per-record error isolation, the shape
+    a 100-TB media pipeline needs (a corrupt file must not kill a
+    partition).
+    """
+    from ..plans.png import decode_rgb
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "mean_intensity": [],
+                "err": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                try:
+                    w, h, rgb = decode_rgb(bytes(payload))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_pixels"].append(w * h)
+                    rows["mean_intensity"].append(
+                        float(np.frombuffer(rgb, dtype=np.uint8).mean())
+                    )
+                    rows["err"].append(None)
+                except Exception as exc:  # per-record isolation
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["n_pixels"].append(None)
+                    rows["mean_intensity"].append(None)
+                    rows["err"].append(str(exc)[:120])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, PNG_DECODE_SCHEMA)
 
 
 def resize_stub(media: DataFrame, target: int = 224) -> DataFrame:
