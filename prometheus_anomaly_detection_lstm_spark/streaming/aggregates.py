@@ -1,0 +1,48 @@
+"""Watermarked windowed aggregation (SURVEY §2.8 / Structured Streaming).
+
+The canonical streaming-aggregation shape for metric streams: event-time
+tumbling windows with a watermark bounding state and dropping
+too-late data.  In append mode a window's row is emitted exactly once —
+when the watermark passes the window end — so downstream sinks (parquet,
+Kafka, the exporter) receive finalized rows only.
+
+State size is bounded by (#metrics x windows inside the watermark
+horizon) regardless of stream length — the property that lets this run
+forever on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_metric_stats(
+    stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per (event-time window, metric): count + mean value.
+
+    ``stream`` must carry (ts TIMESTAMP, metric STRING, value DOUBLE).
+    Late rows beyond the watermark are DROPPED (never corrupt finalized
+    windows); windows emit once in append mode.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
+            "metric",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "metric",
+            "n",
+            "avg_value",
+        )
+    )

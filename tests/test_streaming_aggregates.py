@@ -1,0 +1,82 @@
+"""Watermarked windowed aggregation: emit-once append + late-data drop."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+
+from prometheus_anomaly_detection_lstm_spark.streaming.aggregates import (
+    windowed_metric_stats,
+)
+
+
+def test_windowed_agg_drops_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+
+    def write(rows):
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # Watermark semantics nuance (verified empirically): a late row is
+    # only guaranteed dropped once its window's state has been EVICTED —
+    # the watermark bounds state, it is not an exact input filter.  The
+    # batch sequence therefore: (1) window data, (2) advance max event
+    # time, (3) a batch under the advanced watermark that finalizes +
+    # evicts the 10:00 window, (4) the too-late row, which now has no
+    # state to join and must be dropped without a duplicate append.
+    write(
+        [
+            {"ts": pd.Timestamp(f"2024-01-01 10:0{i}:00"), "metric": "m1",
+             "value": float(i)}
+            for i in range(5)
+        ]
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    write([{"ts": pd.Timestamp("2024-01-01 11:00:00"), "metric": "m1",
+            "value": 99.0}])
+    time.sleep(1.1)
+    # processed with watermark 10:30 -> finalizes/evicts the 10:00 window
+    write([{"ts": pd.Timestamp("2024-01-01 11:01:00"), "metric": "m1",
+            "value": 98.0}])
+    time.sleep(1.1)
+    # the LATE sample: window already finalized -> dropped, no duplicate
+    write(
+        [
+            {"ts": pd.Timestamp("2024-01-01 10:05:00"), "metric": "m1",
+             "value": 1000.0},
+            {"ts": pd.Timestamp("2024-01-01 11:05:00"), "metric": "m1",
+             "value": 100.0},
+        ]
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_metric_stats(stream)
+        .writeStream.format("memory")
+        .queryName("win_agg_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT * FROM win_agg_out ORDER BY window_start"
+    ).collect()
+
+    # exactly ONE finalized row for the 10:00 window (no duplicate
+    # append from the late record), with batch-1 values only; the open
+    # 11:00 window was never emitted
+    assert len(out) == 1
+    row = out[0]
+    assert row.window_start == pd.Timestamp("2024-01-01 10:00:00")
+    assert row.metric == "m1"
+    assert row.n == 5  # the late 1000.0 sample was dropped
+    assert row.avg_value == 2.0  # mean(0..4)
