@@ -40,10 +40,14 @@ def test_histogram_density_sums_to_one(spark):
     assert sum(d["frac"] for d in dens) == pytest.approx(1.0)
 
 
-def test_histogram_png_gated_without_matplotlib(spark, tmp_path):
+def test_histogram_png_renders_without_matplotlib(spark, tmp_path):
+    """S13 fully closed: with matplotlib absent the stdlib rasterizer
+    still produces a real PNG (plans/png.py) from the Spark histogram."""
     hist = mse_histogram(anomaly_scores(spark, SF).select("mse"), bins=50)
-    with pytest.raises(NotImplementedError):
-        save_histogram_png(hist, str(tmp_path / "h.png"))
+    out = tmp_path / "h.png"
+    save_histogram_png(hist, str(out))
+    data = out.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_frame_sample_stub(spark):
