@@ -112,6 +112,51 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+#: winnowing parameters: k-char grams, min over w-gram sliding windows
+WINNOW_K = 5
+WINNOW_W = 4
+#: whitespace-normalized lowercase text as a SQL fragment
+_NORM_SQL = "lower(regexp_replace(text, '\\\\s+', ' '))"
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing, Schleimer et al.).
+
+    The MOSS scheme: hash every k-char gram of the normalized text,
+    slide a w-gram window and keep each window's MINIMUM hash; the
+    distinct minima are the document's fingerprint set — robust to
+    insertions/reordering, the basis of plagiarism/near-dup detection.
+    "Hash" = md5 hex (lexicographic min == numeric min on a random
+    oracle, identical across engines).  All array expressions, one map
+    stage; output the compact per-doc summary (count + extremal
+    fingerprints) so the result is hash-comparable.
+    """
+    with_hashes = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, length({_NORM_SQL}) - {k} + 1), "
+            f"i -> md5(cast(substring({_NORM_SQL}, i, {k}) AS BINARY)))"
+        ).alias("__hs"),
+    ).filter(F.size("__hs") >= w)
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(__hs) - {w} + 1), "
+            f"j -> array_min(slice(__hs, j, {w})))"
+        )
+    )
+    return with_hashes.select(
+        "doc_id",
+        fps.alias("__fps"),
+    ).select(
+        "doc_id",
+        F.size("__fps").cast("bigint").alias("n_fingerprints"),
+        F.array_min("__fps").alias("min_fp"),
+        F.array_max("__fps").alias("max_fp"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document (deterministic tie-break by term).
 
@@ -222,6 +267,27 @@ FROM b"""
 
 ORACLE_LANG_ID = _lang_id_sql()
 
+ORACLE_WINNOWING = f"""WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(norm) - {WINNOW_K} + 1),
+                        i -> md5(substr(norm, i, {WINNOW_K}))) AS hl
+  FROM n WHERE length(norm) >= {WINNOW_K}
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(1, len(hl) - {WINNOW_W} + 1),
+                          j -> list_min(hl[j:j + {WINNOW_W} - 1]))) AS fps
+  FROM hs WHERE len(hl) >= {WINNOW_W}
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM fp"""
+
 ORACLE_FINGERPRINTS = """WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
   FROM documents
@@ -253,10 +319,15 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "text_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
     "text_lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_fingerprints": (q_fingerprints, ORACLE_FINGERPRINTS),
+    "text_winnowing_fingerprints": (q_winnowing, ORACLE_WINNOWING),
     "text_tfidf_top_terms": (q_tfidf, ORACLE_TFIDF),
 }
