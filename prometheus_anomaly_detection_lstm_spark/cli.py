@@ -114,20 +114,32 @@ def cmd_train(cfg: EngineConfig, input_path: str | None = None) -> None:
     train_df, val_df = train_val_split(windows, cfg.train_split_ratio)
     x_train = collect_windows(train_df)
     x_val = collect_windows(val_df)
-    model, history = train_linear_autoencoder(
-        x_train,
-        epochs=cfg.epochs,
-        patience=cfg.early_stopping_patience,
-        val=x_val,
-    )
+    if cfg.model_type == "lstm":
+        from .ml.lstm_np import LSTMAutoencoder
+        from .ml.lstm_train import train_lstm_autoencoder
+
+        model, history = train_lstm_autoencoder(
+            x_train,
+            epochs=cfg.epochs,
+            lr=cfg.learning_rate,
+            patience=cfg.early_stopping_patience,
+            val=x_val,
+        )
+        trained_w = model.w
+        factory = lambda: LSTMAutoencoder(trained_w)  # noqa: E731
+    else:
+        model, history = train_linear_autoencoder(
+            x_train,
+            epochs=cfg.epochs,
+            patience=cfg.early_stopping_patience,
+            val=x_val,
+        )
+        a_fit, b_fit = model.a, model.b
+        factory = lambda: LinearAutoencoder(a=a_fit, b=b_fit)  # noqa: E731
     # the persisted threshold must describe the SAME model as the
     # persisted weights: score validation windows with the trained
     # model (weights captured in the factory closure, rebuilt per task)
-    a_fit, b_fit = model.a, model.b
-    scored = score_windows(
-        val_df if x_val.size else train_df,
-        lambda: LinearAutoencoder(a=a_fit, b=b_fit),
-    )
+    scored = score_windows(val_df if x_val.size else train_df, factory)
     threshold = fit_threshold(scored.select("mse"), 0.95)
     # scaler params were already persisted by the preprocess stage
     save_artifacts(cfg.artifacts_dir, model, history, None, threshold)
@@ -154,12 +166,22 @@ def cmd_filter(cfg: EngineConfig, input_path: str | None = None) -> None:
             threshold = json.load(fh).get("threshold", threshold)
     # score with the trained weights when the train stage ran (the
     # threshold from training_meta.json describes THAT model); fall
-    # back to the deterministic stub otherwise
+    # back to the deterministic stub otherwise.  The npz key layout
+    # identifies the model family (a/b = linear, enc*/dec* = LSTM).
     weights_path = os.path.join(cfg.artifacts_dir, "autoencoder_weights.npz")
     if os.path.exists(weights_path):
-        trained = LinearAutoencoder.load(weights_path)
-        a_fit, b_fit = trained.a, trained.b
-        factory = lambda: LinearAutoencoder(a=a_fit, b=b_fit)  # noqa: E731
+        import numpy as np
+
+        with np.load(weights_path) as npz:
+            keys = set(npz.files)
+            arrays = {k: npz[k] for k in npz.files}
+        if keys == {"a", "b"}:
+            a_fit, b_fit = arrays["a"], arrays["b"]
+            factory = lambda: LinearAutoencoder(a=a_fit, b=b_fit)  # noqa: E731
+        else:
+            from .ml.lstm_np import LSTMAutoencoder
+
+            factory = lambda: LSTMAutoencoder(arrays)  # noqa: E731
     else:
         factory = lambda: StubAutoencoder()  # noqa: E731
     scored = score_windows(windows, factory).withColumn(
