@@ -373,7 +373,9 @@ def _band_select(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-ORACLE_MINHASH_LSH = f"""WITH {_shingle_cte()},
+def _minhash_lsh_sql(threshold: float) -> str:
+    """Banded-LSH near-dup pair SQL at an arbitrary Jaccard threshold."""
+    return f"""WITH {_shingle_cte()},
 sigs AS (
   SELECT doc_id, {_sig_cols()}
   FROM sh GROUP BY doc_id
@@ -400,7 +402,35 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}"""
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {threshold}"""
+
+
+ORACLE_MINHASH_LSH = _minhash_lsh_sql(JACCARD_THRESHOLD)
+
+#: connected components over the 0.05-threshold pair graph as a
+#: RECURSIVE CTE: reach(node, r) enumerates reachable labels, min(r) is
+#: the component — turning the iterative Spark operator's rows-only
+#: check into a full hash-checked oracle (component size² state per
+#: component is fine at oracle scale; Spark's label propagation is the
+#: 100-TB path).
+ORACLE_DEDUP_CLUSTERS = f"""WITH RECURSIVE pairs AS (
+{_minhash_lsh_sql(0.05)}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component, CAST(count(*) AS BIGINT) AS size,
+       min(node) AS keep_doc_id
+FROM cc GROUP BY component"""
 
 
 def _simhash_sql() -> str:
@@ -466,7 +496,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
     "dedup_simhash": (q_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
-    # iterative connected components: not one-query SQL-expressible ->
-    # rows-only driver check; union-find oracle lives in tests
-    "dedup_clusters": (q_dedup_clusters, None),
+    # iterative in Spark (label propagation + pointer jumping); the
+    # oracle expresses the same components as a DuckDB recursive CTE
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
 }

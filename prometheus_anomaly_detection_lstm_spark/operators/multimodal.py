@@ -197,6 +197,43 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
     return media.mapInPandas(sample, FRAME_SCHEMA)
 
 
+# the stub decode is DETERMINISTIC (dims from byte length, "mean pixel"
+# = mean byte value), and the corpus text is ASCII -> the Python batch
+# path has an exact SQL twin (unicode(char) == byte value), upgrading
+# the mapInPandas query from rows-only to hash-checked
+ORACLE_DECODE_STUB = """WITH b AS (
+  SELECT doc_id AS media_id, length(text) AS len,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE list_aggregate(
+                     list_transform(generate_series(1, length(text)),
+                                    i -> unicode(substr(text, i, 1))),
+                     'sum') * 1.0 / length(text)
+         END AS mean_intensity
+  FROM documents
+)
+SELECT media_id,
+       CAST(64 + len % 256 AS BIGINT) AS fake_width,
+       CAST(64 + (len // 7) % 256 AS BIGINT) AS fake_height,
+       CAST((64 + len % 256) * (64 + (len // 7) % 256) AS BIGINT) AS n_pixels,
+       mean_intensity
+FROM b"""
+
+# frame sampling over ASCII payloads: the 64-byte "frames" are substr
+# slices, so the digests have an exact SQL twin as well
+ORACLE_FRAME_SAMPLE = """WITH f AS (
+  SELECT doc_id AS media_id, text,
+         greatest(1, length(text) // 64) AS n_frames
+  FROM documents
+),
+idx AS (
+  SELECT media_id, text, CAST(i AS BIGINT) AS frame_idx
+  FROM f, unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS u(i)
+)
+SELECT media_id, frame_idx,
+       CAST(frame_idx * 64 AS BIGINT) AS frame_offset_bytes,
+       md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_digest
+FROM idx"""
+
 ORACLE_BINARY_METADATA = """SELECT doc_id AS media_id,
        'image/fake' AS media_type,
        CAST(length(text) AS BIGINT) AS byte_len,
@@ -223,7 +260,6 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_binary_metadata": (q_binary_metadata, ORACLE_BINARY_METADATA),
-    # mapInPandas stub decode: rows-only check (Python batch path, no SQL twin)
-    "multimodal_decode_stub": (q_decode_stub, None),
-    "multimodal_frame_sample": (q_frame_sample, None),
+    "multimodal_decode_stub": (q_decode_stub, ORACLE_DECODE_STUB),
+    "multimodal_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
 }
