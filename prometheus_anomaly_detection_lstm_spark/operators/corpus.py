@@ -121,6 +121,36 @@ def doc_packing(
     )
 
 
+STRATIFIED_PER_LABEL = 10
+
+
+def stratified_sample(
+    emb: DataFrame, per_label: int = STRATIFIED_PER_LABEL
+) -> DataFrame:
+    """Class-balanced downsampling: keep ``per_label`` rows per label,
+    chosen deterministically as the smallest md5(vec_id) hashes.
+
+    The standard training-mix rebalancer (cap every class at N), made
+    reproducible: the SAME rows are selected on any engine/run —
+    ``df.sampleBy`` gives a rate, not a count, and depends on
+    partitioning.  One window partitioned by label (the stratum key):
+    scale-safe unless a single label dominates, in which case salt the
+    rank computation per label shard and re-rank the tiny survivors.
+    """
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+    )
+    return (
+        emb.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_label)
+        .select(
+            "vec_id",
+            "label",
+            F.col("__rk").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
 # ------------------------------------------------------------- oracles
 
 ORACLE_HASH_SAMPLE = f"""SELECT doc_id, text FROM documents
@@ -159,7 +189,22 @@ SELECT shard, pack_id, count(*) AS n_docs,
 FROM p GROUP BY 1, 2"""
 
 
+ORACLE_STRATIFIED_SAMPLE = f"""WITH r AS (
+  SELECT vec_id, label,
+         CAST(row_number() OVER (PARTITION BY label
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+           AS sample_rank
+  FROM embeddings
+)
+SELECT vec_id, label, sample_rank FROM r
+WHERE sample_rank <= {STRATIFIED_PER_LABEL}"""
+
+
 # ------------------------------------------------------------- registry
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load_table(spark, sf_dir, "embeddings"))
+
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(_docs(spark, sf_dir))
@@ -177,4 +222,5 @@ QUERIES = {
     "corpus_hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "corpus_doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     "corpus_doc_packing": (q_doc_packing, ORACLE_DOC_PACKING),
+    "corpus_stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
 }

@@ -298,11 +298,12 @@ PRIORITY: list[str] = [
     "anomaly_mse_lstm",
     # LLM-pipeline: corpus construction (sampling / chunking / packing)
     "corpus_hash_sample", "corpus_doc_chunks", "corpus_doc_packing",
+    "corpus_stratified_sample",
     # changed-this-round + relational headliners
-    "asof_join", "tpch_q1", "tpch_q3",
+    "asof_join", "tpch_q1",
     "windowed_events", "rolling_features",
     # ---- past the driver's 50-query window: unchanged, green in r1 ----
-    "tpch_q5", "tpch_q6", "sessionize", "topk_per_group",
+    "tpch_q3", "tpch_q5", "tpch_q6", "sessionize", "topk_per_group",
     "semi_anti_join", "rollup_agg", "nan_counts", "running_revenue",
     "distinct_users", "vocab_stats", "embedding_mean_by_label",
     "events_hourly_pivot", "unpivot_metrics", "user_set_ops", "funnel",
