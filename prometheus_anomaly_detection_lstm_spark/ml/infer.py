@@ -29,6 +29,7 @@ SCORE_SCHEMA = (
 def score_windows(
     windows: DataFrame,
     model_factory: Callable[[], object],
+    parallelism: int | None = None,
 ) -> DataFrame:
     """(window_id, start_ts, features) -> per-window MSE + per-feature MSE.
 
@@ -37,19 +38,32 @@ def score_windows(
     rebuilds Keras from broadcast weights).  The package is shipped to
     executors first — factories referencing package classes unpickle by
     module path on the Python worker.
+
+    ``parallelism``: for COMPUTE-BOUND scorers (the LSTM), pass the
+    target task count.  The windows frame is small in *bytes*, so AQE
+    coalesces its exchange into one or two partitions — byte-optimal,
+    compute-catastrophic (inference serializes onto one core).  An
+    explicit round-robin repartition pins the task count to the cores;
+    leave ``None`` for cheap scorers where the extra shuffle outweighs
+    the parallelism.
     """
     from ..shipping import ensure_shipped
 
     ensure_shipped(windows.sparkSession)
+    if parallelism:
+        windows = windows.repartition(parallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = model_factory()
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = np.array(
-                [np.array([np.asarray(r) for r in w]) for w in pdf["features"]],
-                dtype="float64",
+            # one stack per window (Arrow yields object arrays of
+            # per-step arrays): a nested per-element Python loop here
+            # costs more than the model math itself
+            x = np.stack(
+                [np.stack(w).astype("float64", copy=False)
+                 for w in pdf["features"]]
             )
             recon = model.predict(x)
             err = x - recon
