@@ -490,6 +490,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def dedup_apply(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The end-to-end dedup a corpus user actually runs: keep ONE
+    representative (min doc_id) per near-dup cluster, drop the rest.
+
+    pairs -> connected components -> non-representative ids -> LEFT ANTI
+    join against the corpus.  All keyed joins; the anti join's right
+    side is only the duplicate ids (small).  Output: surviving
+    (doc_id, n_tokens).
+    """
+    from .clusters import connected_components
+
+    comps = connected_components(pairs)
+    dupes = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(dupes, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+ORACLE_DEDUP_APPLY = f"""WITH RECURSIVE pairs AS (
+{{minhash}}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != component)"""
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs, threshold=0.05)
+    return dedup_apply(docs, pairs)
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT_DUPLICATES),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
@@ -499,4 +546,8 @@ QUERIES = {
     # iterative in Spark (label propagation + pointer jumping); the
     # oracle expresses the same components as a DuckDB recursive CTE
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_apply": (
+        q_dedup_apply,
+        ORACLE_DEDUP_APPLY.format(minhash=_minhash_lsh_sql(0.05)),
+    ),
 }

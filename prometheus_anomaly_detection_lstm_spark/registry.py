@@ -284,6 +284,7 @@ PRIORITY: list[str] = [
     # LLM-pipeline: dedup modalities
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
+    "dedup_apply",
     # LLM-pipeline: similarity search
     "ann_cosine_topk", "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
     "embedding_norms", "dedup_embedding_cosine",
@@ -300,10 +301,10 @@ PRIORITY: list[str] = [
     "corpus_hash_sample", "corpus_doc_chunks", "corpus_doc_packing",
     "corpus_stratified_sample",
     # changed-this-round + relational headliners
-    "asof_join", "tpch_q1",
-    "windowed_events", "rolling_features",
+    "asof_join", "tpch_q1", "rolling_features",
     # ---- past the driver's 50-query window: unchanged, green in r1 ----
-    "tpch_q3", "tpch_q5", "tpch_q6", "sessionize", "topk_per_group",
+    "windowed_events", "tpch_q3", "tpch_q5", "tpch_q6", "sessionize",
+    "topk_per_group",
     "semi_anti_join", "rollup_agg", "nan_counts", "running_revenue",
     "distinct_users", "vocab_stats", "embedding_mean_by_label",
     "events_hourly_pivot", "unpivot_metrics", "user_set_ops", "funnel",
