@@ -157,6 +157,42 @@ def winnowing_fingerprints(
     )
 
 
+#: PII patterns kept to Java-regex/RE2 common ground (no backrefs,
+#: no lookaround) so Spark and DuckDB replace identically.
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Corpus cleaning: redact email/IP/phone spans, count each kind.
+
+    (doc_id, n_email, n_ip, n_phone, clean_text) — the standard
+    pre-training scrub, pure ``regexp_replace``/``regexp_extract_all``
+    (codegen'd; order matters: emails first so their digits never
+    half-match the phone pattern).
+    """
+    out = docs.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        *[
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+            ).cast("bigint").alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+    )
+    for _, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            "clean_text", F.regexp_replace("clean_text", pat, repl)
+        )
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document (deterministic tie-break by term).
 
@@ -288,6 +324,22 @@ SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
        list_min(fps) AS min_fp, list_max(fps) AS max_fp
 FROM fp"""
 
+def _pii_sql() -> str:
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""SELECT doc_id,
+       {counts},
+       {clean} AS clean_text
+FROM documents"""
+
+
+ORACLE_PII_REDACT = _pii_sql()
+
 ORACLE_FINGERPRINTS = """WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
   FROM documents
@@ -323,11 +375,16 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_docs(spark, sf_dir))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_redact(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "text_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
     "text_lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_fingerprints": (q_fingerprints, ORACLE_FINGERPRINTS),
     "text_winnowing_fingerprints": (q_winnowing, ORACLE_WINNOWING),
+    "text_pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "text_tfidf_top_terms": (q_tfidf, ORACLE_TFIDF),
 }

@@ -291,7 +291,7 @@ PRIORITY: list[str] = [
     # LLM-pipeline: text analysis
     "text_token_counts", "text_quality_scores", "text_lang_id",
     "text_fingerprints", "text_winnowing_fingerprints",
-    "text_tfidf_top_terms",
+    "text_pii_redact", "text_tfidf_top_terms",
     # LLM-pipeline: multimodal plumbing
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample",
@@ -300,11 +300,11 @@ PRIORITY: list[str] = [
     # LLM-pipeline: corpus construction (sampling / chunking / packing)
     "corpus_hash_sample", "corpus_doc_chunks", "corpus_doc_packing",
     "corpus_stratified_sample",
-    # changed-this-round + relational headliners
-    "asof_join", "tpch_q1", "rolling_features",
+    # changed-this-round
+    "asof_join", "rolling_features",
     # ---- past the driver's 50-query window: unchanged, green in r1 ----
-    "windowed_events", "tpch_q3", "tpch_q5", "tpch_q6", "sessionize",
-    "topk_per_group",
+    "tpch_q1", "windowed_events", "tpch_q3", "tpch_q5", "tpch_q6",
+    "sessionize", "topk_per_group",
     "semi_anti_join", "rollup_agg", "nan_counts", "running_revenue",
     "distinct_users", "vocab_stats", "embedding_mean_by_label",
     "events_hourly_pivot", "unpivot_metrics", "user_set_ops", "funnel",

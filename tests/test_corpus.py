@@ -51,6 +51,29 @@ def test_hash_sample_rate_and_determinism(spark):
     assert 0 < len(ids1) < max(0.20 * n, 10)
 
 
+def test_pii_redaction_with_planted_pii(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith+x@mail.co.uk now"),
+            (2, "server at 192.168.1.17 answered"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "nothing sensitive here"),
+            (5, "mix: c@d.io from 10.0.0.1"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert out[1].n_email == 2 and "[EMAIL]" in out[1].clean_text
+    assert "@" not in out[1].clean_text
+    assert out[2].n_ip == 1 and "[IP]" in out[2].clean_text
+    assert out[3].n_phone == 1 and "[PHONE]" in out[3].clean_text
+    assert out[4].clean_text == "nothing sensitive here"
+    assert out[5].n_email == 1 and out[5].n_ip == 1
+    assert out[5].clean_text == "mix: [EMAIL] from [IP]"
+
+
 def test_packing_conserves_corpus_and_respects_shards(spark):
     docs = _docs(spark)
     packs = corpus.doc_packing(docs).collect()
