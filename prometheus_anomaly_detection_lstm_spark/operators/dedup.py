@@ -93,9 +93,14 @@ def ngram_jaccard_pairs(
         .withColumn("__rn", F.row_number().over(w_doc))
         .withColumn("__n", F.count("*").over(Window.partitionBy("doc_id")))
     )
+    # -1e-9 guards the float product at integral boundaries (e.g.
+    # 0.12*25 = 3.0000000000000004 would ceil to 4 and shorten the
+    # prefix below what the AllPairs completeness theorem requires).
     prefix = ranked.filter(
         F.col("__rn")
-        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        <= F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
     ).select("doc_id", "shingle")
     cands = (
         prefix.alias("pa")

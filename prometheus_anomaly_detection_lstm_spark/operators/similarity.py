@@ -194,7 +194,10 @@ def cosine_topk_lsh(
         .select("q_id", "c_id")
         .distinct()
     )
-    q = normed.select(
+    # Only vec_id < n_queries can appear as q_id in cands; filtering
+    # before the broadcast keeps the hash table at n_queries rows
+    # instead of the whole corpus (broadcast-OOM risk at scale).
+    q = normed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
         F.col("norm").alias("q_norm"),

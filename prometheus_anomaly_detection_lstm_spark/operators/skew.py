@@ -34,10 +34,16 @@ def salted_join(
     bucket (default: all fact columns — any stable row identity works).
     ``dim`` rows are replicated ``n_salts``x (the small side by
     definition; replication is the price of spreading the hot key).
-    Answer-identical to ``fact.join(dim, key, how)`` for any join type
-    whose semantics don't depend on dim-side multiplicity changes —
-    i.e. dim must be unique on ``key`` (the dimension-table contract).
+    Answer-identical to ``fact.join(dim, key, how)`` ONLY for join
+    types where an unmatched dim row contributes nothing: inner, left
+    (outer), and left_semi.  Right/full outer would emit each unmatched
+    dim row once per salt replica, so those are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            "salted_join is answer-identical only for inner/left/"
+            f"left_semi joins (dim side is replicated); got how={how!r}"
+        )
     cols = fact_salt_cols or fact.columns
     salt = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts))
     fact_s = fact.withColumn("__salt", salt)

@@ -133,13 +133,21 @@ def winnowing_fingerprints(
     stage; output the compact per-doc summary (count + extremal
     fingerprints) so the result is hash-comparable.
     """
-    with_hashes = docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, length({_NORM_SQL}) - {k} + 1), "
-            f"i -> md5(cast(substring({_NORM_SQL}, i, {k}) AS BINARY)))"
-        ).alias("__hs"),
-    ).filter(F.size("__hs") >= w)
+    with_hashes = (
+        docs
+        # Docs shorter than k chars (normalized) have no k-grams at all;
+        # without this guard sequence(1, L-k+1) runs DESCENDING for L<k
+        # and fabricates 6-L bogus hashes that pass the size>=w filter.
+        .filter(F.expr(f"length({_NORM_SQL}) >= {k}"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, length({_NORM_SQL}) - {k} + 1), "
+                f"i -> md5(cast(substring({_NORM_SQL}, i, {k}) AS BINARY)))"
+            ).alias("__hs"),
+        )
+        .filter(F.size("__hs") >= w)
+    )
     fps = F.array_distinct(
         F.expr(
             f"transform(sequence(1, size(__hs) - {w} + 1), "

@@ -55,9 +55,12 @@ def _shingle_sets(rows, n=SHINGLE_N):
     return out
 
 
-def test_prefix_filtered_jaccard_equals_brute_force(spark):
+# 0.12/0.2 hit integral t*n products for many doc sizes (e.g.
+# 0.12*25 = 3.0000000000000004 in floats) — the ceil-epsilon boundary
+# fixed per ADVICE r2.
+@pytest.mark.parametrize("threshold", [0.12, 0.2])
+def test_prefix_filtered_jaccard_equals_brute_force(spark, threshold):
     docs = _random_docs(spark)
-    threshold = 0.12
     got = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in ngram_jaccard_pairs(docs, threshold).collect()

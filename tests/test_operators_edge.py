@@ -202,3 +202,36 @@ def test_sliding_mean_scalable_equals_simple(spark, metric_df):
         import pytest as _pt
 
         assert [r.m1 for r in a] == _pt.approx([r.m1 for r in b])
+
+
+def test_winnowing_skips_docs_shorter_than_k(spark):
+    """Docs with normalized length < k have no k-grams and must emit
+    NOTHING (sequence(1, L-k+1) would otherwise run descending and
+    fabricate hashes — ADVICE r2)."""
+    from prometheus_anomaly_detection_lstm_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    long_doc = "x" * (WINNOW_K + WINNOW_W - 1)  # exactly w k-grams
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "a"), (3, ""), (4, "   "), (5, long_doc)],
+        ["doc_id", "text"],
+    )
+    rows = winnowing_fingerprints(docs).collect()
+    assert [r.doc_id for r in rows] == [5]
+    assert rows[0].n_fingerprints == 1
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.skew import (
+        salted_join,
+    )
+
+    fact = spark.range(4).withColumnRenamed("id", "k")
+    dim = spark.range(2).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(fact, dim, "k", how="full")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(fact, dim, "k", how="right")
