@@ -95,6 +95,7 @@ def ffill_bfill_scalable(
     cols: list[str],
     ts_col: str = "ts",
     day_col: str | None = None,
+    attach_minmax: list[str] | None = None,
 ) -> DataFrame:
     """W1 at scale: day-partitioned fill with broadcast cross-day carry.
 
@@ -113,7 +114,17 @@ def ffill_bfill_scalable(
     the full data ONCE and every later operator reuses the exchange
     (Catalyst recognizes satisfied ClusteredDistribution only for the
     same attribute).
+
+    ``attach_minmax``: columns whose GLOBAL min/max should ride along as
+    ``__lo_{c}`` / ``__hi_{c}`` output columns.  ffill/bfill only copies
+    values that already exist (non-nulls are never overwritten), so the
+    post-fill min/max equals the pre-fill min/max — which this computes
+    for free on the summary aggregate's existing shuffle instead of a
+    second full pass over the filled frame.  Lets a downstream scaler be
+    a pure projection (the pivot->fill subtree would otherwise execute
+    twice: once under the fit aggregation, once for the transform).
     """
+    mm = attach_minmax or []
     if day_col is not None:
         with_day = df.withColumnRenamed(day_col, "__day")
     else:
@@ -132,6 +143,8 @@ def ffill_bfill_scalable(
             )
             for c in cols
         ],
+        *[F.min(c).alias(f"__dmin_{c}") for c in mm],
+        *[F.max(c).alias(f"__dmax_{c}") for c in mm],
     )
     # summary is metadata-scale (~#days rows): the constant partition
     # key makes the deliberate single-partition window explicit and
@@ -147,6 +160,9 @@ def ffill_bfill_scalable(
         .orderBy("__day")
         .rowsBetween(1, Window.unboundedFollowing)
     )
+    w_all = Window.partitionBy(meta_key).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     carry = summary.select(
         "__day",
         *[
@@ -159,6 +175,8 @@ def ffill_bfill_scalable(
             .alias(f"__lead_{c}")
             for c in cols
         ],
+        *[F.min(f"__dmin_{c}").over(w_all).alias(f"__lo_{c}") for c in mm],
+        *[F.max(f"__dmax_{c}").over(w_all).alias(f"__hi_{c}") for c in mm],
     )
 
     joined = with_day.join(F.broadcast(carry), "__day")
@@ -175,9 +193,11 @@ def ffill_bfill_scalable(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     keep = [c for c in with_day.columns if c not in cols and c != "__day"]
+    mm_cols = [f"__lo_{c}" for c in mm] + [f"__hi_{c}" for c in mm]
     ffilled = joined.select(
         *keep,
         "__day",
+        *mm_cols,
         *[F.col(f"__lead_{c}") for c in cols],
         *[
             F.coalesce(
@@ -190,6 +210,7 @@ def ffill_bfill_scalable(
     out = ffilled.select(
         *keep,
         "__day",
+        *mm_cols,
         *[
             F.coalesce(
                 F.last(c, ignorenulls=True).over(w_rev),

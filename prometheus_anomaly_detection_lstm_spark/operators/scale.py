@@ -73,6 +73,27 @@ def minmax_transform(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def minmax_project(df: DataFrame, cols: list[str]) -> DataFrame:
+    """MinMax transform as a PURE projection over pre-attached params.
+
+    Expects ``__lo_{c}`` / ``__hi_{c}`` columns (e.g. from
+    ``fill.ffill_bfill_scalable(attach_minmax=cols)``) — the fused
+    pipeline shape that avoids re-computing the upstream plan under a
+    separate fit aggregation.  Same sklearn semantics as
+    :func:`minmax_transform` (constant column -> 0.0).
+    """
+    out = df
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        scaled = F.when(hi == lo, F.col(c) - lo).otherwise(
+            (F.col(c) - lo) / (hi - lo)
+        )
+        out = out.withColumn(c, scaled)
+    return out.drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
 def standard_transform(df: DataFrame, cols: list[str]) -> DataFrame:
     """M1/A5: ``(x - mean) / std_pop``; zero std -> ``x - mean`` (sklearn)."""
     params = _wide_params(df, cols, "standard")

@@ -75,8 +75,16 @@ def preprocessed(
     df = with_calendar(wide_frame(spark, sf_dir)).withColumn(
         "__day", F.to_date("ts")
     )
-    df = fill.ffill_bfill_scalable(df, METRICS, day_col="__day")
-    df = scale.minmax_transform(df, FEATURES)
+    # Fused fit: the fill's day-summary shuffle also carries each
+    # feature's global min/max (fill never changes a column's value
+    # SET, so pre-fill == post-fill extrema), making the scale step a
+    # pure projection.  The unfused form (minmax_transform over the
+    # filled frame) executes the whole pivot->fill subtree twice —
+    # once under the fit aggregation, once for the transform.
+    df = fill.ffill_bfill_scalable(
+        df, METRICS, day_col="__day", attach_minmax=FEATURES
+    )
+    df = scale.minmax_project(df, FEATURES)
     return df if keep_day else df.drop("__day")
 
 
