@@ -131,6 +131,70 @@ def lsh_buckets(
 LSH_TABLES = 8  # OR-amplification: candidate if ANY table's bucket matches
 
 
+def lsh_candidate_set(
+    normed: DataFrame,
+    n_queries: int = N_QUERIES,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Distinct (q_id, c_id) LSH candidates across all tables/probes.
+
+    Query side probes every bucket whose signature is within Hamming
+    ``probe_hamming`` of its own (XOR masks with popcount <= radius),
+    in every table — standard multiprobe amplification.  Probe count
+    per query per table = sum_{i<=h} C(planes, i); candidate volume is
+    that fraction of the corpus, NOT the n² pair space.
+    """
+    masks = [
+        m for m in range(1, 2**planes) if bin(m).count("1") <= probe_hamming
+    ]
+    c_tabs = []
+    q_tabs = []
+    for t in range(tables):
+        tagged = lsh_buckets(normed, planes, seed=t * planes + 1)
+        c_tabs.append(
+            tagged.select(
+                F.col("vec_id").alias("c_id"),
+                F.lit(t).alias("table"),
+                "bucket",
+            )
+        )
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks
+        ]
+        q_tabs.append(
+            tagged.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("q_id"),
+                F.lit(t).alias("table"),
+                F.explode(F.array(*probes)).alias("bucket"),
+            )
+        )
+    from functools import reduce
+
+    c_all = reduce(lambda a, b: a.unionByName(b), c_tabs)
+    q_all = reduce(lambda a, b: a.unionByName(b), q_tabs)
+    return (
+        c_all.join(F.broadcast(q_all), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+
+#: measured on the testdata (tools/ann_recall_curve.py, BASELINE.md):
+#: recall@10 = 0.88 at sf0.01.  Candidate volume there is 68% of brute
+#: force only because the corpus (500 vecs) is small vs 2^planes=256
+#: buckets; at scale each probe touches ~corpus/256, so 16 tables x 37
+#: probes cost ~tables*probes/2^planes ≈ 2.3x corpus per query — the
+#: constant-per-query shape that beats n² brute force asymptotically.
+LSH_RECALL08 = {"planes": 8, "tables": 16, "probe_hamming": 2}
+
+#: IVF production config: recall@10 = 0.90 at sf0.01 probing half the
+#: lists (or 0.83 probing 4/16 — the at-scale shape).
+IVF_RECALL08 = {"n_lists": 8, "n_probe": 4}
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
@@ -148,51 +212,19 @@ def cosine_topk_lsh(
     * OR over ``tables`` independent tables (candidate if any bucket
       matches), and
     * multiprobe: each query also probes buckets within Hamming
-      ``probe_hamming`` of its own signature (flip each bit once) —
-      the standard trick to buy recall without more tables.
+      ``probe_hamming`` of its own signature — the standard trick to
+      buy recall without more tables.
 
-    Candidate volume stays ~tables·(1+planes)/2^planes of the corpus
-    per query (≪ brute force); exact cosine ranks the candidates.
-    Measured recall@10 ≈ 0.6 on the testdata vs 0.05 single-table.
-    Approximate by design -> rows-only driver check; recall floor is
-    pinned in tests/test_similarity_recall.py.
+    Exact cosine ranks the candidates.  The recall/candidate-volume
+    trade-off is MEASURED, not asserted: tools/ann_recall_curve.py
+    sweeps (tables, probe_hamming, planes); the curve lives in
+    BASELINE.md, and ``LSH_RECALL08`` names the production config with
+    recall@10 >= 0.8 (floor pinned in tests/test_similarity_recall.py).
+    Approximate by design -> rows-only driver check.
     """
     normed = with_norm(emb)
-    # candidate side: (table, bucket) per vector per table
-    c_tabs = []
-    q_tabs = []
-    for t in range(tables):
-        tagged = lsh_buckets(normed, planes, seed=t * planes + 1)
-        c_tabs.append(
-            tagged.select(
-                F.col("vec_id").alias("c_id"),
-                F.lit(t).alias("table"),
-                "bucket",
-            )
-        )
-        # query side: own bucket + each 1-bit flip (multiprobe)
-        probes = [F.col("bucket")]
-        if probe_hamming >= 1:
-            probes += [
-                F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                for p in range(planes)
-            ]
-        q_tabs.append(
-            tagged.filter(F.col("vec_id") < n_queries).select(
-                F.col("vec_id").alias("q_id"),
-                F.lit(t).alias("table"),
-                F.explode(F.array(*probes)).alias("bucket"),
-            )
-        )
-    from functools import reduce
-
-    c_all = reduce(lambda a, b: a.unionByName(b), c_tabs)
-    q_all = reduce(lambda a, b: a.unionByName(b), q_tabs)
-    cands = (
-        c_all.join(F.broadcast(q_all), ["table", "bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
+    cands = lsh_candidate_set(
+        normed, n_queries, planes, tables, probe_hamming
     )
     # Only vec_id < n_queries can appear as q_id in cands; filtering
     # before the broadcast keeps the hash table at n_queries rows
@@ -506,7 +538,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk_lsh(_emb(spark, sf_dir))
+    """Driver entry runs the PRODUCTION recall>=0.8 config (BASELINE.md)."""
+    return cosine_topk_lsh(_emb(spark, sf_dir), **LSH_RECALL08)
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,7 +547,8 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk_ivf(_emb(spark, sf_dir))
+    """Driver entry runs the PRODUCTION recall>=0.8 config (BASELINE.md)."""
+    return cosine_topk_ivf(_emb(spark, sf_dir), **IVF_RECALL08)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,3 +53,40 @@ def test_multitable_lsh_recall_floor(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.35, recalls
+
+
+def test_lsh_recall08_config_floor(spark):
+    """The named production config (similarity.LSH_RECALL08) must hold
+    recall@10 >= 0.8 vs brute force — measured 0.88 at sf0.01, curve in
+    BASELINE.md (tools/ann_recall_curve.py)."""
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        LSH_RECALL08,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = _topk_sets(cosine_topk(emb, n_queries=5, k=10))
+    approx = _topk_sets(
+        cosine_topk_lsh(emb, n_queries=5, k=10, **LSH_RECALL08)
+    )
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_recall08_config_floor(spark):
+    """The named IVF config (similarity.IVF_RECALL08) must hold
+    recall@10 >= 0.8 vs brute force — measured 0.90 at sf0.01."""
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        IVF_RECALL08,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = _topk_sets(cosine_topk(emb, n_queries=5, k=10))
+    approx = _topk_sets(
+        cosine_topk_ivf(emb, n_queries=5, k=10, **IVF_RECALL08)
+    )
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
