@@ -124,8 +124,13 @@ def doc_packing(
 STRATIFIED_PER_LABEL = 10
 
 
+STRATIFIED_SALTS = 16
+
+
 def stratified_sample(
-    emb: DataFrame, per_label: int = STRATIFIED_PER_LABEL
+    emb: DataFrame,
+    per_label: int = STRATIFIED_PER_LABEL,
+    n_salts: int = STRATIFIED_SALTS,
 ) -> DataFrame:
     """Class-balanced downsampling: keep ``per_label`` rows per label,
     chosen deterministically as the smallest md5(vec_id) hashes.
@@ -133,15 +138,34 @@ def stratified_sample(
     The standard training-mix rebalancer (cap every class at N), made
     reproducible: the SAME rows are selected on any engine/run —
     ``df.sampleBy`` gives a rate, not a count, and depends on
-    partitioning.  One window partitioned by label (the stratum key):
-    scale-safe unless a single label dominates, in which case salt the
-    rank computation per label shard and re-rank the tiny survivors.
+    partitioning.
+
+    Hot-label safe: a naive ``Window.partitionBy(label)`` sends every
+    row of a dominant label through ONE task.  Instead the rank runs in
+    two phases: (1) a salted pre-rank over ``(label, salt)`` shards —
+    each shard keeps its own top-``per_label``, so any label's rows
+    spread over ``n_salts`` tasks and at most ``n_salts * per_label``
+    survivors remain per label; (2) an exact re-rank of the tiny
+    survivor set over ``label`` alone.  Answer-identical to the single
+    window: the global top-``per_label`` rows of a label each rank
+    <= per_label inside their own shard, so phase 1 never drops them,
+    and every row ordered before a kept row also survives, so phase-2
+    ranks equal global ranks.
     """
-    w = Window.partitionBy("label").orderBy(
-        F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+    order_cols = [
+        F.md5(F.col("vec_id").cast("string").cast("binary")),
+        F.col("vec_id"),
+    ]
+    salt = F.pmod(F.hash("vec_id"), F.lit(n_salts))
+    w_shard = Window.partitionBy("label", "__salt").orderBy(*order_cols)
+    survivors = (
+        emb.withColumn("__salt", salt)
+        .withColumn("__srk", F.row_number().over(w_shard))
+        .filter(F.col("__srk") <= per_label)
     )
+    w_final = Window.partitionBy("label").orderBy(*order_cols)
     return (
-        emb.withColumn("__rk", F.row_number().over(w))
+        survivors.withColumn("__rk", F.row_number().over(w_final))
         .filter(F.col("__rk") <= per_label)
         .select(
             "vec_id",

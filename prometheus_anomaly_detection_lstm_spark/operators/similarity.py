@@ -400,32 +400,16 @@ def _euclid2(u, c):
     )
 
 
-def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.5, n_cells: int = 8
+def _near_dup_candidates(
+    emb: DataFrame,
+    threshold: float,
+    n_cells: int,
+    radius_quantile: float,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= t).
-
-    The fifth dedup modality (exact / Jaccard / MinHash / SimHash /
-    embedding-cosine), computed EXACTLY without the n² pair space via
-    triangle-inequality cluster pruning:
-
-      1. unit-normalize; cosine >= t  <=>  Euclidean distance on the
-         unit sphere <= r = sqrt(2 - 2t);
-      2. k-means cells over the unit vectors (deterministic Lloyd,
-         :func:`kmeans_centroids`); per-cell radius = max member
-         distance to the centroid;
-      3. every vector PROBES each cell whose centroid is within
-         r + radius(cell): for any qualifying pair (x, y) with x home
-         in cell c, d(y, centroid_c) <= d(y, x) + d(x, centroid_c)
-         <= r + radius_c — so the (home x probe) cell equi-join is a
-         COMPLETE candidate set (no recall loss, unlike sign-LSH);
-      4. candidates verified with the exact cosine.
-
-    All heavy joins are hash equi-joins on cell_id / vec_id; the only
-    nested-loop is rows x n_cells centroids (metadata scale — the same
-    IVF assignment idiom as :func:`cosine_topk_ivf`).  Candidate volume
-    scales with cluster occupancy, not n².
-    """
+    """Complete candidate-pair set for :func:`embedding_near_dup_pairs`
+    (unordered ``(id_a, id_b)``, ``id_a < id_b``).  Factored out so
+    tests can measure candidate VOLUME independently of the exact
+    verification stage."""
     normed = with_norm(emb)
     unit = normed.withColumn(
         "uvec", F.transform(F.col("vec"), lambda x: x / F.col("norm"))
@@ -444,9 +428,20 @@ def embedding_near_dup_pairs(
         .withColumn("__rk", F.row_number().over(w_near))
         .filter(F.col("__rk") == 1)
     )
-    radii = assigned.groupBy("centroid_id").agg(
-        F.max("__d").alias("radius")
-    )
+    # Per-cell radius at a QUANTILE, not the max: one planted outlier
+    # in a cell would otherwise inflate the probe radius and drag every
+    # vector into that cell's candidate set.  Members beyond the
+    # quantile radius form an exact SPILL set handled pairwise.
+    if radius_quantile >= 1.0:
+        radius_agg = F.max("__d").alias("radius")
+    else:
+        radius_agg = F.percentile_approx(
+            "__d", F.lit(radius_quantile), F.lit(10_000)
+        ).alias("radius")
+    radii = assigned.groupBy("centroid_id").agg(radius_agg)
+    with_radius = assigned.join(F.broadcast(radii), "centroid_id")
+    inliers = with_radius.filter(F.col("__d") <= F.col("radius"))
+    spill = with_radius.filter(F.col("__d") > F.col("radius"))
     r = float((2.0 - 2.0 * threshold) ** 0.5)
     probes = (
         unit.crossJoin(F.broadcast(cents.join(radii, "centroid_id")))
@@ -454,9 +449,24 @@ def embedding_near_dup_pairs(
         .filter(F.col("__d") <= F.col("radius") + F.lit(r))
         .select(F.col("vec_id").alias("id_b"), "centroid_id")
     )
-    home = assigned.select(F.col("vec_id").alias("id_a"), "centroid_id")
-    cands = (
-        home.join(probes, "centroid_id")
+    # Completeness: for a qualifying pair (x, y) with x home in cell c,
+    #   d(x, centroid_c) <= radius_q(c)  (x inlier)
+    #     => d(y, centroid_c) <= d(y, x) + d(x, centroid_c)
+    #        <= r + radius_q(c), so y probes c and the equi-join emits
+    #        the pair;
+    #   d(x, centroid_c) >  radius_q(c)  (x spill)
+    #     => the spill x ALL cross join emits the pair exactly.
+    # The spill side stays tiny by construction (the 1-q tail of each
+    # cell), so spill x n is linear in n, not quadratic.
+    home = inliers.select(F.col("vec_id").alias("id_a"), "centroid_id")
+    cell_cands = home.join(probes, "centroid_id").select("id_a", "id_b")
+    spill_cands = (
+        F.broadcast(spill.select(F.col("vec_id").alias("id_a")))
+        .crossJoin(unit.select(F.col("vec_id").alias("id_b")))
+        .select("id_a", "id_b")
+    )
+    return (
+        cell_cands.union(spill_cands)
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("id_a"),
@@ -464,6 +474,44 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    n_cells: int = 8,
+    radius_quantile: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= t).
+
+    The fifth dedup modality (exact / Jaccard / MinHash / SimHash /
+    embedding-cosine), computed EXACTLY without the n² pair space via
+    triangle-inequality cluster pruning:
+
+      1. unit-normalize; cosine >= t  <=>  Euclidean distance on the
+         unit sphere <= r = sqrt(2 - 2t);
+      2. k-means cells over the unit vectors (deterministic Lloyd,
+         :func:`kmeans_centroids`); per-cell radius = the
+         ``radius_quantile`` of member distances to the centroid, so a
+         handful of outliers cannot inflate the probe radius; members
+         beyond the quantile form an exact spill set joined pairwise
+         (linear in n — the spill side is broadcast);
+      3. every vector PROBES each cell whose centroid is within
+         r + radius(cell): for any qualifying pair (x, y) with x home
+         in cell c and inside the quantile radius,
+         d(y, centroid_c) <= d(y, x) + d(x, centroid_c) <= r + radius_c
+         — so (home x probe) + (spill x all) is a COMPLETE candidate
+         set (no recall loss, unlike sign-LSH);
+      4. candidates verified with the exact cosine.
+
+    All heavy joins are hash equi-joins on cell_id / vec_id; the only
+    nested-loop is rows x n_cells centroids (metadata scale — the same
+    IVF assignment idiom as :func:`cosine_topk_ivf`).  Candidate volume
+    scales with cluster occupancy, not n², and is robust to planted
+    outliers (tests/test_similarity_recall.py).
+    """
+    normed = with_norm(emb)
+    cands = _near_dup_candidates(emb, threshold, n_cells, radius_quantile)
     a = normed.select(
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("a_vec"),

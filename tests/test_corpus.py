@@ -88,3 +88,63 @@ def test_packing_conserves_corpus_and_respects_shards(spark):
     for shard in {p.shard for p in packs}:
         ids = sorted(p.pack_id for p in packs if p.shard == shard)
         assert ids == list(range(len(ids)))
+
+
+def _hot_label_emb(spark, n=20_000, hot_frac=0.95):
+    """~95% of rows share one label — the hot-stratum corpus."""
+    hot = int(n * hot_frac)
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < hot, F.lit("hot"))
+        .otherwise(F.concat(F.lit("l"), F.pmod("id", F.lit(50))))
+        .alias("label"),
+    )
+
+
+def test_stratified_sample_salted_matches_single_window(spark):
+    """Two-phase salted rank == the naive one-window rank, exactly."""
+    from pyspark.sql import Window
+
+    emb = _hot_label_emb(spark, n=5_000)
+    order_cols = [
+        F.md5(F.col("vec_id").cast("string").cast("binary")),
+        F.col("vec_id"),
+    ]
+    w = Window.partitionBy("label").orderBy(*order_cols)
+    naive = (
+        emb.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+        .select("vec_id", "label", F.col("__rk").cast("bigint").alias("sample_rank"))
+    )
+    salted = corpus.stratified_sample(emb, per_label=10)
+    a = sorted(map(tuple, naive.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    # every label capped at 10, ranks 1..k contiguous
+    per = salted.groupBy("label").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+
+
+def test_stratified_sample_spreads_hot_label(spark):
+    """The phase-1 shard key (label, salt) cuts the hottest partition
+    by >3x vs partitioning on label alone — the same measurement as
+    test_skew.py's hot-key check."""
+    emb = _hot_label_emb(spark)
+    parts = 16
+
+    def max_partition_rows(df, *keys):
+        return (
+            df.repartition(parts, *keys)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    salt = F.pmod(F.hash("vec_id"), F.lit(corpus.STRATIFIED_SALTS))
+    unsalted_max = max_partition_rows(emb, "label")
+    salted_max = max_partition_rows(
+        emb.withColumn("__salt", salt), "label", "__salt"
+    )
+    assert unsalted_max >= 19_000
+    assert salted_max < unsalted_max / 3

@@ -90,3 +90,74 @@ def test_ivf_recall08_config_floor(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_near_dup_candidate_volume_bounded_under_outliers(spark):
+    """Planted far-outliers must not inflate the cell-join candidate
+    volume: the quantile radius keeps probe sets tight while the exact
+    spill set keeps the answer identical to brute force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        _near_dup_candidates,
+        embedding_near_dup_pairs,
+        with_norm,
+    )
+
+    # clustered corpus (8 tight clusters on the sphere, 40 points each)
+    # — the regime where cell pruning actually prunes; the raw testdata
+    # embeddings are near-uniform on the sphere, so at threshold 0.5
+    # every pair is a candidate regardless of radius policy
+    rng = np.random.default_rng(7)
+    dim, k_clusters, per = 16, 8, 40
+    centers = rng.standard_normal((k_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = [
+        centers[ci] + rng.normal(0, 0.15, dim)
+        for ci in range(k_clusters)
+        for _ in range(per)
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(pts)]
+    # plant 5 far outliers in random directions
+    outs = rng.standard_normal((5, dim)) * 10
+    rows += [(10_000 + i, [float(x) for x in v]) for i, v in enumerate(outs)]
+    poisoned = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+    threshold = 0.9
+    n_max = _near_dup_candidates(
+        poisoned, threshold=threshold, n_cells=8, radius_quantile=1.0
+    ).count()
+    n_q = _near_dup_candidates(
+        poisoned, threshold=threshold, n_cells=8, radius_quantile=0.9
+    ).count()
+    # quantile radius must cut candidate volume vs the max radius under
+    # poisoning (measured: 20271 vs 40865 — the outliers inflate their
+    # home cells' radii, dragging broad probe sets in)
+    assert n_q < n_max * 0.7, (n_q, n_max)
+
+    # and the ANSWER is still exact: compare against brute force
+    normed = with_norm(poisoned)
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+    got = sorted(
+        map(tuple, embedding_near_dup_pairs(poisoned, threshold=threshold).collect())
+    )
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and len(want) > 0
