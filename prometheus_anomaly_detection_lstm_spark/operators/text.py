@@ -201,12 +201,23 @@ def pii_redact(docs: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, top_k: int = 3, broadcast_idf: bool | None = None
+) -> DataFrame:
     """Top-k TF-IDF terms per document (deterministic tie-break by term).
 
     tf = term count in doc; idf = ln(N / df).  The foundational
     relevance/feature-weighting operator: explode -> two keyed aggs ->
-    broadcast idf join -> per-doc top-k window.
+    idf join -> per-doc top-k window.
+
+    ``broadcast_idf`` size-gates the idf join strategy: ``True`` forces
+    the broadcast hint (right when the caller KNOWS the vocab is small
+    — but a 100-TB web corpus's vocabulary can exceed executor memory,
+    where a forced broadcast OOMs); ``False`` forces a shuffle
+    sort-merge join; ``None`` (default) leaves the plan unhinted so
+    Catalyst/AQE pick broadcast exactly when the built idf side is
+    measured under ``spark.sql.autoBroadcastJoinThreshold`` at runtime
+    — the engine's own size gate, which is the scale-safe default.
     """
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -222,7 +233,13 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         n_docs.join(df_counts, "term")
         .select("term", F.log(F.col("n") / F.col("df")).alias("idf"))
     )
-    scored = tf.join(F.broadcast(idf), "term").withColumn(
+    if broadcast_idf is True:
+        idf_side = F.broadcast(idf)
+    elif broadcast_idf is False:
+        idf_side = idf.hint("merge")
+    else:
+        idf_side = idf
+    scored = tf.join(idf_side, "term").withColumn(
         "tfidf", F.col("tf") * F.col("idf")
     )
     from pyspark.sql import Window as W

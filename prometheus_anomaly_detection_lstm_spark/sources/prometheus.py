@@ -42,7 +42,12 @@ from datetime import datetime, timezone
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: /api/v1/query_range response schema (data_collector.py:57-68).
 RESPONSE_SCHEMA = T.StructType(
@@ -191,67 +196,177 @@ class PrometheusReader(DataSourceReader):
             )
         ]
 
-    def _cache_path(self, part: _PromPartition) -> str | None:
-        if not self.cache_dir:
-            return None
-        key = hashlib.md5(
-            f"{self.url}|{part.promql}|{part.start}|{part.end}|{part.step}".encode()
-        ).hexdigest()
-        return os.path.join(self.cache_dir, f"{key}.json")
-
     def _fetch(self, part: _PromPartition) -> dict:
-        cache = self._cache_path(part)
-        if cache and os.path.exists(cache):
-            with open(cache) as fh:
-                return json.load(fh)
-        import requests
-
-        resp = requests.get(
-            f"{self.url}/api/v1/query_range",
-            params={
-                "query": part.promql,
-                "start": part.start,
-                "end": part.end,
-                "step": part.step,
-            },
-            timeout=self.timeout,
+        return _fetch_payload(
+            self.url, part, self.cache_dir, self.timeout
         )
-        resp.raise_for_status()
-        payload = resp.json()
-        # only non-empty successful results are cached (data_collector.py:79-80)
-        if (
-            cache
-            and payload.get("status") == "success"
-            and payload.get("data", {}).get("result")
-        ):
-            os.makedirs(self.cache_dir, exist_ok=True)
-            tmp = cache + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(payload, fh)
-            os.replace(tmp, cache)
-        return payload
 
     def read(self, partition: _PromPartition):
         payload = self._fetch(partition)
-        if payload.get("status") != "success":
-            return
-        result = payload.get("data", {}).get("result", [])
-        if self.first_series_only:
-            result = result[:1]  # S4 first-series rule
-        for idx, series in enumerate(result):
-            for ts_s, val in series.get("values", []):
-                try:
-                    v = float(val)
-                except (TypeError, ValueError):
-                    v = None  # P2 coercion
-                yield (
-                    partition.alias,
-                    idx,
-                    datetime.fromtimestamp(float(ts_s), tz=timezone.utc).replace(
-                        tzinfo=None
-                    ),
-                    v,
+        yield from _rows_from_payload(
+            payload, partition.alias, self.first_series_only
+        )
+
+
+def _fetch_payload(
+    url: str, part: _PromPartition, cache_dir: str, timeout: float
+) -> dict:
+    """One /api/v1/query_range HTTP fetch with the deterministic JSON
+    file cache (S5, data_collector.py:34-40); shared by the batch and
+    stream readers."""
+    cache = None
+    if cache_dir:
+        key = hashlib.md5(
+            f"{url}|{part.promql}|{part.start}|{part.end}|{part.step}".encode()
+        ).hexdigest()
+        cache = os.path.join(cache_dir, f"{key}.json")
+    if cache and os.path.exists(cache):
+        with open(cache) as fh:
+            return json.load(fh)
+    import requests
+
+    resp = requests.get(
+        f"{url}/api/v1/query_range",
+        params={
+            "query": part.promql,
+            "start": part.start,
+            "end": part.end,
+            "step": part.step,
+        },
+        timeout=timeout,
+    )
+    resp.raise_for_status()
+    payload = resp.json()
+    # only non-empty successful results are cached (data_collector.py:79-80)
+    if (
+        cache
+        and payload.get("status") == "success"
+        and payload.get("data", {}).get("result")
+    ):
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, cache)
+    return payload
+
+
+def _rows_from_payload(payload: dict, alias: str, first_series_only: bool):
+    """Decode one response payload into (metric, series_idx, ts, value)
+    rows — S4 first-series rule + P2 numeric coercion."""
+    if payload.get("status") != "success":
+        return
+    result = payload.get("data", {}).get("result", [])
+    if first_series_only:
+        result = result[:1]  # S4 first-series rule
+    for idx, series in enumerate(result):
+        for ts_s, val in series.get("values", []):
+            try:
+                v = float(val)
+            except (TypeError, ValueError):
+                v = None  # P2 coercion
+            yield (
+                alias,
+                idx,
+                datetime.fromtimestamp(float(ts_s), tz=timezone.utc).replace(
+                    tzinfo=None
+                ),
+                v,
+            )
+
+
+class PrometheusStreamReader(DataSourceStreamReader):
+    """Rate-driven streaming wrapper over the same per-cycle fetch the
+    ``foreachBatch`` detector uses (T1/T2 semantics as a first-class
+    ``spark.readStream.format("prometheus")`` surface).
+
+    Offsets are step-aligned epoch seconds ``{"ts": t}`` marking the
+    EXCLUSIVE end of fetched data: each microbatch covers the grid
+    points ``[start.ts, end.ts - step]`` (query_range is inclusive at
+    both ends, so the exclusive end avoids the chunk-boundary duplicate
+    the batch reader's :func:`_chunks` handles).  ``latestOffset``
+    advances to ``now - lag_seconds`` floored to the step grid, capped
+    at the optional ``end`` (which makes bounded, deterministic test
+    runs possible with ``availableNow``).  One InputPartition per
+    (query, chunk) per microbatch — the same scan-parallelism unit as
+    the batch reader.
+    """
+
+    def __init__(self, options):
+        self.url = options.get("url", "http://localhost:9090")
+        self.queries = json.loads(options.get("queries_json", "{}"))
+        self.step = int(options.get("step_seconds", "120"))
+        self.chunk_seconds = int(
+            float(options.get("chunk_hours", "1")) * 3600
+        )
+        self.cache_dir = options.get("cache_dir", "")
+        self.timeout = float(options.get("timeout_seconds", "30"))
+        self.first_series_only = (
+            options.get("first_series_only", "true").lower() == "true"
+        )
+        self.lag = int(options.get("lag_seconds", "0"))
+        start_opt = options.get("start", "")
+        if start_opt:
+            self._start = self._align(
+                int(
+                    datetime.fromisoformat(
+                        start_opt.replace("Z", "+00:00")
+                    ).timestamp()
                 )
+            )
+        else:
+            self._start = self._align(self._now() - self.lag)
+        end_opt = options.get("end", "")
+        self._end_cap = (
+            int(
+                datetime.fromisoformat(
+                    end_opt.replace("Z", "+00:00")
+                ).timestamp()
+            )
+            if end_opt
+            else None
+        )
+
+    @staticmethod
+    def _now() -> int:
+        import time
+
+        return int(time.time())
+
+    def _align(self, t: int) -> int:
+        # W3 step-aligned bounds: floor to the step grid anchored at 0
+        return t - (t % self.step)
+
+    def initialOffset(self) -> dict:
+        return {"ts": self._start}
+
+    def latestOffset(self) -> dict:
+        target = self._now() - self.lag
+        if self._end_cap is not None:
+            target = min(target, self._end_cap)
+        # exclusive end one step past the last fetchable grid point
+        return {"ts": max(self._align(target) + self.step, self._start)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["ts"]), int(end["ts"]) - self.step
+        if hi < lo:
+            return []
+        return [
+            _PromPartition(alias, promql, s, e, self.step)
+            for alias, promql in sorted(self.queries.items())
+            for (s, e) in _chunks(lo, hi, self.chunk_seconds, self.step)
+        ]
+
+    def read(self, partition: _PromPartition):
+        payload = _fetch_payload(
+            self.url, partition, self.cache_dir, self.timeout
+        )
+        yield from _rows_from_payload(
+            payload, partition.alias, self.first_series_only
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are recomputable; the file cache is the replay story
 
 
 class PrometheusDataSource(DataSource):
@@ -266,3 +381,6 @@ class PrometheusDataSource(DataSource):
 
     def reader(self, schema):
         return PrometheusReader(self.options)
+
+    def streamReader(self, schema):
+        return PrometheusStreamReader(self.options)

@@ -72,3 +72,28 @@ def test_flagship_has_no_python_row_udfs(spark):
     """The stub-model scoring path is pure Catalyst: no BatchEvalPython
     (row-at-a-time Python UDF) stages anywhere."""
     assert "BatchEvalPython" not in _plan(spark, "anomaly_mse")
+
+
+def test_tfidf_idf_join_is_size_gated(spark):
+    """The idf join strategy follows the broadcast_idf gate: forced
+    broadcast -> BroadcastHashJoin on term; forced shuffle (the
+    huge-vocab path) -> SortMergeJoin; the default leaves the choice to
+    Catalyst/AQE's size estimate."""
+    from prometheus_anomaly_detection_lstm_spark.operators.text import (
+        _docs,
+        tfidf_top_terms,
+    )
+
+    docs = _docs(spark, SF_SMALL)
+
+    def plan(**kw):
+        return (
+            tfidf_top_terms(docs, **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "BroadcastHashJoin" in plan(broadcast_idf=True)
+    shuffled = plan(broadcast_idf=False)
+    assert "SortMergeJoin" in shuffled

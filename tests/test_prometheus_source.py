@@ -116,3 +116,83 @@ def test_datasource_partitions_and_cache(spark, stub_server, tmp_path):
     # second read: all chunks served from the deterministic cache (S5/O1)
     assert reader.load().count() == 24
     assert len(_StubProm.hits) == first_hits
+
+
+def test_stream_reader_offsets_are_step_aligned():
+    """Offset arithmetic without Spark: initial/latest offsets sit on
+    the step grid, the end cap bounds the stream, and an empty range
+    plans no partitions."""
+    from prometheus_anomaly_detection_lstm_spark.sources.prometheus import (
+        PrometheusStreamReader,
+    )
+
+    r = PrometheusStreamReader(
+        {
+            "queries_json": json.dumps({"m1": "q1", "m2": "q2"}),
+            "start": "2024-01-01T00:00:00Z",
+            "end": "2024-01-01T00:10:00Z",
+            "step_seconds": "120",
+        }
+    )
+    start = r.initialOffset()
+    assert start == {"ts": 1704067200}
+    latest = r.latestOffset()
+    # capped at end, exclusive-end one step past the last grid point
+    assert latest == {"ts": 1704067200 + 600 + 120}
+    parts = r.partitions(start, latest)
+    # 2 queries, one chunk each (range << chunk_hours)
+    assert len(parts) == 2
+    lo, hi = parts[0].start, parts[0].end
+    assert lo == 1704067200 and hi == 1704067200 + 600
+    assert r.partitions(latest, latest) == []
+
+
+def test_streaming_source_drives_detector(spark, stub_server, tmp_path):
+    """spark.readStream.format('prometheus') -> foreachBatch detector:
+    the sugar surface feeds the same run_detector_on_batch cycle body
+    (verdict r2 task 8)."""
+    from pyspark.sql import functions as F
+
+    from prometheus_anomaly_detection_lstm_spark.streaming.detector import (
+        DetectorConfig,
+        run_detector_on_batch,
+    )
+    from prometheus_anomaly_detection_lstm_spark.streaming.exporter import (
+        DetectorMetrics,
+    )
+
+    spark.dataSource.register(PrometheusDataSource)
+    cfg = DetectorConfig(
+        metrics=["m1", "m2"], sequence_length=2, threshold=1e9
+    )
+    sinks = DetectorMetrics()
+    outcomes: list[dict] = []
+
+    stream = (
+        spark.readStream.format("prometheus")
+        .option("url", stub_server)
+        .option("queries_json", json.dumps({"m1": "q1", "m2": "q2"}))
+        .option("start", "2024-01-01T00:00:00Z")
+        .option("end", "2024-01-01T00:10:00Z")
+        .option("step_seconds", "120")
+        .load()
+    )
+
+    def on_batch(df, epoch_id):
+        outcomes.extend(
+            run_detector_on_batch(
+                df.withColumn("cycle_id", F.lit(int(epoch_id))), cfg, sinks
+            )
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    done = [o for o in outcomes if o["outcome"] is not None]
+    assert done, outcomes
+    assert done[0]["outcome"]["mse"] >= 0.0
+    assert sinks.latest_mse.value() == pytest.approx(done[-1]["outcome"]["mse"])
