@@ -58,6 +58,49 @@ def metrics_wide(
     )
 
 
+def metrics_wide_day_partitioned(
+    long_df: DataFrame,
+    metrics: list[str],
+    *,
+    ts_col: str = "ts",
+    metric_col: str = "metric",
+    value_col: str = "value",
+    order_col: str = "seq",
+    step: str | None = "minute",
+    day_col: str = "__day",
+) -> DataFrame:
+    """:func:`metrics_wide` fused onto a day-hash exchange.
+
+    The long frame is repartitioned by calendar day ONCE; the pivot
+    then groups by ``(day, ts)`` whose ClusteredDistribution is already
+    satisfied by the day hash (same day => same partition), so the
+    pivot aggregation runs exchange-free — and every downstream
+    day-keyed operator (``ffill_bfill_scalable``'s summary aggregate
+    and per-row fill window, ``window_mse``'s day buckets) reuses the
+    SAME exchange.  The whole align->fill->scale->window->score chain
+    costs one full-data shuffle.
+
+    Output rows/values are identical to :func:`metrics_wide` plus the
+    ``day_col`` column (day = to_date(ts) is functionally dependent on
+    the group key, so the extra grouping column changes nothing).
+    Scale note: parallelism within a day comes from AQE splitting is
+    NOT possible on a hash partition, so this variant assumes day
+    volume fits an executor's task (the same day-bucket premise as the
+    fill/window operators); for hot single days use the unfused
+    :func:`metrics_wide` whose per-``ts`` hash spreads freely.
+    """
+    ts = F.date_trunc(step, F.col(ts_col)) if step else F.col(ts_col)
+    keep_first = F.expr(f"min_by({value_col}, {order_col})")
+    return (
+        long_df.withColumn("__ts", ts)
+        .withColumn(day_col, F.to_date("__ts"))
+        .repartition(F.col(day_col))
+        .groupBy(day_col, F.col("__ts").alias(ts_col))
+        .pivot(metric_col, metrics)
+        .agg(keep_first)
+    )
+
+
 def inner_align(wide_df: DataFrame, metric_cols: list[str]) -> DataFrame:
     """J2: keep only timestamps where EVERY metric has a sample.
 

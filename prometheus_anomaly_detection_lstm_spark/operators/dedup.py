@@ -49,8 +49,10 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def _shingles_raw(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Word n-gram shingle STREAM per doc (duplicates kept): a pure
+    map-side explode, no shuffle.  Duplicate-insensitive consumers
+    (min-hash) aggregate this directly and skip the distinct."""
     words = F.split(F.col("text"), " ")
     return (
         docs.withColumn("words", words)
@@ -64,8 +66,12 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
             "doc_id",
             F.expr(f"concat_ws(' ', slice(words, i, {n}))").alias("shingle"),
         )
-        .distinct()
     )
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    return _shingles_raw(docs, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -140,26 +146,42 @@ def ngram_jaccard_pairs(
     )
 
 
+#: 8-hex-char (32-bit) slices carved from each md5 digest.
+MINHASH_SLICES = 4
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = MINHASH_K, with_size: bool = False
 ) -> DataFrame:
     """(doc_id, sig_1..sig_k): k independent min-hashes of the shingle set.
 
-    sig_i = min over shingles of md5('<i>:' || shingle) — lexicographic
-    min of lowercase hex is engine-portable and a valid random-oracle
-    min-hash family.  ``with_size=True`` fuses the shingle-set size
-    (``n_sh``) into the same aggregation — one shingle pass instead of
-    two for consumers needing both (Jaccard verification).
+    sig_i = min over shingles of an 8-hex-char slice of
+    md5('<seed>:' || shingle): slice ``j = (i-1) % 4`` of seed
+    ``(i-1) // 4 + 1``.  Each 32-bit slice of a digest is an
+    independent random-oracle value and lexicographic min on
+    fixed-width lowercase hex equals numeric min, so this is the same
+    engine-portable min-hash family at ceil(k/4) md5 evaluations per
+    shingle instead of k — the hash is the dominant CPU of the
+    signature stage.
+
+    Aggregates the RAW (pre-distinct) shingle stream: min is
+    duplicate-insensitive, so the distinct's full-data shuffle is
+    skipped and the partial min collapses to one row per doc map-side.
+    ``with_size=True`` adds the DISTINCT shingle count (``n_sh``).
     """
-    sh = shingles(docs)
-    aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
-        ).alias(f"sig_{i}")
-        for i in range(1, k + 1)
-    ]
+    sh = _shingles_raw(docs)
+    aggs = []
+    for i in range(1, k + 1):
+        seed = (i - 1) // MINHASH_SLICES + 1
+        j = (i - 1) % MINHASH_SLICES
+        digest = F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")
+        )
+        aggs.append(
+            F.min(F.substring(digest, 8 * j + 1, 8)).alias(f"sig_{i}")
+        )
     if with_size:
-        aggs.append(F.count("*").alias("n_sh"))
+        aggs.append(F.countDistinct("shingle").alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -170,10 +192,12 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows + r + 1}") for r in range(rows)]
+        # bucket key is the raw sig concat — already fixed-width hex,
+        # re-hashing it buys nothing and costs an md5 per row per band
         band_cols.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts).cast("binary")).alias("bucket"),
+                F.concat_ws("|", *parts).alias("bucket"),
             )
         )
     buckets = sigs.select(
@@ -212,9 +236,11 @@ def minhash_lsh_dedup(
     Revisit only if the shingle stage grows an expensive upstream.
     """
     sh = shingles(docs)
-    sig_sz = minhash_signatures(docs, with_size=True)
-    cands = lsh_candidate_pairs(sig_sz.drop("n_sh"))
-    sizes = sig_sz.select("doc_id", "n_sh")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    # sizes ride the SAME distinct-shingle subtree the verification
+    # joins scan (AQE reuses the canonical shuffle stage), keeping the
+    # signature aggregation free of a countDistinct Expand
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -361,9 +387,14 @@ WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}"""
 
 
 def _sig_cols(k: int = MINHASH_K) -> str:
-    return ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(1, k + 1)
-    )
+    cols = []
+    for i in range(1, k + 1):
+        seed = (i - 1) // MINHASH_SLICES + 1
+        j = (i - 1) % MINHASH_SLICES
+        cols.append(
+            f"min(substr(md5('{seed}:' || shingle), {8 * j + 1}, 8)) AS sig_{i}"
+        )
+    return ",\n         ".join(cols)
 
 
 def _band_select(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
@@ -373,7 +404,7 @@ def _band_select(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
             f"sig_{b * rows + r + 1}" for r in range(rows)
         )
         parts.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+            f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs"
         )
     return "\nUNION ALL\n".join(parts)
 

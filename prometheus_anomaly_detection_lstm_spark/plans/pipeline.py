@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import hour_of_day, weekday_mon0
 from ..io_tables import load_table
 from ..operators import fill, scale, score
-from ..operators.align import metrics_wide
+from ..operators.align import metrics_wide, metrics_wide_day_partitioned
 
 #: metric aliases present in the testdata events table (sorted).
 METRICS = ["click", "error", "purchase", "signup", "view"]
@@ -72,10 +72,13 @@ def preprocessed(
     the day-keyed operators so fill and downstream windowing reuse ONE
     full-data exchange instead of re-shuffling per operator.
     """
-    df = with_calendar(wide_frame(spark, sf_dir)).withColumn(
-        "__day", F.to_date("ts")
+    # Day-partitioned pivot: the ONE full-data exchange (day hash) is
+    # planned before the pivot aggregation, and the fill summary, the
+    # per-row fill window, and window_mse's day buckets all reuse it.
+    df = with_calendar(
+        metrics_wide_day_partitioned(events_long(spark, sf_dir), METRICS)
     )
-    # Fused fit: the fill's day-summary shuffle also carries each
+    # Fused fit: the fill's day-summary aggregate also carries each
     # feature's global min/max (fill never changes a column's value
     # SET, so pre-fill == post-fill extrema), making the scale step a
     # pure projection.  The unfused form (minmax_transform over the
