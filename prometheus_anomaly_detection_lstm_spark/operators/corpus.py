@@ -175,6 +175,116 @@ def stratified_sample(
     )
 
 
+DECON_NGRAM = 4  # real pipelines use 8-13; 4 suits the synthetic vocab
+DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out benchmark doc
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    ``n``-gram with a held-out benchmark set.
+
+    The standard eval-leak scrub before pretraining (exact n-gram
+    collision, the GPT-3/PaLM recipe).  Benchmark = docs with
+    ``doc_id % bench_mod == 0``; output = contaminated TRAINING docs
+    with their distinct colliding-gram count (downstream drops or
+    re-chunks them).  Inverted-index equi-join on the n-gram — the
+    same scale shape as the Jaccard shingle join: long n-grams are
+    discriminative, so the per-gram posting lists stay short and the
+    join never approaches |train| x |bench|.
+    """
+    ws = F.split(F.col("text"), " ")
+    grams = (
+        docs.withColumn("ws", ws)
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(ws) - {n - 1})")).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(ws, i, {n}))").alias("gram"),
+        )
+        .distinct()
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_grams = grams.filter(is_bench).select("gram").distinct()
+    return (
+        grams.filter(~is_bench)
+        .join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+SHUFFLE_SHARDS = 16
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """Deterministic global shuffle for training export: every doc gets
+    a pseudorandom (shard, pos) that is identical on any engine/run.
+
+    shard = first md5 hex digit of the doc id (uniform 16-way);
+    pos    = rank of md5(doc_id) within the shard.
+    The shard hash is a map expression and the rank is a window
+    PARTITIONED BY shard — a 100-TB corpus shuffles with one bounded
+    exchange, no global sort.  (n_shards must divide 16 or be 16 here
+    since the digit is the shard key; production uses more hex chars.)
+    """
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    shard = (
+        F.expr(
+            "locate(substr(md5(cast(cast(doc_id as string) as binary)), 1, 1),"
+            " '0123456789abcdef') - 1"
+        )
+        % n_shards
+    )
+    w = Window.partitionBy("__shard").orderBy("__h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            shard.cast("bigint").alias("__shard"),
+            h.alias("__h"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", F.col("__shard").alias("shard"), "pos")
+    )
+
+
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def token_budget_sample(
+    docs: DataFrame, budget: int = TOKEN_BUDGET_PER_SOURCE
+) -> DataFrame:
+    """Mixture construction under a per-source token budget: walk each
+    source's docs in deterministic md5 order, keep while the RUNNING
+    token total (inclusive) stays within the budget.
+
+    The data-mixing primitive behind weighted pretraining recipes
+    ("x tokens from source A, y from B"): deterministic order makes the
+    mix reproducible, and the running sum is a window PARTITIONED BY
+    source — per-source sequential, cross-source parallel.  A hot
+    source bounds a partition; shard it with the salted-rank idiom of
+    :func:`stratified_sample` when a single source dominates.
+    """
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = Window.partitionBy("source").orderBy("__h", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", n_tokens.alias("n_tokens"), h.alias("__h")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
 # ------------------------------------------------------------- oracles
 
 ORACLE_HASH_SAMPLE = f"""SELECT doc_id, text FROM documents
@@ -213,6 +323,54 @@ SELECT shard, pack_id, count(*) AS n_docs,
 FROM p GROUP BY 1, 2"""
 
 
+ORACLE_DECONTAMINATE = f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= {DECON_NGRAM}
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, i, i + {DECON_NGRAM - 1}), ' ') AS gram
+  FROM w, unnest(generate_series(1, len(ws) - {DECON_NGRAM - 1})) AS t(i)
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM grams g JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % {DECON_BENCH_MOD} != 0
+GROUP BY 1"""
+
+
+ORACLE_SHUFFLE_SHARDS = f"""WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS hh,
+         CAST((strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+            AS BIGINT) AS pos
+FROM h"""
+
+
+ORACLE_TOKEN_BUDGET = f"""WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}"""
+
+
 ORACLE_STRATIFIED_SAMPLE = f"""WITH r AS (
   SELECT vec_id, label,
          CAST(row_number() OVER (PARTITION BY label
@@ -242,9 +400,24 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_packing(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(_docs(spark, sf_dir))
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_shards(_docs(spark, sf_dir))
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_sample(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "corpus_hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "corpus_doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     "corpus_doc_packing": (q_doc_packing, ORACLE_DOC_PACKING),
     "corpus_stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "corpus_decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "corpus_shuffle_shards": (q_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
+    "corpus_token_budget_sample": (q_token_budget, ORACLE_TOKEN_BUDGET),
 }

@@ -603,10 +603,59 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_emb(spark, sf_dir))
 
 
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Scalar int8 quantization per vector: q_i = round(v_i / s * 127)
+    with per-vector scale s = max |v_i|.
+
+    The storage/bandwidth workhorse for vector stores (4x smaller than
+    float32, dot products in int arithmetic).  One map stage — scale
+    from ``array_max(transform(abs))``, components via ``posexplode``;
+    long output (vec_id, i, q, scale) so the driver's value-hash
+    compares scalars, not engine-specific array renderings.  All-zero
+    vectors quantize to q = 0 with scale 0.
+    """
+    vec = _as_double("embedding")
+    scale = F.array_max(F.transform(vec, F.abs))
+    return (
+        emb.select("vec_id", vec.alias("vec"), scale.alias("scale"))
+        .select(
+            "vec_id",
+            "scale",
+            F.posexplode("vec").alias("i", "v"),
+        )
+        .select(
+            "vec_id",
+            (F.col("i") + 1).cast("bigint").alias("i"),
+            F.when(F.col("scale") == 0.0, F.lit(0.0))
+            .otherwise(F.round(F.col("v") / F.col("scale") * 127.0, 0))
+            .cast("bigint")
+            .alias("q"),
+            F.round("scale", 6).alias("scale"),
+        )
+    )
+
+
+ORACLE_QUANTIZE_INT8 = """WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+  FROM embeddings
+)
+SELECT vec_id, CAST(i AS BIGINT) AS i,
+       CAST(CASE WHEN scale = 0.0 THEN 0.0
+                 ELSE round(vec[i] / scale * 127.0, 0) END AS BIGINT) AS q,
+       round(scale, 6) AS scale
+FROM v, unnest(generate_series(1, len(vec))) AS t(i)"""
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_int8(_emb(spark, sf_dir))
+
+
 QUERIES = {
     "ann_cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_cosine_topk_lsh, None),  # approximate by design
     "ann_cosine_topk_ivf": (q_cosine_topk_ivf, None),  # approximate by design
     "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
     "dedup_embedding_cosine": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
+    "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE_INT8),
 }

@@ -8,6 +8,8 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -363,6 +365,149 @@ def _pii_sql() -> str:
 FROM documents"""
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    (doc_id, n_words, top_word_frac, dup_2gram_frac): the fraction of
+    the doc taken by its most frequent word, and the duplicate fraction
+    of word 2-grams (1 - distinct/total).  The standard repetition
+    filters for web-scale pretraining corpora — docs dominated by one
+    token or by repeated phrases are boilerplate/spam.  Two keyed
+    aggregations over the exploded word/2-gram streams; everything
+    map-side partial first, shuffles carry one row per (doc, word).
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    grams = (
+        docs.withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(ws) - 1)")).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.expr("concat_ws(' ', slice(ws, i, 2))").alias("g2"),
+        )
+    )
+    gc = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_g"),
+        F.countDistinct("g2").alias("n_dg"),
+    )
+    return (
+        wc.join(gc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.col("n_dg") / F.col("n_g"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_2gram_frac"),
+        )
+    )
+
+
+ORACLE_REPETITION = """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, max(cnt) AS top_cnt
+  FROM (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+  GROUP BY 1
+),
+g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+gc AS (
+  SELECT doc_id, count(*) AS n_g, count(DISTINCT g2) AS n_dg
+  FROM g GROUP BY 1
+)
+SELECT wc.doc_id, n_words,
+       round(top_cnt * 1.0 / n_words, 6) AS top_word_frac,
+       round(coalesce(1.0 - n_dg * 1.0 / n_g, 0.0), 6) AS dup_2gram_frac
+FROM wc LEFT JOIN gc ON gc.doc_id = wc.doc_id"""
+
+
+#: C4-style hard filter rules: (name, SQL predicate over a doc row with
+#: helper columns n_words / max_word_len).  A doc is kept iff every
+#: rule passes; fail_reasons lists the violated rule names in order.
+QUALITY_FILTER_MIN_WORDS = 10
+QUALITY_FILTER_MAX_WORD_LEN = 20
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """C4-style hard document filter: keep bit + failure reasons.
+
+    Rules (the classic web-corpus cleaning set, applied as pure
+    column expressions — one map stage, no shuffle):
+      min_words     >= 10 whitespace tokens
+      max_word_len  no token longer than 20 chars (URL/base64 junk)
+      no_lorem      no 'lorem ipsum' boilerplate
+      no_braces     no '{' (code/markup leakage into prose corpora)
+    """
+    words = F.split(F.col("text"), " ")
+    max_word_len = F.array_max(F.transform(words, F.length))
+    checks = [
+        ("min_words", F.size(words) >= QUALITY_FILTER_MIN_WORDS),
+        ("max_word_len", max_word_len <= QUALITY_FILTER_MAX_WORD_LEN),
+        ("no_lorem", ~F.lower(F.col("text")).contains("lorem ipsum")),
+        ("no_braces", ~F.col("text").contains("{")),
+    ]
+    fails = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                *[F.when(~ok, F.lit(name)) for name, ok in checks]
+            )
+        ),
+    )
+    keep = reduce(lambda a, b: a & b, [ok for _, ok in checks])
+    return docs.select(
+        "doc_id",
+        keep.cast("bigint").alias("keep"),
+        fails.alias("fail_reasons"),
+    )
+
+
+ORACLE_QUALITY_FILTER = f"""WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) >= {QUALITY_FILTER_MIN_WORDS} AS ok_min_words,
+         list_max(list_transform(string_split(text, ' '), w -> length(w)))
+           <= {QUALITY_FILTER_MAX_WORD_LEN} AS ok_word_len,
+         NOT contains(lower(text), 'lorem ipsum') AS ok_lorem,
+         NOT contains(text, '{{') AS ok_braces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ok_min_words AND ok_word_len AND ok_lorem AND ok_braces AS BIGINT) AS keep,
+       array_to_string(list_filter([
+         CASE WHEN NOT ok_min_words THEN 'min_words' END,
+         CASE WHEN NOT ok_word_len THEN 'max_word_len' END,
+         CASE WHEN NOT ok_lorem THEN 'no_lorem' END,
+         CASE WHEN NOT ok_braces THEN 'no_braces' END
+       ], x -> x IS NOT NULL), ',') AS fail_reasons
+FROM f"""
+
+
 ORACLE_PII_REDACT = _pii_sql()
 
 ORACLE_FINGERPRINTS = """WITH n AS (
@@ -404,6 +549,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(_docs(spark, sf_dir))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filter(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "text_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
@@ -412,4 +565,6 @@ QUERIES = {
     "text_winnowing_fingerprints": (q_winnowing, ORACLE_WINNOWING),
     "text_pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "text_tfidf_top_terms": (q_tfidf, ORACLE_TFIDF),
+    "text_repetition_scores": (q_repetition, ORACLE_REPETITION),
+    "text_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
 }

@@ -274,42 +274,45 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # domain pipeline (SURVEY §2 core)
-    "metrics_wide", "calendar_features", "ffill_bfill", "fill_mean",
-    "fill_median", "scaler_params", "minmax_scaled", "standard_scaled",
-    "anomaly_mse", "anomaly_flags", "threshold_split", "mse_histogram",
-    "threshold_percentiles", "per_feature_mse", "tail_n", "inner_align",
-    "dedup_keep_first", "multi_series_first", "union_periods",
-    "backfill_missing", "numeric_coercion",
-    # LLM-pipeline: dedup modalities
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
-    "dedup_apply",
-    # LLM-pipeline: similarity search
-    "ann_cosine_topk", "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
-    "embedding_norms", "dedup_embedding_cosine",
-    # LLM-pipeline: text analysis
-    "text_token_counts", "text_quality_scores", "text_lang_id",
-    "text_fingerprints", "text_winnowing_fingerprints",
-    "text_pii_redact", "text_tfidf_top_terms",
-    # LLM-pipeline: multimodal plumbing
-    "multimodal_binary_metadata", "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    # ML inference (real LSTM forward pass, NumPy weights)
+    # ---- changed or new in round 4: need a fresh CORRECTNESS row ----
+    # prep pipeline rebuilt on the one-exchange day-partitioned pivot
+    "minmax_scaled", "anomaly_mse", "anomaly_flags", "threshold_split",
+    "mse_histogram", "threshold_percentiles", "per_feature_mse",
     "anomaly_mse_lstm",
-    # LLM-pipeline: corpus construction (sampling / chunking / packing)
-    "corpus_hash_sample", "corpus_doc_chunks", "corpus_doc_packing",
-    "corpus_stratified_sample",
-    # changed-this-round
-    "asof_join", "rolling_features",
-    # ---- past the driver's 50-query window: unchanged, green in r1 ----
-    "tpch_q1", "windowed_events", "tpch_q3", "tpch_q5", "tpch_q6",
-    "sessionize", "topk_per_group",
-    "semi_anti_join", "rollup_agg", "nan_counts", "running_revenue",
-    "distinct_users", "vocab_stats", "embedding_mean_by_label",
-    "events_hourly_pivot", "unpivot_metrics", "user_set_ops", "funnel",
-    "min_cost_supplier", "multires_rollup",
+    # minhash signature family rebuilt (sliced-md5, raw-shingle agg)
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_apply",
+    # new corpus ops + salted stratified sample
+    "corpus_stratified_sample", "corpus_decontaminate",
+    "corpus_shuffle_shards", "corpus_token_budget_sample",
+    # embedding: quantile-radius cell join + new quantizer
+    "dedup_embedding_cosine", "embedding_quantize_int8",
+    # text: size-gated tfidf join + new filters
+    "text_tfidf_top_terms", "text_repetition_scores",
+    "text_quality_filter",
+    # ANN production configs re-tuned in round 3 (rows-only, approx)
+    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
+    # ---- green in r1 only, never re-rowed since (verdict r2 task 6) ----
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
+    "sessionize", "topk_per_group", "semi_anti_join", "rollup_agg",
+    "nan_counts", "running_revenue", "distinct_users", "vocab_stats",
+    "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
+    "user_set_ops", "funnel", "min_cost_supplier", "multires_rollup",
     "approx_distinct_users", "approx_threshold_percentiles",
+    # ---- r2-green queries sharing refactored code paths (shingles,
+    # fill, wide frame): re-rowed ahead of untouched leaf queries ----
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "ffill_bfill", "scaler_params",
+    # ---- past the driver's 50-query window: unchanged + green r2 ----
+    "standard_scaled", "metrics_wide", "calendar_features",
+    "fill_mean", "fill_median", "tail_n", "inner_align",
+    "dedup_keep_first", "multi_series_first", "union_periods",
+    "backfill_missing", "numeric_coercion", "ann_cosine_topk",
+    "embedding_norms", "text_token_counts", "text_quality_scores",
+    "text_lang_id", "text_fingerprints", "text_winnowing_fingerprints",
+    "text_pii_redact", "multimodal_binary_metadata",
+    "multimodal_decode_stub", "multimodal_frame_sample",
+    "corpus_hash_sample", "corpus_doc_chunks", "corpus_doc_packing",
+    "asof_join", "rolling_features",
 ]
 
 

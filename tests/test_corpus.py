@@ -148,3 +148,51 @@ def test_stratified_sample_spreads_hot_label(spark):
     )
     assert unsalted_max >= 19_000
     assert salted_max < unsalted_max / 3
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc embedding a benchmark doc's exact 4-gram is flagged;
+    disjoint docs are not."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),      # benchmark (0 % 97 == 0)
+        (1, "x1 alpha beta gamma delta x2 x3"),          # contains bench 4-gram
+        (2, "p q r s t u v w"),                          # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.n_hits for r in corpus.decontaminate(docs).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out and 0 not in out
+
+
+def test_shuffle_shards_is_deterministic_permutation(spark):
+    docs = _docs(spark)
+    a = corpus.shuffle_shards(docs).collect()
+    b = corpus.shuffle_shards(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = docs.count()
+    assert len(a) == n and len({r.doc_id for r in a}) == n
+    # per-shard positions are 1..k contiguous
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+        assert 0 <= shard < corpus.SHUFFLE_SHARDS
+
+
+def test_token_budget_sample_respects_budget(spark):
+    docs = _docs(spark)
+    out = corpus.token_budget_sample(docs).collect()
+    assert out  # binds to a non-empty sample on the fixture
+    per_source_max = {}
+    for r in out:
+        per_source_max[r.source] = max(
+            per_source_max.get(r.source, 0), r.cum_tokens
+        )
+        assert r.cum_tokens <= corpus.TOKEN_BUDGET_PER_SOURCE
+    # kept set is a prefix in hash order: re-running with a bigger
+    # budget only ADDS docs
+    bigger = corpus.token_budget_sample(
+        docs, budget=corpus.TOKEN_BUDGET_PER_SOURCE * 2
+    ).collect()
+    assert {r.doc_id for r in out} <= {r.doc_id for r in bigger}

@@ -235,3 +235,66 @@ def test_salted_join_rejects_outer_hows(spark):
         salted_join(fact, dim, "k", how="full")
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(fact, dim, "k", how="right")
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.text import (
+        quality_filter,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog today fine"),  # clean, 11 words
+        (1, "too short"),                                             # min_words
+        (2, " ".join(["w"] * 12) + " " + "x" * 30),                   # long token
+        (3, "Lorem Ipsum dolor sit amet " + " ".join(["w"] * 10)),    # lorem
+        (4, "code sample { return 0; } " + " ".join(["w"] * 10)),     # braces
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.keep, r.fail_reasons) for r in quality_filter(docs).collect()}
+    assert out[0] == (1, "")
+    assert out[1][0] == 0 and "min_words" in out[1][1]
+    assert out[2][0] == 0 and "max_word_len" in out[2][1]
+    assert out[3][0] == 0 and "no_lorem" in out[3][1]
+    assert out[4][0] == 0 and "no_braces" in out[4][1]
+
+
+def test_repetition_scores_detect_repeats(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.text import (
+        repetition_scores,
+    )
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),       # one word repeated
+        (1, "a b a b a b a b"),                     # repeated 2-grams
+        (2, "all words here are fully distinct"),   # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert out[0].top_word_frac == 1.0
+    assert out[0].dup_2gram_frac > 0.7
+    assert out[1].dup_2gram_frac > 0.6
+    assert out[2].top_word_frac < 0.2 and out[2].dup_2gram_frac == 0.0
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    """Dequantized vectors stay within scale/254 of the original per
+    component (the int8 quantization error bound)."""
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # all-zero vector -> q=0, scale=0
+        (2, [3.25, -0.125, 2.0, -4.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = quantize_int8(emb).collect()
+    orig = {r[0]: r[1] for r in rows}
+    for r in out:
+        assert -127 <= r.q <= 127
+        v = orig[r.vec_id][r.i - 1]
+        if r.scale == 0.0:
+            assert r.q == 0
+        else:
+            assert abs(r.q * r.scale / 127.0 - v) <= r.scale / 127.0 + 1e-9
