@@ -141,31 +141,28 @@ def main() -> None:
         prep.unpersist(blocking=True)
         return timings
 
-    # Two full passes, per-query BEST-OF-TWO as the headline: pass 1
-    # absorbs residual first-run costs (JIT of the sf-sized codegen
-    # classes, AQE statistics, allocator growth) and single-run noise
-    # on this shared box is ±0.5 s — min-of-2 is the standard way to
-    # report the engine's data-processing time.  Both raw passes ride
-    # along so cold behavior stays visible.
-    pass1 = run_pass()
-    pass2 = run_pass()
-    best = {k: min(pass1[k], pass2[k]) for k in pass1}
+    # Three full passes, per-query BEST-OF-THREE as the headline:
+    # pass 1 absorbs residual first-run costs (JIT of the sf-sized
+    # codegen classes, AQE statistics, allocator growth), and
+    # single-run noise on this virtualized box is large (identical
+    # back-to-back queries vary ±2x under hypervisor neighbors) —
+    # per-query min over full passes is the standard way to report the
+    # engine's data-processing time.  All raw passes ride along so
+    # cold/noisy behavior stays visible.
+    passes = [run_pass() for _ in range(3)]
+    best = {k: min(p[k] for p in passes) for k in passes[0]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (noop write, local)",
-                "value": round(sum(best.values()), 3),
-                "unit": "sec",
-                "queries": best,
-                "value_pass1": round(sum(pass1.values()), 3),
-                "queries_pass1": pass1,
-                "value_pass2": round(sum(pass2.values()), 3),
-                "queries_pass2": pass2,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline query wall time (noop write, local)",
+        "value": round(sum(best.values()), 3),
+        "unit": "sec",
+        "queries": best,
+        "sf": float(sf),
+    }
+    for i, p in enumerate(passes, 1):
+        out[f"value_pass{i}"] = round(sum(p.values()), 3)
+        out[f"queries_pass{i}"] = p
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -499,12 +499,12 @@ ORACLE_QUALITY_FILTER = f"""WITH f AS (
 )
 SELECT doc_id,
        CAST(ok_min_words AND ok_word_len AND ok_lorem AND ok_braces AS BIGINT) AS keep,
-       array_to_string(list_filter([
+       coalesce(array_to_string(list_filter([
          CASE WHEN NOT ok_min_words THEN 'min_words' END,
          CASE WHEN NOT ok_word_len THEN 'max_word_len' END,
          CASE WHEN NOT ok_lorem THEN 'no_lorem' END,
          CASE WHEN NOT ok_braces THEN 'no_braces' END
-       ], x -> x IS NOT NULL), ',') AS fail_reasons
+       ], x -> x IS NOT NULL), ','), '') AS fail_reasons
 FROM f"""
 
 
