@@ -132,9 +132,13 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
     )
+    # sizes is corpus-proportional (one row per doc) — no broadcast
+    # hint: AQE broadcasts it at runtime only when its measured size is
+    # under the threshold, and shuffle-joins at web scale (a forced
+    # broadcast of per-doc metadata OOMs on a 100-TB corpus)
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
@@ -251,9 +255,13 @@ def minhash_lsh_dedup(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # sizes is corpus-proportional (one row per doc) — no broadcast
+    # hint: AQE broadcasts it at runtime only when its measured size is
+    # under the threshold, and shuffle-joins at web scale (a forced
+    # broadcast of per-doc metadata OOMs on a 100-TB corpus)
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
