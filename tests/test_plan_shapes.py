@@ -97,3 +97,21 @@ def test_tfidf_idf_join_is_size_gated(spark):
     assert "BroadcastHashJoin" in plan(broadcast_idf=True)
     shuffled = plan(broadcast_idf=False)
     assert "SortMergeJoin" in shuffled
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["corpus_shuffle_shards", "corpus_token_budget_sample", "text_repetition_scores"],
+)
+def test_new_corpus_ops_have_no_global_sort(spark, name):
+    """Deterministic order comes from per-shard/per-source windows, not
+    a range-partitioned global sort."""
+    assert "rangepartitioning" not in _plan(spark, name).lower()
+
+
+def test_decontaminate_is_equi_join_only(spark):
+    """The benchmark-gram join must stay a hash equi-join (inverted
+    index), never a nested loop over |train| x |bench|."""
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
