@@ -449,20 +449,22 @@ def _near_dup_candidates(
         .filter(F.col("__d") <= F.col("radius") + F.lit(r))
         .select(F.col("vec_id").alias("id_b"), "centroid_id")
     )
-    # Completeness: for a qualifying pair (x, y) with x home in cell c,
-    #   d(x, centroid_c) <= radius_q(c)  (x inlier)
-    #     => d(y, centroid_c) <= d(y, x) + d(x, centroid_c)
-    #        <= r + radius_q(c), so y probes c and the equi-join emits
-    #        the pair;
-    #   d(x, centroid_c) >  radius_q(c)  (x spill)
-    #     => the spill x ALL cross join emits the pair exactly.
-    # The spill side stays tiny by construction (the 1-q tail of each
-    # cell), so spill x n is linear in n, not quadratic.
+    # Completeness: for a qualifying pair (x, y):
+    #   x inlier in cell c => d(y, centroid_c) <= d(y, x) +
+    #     d(x, centroid_c) <= r + radius_q(c), so y (inlier OR spill)
+    #     probes c and the equi-join emits the pair;
+    #   both spill => the spill x spill join emits the pair.
+    # Mixed (inlier, spill) pairs are covered by the FIRST case — the
+    # probes side is every vector, spill included — so the spill join
+    # is only the quantile tail squared (tiny for genuine outliers),
+    # never spill x corpus.  At a scale where even the tail is large,
+    # recurse: re-cluster the spill set with its own cells.
     home = inliers.select(F.col("vec_id").alias("id_a"), "centroid_id")
     cell_cands = home.join(probes, "centroid_id").select("id_a", "id_b")
+    spill_ids = spill.select(F.col("vec_id").alias("id_a"))
     spill_cands = (
-        F.broadcast(spill.select(F.col("vec_id").alias("id_a")))
-        .crossJoin(unit.select(F.col("vec_id").alias("id_b")))
+        F.broadcast(spill_ids)
+        .crossJoin(spill_ids.select(F.col("id_a").alias("id_b")))
         .select("id_a", "id_b")
     )
     return (
