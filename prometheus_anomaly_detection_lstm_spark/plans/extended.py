@@ -296,8 +296,62 @@ def _rolling_oracle() -> str:
     )
 
 
+RANGE_JOIN_DAYS = 7
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join: how many urgent-order promotion
+    windows cover each lineitem's ship date.
+
+    Spark plans a raw BETWEEN join as a broadcast nested loop —
+    O(points x intervals), dead at scale.  The scale-safe formulation
+    bucketizes: explode each interval to the calendar days it can
+    intersect, equi-join points on their day (hash join, pushdown-able)
+    and apply the exact bounds as a post-filter.  Interval length
+    bounds the explosion factor (8 rows per interval here); the join
+    only ever touches (point, interval) pairs sharing a day.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr(f"INTERVAL {RANGE_JOIN_DAYS} DAYS")).alias("e"),
+    )
+    # cover every day the half-open interval [s, e) can intersect; the
+    # exact predicate below removes the boundary overshoot
+    iv_days = iv.withColumn(
+        "__day",
+        F.explode(F.sequence(F.to_date("s"), F.to_date("e"))),
+    )
+    pts = li.select("l_orderkey", "l_linenumber", "l_shipdate").withColumn(
+        "__day", F.to_date("l_shipdate")
+    )
+    return (
+        pts.join(iv_days, "__day")
+        .filter(
+            (F.col("l_shipdate") >= F.col("s"))
+            & (F.col("l_shipdate") < F.col("e"))
+        )
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n_covering"))
+    )
+
+
+ORACLE_RANGE_JOIN = f"""WITH iv AS (
+  SELECT o_orderkey, o_orderdate AS s,
+         o_orderdate + INTERVAL {RANGE_JOIN_DAYS} DAY AS e
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT l.l_orderkey, l.l_linenumber, CAST(count(*) AS BIGINT) AS n_covering
+FROM lineitem l JOIN iv ON l.l_shipdate >= iv.s AND l.l_shipdate < iv.e
+GROUP BY 1, 2"""
+
+
 QUERIES = {
     "nan_counts": (q_nan_counts, None),  # oracle set at import bottom
+    "range_join_interval_counts": (q_range_join, ORACLE_RANGE_JOIN),
     "rolling_features": (q_rolling_features, None),  # oracle set at bottom
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),

@@ -115,3 +115,11 @@ def test_decontaminate_is_equi_join_only(spark):
     plan = _plan(spark, "corpus_decontaminate")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_bucketized_hash_join(spark):
+    """The point-in-interval join must be day-bucketized: hash equi-join
+    on the day, never a BETWEEN nested loop over points x intervals."""
+    plan = _plan(spark, "range_join_interval_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
