@@ -7,10 +7,11 @@ pure Catalyst (no Python UDFs) so the 100-TB path is JVM-side:
 * exact: one hash-groupBy shuffle on the content digest.
 * n-gram Jaccard: shingle explode -> distinct -> self-equi-join on
   shingle (the classic inverted-index join) -> group pair -> ratio.
-* MinHash/LSH: k independent min-hashes from md5(seed:shingle) — string
-  md5 keeps the signature bit-identical across engines (oracle parity) —
-  banded into buckets so the candidate join touches only colliding
-  bands, never the full n² pair space.
+* MinHash/LSH: k independent min-hashes from 32-bit hex slices of
+  md5(seed:shingle) — ceil(k/4) digests per shingle, string compare on
+  fixed-width hex keeps the signature bit-identical across engines
+  (oracle parity) — banded into buckets so the candidate join touches
+  only colliding bands, never the full n² pair space.
 * SimHash: 16-bit sign-aggregate of per-shingle md5 nibble parities;
   near-dup = small Hamming distance on the fingerprint.
 
