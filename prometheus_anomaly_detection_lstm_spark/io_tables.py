@@ -42,3 +42,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
+
+
+def write_day_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Write a time-series frame as day-partitioned parquet — the
+    standard lake layout (``path/__day=YYYY-MM-DD/...``).
+
+    Partitioning by calendar day turns any day-range predicate into
+    PARTITION PRUNING at read time: a query over one week of a 100-TB
+    year touches ~2% of the files before a single row group is opened
+    (the scan plan shows it as ``PartitionFilters``).  The partition
+    column is derived, so the original ``ts_col`` stays intact in the
+    data files.
+    """
+    (
+        df.withColumn("__day", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("__day")
+        .parquet(path)
+    )
+
+
+def read_day_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a :func:`write_day_partitioned` dataset; ``__day`` comes
+    back as a partition column usable in pruning predicates."""
+    return spark.read.parquet(path)

@@ -81,3 +81,34 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = _plan(back)
     assert "PartitionFilters: [isnotnull(dt" in plan, plan[:500]
     assert back.count() == ev.filter(F.col("dt") == "2024-01-05").count()
+
+
+def test_day_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Day-range predicates on the partitioned layout must become
+    PartitionFilters (pruned before file listing), not data filters."""
+    from pyspark.sql import functions as F
+
+    from prometheus_anomaly_detection_lstm_spark.io_tables import (
+        load_table,
+        read_day_partitioned,
+        write_day_partitioned,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_by_day")
+    write_day_partitioned(ev, path)
+
+    back = read_day_partitioned(spark, path)
+    # roundtrip: same rows
+    assert back.count() == ev.count()
+
+    one_day = back.filter(F.col("__day") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the day predicate must appear in the partition filters, and the
+    # pruned scan must read fewer files than the full dataset
+    pf = plan.split("PartitionFilters: ")[1].split("\n")[0]
+    assert "__day" in pf
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    assert n_days > 1
+    assert one_day.count() == ev.filter(F.to_date("ts") == "2024-01-02").count()
