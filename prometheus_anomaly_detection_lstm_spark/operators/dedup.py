@@ -224,27 +224,11 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_lsh_dedup(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+def _verify_jaccard(
+    sh: DataFrame, cands: DataFrame, threshold: float
 ) -> DataFrame:
-    """MinHash->LSH candidates verified with exact Jaccard.
-
-    The scale path for near-dedup: the only joins are (a) band-bucket
-    equi-join over colliding buckets and (b) shingle join restricted to
-    candidate pairs.  Output (doc_a, doc_b, jaccard).
-
-    The shingle set feeds three consumers (signatures, sizes, candidate
-    verification).  It is deliberately RECOMPUTED per consumer rather
-    than persisted: the explode+distinct is a cheap map-side stage, and
-    measured locally a ``persist()`` here costs more (forced
-    materialization + cache memory pressure) than three recomputes.
-    Revisit only if the shingle stage grows an expensive upstream.
-    """
-    sh = shingles(docs)
-    cands = lsh_candidate_pairs(minhash_signatures(docs))
-    # sizes ride the SAME distinct-shingle subtree the verification
-    # joins scan (AQE reuses the canonical shuffle stage), keeping the
-    # signature aggregation free of a countDistinct Expand
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the distinct shingle frame ``sh``."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -270,6 +254,81 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash->LSH candidates verified with exact Jaccard.
+
+    The scale path for near-dedup: the only joins are (a) band-bucket
+    equi-join over colliding buckets and (b) shingle join restricted to
+    candidate pairs.  Output (doc_a, doc_b, jaccard).
+
+    The shingle set feeds three consumers (signatures, sizes, candidate
+    verification).  It is deliberately RECOMPUTED per consumer rather
+    than persisted: the explode+distinct is a cheap map-side stage, and
+    measured locally a ``persist()`` here costs more (forced
+    materialization + cache memory pressure) than three recomputes.
+    Revisit only if the shingle stage grows an expensive upstream.
+    """
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    return _verify_jaccard(shingles(docs), cands, threshold)
+
+
+def minhash_lsh_dedup_incremental(
+    docs: DataFrame,
+    new_min_id: int,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING at least one new doc (id >= new_min_id).
+
+    The daily-increment shape of corpus dedup: when a batch of new
+    documents arrives, only (new x corpus) and (new x new) pairs can be
+    novel — old x old pairs were found when the old docs arrived.  The
+    band join therefore probes the FULL bucket table with only the NEW
+    side: the heavy existing corpus participates as a join build input
+    keyed by bucket, never self-joins.  Incremental cost scales with
+    |new| x bucket occupancy, not |corpus|².
+
+    Here the old signatures are recomputed from ``docs`` for
+    self-containment; in production they load from the signature store
+    (``minhash_signatures`` written per ingest batch — the signature
+    table IS the dedup index).  Output is exactly
+    ``minhash_lsh_dedup(docs)`` filtered to pairs with
+    ``doc_b >= new_min_id`` (pairs are emitted doc_a < doc_b, so the
+    max side decides novelty).
+    """
+    sigs = minhash_signatures(docs)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r + 1}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *parts).alias("bucket"),
+            )
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    new_buckets = buckets.filter(F.col("doc_id") >= new_min_id)
+    cands = (
+        buckets.alias("a")
+        .join(
+            new_buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(shingles(docs), cands, threshold)
 
 
 def simhash16(docs: DataFrame) -> DataFrame:
@@ -452,6 +511,16 @@ WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {threshold}"""
 
 ORACLE_MINHASH_LSH = _minhash_lsh_sql(JACCARD_THRESHOLD)
 
+#: "new docs" split for the incremental-dedup driver query: ids >= 400
+#: are the arriving batch (100 of the 500 docs at the graded sf).
+INCREMENTAL_NEW_MIN_ID = 400
+
+#: the incremental result is definitionally the full pair set filtered
+#: to pairs whose max side is new — the oracle states exactly that.
+ORACLE_MINHASH_INCREMENTAL = f"""SELECT * FROM (
+{_minhash_lsh_sql(JACCARD_THRESHOLD)}
+) WHERE doc_b >= {INCREMENTAL_NEW_MIN_ID}"""
+
 #: connected components over the 0.05-threshold pair graph as a
 #: RECURSIVE CTE: reach(node, r) enumerates reachable labels, min(r) is
 #: the component — turning the iterative Spark operator's rows-only
@@ -520,6 +589,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(_docs(spark, sf_dir))
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup_incremental(
+        _docs(spark, sf_dir), INCREMENTAL_NEW_MIN_ID
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(_docs(spark, sf_dir))
 
@@ -586,6 +661,10 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT_DUPLICATES),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
+    "dedup_minhash_incremental": (
+        q_minhash_incremental,
+        ORACLE_MINHASH_INCREMENTAL,
+    ),
     "dedup_simhash": (q_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     # iterative in Spark (label propagation + pointer jumping); the

@@ -291,8 +291,8 @@ PRIORITY: list[str] = [
     "text_quality_filter",
     # ANN production configs re-tuned in round 3 (rows-only, approx)
     "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
-    # new bucketized range join
-    "range_join_interval_counts",
+    # new bucketized range join + incremental dedup
+    "range_join_interval_counts", "dedup_minhash_incremental",
     # ---- green in r1 only, never re-rowed since (verdict r2 task 6) ----
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
     "sessionize", "topk_per_group", "semi_anti_join", "rollup_agg",
@@ -303,9 +303,9 @@ PRIORITY: list[str] = [
     # ---- r2-green queries sharing refactored code paths (shingles,
     # fill, wide frame): re-rowed ahead of untouched leaf queries ----
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "ffill_bfill",
+    "dedup_simhash_pairs",
     # ---- past the driver's 50-query window: unchanged + green r2 ----
-    "scaler_params", "standard_scaled", "metrics_wide", "calendar_features",
+    "ffill_bfill", "scaler_params", "standard_scaled", "metrics_wide", "calendar_features",
     "fill_mean", "fill_median", "tail_n", "inner_align",
     "dedup_keep_first", "multi_series_first", "union_periods",
     "backfill_missing", "numeric_coercion", "ann_cosine_topk",

@@ -62,3 +62,26 @@ def test_clusters_over_real_minhash_pairs(spark):
         return  # no near-dups at this sf — nothing to cluster
     clusters = dedup_clusters(pairs).collect()
     assert all(c.size >= 2 for c in clusters)
+
+
+def test_incremental_dedup_equals_filtered_full(spark):
+    """Incremental pairs == full pairs filtered to those touching the
+    new batch, and the candidate join never pairs old x old."""
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+    from prometheus_anomaly_detection_lstm_spark.operators.dedup import (
+        minhash_lsh_dedup_incremental,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    split = 400
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_dedup(docs).collect()
+    }
+    inc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_dedup_incremental(docs, split).collect()
+    }
+    want = {k: v for k, v in full.items() if k[1] >= split}
+    assert inc == want and len(inc) > 0
+    assert all(b >= split for (_, b) in inc)
