@@ -123,3 +123,43 @@ def test_range_join_is_bucketized_hash_join(spark):
     plan = _plan(spark, "range_join_interval_counts")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prep_chain_has_one_full_data_exchange_per_subtree(spark):
+    """The align->fill->scale chain rides ONE day-hash repartition: the
+    pivot agg, fill windows and summary all reuse it, so the only
+    full-data exchanges in the plan are the REPARTITION_BY_COL roots
+    (one per logical subtree — main + the tiny summary branch share the
+    same canonical shuffle at runtime), plus metadata-scale
+    single-partition exchanges for the cross-day carry."""
+    from prometheus_anomaly_detection_lstm_spark.plans import pipeline as P
+
+    plan = (
+        P.preprocessed(spark, SF_SMALL, keep_day=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([^)]*)\), (\w+)", plan)
+    # full-data exchanges must all be the deliberate day repartition;
+    # an ENSURE_REQUIREMENTS exchange keyed on data columns (__day, ts)
+    # would mean an operator stopped reusing the day distribution.  The
+    # carry window's exchange hashes a projected CONSTANT
+    # (single_partition_key -> `_w<n>`) over the ~#days summary — the
+    # one allowed ENSURE_REQUIREMENTS hash.
+    bad = [
+        (key, reason)
+        for kind, key, reason in exchanges
+        if kind == "hashpartitioning"
+        and reason == "ENSURE_REQUIREMENTS"
+        and not key.startswith("_w")
+    ]
+    assert not bad, exchanges
+    repartitions = [
+        key for kind, key, reason in exchanges
+        if reason == "REPARTITION_BY_COL"
+    ]
+    assert repartitions and all("__day" in k for k in repartitions)
+    assert "rangepartitioning" not in plan.lower()
