@@ -337,10 +337,65 @@ def cosine_topk_ivf(
 
     The scale path for billion-vector search: candidate volume drops by
     ~n_lists/n_probe; recall vs brute force is validated in tests.
+    Builds the index inline; for the build-once / query-many production
+    shape use :func:`build_ivf_index` + :func:`cosine_topk_ivf_prebuilt`.
     """
     normed = with_norm(emb)
     cents = kmeans_centroids(normed, k=n_lists)
     assigned = _assign_nearest(normed, cents).localCheckpoint()
+    return _ivf_query(cents, assigned, n_queries, k, n_probe)
+
+
+def build_ivf_index(emb: DataFrame, path: str, n_lists: int = 8) -> None:
+    """Build and persist the IVF index: ``path/centroids`` (tiny) and
+    ``path/assignments`` parquet PARTITIONED BY centroid_id — each
+    coarse list is its own partition directory, so a query probing
+    ``n_probe`` lists reads only those directories (partition pruning),
+    the physical property that makes IVF sub-linear on disk as well as
+    in compute.  Vectors are stored pre-normalized (vec + norm) so the
+    query stage never rescans the raw embedding table.
+    """
+    normed = with_norm(emb)
+    cents = kmeans_centroids(normed, k=n_lists)
+    assigned = _assign_nearest(normed, cents)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assignments")
+    )
+
+
+def load_ivf_index(spark: SparkSession, path: str):
+    """(centroids, assignments) as written by :func:`build_ivf_index`."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assignments"),
+    )
+
+
+def cosine_topk_ivf_prebuilt(
+    spark: SparkSession,
+    path: str,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`build_ivf_index`): identical
+    results to the inline :func:`cosine_topk_ivf` for the same
+    parameters, without re-running k-means or re-normalizing the
+    corpus."""
+    cents, assigned = load_ivf_index(spark, path)
+    return _ivf_query(cents, assigned, n_queries, k, n_probe)
+
+
+def _ivf_query(
+    cents: DataFrame,
+    assigned: DataFrame,
+    n_queries: int,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
     queries = assigned.filter(F.col("vec_id") < n_queries)
 
     # probe lists: the n_probe nearest centroids per query vector

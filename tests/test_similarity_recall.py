@@ -161,3 +161,31 @@ def test_near_dup_candidate_volume_bounded_under_outliers(spark):
     )
     want = sorted(map(tuple, brute.collect()))
     assert got == want and len(want) > 0
+
+
+def test_ivf_prebuilt_index_matches_inline(spark, tmp_path):
+    """build_ivf_index -> cosine_topk_ivf_prebuilt returns exactly the
+    inline cosine_topk_ivf answer, and the on-disk layout is one
+    partition directory per coarse list."""
+    import os
+
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_prebuilt,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_lists=4)
+    pre = sorted(
+        map(tuple, cosine_topk_ivf_prebuilt(spark, path, n_queries=5, k=10, n_probe=2).collect())
+    )
+    inline = sorted(
+        map(tuple, cosine_topk_ivf(emb, n_queries=5, k=10, n_lists=4, n_probe=2).collect())
+    )
+    assert pre == inline and len(pre) > 0
+    part_dirs = [
+        d for d in os.listdir(os.path.join(path, "assignments"))
+        if d.startswith("centroid_id=")
+    ]
+    assert 1 < len(part_dirs) <= 4
