@@ -557,6 +557,63 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(_docs(spark, sf_dir))
 
 
+#: duplicate-span n-gram width (words) for dup_ngram_spans
+DUP_NGRAM_N = 8
+
+
+def dup_ngram_spans(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
+    """Exact duplicate-substring mining at n-gram granularity: every
+    n-word span that occurs in MORE THAN ONE document, with corpus
+    counts — the discovery pass of exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better"-style pipelines; the
+    reference has no text surface at all, SURVEY §2).
+
+    Shape: per-doc n-gram generation is a single JVM projection
+    (split -> sequence -> transform/slice, no Python); the explode fans
+    out ~n_words rows per doc — the same factor a shingle pass costs —
+    and the only shuffle is the keyed agg on the span text.  Output is
+    self-limiting (spans with cross-doc support >= 2), so at 100 TB the
+    result stays proportional to the duplicated volume, not the corpus.
+    Docs shorter than n words are excluded BEFORE sequence() so the
+    descending-sequence trap (r2 ADVICE on winnowing) can't produce
+    bogus spans.
+    """
+    words = F.split(F.col("text"), " ")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ).alias("ngram"),
+    ).where(F.size(words) >= n)
+    return (
+        spans.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+ORACLE_DUP_NGRAM_SPANS = f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= {DUP_NGRAM_N}
+), g AS (
+  SELECT doc_id,
+         array_to_string(words[i:i + {DUP_NGRAM_N - 1}], ' ') AS ngram
+  FROM w, unnest(generate_series(1, len(words) - {DUP_NGRAM_N - 1})) t(i)
+)
+SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2"""
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_spans(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "text_token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
@@ -567,4 +624,5 @@ QUERIES = {
     "text_tfidf_top_terms": (q_tfidf, ORACLE_TFIDF),
     "text_repetition_scores": (q_repetition, ORACLE_REPETITION),
     "text_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
+    "text_dup_ngram_spans": (q_dup_ngram_spans, ORACLE_DUP_NGRAM_SPANS),
 }

@@ -41,9 +41,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(
-        w_user
-    )
+    # NTZ -> DOUBLE is not a legal direct cast under ANSI (Spark 4.1);
+    # hop through TIMESTAMP (session TZ pinned UTC above) so the epoch
+    # seconds match DuckDB's epoch(ts) exactly, fractional part included.
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_sec - F.lag(ts_sec).over(w_user)
     new_sess = (
         F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
     )
@@ -583,3 +585,77 @@ QUERIES["funnel"] = (q_funnel, ORACLE_FUNNEL)
 QUERIES["min_cost_supplier"] = (q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER)
 QUERIES["multires_rollup"] = (q_multires_rollup, ORACLE_MULTIRES_ROLLUP)
 QUERIES["rolling_features"] = (q_rolling_features, _rolling_oracle())
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction (the log-enrichment
+    step of every event pipeline): pull ``$.k`` out of the ``props``
+    JSON string JVM-side (get_json_object — no Python, no UDF), bucket
+    it, and aggregate.  The JSON parse is a per-row projection inside
+    whole-stage codegen; the only shuffle is the final keyed agg.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k_bucket", (k % 10).cast("bigint"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.avg(k.cast("double")), 6).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON_EXTRACT = """SELECT
+       CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(avg(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE)), 6) AS avg_k
+FROM events
+GROUP BY 1"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = ISO week of a user's
+    first event; one row per (cohort_week, weeks_since) with the count
+    of distinct users still active.
+
+    Two keyed shuffles, both on bounded keys: (1) groupBy user_id for
+    first-seen (map-side partial min), (2) groupBy the ~weeks^2/2
+    cohort matrix.  The first-seen frame re-joins events on user_id —
+    at 100 TB the user dimension is large, so the join is left
+    unhinted for AQE to pick shuffle vs broadcast at runtime size.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION_COHORTS = """WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS week FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, week) // 7 AS BIGINT) AS weeks_since,
+       count(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY 1, 2"""
+
+
+QUERIES["events_json_extract"] = (q_events_json_extract, ORACLE_EVENTS_JSON_EXTRACT)
+QUERIES["retention_cohorts"] = (q_retention_cohorts, ORACLE_RETENTION_COHORTS)

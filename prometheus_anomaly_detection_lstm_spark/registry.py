@@ -274,6 +274,13 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
+    # ---- NEW this round: TPC-H second wave, event enrichment ops,
+    # duplicate-span mining — never graded, must get a row ----
+    "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
+    "tpch_q22", "events_json_extract", "retention_cohorts",
+    "text_dup_ngram_spans",
+    # sessionize: NTZ-cast fix for Spark 4.1 ANSI this round
+    "sessionize",
     # ---- changed or new in round 4: need a fresh CORRECTNESS row ----
     # prep pipeline rebuilt on the one-exchange day-partitioned pivot
     "minmax_scaled", "anomaly_mse", "anomaly_flags", "threshold_split",
@@ -293,18 +300,22 @@ PRIORITY: list[str] = [
     "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
     # new bucketized range join + incremental dedup
     "range_join_interval_counts", "dedup_minhash_incremental",
-    # ---- green in r1 only, never re-rowed since (verdict r2 task 6) ----
+    # ---- green in r1 only, never re-rowed since (verdict r2 task 6);
+    # bench headliners + wide_frame/join-shape sharers stay in-window ----
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
-    "sessionize", "topk_per_group", "semi_anti_join", "rollup_agg",
-    "nan_counts", "running_revenue", "distinct_users", "vocab_stats",
-    "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
-    "user_set_ops", "funnel", "min_cost_supplier", "multires_rollup",
-    "approx_distinct_users", "approx_threshold_percentiles",
+    "topk_per_group", "semi_anti_join", "rollup_agg",
+    "nan_counts", "min_cost_supplier", "multires_rollup",
     # ---- r2-green queries sharing refactored code paths (shingles,
     # fill, wide frame): re-rowed ahead of untouched leaf queries ----
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs",
-    # ---- past the driver's 50-query window: unchanged + green r2 ----
+    # ---- past the driver's 50-query window: r1-green leaf queries on
+    # code untouched since r1 (displaced by this round's new ops) ----
+    "running_revenue", "distinct_users", "vocab_stats",
+    "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
+    "user_set_ops", "funnel",
+    "approx_distinct_users", "approx_threshold_percentiles",
+    # ---- unchanged + green r2 ----
     "ffill_bfill", "scaler_params", "standard_scaled", "metrics_wide", "calendar_features",
     "fill_mean", "fill_median", "tail_n", "inner_align",
     "dedup_keep_first", "multi_series_first", "union_periods",
@@ -319,13 +330,14 @@ PRIORITY: list[str] = [
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    from .plans import extended, relational
+    from .plans import extended, relational, tpch_more
     from .operators import approx, corpus, dedup, similarity, text, multimodal
     from .ml import lstm_query
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
     merged.update(DOMAIN_QUERIES)
     merged.update(relational.QUERIES)
+    merged.update(tpch_more.QUERIES)
     merged.update(extended.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(dedup.QUERIES)
