@@ -163,3 +163,46 @@ def test_prep_chain_has_one_full_data_exchange_per_subtree(spark):
     ]
     assert repartitions and all("__day" in k for k in repartitions)
     assert "rangepartitioning" not in plan.lower()
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19"]
+)
+def test_tpch_wave2_filters_reach_scans(spark, name):
+    """Every second-wave TPC-H query pushes at least one predicate into
+    a parquet scan and plans hash joins only (no nested loops over
+    facts; q22's one-row scalar broadcast is exempt by omission here)."""
+    plan = _plan(spark, name)
+    assert "PushedFilters: [" in plan
+    assert any(
+        "PushedFilters: [" + tok in plan
+        for tok in ("IsNotNull", "EqualTo", "GreaterThan", "LessThan", "In(")
+    ), plan.split("PushedFilters")[1][:200]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_reuses_orderkey_exchange(spark):
+    """Q18's HAVING rollup and the orders join share l_orderkey: the
+    aggregated side must NOT be re-exchanged between the agg and the
+    join (one shuffle on the fact, then join)."""
+    plan = _plan(spark, "tpch_q18")
+    # the lineitem side appears once: count hashpartitioning exchanges
+    # on l_orderkey — the rollup's exchange must serve the join too.
+    n_orderkey_exchanges = plan.count("hashpartitioning(l_orderkey")
+    assert n_orderkey_exchanges <= 1, plan
+
+
+def test_q19_brand_filter_pushed_to_part_scan(spark):
+    """The factored-out brand membership must reach the part scan as an
+    In() filter rather than evaluating post-join."""
+    plan = _plan(spark, "tpch_q19")
+    assert "In(p_brand" in plan, plan
+
+
+def test_dup_ngram_spans_single_shuffle(spark):
+    """Span mining is explode -> ONE keyed agg: exactly one exchange,
+    keyed on the span, no join anywhere."""
+    plan = _plan(spark, "text_dup_ngram_spans")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final agg pair
