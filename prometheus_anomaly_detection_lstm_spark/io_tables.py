@@ -72,3 +72,66 @@ def read_day_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a :func:`write_day_partitioned` dataset; ``__day`` comes
     back as a partition column usable in pruning predicates."""
     return spark.read.parquet(path)
+
+
+def compact_day_partitions(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-file compaction for a day-partitioned lake dataset.
+
+    Streaming ingestion writes one file per microbatch per day; after a
+    week a 100-TB lake has millions of KB-sized files and every scan
+    pays an open/seek per file.  Compaction rewrites each day into
+    ``ceil(day_rows / target_rows_per_file)`` files.
+
+    Scale shape: per-day row counts come from ONE metadata-cheap agg
+    over the partition column (no data columns read thanks to column
+    pruning); the rewrite itself repartitions by (day, file_slot) so
+    each output file is written by exactly one task — no global sort,
+    no driver-side file listing loops, and days compact independently
+    (a skewed day gets more slots, it cannot serialize the others).
+
+    Returns {"files_before": n, "files_after": m} so callers/tests can
+    assert the compaction actually bin-packed.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    counts = {
+        r["__day"]: r["n"]
+        for r in df.groupBy("__day").count().withColumnRenamed("count", "n").collect()
+    }  # one row per DAY — metadata scale, bounded by the calendar
+    slots = {
+        d: max(1, math.ceil(n / target_rows_per_file)) for d, n in counts.items()
+    }
+    slot_map = F.create_map(
+        *[x for d, k in slots.items() for x in (F.lit(str(d)), F.lit(k))]
+    )
+    before = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(path)
+    )
+    total_slots = sum(slots.values())
+    (
+        df.withColumn(
+            "__slot",
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()),
+                slot_map[F.col("__day").cast("string")],
+            ).cast("int"),
+        )
+        .repartition(total_slots, F.col("__day"), F.col("__slot"))
+        .drop("__slot")
+        .write.mode("overwrite")
+        .partitionBy("__day")
+        .parquet(out_path)
+    )
+    after = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(out_path)
+    )
+    return {"files_before": before, "files_after": after}
