@@ -21,7 +21,18 @@ LSH_PLANES = 8  # sign-LSH bits for the bucketed variant
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    """embeddings, hash-distributed by vec_id across the session's cores.
+
+    Same single-row-group local-input fix as dedup._docs: without it the
+    scan is one task and every per-vector float kernel (dot products,
+    norms, quantization) serializes on one core.  vec_id hash keeps the
+    distribution reusable by downstream per-vector aggregations; on a
+    real lake the input arrives pre-split and this folds into the
+    scan's distribution.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    return emb.repartition(n, "vec_id")
 
 
 def _as_double(col: str):
