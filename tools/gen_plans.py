@@ -59,6 +59,19 @@ SHOWCASE = [
     ("rolling_features", "trailing windows, backward buckets",
      "Trailing per-row frames run partitioned by day bucket with "
      "predecessor overlap shipped via the same broadcast-mapping join."),
+    ("tpch_q18", "aggregate-then-join, exchange reuse",
+     "The HAVING rollup and the orders join share l_orderkey: one "
+     "exchange on the fact serves both (plan-guarded <= 1 "
+     "hashpartitioning(l_orderkey)); the tiny survivor set then joins "
+     "upward via AQE-gated broadcasts."),
+    ("tpch_q19", "disjunctive predicate pushdown",
+     "Brand membership factored out of the OR-of-ANDs reaches the part "
+     "scan as In(p_brand); the residual disjunction evaluates post-join "
+     "inside whole-stage codegen — no nested loops."),
+    ("text_dup_ngram_spans", "duplicate-span mining, one keyed agg",
+     "Explode to 8-gram spans is a pure map stage; the only shuffle is "
+     "the partial/final agg pair on the span key, and output is "
+     "proportional to duplicated volume (support >= 2 filter)."),
 ]
 
 JOIN_RE = re.compile(
