@@ -727,3 +727,70 @@ QUERIES = {
     "dedup_embedding_cosine": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE_INT8),
 }
+
+
+# ------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss dim reduction)
+
+RP_IN_DIM = 64
+RP_OUT_DIM = 8
+
+
+def _rp_weight(i: int, j: int) -> float:
+    """Deterministic engine-portable pseudo-random weight in [-1, 1):
+    derived from md5 so Spark, DuckDB, and any future engine agree on
+    the projection matrix without sharing library RNG state."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:8]
+    return round((int(h, 16) / 2**32) * 2 - 1, 6)
+
+
+def random_projection(
+    emb: DataFrame, out_dim: int = RP_OUT_DIM, in_dim: int = RP_IN_DIM
+) -> DataFrame:
+    """Project embeddings to ``out_dim`` dims with a fixed JL matrix.
+
+    The cheap first stage of billion-vector pipelines (coarse
+    clustering, dedup pre-filters, visualization): a dense matmul
+    against a CONSTANT matrix.  Expressed as ``out_dim`` literal
+    dot-product expressions over the array column — pure projection
+    inside whole-stage codegen: no shuffle, no UDF, no join, and the
+    64x8 matrix lives in the plan itself (no broadcast needed).  Term
+    order is fixed left-to-right so the double-precision sum is
+    bit-identical across engines (oracle-hash-safe).
+    """
+    cols = [F.col("vec_id")]
+    for j in range(out_dim):
+        term = None
+        for i in range(in_dim):
+            t = F.element_at("embedding", i + 1).cast("double") * F.lit(
+                _rp_weight(i, j)
+            )
+            term = t if term is None else term + t
+        cols.append(F.round(term, 6).alias(f"p_{j}"))
+    return emb.select(*cols)
+
+
+def _rp_oracle() -> str:
+    outs = []
+    for j in range(RP_OUT_DIM):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({_rp_weight(i, j)})"
+            for i in range(RP_IN_DIM)
+        )
+        outs.append(f"round({terms}, 6) AS p_{j}")
+    return "SELECT vec_id, " + ", ".join(outs) + " FROM embeddings"
+
+
+ORACLE_RANDOM_PROJECTION = _rp_oracle()
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_projection(_emb(spark, sf_dir))
+
+
+QUERIES["embedding_random_projection"] = (
+    q_random_projection,
+    ORACLE_RANDOM_PROJECTION,
+)

@@ -659,3 +659,47 @@ GROUP BY 1, 2"""
 
 QUERIES["events_json_extract"] = (q_events_json_extract, ORACLE_EVENTS_JSON_EXTRACT)
 QUERIES["retention_cohorts"] = (q_retention_cohorts, ORACLE_RETENTION_COHORTS)
+
+
+def q_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence bigram analysis (the Markov-transition summary
+    behind funnel/session models): for each (from_type, to_type) pair
+    of CONSECUTIVE events by the same user, the transition count and
+    mean seconds between them.
+
+    One shuffle on user_id feeds the lag window; the bigram agg is a
+    bounded-key (|event_types|²) shuffle — metadata scale at any SF.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+        (ts_sec - F.lag(ts_sec).over(w)).alias("gap_s"),
+    ).filter(F.col("from_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+    )
+
+
+ORACLE_USER_PATH_TRANSITIONS = """WITH seq AS (
+  SELECT user_id,
+         event_type AS to_type,
+         lag(event_type) OVER w AS from_type,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_type, to_type, count(*) AS n, round(avg(gap_s), 6) AS avg_gap_s
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY 1, 2"""
+
+
+QUERIES["user_path_transitions"] = (
+    q_user_path_transitions,
+    ORACLE_USER_PATH_TRANSITIONS,
+)

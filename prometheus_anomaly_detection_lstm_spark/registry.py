@@ -278,7 +278,8 @@ PRIORITY: list[str] = [
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
     "tpch_q22", "events_json_extract", "retention_cohorts",
-    "text_dup_ngram_spans",
+    "text_dup_ngram_spans", "user_path_transitions",
+    "embedding_random_projection",
     # sessionize: NTZ-cast fix for Spark 4.1 ANSI this round
     "sessionize",
     # ---- changed or new in round 4: need a fresh CORRECTNESS row ----
@@ -304,13 +305,14 @@ PRIORITY: list[str] = [
     # bench headliners + wide_frame/join-shape sharers stay in-window ----
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
     "topk_per_group", "semi_anti_join", "rollup_agg",
-    "nan_counts", "min_cost_supplier", "multires_rollup",
+    "nan_counts",
     # ---- r2-green queries sharing refactored code paths (shingles,
     # fill, wide frame): re-rowed ahead of untouched leaf queries ----
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs",
     # ---- past the driver's 50-query window: r1-green leaf queries on
     # code untouched since r1 (displaced by this round's new ops) ----
+    "min_cost_supplier", "multires_rollup",
     "running_revenue", "distinct_users", "vocab_stats",
     "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
     "user_set_ops", "funnel",
