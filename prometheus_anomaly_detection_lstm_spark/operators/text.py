@@ -626,3 +626,73 @@ QUERIES = {
     "text_quality_filter": (q_quality_filter, ORACLE_QUALITY_FILTER),
     "text_dup_ngram_spans": (q_dup_ngram_spans, ORACLE_DUP_NGRAM_SPANS),
 }
+
+
+# ------------------------------------------------------------------
+# Character-trigram LM scoring (perplexity-proxy quality signal)
+
+def lm_trigram_scores(docs: DataFrame) -> DataFrame:
+    """Corpus-trained character-trigram LM score per document.
+
+    The cheap perplexity proxy of CCNet/Gopher-style quality filtering
+    (they score with a pretrained KenLM; same shape, with the LM
+    trained on the corpus itself): global trigram frequencies are the
+    model, and each doc scores
+
+        avg over its trigrams of  ln( count(tri) / total_trigrams )
+
+    Common text scores high (close to the corpus distribution);
+    rare-garbage scores very low.  Output: (doc_id, n_tris, lm_score).
+
+    Shape: trigram explode is one map stage; counts are a keyed agg on
+    the trigram (vocabulary bounded by charset³ — bounded keys, no
+    skew cliff); the score join back to the trigram stream is unhinted
+    so AQE broadcasts the count table while it fits and shuffle-joins
+    beyond; the per-doc mean reuses doc_id keying.  All JVM-side.
+    """
+    norm = "lower(text)"
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({norm}) - 2), "
+                f"i -> substring({norm}, i, 3))"
+            )
+        ).alias("tri"),
+    ).where(F.expr(f"length({norm})") >= 3)
+    counts = tris.groupBy("tri").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    return (
+        tris.join(counts, "tri")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tris"),
+            F.round(F.avg(F.log(F.col("c") / F.col("total"))), 6).alias(
+                "lm_score"
+            ),
+        )
+    )
+
+
+ORACLE_LM_TRIGRAM = """WITH tris AS (
+  SELECT doc_id,
+         substring(lower(text), i, 3) AS tri
+  FROM documents, unnest(generate_series(1, length(lower(text)) - 2)) t(i)
+  WHERE length(lower(text)) >= 3
+), counts AS (
+  SELECT tri, count(*) AS c FROM tris GROUP BY tri
+), total AS (
+  SELECT sum(c) AS total FROM counts
+)
+SELECT doc_id, count(*) AS n_tris,
+       round(avg(ln(c / total)), 6) AS lm_score
+FROM tris JOIN counts USING (tri) CROSS JOIN total
+GROUP BY doc_id"""
+
+
+def q_lm_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_trigram_scores(_docs(spark, sf_dir))
+
+
+QUERIES["text_lm_trigram_scores"] = (q_lm_trigram_scores, ORACLE_LM_TRIGRAM)

@@ -269,3 +269,69 @@ QUERIES = {
     "tpch_q19": (q_tpch_q19, ORACLE_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, ORACLE_TPCH_Q22),
 }
+
+
+# ------------------------------------------------------------------- Q7
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two nations — the same
+    dimension (nation) participates TWICE under different join keys
+    (supplier's nation vs customer's nation), with a cross-pair filter
+    and a per-(pair, year) aggregate.
+
+    nation is fixed 25 rows at any SF -> both copies force-broadcast;
+    the facts chain through l_orderkey/l_suppkey/o_custkey hash joins
+    with the nationkey IN-filters pushed into the supplier and customer
+    scans.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(1, 2)
+    )
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2)
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_TPCH_Q7 = """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE s_nationkey IN (1, 2) AND c_nationkey IN (1, 2)
+  AND s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3"""
+
+
+QUERIES["tpch_q7"] = (q_tpch_q7, ORACLE_TPCH_Q7)

@@ -277,9 +277,9 @@ PRIORITY: list[str] = [
     # ---- NEW this round: TPC-H second wave, event enrichment ops,
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
-    "tpch_q22", "events_json_extract", "retention_cohorts",
+    "tpch_q22", "tpch_q7", "events_json_extract", "retention_cohorts",
     "text_dup_ngram_spans", "user_path_transitions",
-    "embedding_random_projection",
+    "embedding_random_projection", "text_lm_trigram_scores",
     # sessionize: NTZ-cast fix for Spark 4.1 ANSI this round
     "sessionize",
     # ---- changed or new in round 4: need a fresh CORRECTNESS row ----
