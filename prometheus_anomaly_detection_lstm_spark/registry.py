@@ -304,7 +304,7 @@ PRIORITY: list[str] = [
     # ---- green in r1 only, never re-rowed since (verdict r2 task 6);
     # bench headliners + wide_frame/join-shape sharers stay in-window ----
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
-    "topk_per_group", "semi_anti_join", "rollup_agg",
+    "topk_per_group", "semi_anti_join",
     "nan_counts",
     # ---- r2-green queries sharing refactored code paths (shingles,
     # fill, wide frame): re-rowed ahead of untouched leaf queries ----
@@ -312,7 +312,7 @@ PRIORITY: list[str] = [
     "dedup_simhash_pairs",
     # ---- past the driver's 50-query window: r1-green leaf queries on
     # code untouched since r1 (displaced by this round's new ops) ----
-    "min_cost_supplier", "multires_rollup",
+    "min_cost_supplier", "multires_rollup", "rollup_agg",
     "running_revenue", "distinct_users", "vocab_stats",
     "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
     "user_set_ops", "funnel",
