@@ -703,3 +703,53 @@ QUERIES["user_path_transitions"] = (
     q_user_path_transitions,
     ORACLE_USER_PATH_TRANSITIONS,
 )
+
+
+def q_metric_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric linear trend (least-squares slope/intercept) — the
+    drift-detection summary a metrics platform computes continuously.
+
+    Closed-form regression as two-moment aggregates
+    (slope = covar_pop / var_pop), one bounded-key shuffle.  The time
+    axis is centered on a FIXED anchor and expressed in DAYS so the
+    moments are well-conditioned (raw epoch seconds ~1.7e9 would put
+    the covariance into catastrophic-cancellation territory and the
+    two engines' streaming co-moment updates would diverge in the last
+    ulps).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.col("ts").cast("timestamp").cast("double")
+        - F.lit(1704067200.0)  # epoch of 2024-01-01 00:00:00 UTC
+    ) / 86400.0
+    d = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.covar_pop("x", "y") / F.var_pop("x"), 6
+        ).alias("slope_per_day"),
+        F.round(
+            F.avg("y")
+            - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+ORACLE_METRIC_TREND_SLOPES = """WITH d AS (
+  SELECT event_type,
+         (epoch(ts) - 1704067200.0) / 86400.0 AS x,
+         value AS y
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       round(covar_pop(x, y) / var_pop(x), 6) AS slope_per_day,
+       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6) AS intercept
+FROM d GROUP BY event_type"""
+
+
+QUERIES["metric_trend_slopes"] = (
+    q_metric_trend_slopes,
+    ORACLE_METRIC_TREND_SLOPES,
+)
