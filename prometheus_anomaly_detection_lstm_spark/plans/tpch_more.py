@@ -335,3 +335,45 @@ GROUP BY 1, 2, 3"""
 
 
 QUERIES["tpch_q7"] = (q_tpch_q7, ORACLE_TPCH_Q7)
+
+
+# ------------------------------------------------------------------- Q4
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated subquery folded into a
+    LEFT SEMI join, then a bounded-key aggregate.
+
+    Stock Q4 tests commitdate < receiptdate (columns the testdata
+    lacks); the adapted predicate — a lineitem shipped > 30 days after
+    the order date — keeps the correlated-EXISTS shape: the semi join
+    carries the non-equi time condition alongside the orderkey equality,
+    deduplicates by construction (no DISTINCT stage), and the priority
+    rollup is a 5-key agg.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_TPCH_Q4 = """SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority"""
+
+
+QUERIES["tpch_q4"] = (q_tpch_q4, ORACLE_TPCH_Q4)

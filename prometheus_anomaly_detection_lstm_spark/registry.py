@@ -277,7 +277,7 @@ PRIORITY: list[str] = [
     # ---- NEW this round: TPC-H second wave, event enrichment ops,
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
-    "tpch_q22", "tpch_q7", "events_json_extract", "retention_cohorts",
+    "tpch_q22", "tpch_q7", "tpch_q4", "events_json_extract", "retention_cohorts",
     "text_dup_ngram_spans", "user_path_transitions",
     "embedding_random_projection", "text_lm_trigram_scores",
     "metric_trend_slopes",
@@ -305,7 +305,6 @@ PRIORITY: list[str] = [
     # ---- green in r1 only, never re-rowed since (verdict r2 task 6);
     # bench headliners + wide_frame/join-shape sharers stay in-window ----
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
-    "semi_anti_join",
     "nan_counts",
     # ---- r2-green queries sharing refactored code paths (shingles,
     # fill, wide frame): re-rowed ahead of untouched leaf queries ----
@@ -313,7 +312,7 @@ PRIORITY: list[str] = [
     "dedup_simhash_pairs",
     # ---- past the driver's 50-query window: r1-green leaf queries on
     # code untouched since r1 (displaced by this round's new ops) ----
-    "min_cost_supplier", "multires_rollup", "rollup_agg", "topk_per_group",
+    "min_cost_supplier", "multires_rollup", "rollup_agg", "topk_per_group", "semi_anti_join",
     "running_revenue", "distinct_users", "vocab_stats",
     "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
     "user_set_ops", "funnel",
