@@ -51,3 +51,20 @@ def test_compaction_splits_oversized_days(spark, tmp_path):
     n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
     assert stats["files_after"] > n_days  # oversized days really split
     assert read_day_partitioned(spark, compacted).count() == n
+
+
+def test_compacted_output_still_prunes_partitions(spark, tmp_path):
+    """Compaction must preserve the lake layout's pruning guarantee:
+    a day predicate on the compacted dataset shows up as a
+    PartitionFilter (pruned before file listing), not a data filter."""
+    ev = load_table(spark, SF_SMALL, "events")
+    frag = str(tmp_path / "frag")
+    compacted = str(tmp_path / "compact")
+    write_day_partitioned(ev, frag)
+    compact_day_partitions(spark, frag, compacted)
+    df = read_day_partitioned(spark, compacted).filter(
+        F.col("__day") == "2024-01-02"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "2024-01-02" in plan.split("PartitionFilters")[1][:200], plan[:800]
