@@ -135,3 +135,36 @@ def compact_day_partitions(
         for _, _, files in os.walk(out_path)
     )
     return {"files_before": before, "files_after": after}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Write a hash-bucketed managed table (``bucketBy`` + optional
+    ``sortBy``) — the pre-shuffled lake layout for co-located joins.
+
+    At 100 TB the dominant recurring cost of fact-fact joins is the
+    shuffle of both sides on the join key.  Bucketing pays that shuffle
+    ONCE at write time: both tables land pre-hash-partitioned (and
+    optionally pre-sorted) on the key, and every later equi-join on it
+    plans as a zero-exchange SortMergeJoin — see
+    ``tests/test_bucketed_join.py`` for the plan-level guarantee.
+    Requires a SparkSession with a writable ``spark.sql.warehouse.dir``.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a :func:`write_bucketed` table; Catalyst knows the bucket
+    spec from the catalog, so joins/aggs on the bucket column skip
+    their exchange."""
+    return spark.table(table)
