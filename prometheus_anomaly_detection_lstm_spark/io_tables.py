@@ -168,3 +168,67 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     spec from the catalog, so joins/aggs on the bucket column skip
     their exchange."""
     return spark.table(table)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    out_path: str,
+    col_a: str,
+    col_b: str,
+    n_bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Rewrite a dataset Z-ORDERED on two numeric columns (Morton-curve
+    clustering — the OPTIMIZE ZORDER pattern) so parquet min/max stats
+    prune files for predicates on EITHER column.
+
+    A plain sort clusters one column perfectly and the other not at
+    all; interleaving the bits of the two columns' quantile ranks
+    yields files whose min/max footprint is narrow in BOTH dimensions.
+
+    Scale shape: per-column quantile cut points come from ONE
+    ``approx_percentile`` aggregate (sketch-mergeable, metadata-size
+    result); ranks and the Morton key are pure projections; the only
+    data movement is the range exchange on the key — the same single
+    sort-shuffle any clustering rewrite fundamentally requires, with
+    file count controlled by ``n_files``.
+    """
+    cuts = df.select(
+        F.percentile_approx(
+            col_a, [i / 2**n_bits for i in range(1, 2**n_bits)], 10_000
+        ).alias("ca"),
+        F.percentile_approx(
+            col_b, [i / 2**n_bits for i in range(1, 2**n_bits)], 10_000
+        ).alias("cb"),
+    ).first()
+
+    def rank_expr(col: str, cut_vals) -> F.Column:
+        # rank = number of cut points <= value (0..2^n_bits-1), as a
+        # literal-array binary-search-free fold: fine for 2^8 cuts
+        arr = F.array(*[F.lit(float(c)) for c in cut_vals])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(col).cast("double") >= c, 1).otherwise(0),
+        )
+
+    a_r = rank_expr(col_a, cuts["ca"])
+    b_r = rank_expr(col_b, cuts["cb"])
+    morton = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        bit_a = F.shiftright(a_r, i).bitwiseAND(F.lit(1)).cast("bigint")
+        bit_b = F.shiftright(b_r, i).bitwiseAND(F.lit(1)).cast("bigint")
+        morton = (
+            morton
+            + bit_a * F.lit(2 ** (2 * i)).cast("bigint")
+            + bit_b * F.lit(2 ** (2 * i + 1)).cast("bigint")
+        )
+    (
+        df.withColumn("__z", morton)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
