@@ -274,6 +274,9 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
+    # ---- NEW: TPC-H third wave (completes all 22 classic shapes) ----
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
     # ---- NEW this round: TPC-H second wave, event enrichment ops,
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
@@ -332,7 +335,7 @@ PRIORITY: list[str] = [
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    from .plans import extended, relational, tpch_more
+    from .plans import extended, relational, tpch_more, tpch_wave3
     from .operators import approx, corpus, dedup, similarity, text, multimodal
     from .ml import lstm_query
 
@@ -340,6 +343,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(DOMAIN_QUERIES)
     merged.update(relational.QUERIES)
     merged.update(tpch_more.QUERIES)
+    merged.update(tpch_wave3.QUERIES)
     merged.update(extended.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(dedup.QUERIES)
