@@ -1,0 +1,210 @@
+"""PromQL range-vector semantics as native batch operators.
+
+The reference never computes rates itself — its config pushes
+`rate(windows_cpu_time_total[1m])` etc. to the Prometheus server
+(config.yaml:17-25, data_collector.py:41-48) and ingests the result.
+A full engine replacement must also cover the deployment where raw
+counter samples land in the lake and the rate/aggregation step runs
+IN the engine.  This module implements the core PromQL function
+families over a long sample stream (ts, metric, value, seq):
+
+- ``counter_rate``: per-series counter semantics — monotonic increase
+  with Prometheus reset handling (a counter that goes DOWN restarted;
+  the post-reset sample value IS its increase), aggregated to tumbling
+  buckets: increase, per-second rate, reset count, and irate (the
+  last instantaneous delta in the bucket).
+- ``gauge_over_time``: the *_over_time family for gauges — avg/min/
+  max/exact-p95/delta per tumbling bucket.
+
+Semantics note: PromQL's rate() extrapolates a range vector to the
+window edges (an approximation bound to its pull model).  The batch
+twins here compute the EXACT increase from every consecutive-sample
+delta that lands in the bucket — deterministic, oracle-checkable, and
+what you actually want offline.  Resets follow PromQL exactly.
+
+Scale notes (100 TB): the only wide operation is one lag() window
+partitioned BY SERIES — at production scale the partition key is the
+full series labelset (cardinality: millions of series, each bounded by
+samples-per-retention), so parallelism grows with the data; no global
+window anywhere.  The per-bucket aggregate reuses the same (metric)
+hash distribution, and last-sample selection is max_by inside the
+aggregate — no second shuffle, no join.  A single pathological
+hot series can be day-bucketed exactly like operators/fill.py's carry
+pattern; not needed for the registered shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+
+#: tumbling bucket width for the registered queries (seconds).
+BUCKET_S = 600
+
+
+def _long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (ts, metric, value, seq) sample stream (same adapter
+    as plans/pipeline.events_long: event_type is the series label)."""
+    return load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.col("event_type").alias("metric"),
+        "value",
+        F.col("event_id").alias("seq"),
+    )
+
+
+def _with_deltas(samples: DataFrame) -> DataFrame:
+    """Append per-sample lag-derived columns: __inc (PromQL increase
+    contribution), __reset, __dt (seconds since previous sample).
+
+    Requires session TZ = UTC (the NTZ->epoch hop, see plans/extended
+    sessionize note on Spark 4.1 ANSI).
+    """
+    w = Window.partitionBy("metric").orderBy("ts", "seq")
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    prev_v = F.lag("value").over(w)
+    inc = (
+        F.when(prev_v.isNull(), F.lit(None).cast("double"))
+        .when(F.col("value") >= prev_v, F.col("value") - prev_v)
+        .otherwise(F.col("value"))  # reset: counter restarted from 0
+    )
+    return (
+        samples.withColumn("__inc", inc)
+        .withColumn(
+            "__reset", F.when(F.col("value") < prev_v, 1).otherwise(0)
+        )
+        .withColumn("__dt", ts_sec - F.lag(ts_sec).over(w))
+    )
+
+
+def counter_rate(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
+    """Counter increase / rate / irate per (metric, tumbling bucket).
+
+    Output: (metric, w_start, n_samples, n_resets, increase,
+    rate_per_s, irate_per_s).  irate divides the bucket's LAST
+    consecutive-sample delta by its time gap (null-safe on zero gaps);
+    selected via max_by inside the aggregate — no extra shuffle.
+    """
+    deltas = _with_deltas(samples)
+    last = F.expr(
+        "max_by(named_struct('inc', __inc, 'dt', __dt), "
+        "named_struct('t', ts, 's', seq))"
+    )
+    return (
+        deltas.groupBy(
+            "metric",
+            F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
+        )
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("__reset").cast("bigint").alias("n_resets"),
+            F.round(F.sum("__inc"), 6).alias("increase"),
+            F.round(F.sum("__inc") / F.lit(float(bucket_s)), 6).alias(
+                "rate_per_s"
+            ),
+            last.alias("__last"),
+        )
+        .withColumn(
+            "irate_per_s",
+            F.round(
+                F.col("__last.inc") / F.expr("nullif(__last.dt, 0D)"), 6
+            ),
+        )
+        .drop("__last")
+    )
+
+
+def gauge_over_time(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
+    """The *_over_time family for gauges per (metric, tumbling bucket):
+    avg/min/max, exact interpolated p95, and delta (last minus first
+    sample by (ts, seq) order) — all inside ONE aggregate."""
+    first_v = F.expr("min_by(value, named_struct('t', ts, 's', seq))")
+    last_v = F.expr("max_by(value, named_struct('t', ts, 's', seq))")
+    return (
+        samples.groupBy(
+            "metric",
+            F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
+        )
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95_v"),
+            F.round(last_v - first_v, 6).alias("delta_v"),
+        )
+    )
+
+
+# ------------------------------------------------------------- registry
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return counter_rate(_long(spark, sf_dir))
+
+
+def q_gauge_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return gauge_over_time(_long(spark, sf_dir))
+
+
+ORACLE_COUNTER_RATE = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER w AS pv,
+         epoch(ts) - epoch(lag(ts) OVER w) AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), e AS (
+  SELECT metric, ts, seq, dt,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         CASE WHEN value < pv THEN 1 ELSE 0 END AS is_reset,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM s
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY metric, w_start ORDER BY ts DESC, seq DESC) AS rn
+  FROM e
+)
+SELECT metric, w_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(is_reset) AS BIGINT) AS n_resets,
+       round(sum(inc), 6) AS increase,
+       round(sum(inc) / {BUCKET_S}.0, 6) AS rate_per_s,
+       round(max(CASE WHEN rn = 1 THEN inc / nullif(dt, 0) END), 6)
+         AS irate_per_s
+FROM r
+GROUP BY 1, 2"""
+
+
+ORACLE_GAUGE_OVER_TIME = f"""WITH e AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY metric, w_start
+                            ORDER BY ts, seq) AS rn_a,
+         row_number() OVER (PARTITION BY metric, w_start
+                            ORDER BY ts DESC, seq DESC) AS rn_d
+  FROM e
+)
+SELECT metric, w_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(avg(value), 6) AS avg_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(quantile_cont(value, 0.95), 6) AS p95_v,
+       round(max(CASE WHEN rn_d = 1 THEN value END)
+             - max(CASE WHEN rn_a = 1 THEN value END), 6) AS delta_v
+FROM r
+GROUP BY 1, 2"""
+
+
+QUERIES = {
+    "promql_counter_rate": (q_counter_rate, ORACLE_COUNTER_RATE),
+    "promql_gauge_over_time": (q_gauge_over_time, ORACLE_GAUGE_OVER_TIME),
+}

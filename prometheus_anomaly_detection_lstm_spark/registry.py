@@ -277,6 +277,8 @@ PRIORITY: list[str] = [
     # ---- NEW: TPC-H third wave (completes all 22 classic shapes) ----
     "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13",
     "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
+    # ---- NEW: native PromQL semantics (rate/irate/over_time) ----
+    "promql_counter_rate", "promql_gauge_over_time",
     # ---- NEW this round: TPC-H second wave, event enrichment ops,
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
@@ -336,7 +338,7 @@ PRIORITY: list[str] = [
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import extended, relational, tpch_more, tpch_wave3
-    from .operators import approx, corpus, dedup, similarity, text, multimodal
+    from .operators import approx, corpus, dedup, promql, similarity, text, multimodal
     from .ml import lstm_query
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
@@ -346,6 +348,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(tpch_wave3.QUERIES)
     merged.update(extended.QUERIES)
     merged.update(approx.QUERIES)
+    merged.update(promql.QUERIES)
     merged.update(dedup.QUERIES)
     merged.update(similarity.QUERIES)
     merged.update(text.QUERIES)
