@@ -206,3 +206,44 @@ def test_dup_ngram_spans_single_shuffle(spark):
     plan = _plan(spark, "text_dup_ngram_spans")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # partial+final agg pair
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13",
+        "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
+    ],
+)
+def test_tpch_wave3_no_nested_loops_and_pushdown(spark, name):
+    """Third-wave TPC-H: hash joins only over facts, and at least one
+    predicate pushed into a parquet scan."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: [" and any(
+        "PushedFilters: [" + tok in plan
+        for tok in ("IsNotNull", "EqualTo", "GreaterThan", "LessThan", "In(")
+    )
+
+
+def test_tpch_q17_aggregates_only_brand_lines(spark):
+    """The per-part average must aggregate the brand-restricted
+    lineitem subset (semi-join pushed below the agg), not the whole
+    fact table: the brand filter appears on the part scan and every
+    exchange is keyed on l_partkey."""
+    plan = _plan(spark, "tpch_q17")
+    assert "EqualTo(p_brand,Brand#16)" in plan, plan.split("PushedFilters")[-1][:150]
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",")[0]
+        assert key.startswith("l_partkey") or key.startswith("__pk"), key
+
+
+def test_promql_single_exchange(spark):
+    """rate()/over_time(): the per-series lag window and the bucket
+    aggregate share one hash distribution on metric — exactly one
+    exchange, and never a global (range-partitioned) sort."""
+    for name in ("promql_counter_rate", "promql_gauge_over_time"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "rangepartitioning" not in plan.lower(), name

@@ -1,0 +1,77 @@
+"""PromQL operator semantics on a hand-computed counter stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from prometheus_anomaly_detection_lstm_spark.operators import promql
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def counter_df(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # one series: counter climbs, resets at t=12m (50 -> 3), climbs on.
+    rows = [
+        (_ts(1), "c", 10.0, 1),
+        (_ts(4), "c", 25.0, 2),
+        (_ts(8), "c", 50.0, 3),   # bucket 0 ends at 10m
+        (_ts(12), "c", 3.0, 4),   # RESET: increase contribution = 3
+        (_ts(14), "c", 9.0, 5),
+        (_ts(18), "c", 21.0, 6),  # bucket 1: 10m..20m
+    ]
+    return spark.createDataFrame(rows, "ts timestamp_ntz, metric string, value double, seq long")
+
+
+def test_counter_rate_reset_semantics(counter_df):
+    out = {
+        r["w_start"].minute: r
+        for r in promql.counter_rate(counter_df).collect()
+    }
+    b0, b1 = out[0], out[10]
+    # bucket 0: first sample has no predecessor (NULL inc), 10->25->50
+    assert b0["n_samples"] == 3 and b0["n_resets"] == 0
+    assert b0["increase"] == pytest.approx(40.0)
+    assert b0["rate_per_s"] == pytest.approx(40.0 / 600, abs=1e-6)
+    # irate: last delta in bucket = (50-25)/(4 min)
+    assert b0["irate_per_s"] == pytest.approx(25.0 / 240, abs=1e-6)
+    # bucket 1: reset sample contributes its own value (3), then 6, 12
+    assert b1["n_samples"] == 3 and b1["n_resets"] == 1
+    assert b1["increase"] == pytest.approx(3.0 + 6.0 + 12.0)
+    assert b1["irate_per_s"] == pytest.approx(12.0 / 240, abs=1e-6)
+
+
+def test_gauge_over_time_delta_and_p95(counter_df):
+    out = {
+        r["w_start"].minute: r
+        for r in promql.gauge_over_time(counter_df).collect()
+    }
+    b0 = out[0]
+    assert b0["min_v"] == 10.0 and b0["max_v"] == 50.0
+    assert b0["delta_v"] == pytest.approx(50.0 - 10.0)
+    # exact interpolated p95 of [10, 25, 50]: 0.95*(n-1)=1.9 -> 25 + 0.9*25
+    assert b0["p95_v"] == pytest.approx(25 + 0.9 * 25)
+
+
+def test_counter_rate_series_isolation(spark):
+    """Deltas never cross series: two interleaved series each keep
+    their own lag chain."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (_ts(1), "a", 100.0, 1),
+        (_ts(2), "b", 5.0, 2),
+        (_ts(3), "a", 130.0, 3),
+        (_ts(4), "b", 6.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, metric string, value double, seq long"
+    )
+    out = {r["metric"]: r for r in promql.counter_rate(df).collect()}
+    assert out["a"]["increase"] == pytest.approx(30.0)
+    assert out["b"]["increase"] == pytest.approx(1.0)
+    assert out["a"]["n_resets"] == 0 and out["b"]["n_resets"] == 0
