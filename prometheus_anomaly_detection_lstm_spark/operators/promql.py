@@ -138,6 +138,84 @@ def gauge_over_time(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
     )
 
 
+#: finite `le` boundaries for the synthesized histogram series (the
+#: +Inf bucket is implicit as index len(LE)).  Spans the testdata value
+#: distribution (p25=14.6, p99=224) so every bucket is populated.
+LE = [10.0, 25.0, 50.0, 100.0, 250.0]
+
+
+def histogram_quantile(
+    samples: DataFrame, q: float = 0.9, bucket_s: int = BUCKET_S
+) -> DataFrame:
+    """PromQL ``histogram_quantile(q, rate(..._bucket[w]))`` — batch twin.
+
+    Two stages, ONE hash distribution: (1) bucket every sample into its
+    cumulative-histogram ``le`` slot (the _bucket series a Prometheus
+    client would export); (2) per (metric, window): find the slot where
+    the cumulative count crosses ``q * total`` and interpolate linearly
+    inside it — exactly PromQL's estimator, including the two edge
+    rules (crossing in the +Inf slot returns the highest finite
+    boundary; crossing in the first slot interpolates from 0).
+
+    Scale: the bucket-count aggregate, the cumulative window, and the
+    crossing-slot min_by all cluster on (metric, w_start) — Catalyst
+    plans a single exchange, and every window partition is at most
+    len(LE)+1 rows, so there is no skew surface at all.
+    """
+    idx = F.lit(len(LE))
+    for i in range(len(LE) - 1, -1, -1):
+        idx = F.when(F.col("value") <= LE[i], i).otherwise(idx)
+    counts = (
+        samples.select(
+            "metric",
+            F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
+            idx.alias("__idx"),
+        )
+        .groupBy("metric", "w_start", "__idx")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    wk = Window.partitionBy("metric", "w_start").orderBy("__idx")
+    wall = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        counts.withColumn(
+            "__cum",
+            F.sum("__cnt").over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__total", F.sum("__cnt").over(wall))
+        .withColumn("__rank", F.lit(q) * F.col("__total"))
+    )
+    crossing = (
+        ranked.filter(F.col("__cum") >= F.col("__rank"))
+        .groupBy("metric", "w_start")
+        .agg(
+            F.expr(
+                "min_by(named_struct("
+                "'idx', __idx, 'cnt', __cnt, 'cum', __cum, 'rank', __rank,"
+                "'total', __total), __idx)"
+            ).alias("__c")
+        )
+        .select("metric", "w_start", "__c.*")
+    )
+    lo = F.element_at(
+        F.lit(LE + [0.0]), F.when(F.col("idx") > 0, F.col("idx")).otherwise(
+            len(LE) + 1
+        )
+    )  # LE[idx-1] for idx>=1, else the appended 0.0 sentinel
+    hi = F.element_at(F.lit(LE), F.col("idx") + 1)
+    est = F.when(F.col("idx") >= len(LE), F.lit(LE[-1])).otherwise(
+        lo
+        + (hi - lo)
+        * (F.col("rank") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return crossing.select(
+        "metric",
+        "w_start",
+        F.col("total").cast("bigint").alias("n_samples"),
+        F.round(est, 6).alias(f"p{int(q * 100)}_est"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +282,49 @@ FROM r
 GROUP BY 1, 2"""
 
 
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return histogram_quantile(_long(spark, sf_dir))
+
+
+def _histogram_quantile_oracle(q: float = 0.9) -> str:
+    le_list = "[" + ", ".join(str(v) for v in LE) + "]"
+    case = " ".join(
+        f"WHEN value <= {v} THEN {i}" for i, v in enumerate(LE)
+    )
+    return f"""WITH e AS (
+  SELECT event_type AS metric,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start,
+         CASE {case} ELSE {len(LE)} END AS idx
+  FROM events
+), c AS (
+  SELECT metric, w_start, idx, count(*) AS cnt FROM e GROUP BY 1, 2, 3
+), r AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY metric, w_start ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY metric, w_start) AS total
+  FROM c
+)
+SELECT metric, w_start, CAST(total AS BIGINT) AS n_samples,
+       round(CASE WHEN idx >= {len(LE)} THEN {LE[-1]}
+             ELSE (CASE WHEN idx = 0 THEN 0.0
+                        ELSE ({le_list})[idx] END)
+                  + (({le_list})[idx + 1]
+                     - CASE WHEN idx = 0 THEN 0.0
+                            ELSE ({le_list})[idx] END)
+                    * ({q} * total - (cum - cnt)) / cnt
+             END, 6) AS p{int(q * 100)}_est
+FROM r
+WHERE cum >= {q} * total
+QUALIFY row_number() OVER (PARTITION BY metric, w_start ORDER BY idx) = 1"""
+
+
 QUERIES = {
     "promql_counter_rate": (q_counter_rate, ORACLE_COUNTER_RATE),
     "promql_gauge_over_time": (q_gauge_over_time, ORACLE_GAUGE_OVER_TIME),
+    "promql_histogram_quantile": (
+        q_histogram_quantile,
+        _histogram_quantile_oracle(),
+    ),
 }

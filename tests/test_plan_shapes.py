@@ -247,3 +247,16 @@ def test_promql_single_exchange(spark):
         plan = _plan(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "rangepartitioning" not in plan.lower(), name
+
+
+def test_promql_histogram_quantile_shuffles_only_counts(spark):
+    """Both exchanges sit ABOVE the partial bucket-count aggregate:
+    what shuffles is (metric, window, le-slot) count rows, never raw
+    samples; the crossing-slot window and final min_by reuse the
+    second distribution."""
+    plan = _plan(spark, "promql_histogram_quantile")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "rangepartitioning" not in plan.lower()
+    # partial aggregation happens below the first exchange
+    first_exchange_pos = plan.index("Exchange hashpartitioning")
+    assert "HashAggregate" in plan[first_exchange_pos:], plan

@@ -75,3 +75,25 @@ def test_counter_rate_series_isolation(spark):
     assert out["a"]["increase"] == pytest.approx(30.0)
     assert out["b"]["increase"] == pytest.approx(1.0)
     assert out["a"]["n_resets"] == 0 and out["b"]["n_resets"] == 0
+
+
+def test_histogram_quantile_interpolation(spark):
+    """Hand-computed PromQL estimator: crossing slot interpolates
+    linearly; +Inf crossing returns the highest finite boundary."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # metric 'x': 10 samples -> buckets (<=10): 4, (10,25]: 4, rest 2.
+    rows = [(_ts(0, i), "x", v, i) for i, v in enumerate(
+        [1.0, 2.0, 3.0, 4.0, 12.0, 13.0, 14.0, 15.0, 30.0, 60.0]
+    )]
+    # metric 'inf': everything beyond the last finite boundary
+    rows += [(_ts(0, 20 + i), "inf", 400.0, 100 + i) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, metric string, value double, seq long"
+    )
+    out = {r["metric"]: r for r in promql.histogram_quantile(df, q=0.5).collect()}
+    # rank = 5.0; cum after slot0 = 4, slot1 crosses (cum 8):
+    # est = 10 + (25-10) * (5-4)/4 = 13.75
+    assert out["x"]["p50_est"] == pytest.approx(13.75, abs=1e-6)
+    assert out["x"]["n_samples"] == 10
+    # all mass in +Inf slot -> highest finite le
+    assert out["inf"]["p50_est"] == pytest.approx(promql.LE[-1])
