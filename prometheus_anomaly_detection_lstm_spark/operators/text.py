@@ -696,3 +696,95 @@ def q_lm_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_lm_trigram_scores"] = (q_lm_trigram_scores, ORACLE_LM_TRIGRAM)
+
+
+# ----------------------------------------------------- frequent tokens
+
+#: minimum global share for a token to count as a heavy hitter.
+HH_SUPPORT = 0.001
+
+
+def _local_heavy_hitters(support: float):
+    """mapInPandas kernel: exact per-partition token counts, emitting
+    tokens whose LOCAL share reaches ``support``.
+
+    Pigeonhole guarantee: freq(x) >= s * N globally implies some
+    partition has freq_p(x) >= s * n_p, so the union of local emissions
+    is a SUPERSET of the true heavy hitters under ANY partitioning —
+    the exact recount pass then makes the final set partitioning-
+    independent.  Memory is the per-partition vocabulary; a
+    Space-Saving table (capacity 1/s, evict-min) is the bounded-memory
+    drop-in if per-partition vocab ever exceeds RAM — same guarantee,
+    same interface.
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            n += int(vc.sum())
+            for tok, c in vc.items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+        cut = support * n
+        cands = [t for t, c in counts.items() if c >= cut]
+        yield pd.DataFrame({"token": pd.Series(cands, dtype="object")})
+
+    return gen
+
+
+def frequent_tokens(
+    docs: DataFrame, support: float = HH_SUPPORT
+) -> DataFrame:
+    """Exact corpus heavy hitters: tokens with share >= ``support``.
+
+    Two passes, neither shuffling the raw token stream by token:
+    (1) sketch pass — one map-side scan emits per-partition candidate
+    tokens (superset guarantee above, at most 1/support per partition);
+    (2) verify pass — exact counts restricted to the candidate set via
+    an equi-join, thresholded against the exact global token count.
+    The full token->count shuffle of the naive groupBy never happens;
+    what shuffles is the candidate list and the candidate-only counts.
+    Output: (token, cnt, share), identical to the one-shot SQL twin.
+    """
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    cands = (
+        tokens.mapInPandas(_local_heavy_hitters(support), "token string")
+        .distinct()
+    )
+    total = tokens.agg(F.count("*").alias("__total"))
+    return (
+        tokens.join(cands, "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(support) * F.col("__total"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+        )
+    )
+
+
+ORACLE_FREQUENT_TOKENS = f"""WITH t AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), n AS (
+  SELECT count(*) AS total FROM t
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) / (SELECT total FROM n), 6) AS share
+FROM t
+GROUP BY token
+HAVING count(*) >= {HH_SUPPORT} * (SELECT total FROM n)"""
+
+
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frequent_tokens(_docs(spark, sf_dir))
+
+
+QUERIES["text_frequent_tokens"] = (q_frequent_tokens, ORACLE_FREQUENT_TOKENS)

@@ -279,7 +279,7 @@ PRIORITY: list[str] = [
     "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
     # ---- NEW: native PromQL semantics (rate/irate/over_time) ----
     "promql_counter_rate", "promql_gauge_over_time",
-    "promql_histogram_quantile",
+    "promql_histogram_quantile", "text_frequent_tokens",
     # ---- NEW this round: TPC-H second wave, event enrichment ops,
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",

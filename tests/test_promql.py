@@ -97,3 +97,22 @@ def test_histogram_quantile_interpolation(spark):
     assert out["x"]["n_samples"] == 10
     # all mass in +Inf slot -> highest finite le
     assert out["inf"]["p50_est"] == pytest.approx(promql.LE[-1])
+
+
+def test_frequent_tokens_partitioning_independent(spark):
+    """The sketch pass emits different candidate sets under different
+    partitionings; the exact recount must erase that difference."""
+    from prometheus_anomaly_detection_lstm_spark.operators import text
+    from .conftest import SF_SMALL
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    one = {
+        (r["token"], r["cnt"])
+        for r in text.frequent_tokens(docs.repartition(1)).collect()
+    }
+    many = {
+        (r["token"], r["cnt"])
+        for r in text.frequent_tokens(docs.repartition(17)).collect()
+    }
+    assert one == many and len(one) > 0
