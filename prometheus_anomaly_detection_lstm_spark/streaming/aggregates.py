@@ -46,3 +46,36 @@ def windowed_metric_stats(
             "avg_value",
         )
     )
+
+
+def session_metric_windows(
+    stream: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows per metric: a >gap silence closes the
+    session (the streaming twin of plans/extended sessionize, which
+    buckets by user with the same gap rule).
+
+    ``session_window`` state merges adjacent windows as late-but-
+    in-watermark rows arrive and finalizes a session once the watermark
+    passes its end + gap; state is bounded by (#keys x open sessions
+    inside the horizon).  The same expression body runs in batch mode
+    (session_window is a plain grouping expression), which is what the
+    equivalence test pins.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "metric",
+            "n",
+            "sum_value",
+        )
+    )

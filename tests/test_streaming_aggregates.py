@@ -80,3 +80,66 @@ def test_windowed_agg_drops_late_data(spark, tmp_path):
     assert row.metric == "m1"
     assert row.n == 5  # the late 1000.0 sample was dropped
     assert row.avg_value == 2.0  # mean(0..4)
+
+
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """Session windows: gap merge + finalize, and the streaming result
+    equals running the same operator body in batch mode."""
+    from prometheus_anomaly_detection_lstm_spark.streaming.aggregates import (
+        session_metric_windows,
+    )
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "sess_ck")
+
+    def write(rows):
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # one session: 10:00, 10:10 (gap 15m merges); silence; 11:00 starts
+    # a new session; 13:00 advances the watermark far enough to
+    # finalize both.
+    write(
+        [
+            {"ts": pd.Timestamp("2024-01-01 10:00:00"), "metric": "m1",
+             "value": 1.0},
+            {"ts": pd.Timestamp("2024-01-01 10:10:00"), "metric": "m1",
+             "value": 2.0},
+        ]
+    )
+    time.sleep(1.1)
+    write([{"ts": pd.Timestamp("2024-01-01 11:00:00"), "metric": "m1",
+            "value": 4.0}])
+    time.sleep(1.1)
+    write([{"ts": pd.Timestamp("2024-01-01 13:00:00"), "metric": "m1",
+            "value": 8.0}])
+
+    stream = spark.readStream.schema(
+        "ts timestamp, metric string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        session_metric_windows(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["session_start"]), r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # finalized sessions: the merged 10:00-10:25 pair and the 11:00 one
+    assert ("2024-01-01 10:00:00", 2, 3.0) in got
+    assert ("2024-01-01 11:00:00", 1, 4.0) in got
+
+    # batch equivalence on the full input (all sessions, incl. 13:00)
+    batch = session_metric_windows(spark.read.parquet(src)).collect()
+    batch_set = {
+        (str(r["session_start"]), r["n"], r["sum_value"]) for r in batch
+    }
+    assert got <= batch_set and len(batch_set) == 3
