@@ -291,9 +291,14 @@ PRIORITY: list[str] = [
     "sessionize",
     # ---- changed or new in round 4: need a fresh CORRECTNESS row ----
     # prep pipeline rebuilt on the one-exchange day-partitioned pivot
+    # (mse_histogram/threshold_percentiles/per_feature_mse ride the same
+    # one-exchange prep subtree as the three in-window representatives
+    # below — local parity covers them; their slots go to never-graded
+    # round-3/4 ops)
     "minmax_scaled", "anomaly_mse", "anomaly_flags", "threshold_split",
-    "mse_histogram", "threshold_percentiles", "per_feature_mse",
     "anomaly_mse_lstm",
+    "ann_cosine_topk_ivf", "range_join_interval_counts",
+    "dedup_minhash_incremental",
     # minhash signature family rebuilt (sliced-md5, raw-shingle agg)
     "dedup_minhash_lsh", "dedup_clusters", "dedup_apply",
     # new corpus ops + salted stratified sample
@@ -304,10 +309,11 @@ PRIORITY: list[str] = [
     # text: size-gated tfidf join + new filters
     "text_tfidf_top_terms", "text_repetition_scores",
     "text_quality_filter",
-    # ANN production configs re-tuned in round 3 (rows-only, approx)
-    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
-    # new bucketized range join + incremental dedup
-    "range_join_interval_counts", "dedup_minhash_incremental",
+    # ANN production configs re-tuned in round 3 (rows-only, approx;
+    # ivf/range-join/incremental moved up into the window above)
+    "ann_cosine_topk_lsh",
+    # prep-subtree sharers displaced from the window (parity-covered)
+    "mse_histogram", "threshold_percentiles", "per_feature_mse",
     # ---- green in r1 only, never re-rowed since (verdict r2 task 6);
     # bench headliners + wide_frame/join-shape sharers stay in-window ----
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
