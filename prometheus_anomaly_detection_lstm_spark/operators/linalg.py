@@ -1,0 +1,120 @@
+"""Distributed dense linear algebra over embedding columns.
+
+The PCA / whitening precursor for an embedding corpus: the d x d
+population covariance matrix, computed the way MLlib's RowMatrix does
+it at scale — each partition reduces its rows to ONE d x d outer-
+product partial (numpy ``X.T @ X`` over an Arrow batch), and only
+those tiny partials shuffle.  For d=64 a partial is 32 KiB regardless
+of partition row count, so the shuffle volume is #partitions * d**2
+doubles — independent of corpus size; a 100-TB embedding table moves
+megabytes.
+
+One-pass moment formula (cov = E[xy] - E[x]E[y]) on float64 partials:
+components are O(1) and the driver corpus is small, so cancellation is
+well inside the 6-dp comparison; the two-pass centered variant (mean
+broadcast, then centered partials) is the drop-in if a corpus with
+huge common offsets ever needs it.
+
+Reference parity: none — the reference has no linear-algebra surface;
+this backs the ANN/dedup embedding ops (whitening, PCA re-ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+
+#: embedding dimensionality of the testdata corpus.
+DIM = 64
+
+
+def _cov_partials(d: int):
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        sxy = np.zeros((d, d), dtype=np.float64)
+        sx = np.zeros(d, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sxy += x.T @ x
+            sx += x.sum(axis=0)
+            n += x.shape[0]
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                             indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel(),
+                "j": jj.ravel(),
+                "sxy": sxy.ravel(),
+                "si": np.repeat(sx, d),
+                "sj": np.tile(sx, d),
+                "n": np.full(d * d, n, dtype=np.int64),
+            }
+        )
+
+    return gen
+
+
+def embedding_covariance(emb: DataFrame, d: int = DIM) -> DataFrame:
+    """(i, j, cov): population covariance of embedding components
+    (1-based indices).  See module docstring for the partials shape."""
+    partials = emb.select("embedding").mapInPandas(
+        _cov_partials(d),
+        "i long, j long, sxy double, si double, sj double, n long",
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("__sxy"),
+            F.sum("si").alias("__si"),
+            F.sum("sj").alias("__sj"),
+            F.sum("n").alias("__n"),
+        )
+        .select(
+            "i",
+            "j",
+            # + 0.0 canonicalizes IEEE -0.0 (either engine can produce
+            # it on a rounded-to-zero negative covariance)
+            (
+                F.round(
+                    (
+                        F.col("__sxy")
+                        - F.col("__si") * F.col("__sj") / F.col("__n")
+                    )
+                    / F.col("__n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_COVARIANCE = f"""WITH x AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+)
+SELECT a.i AS i, b.i AS j, round(covar_pop(a.xi, b.xi), 6) + 0.0 AS cov
+FROM x a
+JOIN x b USING (vec_id)
+GROUP BY 1, 2"""
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {
+    "embedding_covariance": (
+        q_embedding_covariance,
+        ORACLE_EMBEDDING_COVARIANCE,
+    ),
+}

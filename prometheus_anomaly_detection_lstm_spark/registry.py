@@ -280,6 +280,7 @@ PRIORITY: list[str] = [
     # ---- NEW: native PromQL semantics (rate/irate/over_time) ----
     "promql_counter_rate", "promql_gauge_over_time",
     "promql_histogram_quantile", "text_frequent_tokens",
+    "embedding_covariance",
     # ---- NEW this round: TPC-H second wave, event enrichment ops,
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
@@ -345,7 +346,9 @@ PRIORITY: list[str] = [
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import extended, relational, tpch_more, tpch_wave3
-    from .operators import approx, corpus, dedup, promql, similarity, text, multimodal
+    from .operators import (
+        approx, corpus, dedup, linalg, promql, similarity, text, multimodal,
+    )
     from .ml import lstm_query
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
@@ -356,6 +359,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(extended.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
+    merged.update(linalg.QUERIES)
     merged.update(dedup.QUERIES)
     merged.update(similarity.QUERIES)
     merged.update(text.QUERIES)

@@ -116,3 +116,26 @@ def test_frequent_tokens_partitioning_independent(spark):
         for r in text.frequent_tokens(docs.repartition(17)).collect()
     }
     assert one == many and len(one) > 0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The partial-outer-product merge equals np.cov(bias=True) on the
+    collected corpus, and is symmetric by construction."""
+    import numpy as np
+
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+    from prometheus_anomaly_detection_lstm_spark.operators import linalg
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = linalg.embedding_covariance(emb).collect()
+    d = linalg.DIM
+    got = np.zeros((d, d))
+    for r in rows:
+        got[r["i"] - 1, r["j"] - 1] = r["cov"]
+    x = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    want = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(got, want, atol=5e-7)  # 6-dp rounding tolerance
+    assert np.array_equal(got, got.T)
