@@ -68,6 +68,32 @@ SHOWCASE = [
      "Brand membership factored out of the OR-of-ANDs reaches the part "
      "scan as In(p_brand); the residual disjunction evaluates post-join "
      "inside whole-stage codegen — no nested loops."),
+    ("promql_counter_rate", "PromQL rate: single-exchange window+agg",
+     "The per-series lag window and the tumbling-bucket aggregate share "
+     "ONE hashpartitioning(metric) exchange; irate is max_by inside the "
+     "aggregate — no second shuffle, no join, no global sort."),
+    ("promql_histogram_quantile", "histogram_quantile: counts-only shuffles",
+     "Both exchanges sit above the partial bucket-count aggregate: what "
+     "shuffles is (metric, window, le-slot) count rows, never raw "
+     "samples; window partitions are at most len(LE)+1 rows."),
+    ("tpch_q21", "exists/not-exists as one per-order aggregate",
+     "Two correlated EXISTS subqueries collapse into a single per-order "
+     "aggregate (distinct + distinct-late supplier counts): one "
+     "o_orderkey shuffle where the textbook plan self-joins lineitem "
+     "twice more; supplier/nation joins broadcast."),
+    ("tpch_q17", "correlated average, brand-restricted agg",
+     "The per-part average aggregates only the brand-restricted fact "
+     "subset (semi-join below the agg) — every exchange is keyed on "
+     "l_partkey; at 100 TB this is the difference between scanning the "
+     "brand slice and aggregating the whole table."),
+    ("text_frequent_tokens", "heavy hitters: sketch-then-verify",
+     "The raw token stream is never shuffled by token: a map-side "
+     "local-threshold pass emits candidates (pigeonhole superset), and "
+     "only candidate-matched tokens enter the counting join."),
+    ("embedding_covariance", "constant-shuffle covariance",
+     "Each partition reduces to one d x d outer-product partial; "
+     "shuffle volume is #partitions * d^2 doubles, independent of "
+     "corpus size."),
     ("text_dup_ngram_spans", "duplicate-span mining, one keyed agg",
      "Explode to 8-gram spans is a pure map stage; the only shuffle is "
      "the partial/final agg pair on the span key, and output is "
