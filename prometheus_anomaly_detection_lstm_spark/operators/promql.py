@@ -328,3 +328,60 @@ QUERIES = {
         _histogram_quantile_oracle(),
     ),
 }
+
+
+def topk_series_by_rate(
+    samples: DataFrame, k: int = 3, bucket_s: int = BUCKET_S
+) -> DataFrame:
+    """PromQL ``topk(k, rate(m[w]))`` — the k hottest series per
+    bucket, ranked by counter rate.
+
+    Pure composition: the counter_rate subtree (one exchange) feeds a
+    rank window partitioned by bucket — partition size = #series per
+    bucket, the aggregated frame, never raw samples.  Ties broken by
+    metric name for cross-engine determinism.
+    """
+    rates = counter_rate(samples, bucket_s).filter(
+        F.col("rate_per_s").isNotNull()
+    )
+    w = Window.partitionBy("w_start").orderBy(
+        F.col("rate_per_s").desc(), F.col("metric")
+    )
+    return (
+        rates.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("w_start", "rank", "metric", "rate_per_s")
+    )
+
+
+def q_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return topk_series_by_rate(_long(spark, sf_dir))
+
+
+ORACLE_TOPK_SERIES = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), e AS (
+  SELECT metric,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM s
+), r AS (
+  SELECT metric, w_start, round(sum(inc) / {BUCKET_S}.0, 6) AS rate_per_s
+  FROM e GROUP BY 1, 2
+  HAVING sum(inc) IS NOT NULL
+)
+SELECT w_start,
+       CAST(row_number() OVER (PARTITION BY w_start
+            ORDER BY rate_per_s DESC, metric) AS BIGINT) AS rank,
+       metric, rate_per_s
+FROM r
+QUALIFY rank <= 3"""
+
+
+QUERIES["promql_topk_series"] = (q_topk_series, ORACLE_TOPK_SERIES)
