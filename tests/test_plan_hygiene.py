@@ -1,0 +1,66 @@
+"""Registry-WIDE physical-plan hygiene audit.
+
+test_plan_shapes.py pins specific load-bearing shapes; this sweep
+holds EVERY registered query to the engine-wide floor:
+
+- no CartesianProduct, ever;
+- no range-partitioning exchange (global sort) — total order is always
+  recovered from bucket + carry/overlap;
+- no BatchEvalPython (row-at-a-time Python UDF) — Python only via
+  Arrow-batched mapInPandas/applyInPandas;
+- BroadcastNestedLoopJoin only where the build side is provably tiny
+  by construction (one-row scalar aggregates: thresholds, totals,
+  maxes; fixed-size centroid/quantile tables) — listed explicitly so a
+  refactor that grows a BNLJ side must update the allowlist on purpose.
+
+A new query is covered the moment it lands in the registry.
+"""
+
+from __future__ import annotations
+
+from prometheus_anomaly_detection_lstm_spark.registry import all_queries
+
+from .conftest import SF_SMALL
+
+#: BNLJ build sides here are one-row scalar aggregates (fit thresholds,
+#: global totals/maxes, histogram bounds) or fixed-size tables
+#: (k-means centroids, quantile summaries) — never corpus-proportional.
+BNLJ_SCALAR_BROADCASTS = {
+    "ann_cosine_topk",          # query block vs corpus: bounded n_queries
+    "ann_cosine_topk_ivf",      # centroid table (n_lists rows)
+    "anomaly_flags",            # scaler params + threshold scalars
+    "anomaly_mse",              # scaler params + window count scalar
+    "anomaly_mse_lstm",         # same prep subtree
+    "approx_threshold_percentiles",  # sketch summary row
+    "dedup_embedding_cosine",   # centroid + radius tables (n_cells rows)
+    "fill_mean",                # per-column means summary row
+    "fill_median",              # per-column medians summary row
+    "mse_histogram",            # min/max bounds row
+    "rolling_features",         # day-offset carry summary
+    "standard_scaled",          # scaler params row
+    "text_frequent_tokens",     # global token-count scalar
+    "text_lm_trigram_scores",   # corpus-total scalar
+    "text_tfidf_top_terms",     # n_docs scalar
+    "threshold_percentiles",    # percentile summary row
+    "threshold_split",          # threshold scalar
+    "tpch_q11",                 # global value-total scalar
+    "tpch_q22",                 # avg-balance scalar subquery
+}
+
+
+def test_every_registered_query_meets_the_plan_floor(spark):
+    failures = []
+    for name, (fn, _) in sorted(all_queries().items()):
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "rangepartitioning" in plan.lower():
+            failures.append(f"{name}: range-partitioned (global sort)")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_SCALAR_BROADCASTS
+        ):
+            failures.append(f"{name}: unlisted BroadcastNestedLoopJoin")
+    assert not failures, "\n".join(failures)
