@@ -55,14 +55,20 @@ def _long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _with_deltas(samples: DataFrame) -> DataFrame:
+def _with_deltas(
+    samples: DataFrame, series_cols: tuple[str, ...] = ("metric",)
+) -> DataFrame:
     """Append per-sample lag-derived columns: __inc (PromQL increase
     contribution), __reset, __dt (seconds since previous sample).
 
-    Requires session TZ = UTC (the NTZ->epoch hop, see plans/extended
-    sessionize note on Spark 4.1 ANSI).
+    ``series_cols`` is the series identity — the full labelset in
+    production (Prometheus series = metric name + every label pair),
+    which is exactly what makes the lag window scale: partition count
+    grows with label cardinality.  Requires session TZ = UTC (the
+    NTZ->epoch hop, see plans/extended sessionize note on Spark 4.1
+    ANSI).
     """
-    w = Window.partitionBy("metric").orderBy("ts", "seq")
+    w = Window.partitionBy(*series_cols).orderBy("ts", "seq")
     ts_sec = F.col("ts").cast("timestamp").cast("double")
     prev_v = F.lag("value").over(w)
     inc = (
@@ -79,22 +85,26 @@ def _with_deltas(samples: DataFrame) -> DataFrame:
     )
 
 
-def counter_rate(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
-    """Counter increase / rate / irate per (metric, tumbling bucket).
+def counter_rate(
+    samples: DataFrame,
+    bucket_s: int = BUCKET_S,
+    series_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Counter increase / rate / irate per (series, tumbling bucket).
 
-    Output: (metric, w_start, n_samples, n_resets, increase,
+    Output: (*series_cols, w_start, n_samples, n_resets, increase,
     rate_per_s, irate_per_s).  irate divides the bucket's LAST
     consecutive-sample delta by its time gap (null-safe on zero gaps);
     selected via max_by inside the aggregate — no extra shuffle.
     """
-    deltas = _with_deltas(samples)
+    deltas = _with_deltas(samples, series_cols)
     last = F.expr(
         "max_by(named_struct('inc', __inc, 'dt', __dt), "
         "named_struct('t', ts, 's', seq))"
     )
     return (
         deltas.groupBy(
-            "metric",
+            *series_cols,
             F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
         )
         .agg(
@@ -385,3 +395,63 @@ QUALIFY rank <= 3"""
 
 
 QUERIES["promql_topk_series"] = (q_topk_series, ORACLE_TOPK_SERIES)
+
+
+def q_rate_by_labelset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate() with a FULL labelset series identity: the series key is
+    (metric, label) where the label is pulled from the props JSON
+    JVM-side (get_json_object, whole-stage codegen) — the production
+    Prometheus model, where label cardinality (not metric count) is
+    what the lag window's parallelism scales with.  5 metrics x 10
+    label buckets = 50 series on the testdata."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        "ts",
+        F.col("event_type").alias("metric"),
+        (F.get_json_object(F.col("props"), "$.k").cast("bigint") % 10)
+        .cast("bigint")
+        .alias("label"),
+        "value",
+        F.col("event_id").alias("seq"),
+    )
+    return counter_rate(samples, series_cols=("metric", "label"))
+
+
+ORACLE_RATE_BY_LABELSET = f"""WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         ts, value, event_id AS seq
+  FROM events
+), l AS (
+  SELECT metric, label, ts, seq,
+         lag(value) OVER w AS pv, value,
+         epoch(ts) - epoch(lag(ts) OVER w) AS dt
+  FROM s
+  WINDOW w AS (PARTITION BY metric, label ORDER BY ts, seq)
+), e AS (
+  SELECT metric, label, ts, seq, dt,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         CASE WHEN value < pv THEN 1 ELSE 0 END AS is_reset,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM l
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY metric, label, w_start ORDER BY ts DESC, seq DESC) AS rn
+  FROM e
+)
+SELECT metric, label, w_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(is_reset) AS BIGINT) AS n_resets,
+       round(sum(inc), 6) AS increase,
+       round(sum(inc) / {BUCKET_S}.0, 6) AS rate_per_s,
+       round(max(CASE WHEN rn = 1 THEN inc / nullif(dt, 0) END), 6)
+         AS irate_per_s
+FROM r
+GROUP BY 1, 2, 3"""
+
+
+QUERIES["promql_rate_by_labelset"] = (q_rate_by_labelset, ORACLE_RATE_BY_LABELSET)
