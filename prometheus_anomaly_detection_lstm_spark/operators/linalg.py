@@ -118,3 +118,59 @@ QUERIES = {
         ORACLE_EMBEDDING_COVARIANCE,
     ),
 }
+
+
+def pca_fit(emb: DataFrame, k: int = 8, d: int = DIM):
+    """Fit top-k principal components from the DISTRIBUTED covariance.
+
+    The heavy pass is embedding_covariance (constant shuffle volume);
+    the eigendecomposition runs on the d x d matrix driver-side —
+    np.linalg.eigh on 64 x 64 is microseconds, the canonical
+    small-model/big-data split (same shape as MLlib's RowMatrix PCA).
+    Components are sign-canonicalized (largest-|coefficient| entry
+    positive) so the fit is deterministic.  Returns (components
+    ndarray (k, d) row-major, eigenvalues ndarray (k,), mean (d,)).
+    """
+    import numpy as np
+
+    rows = embedding_covariance(emb, d).collect()
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    mean_row = (
+        emb.select(
+            F.array(*[
+                F.avg(F.element_at("embedding", i + 1)) for i in range(d)
+            ]).alias("m")
+        ).collect()[0]["m"]
+    )
+    import numpy as _np
+
+    return comps, vals[order], _np.asarray(mean_row, dtype=float)
+
+
+def pca_project(
+    emb: DataFrame, components, mean=None, d: int = DIM
+) -> DataFrame:
+    """Map-only projection onto fitted components: each output
+    coordinate is a literal dot-product expression compiled into
+    whole-stage codegen (no UDF, no shuffle, no broadcast — the k x d
+    matrix lives in the plan, same idiom as embedding_random_projection).
+    Output: (vec_id, pc_1..pc_k)."""
+    cols = [F.col("vec_id")]
+    for r, comp in enumerate(components, start=1):
+        expr = None
+        for i, w in enumerate(comp, start=1):
+            cen = F.element_at("embedding", i).cast("double")
+            if mean is not None:
+                cen = cen - float(mean[i - 1])
+            term = cen * float(w)
+            expr = term if expr is None else expr + term
+        cols.append(F.round(expr, 6).alias(f"pc_{r}"))
+    return emb.select(*cols)

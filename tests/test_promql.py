@@ -139,3 +139,22 @@ def test_embedding_covariance_matches_numpy(spark):
     want = np.cov(x, rowvar=False, bias=True)
     assert np.allclose(got, want, atol=5e-7)  # 6-dp rounding tolerance
     assert np.array_equal(got, got.T)
+
+
+def test_pca_fit_project_properties(spark):
+    """PCA on the distributed covariance: orthonormal components,
+    descending eigenvalues, and the projected coordinates' empirical
+    variances equal the eigenvalues (the defining PCA property)."""
+    import numpy as np
+
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+    from prometheus_anomaly_detection_lstm_spark.operators import linalg
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    comps, vals, mean = linalg.pca_fit(emb, k=4)
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+    assert all(vals[i] >= vals[i + 1] for i in range(3))
+    proj = linalg.pca_project(emb, comps, mean).toPandas()
+    got_var = proj[[f"pc_{r}" for r in range(1, 5)]].to_numpy().var(axis=0)
+    assert np.allclose(got_var, vals, rtol=1e-3)
