@@ -158,3 +158,38 @@ def test_pca_fit_project_properties(spark):
     proj = linalg.pca_project(emb, comps, mean).toPandas()
     got_var = proj[[f"pc_{r}" for r in range(1, 5)]].to_numpy().var(axis=0)
     assert np.allclose(got_var, vals, rtol=1e-3)
+
+
+SAMPLE_SCHEMA = "ts timestamp_ntz, metric string, value double, seq long"
+
+
+def test_promql_ops_on_empty_and_singleton_input(spark):
+    """Empty stream -> empty frames; a single sample -> one bucket with
+    NULL increase/rate (no predecessor) and a well-defined gauge row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    empty = spark.createDataFrame([], SAMPLE_SCHEMA)
+    assert promql.counter_rate(empty).count() == 0
+    assert promql.gauge_over_time(empty).count() == 0
+    assert promql.histogram_quantile(empty).count() == 0
+
+    one = spark.createDataFrame([(_ts(1), "m", 7.0, 1)], SAMPLE_SCHEMA)
+    r = promql.counter_rate(one).collect()
+    assert len(r) == 1 and r[0]["increase"] is None and r[0]["n_resets"] == 0
+    g = promql.gauge_over_time(one).collect()
+    assert g[0]["delta_v"] == 0.0 and g[0]["p95_v"] == 7.0
+    h = promql.histogram_quantile(one).collect()
+    assert len(h) == 1 and h[0]["n_samples"] == 1
+
+
+def test_frequent_tokens_empty_corpus(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators import text
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert text.frequent_tokens(empty).count() == 0
+
+
+def test_embedding_covariance_empty(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators import linalg
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert linalg.embedding_covariance(empty).count() == 0
