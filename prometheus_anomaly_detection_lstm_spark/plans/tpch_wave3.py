@@ -496,3 +496,30 @@ QUERIES = {
     "tpch_q20": (q_tpch_q20, ORACLE_TPCH_Q20),
     "tpch_q21": (q_tpch_q21, ORACLE_TPCH_Q21),
 }
+
+
+# ------------------------------------------------------------- CUBE
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping
+    combinations in one pass (rollup_agg covers the hierarchical
+    subset; this is the full lattice).  Same single-shuffle expand
+    strategy — each input row fans out to its grouping sets map-side,
+    one exchange on the padded keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").alias("n"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+ORACLE_CUBE_AGG = """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+
+QUERIES["cube_agg"] = (q_cube_agg, ORACLE_CUBE_AGG)
