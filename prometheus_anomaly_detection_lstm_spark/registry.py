@@ -281,7 +281,7 @@ PRIORITY: list[str] = [
     "promql_counter_rate", "promql_gauge_over_time",
     "promql_histogram_quantile", "text_frequent_tokens",
     "embedding_covariance", "promql_topk_series",
-    "promql_rate_by_labelset", "cube_agg",
+    "promql_rate_by_labelset", "cube_agg", "table_profile",
     # ---- NEW this round: TPC-H second wave, event enrichment ops,
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
@@ -348,7 +348,8 @@ PRIORITY: list[str] = [
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import extended, relational, tpch_more, tpch_wave3
     from .operators import (
-        approx, corpus, dedup, linalg, promql, similarity, text, multimodal,
+        approx, corpus, dedup, linalg, profile, promql, similarity, text,
+        multimodal,
     )
     from .ml import lstm_query
 
@@ -361,6 +362,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(linalg.QUERIES)
+    merged.update(profile.QUERIES)
     merged.update(dedup.QUERIES)
     merged.update(similarity.QUERIES)
     merged.update(text.QUERIES)
