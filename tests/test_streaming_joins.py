@@ -73,3 +73,50 @@ def test_interval_join_matches_batch_semantics(spark, tmp_path):
     assert {
         (r.error_id, r.click_id) for r in batch.collect()
     } == got
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: each microbatch enriches against a static
+    dimension (broadcast per batch, no state) — the streaming twin of
+    every dim join in the relational suite."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ss_src")
+    out = str(tmp_path / "ss_out")
+    ck = str(tmp_path / "ss_ck")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ts": pd.Timestamp("2024-01-01 10:00:00"), "metric": "click",
+                 "value": 1.0},
+                {"ts": pd.Timestamp("2024-01-01 10:01:00"), "metric": "error",
+                 "value": 2.0},
+                {"ts": pd.Timestamp("2024-01-01 10:02:00"), "metric": "nope",
+                 "value": 3.0},
+            ]
+        )
+    ).coalesce(1).write.mode("append").parquet(src)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("error", "reliability")],
+        ["metric", "family"],
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, metric string, value double"
+    ).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "metric", "left").withColumn(
+        "family", F.coalesce(F.col("family"), F.lit("unmapped"))
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.metric, r.family) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("click", "engagement"), ("error", "reliability"), ("nope", "unmapped")
+    }
