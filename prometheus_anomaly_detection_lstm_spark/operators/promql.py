@@ -455,3 +455,74 @@ GROUP BY 1, 2, 3"""
 
 
 QUERIES["promql_rate_by_labelset"] = (q_rate_by_labelset, ORACLE_RATE_BY_LABELSET)
+
+
+def rate_anomaly_flags(
+    samples: DataFrame, z: float = 3.0, bucket_s: int = BUCKET_S
+) -> DataFrame:
+    """The reference's whole premise, composed over NATIVE rate():
+    flag buckets whose counter rate deviates more than ``z`` population
+    standard deviations from the series mean — rate() -> per-series
+    moments -> z-score, all on the aggregated frame (one rate subtree,
+    one tiny per-series moment aggregate joined back broadcast-size).
+
+    The reference scores a learned reconstruction (ml/); this is the
+    statistical baseline every monitoring stack runs first, and the
+    z-score feeds the same threshold/flag operators (P7/P8).
+    """
+    rates = counter_rate(samples, bucket_s).filter(
+        F.col("rate_per_s").isNotNull()
+    )
+    moments = rates.groupBy(F.col("metric").alias("__m")).agg(
+        F.avg("rate_per_s").alias("__mu"),
+        F.stddev_pop("rate_per_s").alias("__sigma"),
+    )
+    zcol = (F.col("rate_per_s") - F.col("__mu")) / F.expr(
+        "nullif(__sigma, 0D)"
+    )
+    return (
+        rates.join(moments, rates.metric == F.col("__m"))
+        .select(
+            "metric",
+            "w_start",
+            "rate_per_s",
+            F.round(zcol, 6).alias("z_score"),
+            F.when(F.abs(zcol) > z, 1).otherwise(0).cast("bigint")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+def q_rate_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return rate_anomaly_flags(_long(spark, sf_dir))
+
+
+ORACLE_RATE_ANOMALY = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), e AS (
+  SELECT metric,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM s
+), r AS (
+  SELECT metric, w_start, round(sum(inc) / {BUCKET_S}.0, 6) AS rate_per_s
+  FROM e GROUP BY 1, 2
+  HAVING sum(inc) IS NOT NULL
+), m AS (
+  SELECT metric, avg(rate_per_s) AS mu, stddev_pop(rate_per_s) AS sigma
+  FROM r GROUP BY 1
+)
+SELECT r.metric, w_start, rate_per_s,
+       round((rate_per_s - mu) / nullif(sigma, 0), 6) AS z_score,
+       CAST(CASE WHEN abs((rate_per_s - mu) / nullif(sigma, 0)) > 3.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM r JOIN m ON r.metric = m.metric"""
+
+
+QUERIES["promql_rate_anomaly"] = (q_rate_anomaly_flags, ORACLE_RATE_ANOMALY)
