@@ -99,3 +99,47 @@ def test_standard_scaler_moments(spark, vals):
     assert mean == pytest.approx(0.0, abs=1e-6)
     # population-std scaling -> unit population variance
     assert math.sqrt(var) == pytest.approx(1.0, rel=1e-6)
+
+
+# ------------------------------------------------------- promql rate
+
+counter_values = st.lists(
+    st.floats(min_value=0.0, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=counter_values)
+def test_counter_rate_total_increase_matches_reference(spark, vals):
+    """Conservation law over ARBITRARY counter series (random resets
+    included): summed bucket increases == the straightforward one-pass
+    reference computation, and reset counts agree."""
+    from prometheus_anomaly_detection_lstm_spark.operators import promql
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(seconds=137 * i), "m", v, i)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, metric string, value double, seq long"
+    )
+    got = promql.counter_rate(df, bucket_s=600).collect()
+    got_inc = sum(r["increase"] for r in got if r["increase"] is not None)
+    got_resets = sum(r["n_resets"] for r in got)
+
+    want_inc, want_resets = 0.0, 0
+    for prev, cur in zip(vals, vals[1:]):
+        if cur >= prev:
+            want_inc += cur - prev
+        else:
+            want_inc += cur
+            want_resets += 1
+    assert got_resets == want_resets
+    # per-bucket round(.,6) before summing: tolerance scales with buckets
+    assert got_inc == pytest.approx(want_inc, abs=1e-5 * max(1, len(got)))
+    assert sum(r["n_samples"] for r in got) == len(vals)
