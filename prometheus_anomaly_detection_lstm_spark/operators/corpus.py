@@ -23,6 +23,8 @@ requirement for dataset lineage), and DuckDB-oracle-checkable:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -421,3 +423,96 @@ QUERIES = {
     "corpus_shuffle_shards": (q_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
     "corpus_token_budget_sample": (q_token_budget, ORACLE_TOKEN_BUDGET),
 }
+
+
+def clean_corpus_summary(docs: DataFrame) -> DataFrame:
+    """The composed LLM-data cleaning pipeline, end-to-end in ONE plan:
+
+        quality filter (C4 rules)  ->  exact dedup (keep-first by
+        content digest)  ->  benchmark decontamination (8-gram
+        collision scrub)  ->  per-(lang, source) corpus summary
+
+    Each stage is the registered operator's own logic (quality rules
+    shared via text.quality_checks; digest/dedup and the gram join are
+    the dedup_exact / corpus_decontaminate shapes), so the composition
+    proves the stages snap together without materialization barriers:
+    Catalyst plans the whole thing as one DAG — filters fold into the
+    scan, the dedup rollup and the anti-join stack on their own keyed
+    exchanges, and the output is a tiny integer table (no float
+    rounding surface at all).
+
+    The benchmark set (doc_id % DECON_BENCH_MOD == 0) is carved from
+    the ORIGINAL corpus (contamination is defined against the eval set
+    as published, not against whatever survived earlier stages);
+    benchmark members are also excluded from the training output.
+    """
+    from .dedup import exact_duplicates
+    from .text import quality_checks
+
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    keep = reduce(lambda a, b: a & b, [ok for _, ok in quality_checks()])
+    kept = docs.filter(~is_bench).filter(keep)
+    # keep-first among surviving training docs (digest over full text)
+    reps = (
+        kept.withColumn("digest", F.md5(F.col("text").cast("binary")))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    contaminated = decontaminate(docs).select("doc_id")
+    clean = (
+        kept.join(reps, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return clean.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+ORACLE_CLEAN_CORPUS = f"""WITH q AS (
+  SELECT *,
+         len(string_split(text, ' ')) >= 10 AS ok_min_words,
+         list_max(list_transform(string_split(text, ' '), w -> length(w)))
+           <= 20 AS ok_word_len,
+         NOT contains(lower(text), 'lorem ipsum') AS ok_lorem,
+         NOT contains(text, '{{') AS ok_braces
+  FROM documents
+  WHERE doc_id % {DECON_BENCH_MOD} != 0
+), kept AS (
+  SELECT * FROM q
+  WHERE ok_min_words AND ok_word_len AND ok_lorem AND ok_braces
+), reps AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= {DECON_NGRAM}
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, i, i + {DECON_NGRAM - 1}), ' ') AS gram
+  FROM w, unnest(generate_series(1, len(ws) - {DECON_NGRAM - 1})) AS t(i)
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g JOIN bench b ON g.gram = b.gram
+  WHERE g.doc_id % {DECON_BENCH_MOD} != 0
+), clean AS (
+  SELECT k.* FROM kept k
+  JOIN reps r ON k.doc_id = r.doc_id
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id
+FROM clean
+GROUP BY 1, 2"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_corpus_summary(_docs(spark, sf_dir))
+
+
+QUERIES["corpus_clean_pipeline"] = (q_clean_corpus, ORACLE_CLEAN_CORPUS)

@@ -454,6 +454,20 @@ QUALITY_FILTER_MIN_WORDS = 10
 QUALITY_FILTER_MAX_WORD_LEN = 20
 
 
+def quality_checks() -> list[tuple[str, "F.Column"]]:
+    """The C4-style rule set as (name, boolean Column) pairs over a doc
+    row — shared by quality_filter and the composed clean-corpus
+    pipeline (corpus.clean_corpus_summary) so the two can never drift."""
+    words = F.split(F.col("text"), " ")
+    max_word_len = F.array_max(F.transform(words, F.length))
+    return [
+        ("min_words", F.size(words) >= QUALITY_FILTER_MIN_WORDS),
+        ("max_word_len", max_word_len <= QUALITY_FILTER_MAX_WORD_LEN),
+        ("no_lorem", ~F.lower(F.col("text")).contains("lorem ipsum")),
+        ("no_braces", ~F.col("text").contains("{")),
+    ]
+
+
 def quality_filter(docs: DataFrame) -> DataFrame:
     """C4-style hard document filter: keep bit + failure reasons.
 
@@ -464,14 +478,7 @@ def quality_filter(docs: DataFrame) -> DataFrame:
       no_lorem      no 'lorem ipsum' boilerplate
       no_braces     no '{' (code/markup leakage into prose corpora)
     """
-    words = F.split(F.col("text"), " ")
-    max_word_len = F.array_max(F.transform(words, F.length))
-    checks = [
-        ("min_words", F.size(words) >= QUALITY_FILTER_MIN_WORDS),
-        ("max_word_len", max_word_len <= QUALITY_FILTER_MAX_WORD_LEN),
-        ("no_lorem", ~F.lower(F.col("text")).contains("lorem ipsum")),
-        ("no_braces", ~F.col("text").contains("{")),
-    ]
+    checks = quality_checks()
     fails = F.concat_ws(
         ",",
         F.array_compact(
