@@ -298,17 +298,20 @@ PRIORITY: list[str] = [
     # one-exchange prep subtree as the three in-window representatives
     # below — local parity covers them; their slots go to never-graded
     # round-3/4 ops)
-    "minmax_scaled", "anomaly_mse", "anomaly_flags", "threshold_split",
+    # (anomaly_flags is the entry() flagship — smoke-checked every round)
+    "minmax_scaled", "anomaly_mse", "threshold_split",
     "anomaly_mse_lstm",
     "ann_cosine_topk_ivf", "range_join_interval_counts",
     "dedup_minhash_incremental",
     # minhash signature family rebuilt (sliced-md5, raw-shingle agg)
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_apply",
+    # (dedup_clusters shares the rebuilt minhash subtree with lsh/apply)
+    "dedup_minhash_lsh", "dedup_apply", "dedup_embedding_cosine",
     # new corpus ops + salted stratified sample
     "corpus_stratified_sample", "corpus_decontaminate",
-    "corpus_shuffle_shards", "corpus_token_budget_sample",
-    # embedding: quantile-radius cell join + new quantizer
-    "dedup_embedding_cosine", "embedding_quantize_int8",
+    "corpus_shuffle_shards", "corpus_token_budget_sample", "anomaly_flags",
+    "dedup_clusters",
+    # embedding quantizer (cell join moved up beside the minhash family)
+    "embedding_quantize_int8",
     # text: size-gated tfidf join + new filters
     "text_tfidf_top_terms", "text_repetition_scores",
     "text_quality_filter",
