@@ -526,3 +526,64 @@ FROM r JOIN m ON r.metric = m.metric"""
 
 
 QUERIES["promql_rate_anomaly"] = (q_rate_anomaly_flags, ORACLE_RATE_ANOMALY)
+
+
+def absent_buckets(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
+    """PromQL ``absent()`` for batch: every (series, bucket) slot inside
+    the corpus' observed time range with NO sample — the missing-data
+    alert surface (scrape outages, dead exporters).
+
+    Shape: observed slots is a distinct aggregate; the expected grid is
+    #series x sequence(lo, hi) exploded from a one-row bounds aggregate
+    (broadcast); missing = grid LEFT ANTI observed.  Work is
+    proportional to the GRID (series x buckets — the alert surface
+    itself), not the sample volume; the anti-join is a hash equi-join
+    on (metric, w_start).
+    """
+    observed = (
+        samples.select(
+            "metric",
+            F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
+        )
+        .distinct()
+    )
+    bounds = observed.agg(
+        F.min("w_start").alias("__lo"), F.max("w_start").alias("__hi")
+    )
+    series = samples.select("metric").distinct()
+    grid = (
+        series.crossJoin(F.broadcast(bounds))
+        .select(
+            "metric",
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval {bucket_s} seconds)")
+            ).alias("w_start"),
+        )
+    )
+    return grid.join(observed, ["metric", "w_start"], "left_anti")
+
+
+def q_absent_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return absent_buckets(_long(spark, sf_dir))
+
+
+ORACLE_ABSENT = f"""WITH e AS (
+  SELECT event_type AS metric,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(w_start) AS lo, max(w_start) AS hi FROM e
+), grid AS (
+  SELECT m.metric, g.w_start
+  FROM (SELECT DISTINCT metric FROM e) m,
+       (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL '{BUCKET_S} seconds'))
+          AS w_start) g
+)
+SELECT metric, w_start
+FROM grid ANTI JOIN e USING (metric, w_start)"""
+
+
+QUERIES["promql_absent"] = (q_absent_buckets, ORACLE_ABSENT)

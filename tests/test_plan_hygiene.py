@@ -34,6 +34,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "approx_threshold_percentiles",  # sketch summary row
     "dedup_embedding_cosine",   # centroid + radius tables (n_cells rows)
     "fill_mean",                # per-column means summary row
+    "promql_absent",            # one-row (lo, hi) bounds aggregate
     "fill_median",              # per-column medians summary row
     "mse_histogram",            # min/max bounds row
     "rolling_features",         # day-offset carry summary
