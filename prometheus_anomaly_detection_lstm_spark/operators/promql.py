@@ -587,3 +587,89 @@ FROM grid ANTI JOIN e USING (metric, w_start)"""
 
 
 QUERIES["promql_absent"] = (q_absent_buckets, ORACLE_ABSENT)
+
+
+def deriv_predict(
+    samples: DataFrame, horizon_s: int = 300, bucket_s: int = BUCKET_S
+) -> DataFrame:
+    """PromQL ``deriv()`` + ``predict_linear()`` per (series, bucket):
+    least-squares slope of a gauge, and the linear forecast
+    ``horizon_s`` past the bucket end.
+
+    One aggregate computes the co-moments; the time axis is re-based to
+    seconds-into-bucket (covar/var are translation-invariant, so the
+    slope is unchanged while the arithmetic stays in [0, bucket_s)
+    instead of squaring epoch-scale numbers — the same precision trick
+    as metric_trend_slopes, here with a per-window constant shift).
+    predict_linear anchors at the bucket's LAST sample (max_by in the
+    same aggregate) — no second pass, no join.
+    """
+    w_start = F.window("ts", f"{bucket_s} seconds").start.alias("w_start")
+    based = samples.select(
+        "metric",
+        w_start,
+        "value",
+        "ts",
+        "seq",
+    ).withColumn(
+        "__t",
+        F.col("ts").cast("timestamp").cast("double")
+        - F.col("w_start").cast("timestamp").cast("double"),
+    )
+    slope = F.covar_pop("value", "__t") / F.expr(
+        "nullif(var_pop(__t), 0D)"
+    )
+    last = F.expr(
+        "max_by(named_struct('v', value, 't', __t), "
+        "named_struct('t', ts, 's', seq))"
+    )
+    return (
+        based.groupBy("metric", "w_start")
+        .agg(
+            F.count("*").alias("n_samples"),
+            slope.alias("__slope"),
+            last.alias("__last"),
+        )
+        .select(
+            "metric",
+            "w_start",
+            "n_samples",
+            F.round("__slope", 6).alias("slope_per_s"),
+            F.round(
+                F.col("__last.v")
+                + F.col("__slope")
+                * (F.lit(float(bucket_s + horizon_s)) - F.col("__last.t")),
+                6,
+            ).alias("predicted"),
+        )
+    )
+
+
+def q_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return deriv_predict(_long(spark, sf_dir))
+
+
+ORACLE_DERIV_PREDICT = f"""WITH b AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start,
+         epoch(ts) - epoch(time_bucket(INTERVAL '{BUCKET_S} seconds', ts))
+           AS t
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY metric, w_start ORDER BY ts DESC, seq DESC) AS rn
+  FROM b
+)
+SELECT metric, w_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(covar_pop(value, t) / nullif(var_pop(t), 0), 6) AS slope_per_s,
+       round(max(CASE WHEN rn = 1 THEN value END)
+             + (covar_pop(value, t) / nullif(var_pop(t), 0))
+               * ({BUCKET_S + 300}.0 - max(CASE WHEN rn = 1 THEN t END)),
+             6) AS predicted
+FROM r
+GROUP BY 1, 2"""
+
+
+QUERIES["promql_deriv_predict"] = (q_deriv_predict, ORACLE_DERIV_PREDICT)
