@@ -4,7 +4,7 @@
 CONFIG ?= config.yaml
 SF ?= /root/testdata/sf0.01
 
-.PHONY: collect preprocess train filter detect test parity bench clean
+.PHONY: collect preprocess train filter detect test parity sweep hygiene bench clean
 
 collect:
 	python -m prometheus_anomaly_detection_lstm_spark.cli collect --config $(CONFIG)
@@ -26,6 +26,15 @@ test:
 
 parity:
 	SPARK_GRAFT_TEST_SF=$(SF) python -m pytest tests/test_oracle_parity.py -q
+
+# full driver-contract sweep: every registry query vs its DuckDB oracle
+# (run from OUTSIDE the repo in real verification; see .claude/skills/verify)
+sweep:
+	python tools/driver_sim.py $$(python -c "from prometheus_anomaly_detection_lstm_spark.registry import PRIORITY; print(' '.join(PRIORITY))")
+
+# registry-wide physical-plan floor (no cartesian/global sort/row UDF)
+hygiene:
+	python -m pytest tests/test_plan_hygiene.py -q
 
 bench:
 	python bench.py
