@@ -89,3 +89,68 @@ def test_streaming_rate_conserves_increase_across_batches(spark, tmp_path):
     )
     streamed_total = sum(r["batch_increase"] for r in rows)
     assert streamed_total == pytest.approx(batch_total, abs=2e-6)
+
+
+def test_streaming_rate_over_prometheus_source(spark, tmp_path):
+    """Integration: spark.readStream.format('prometheus') -> per-series
+    stateful rate.  The stub serves each query a 0,1,2 counter ramp, so
+    every series must report increase == 2.0 in its batch."""
+    import json
+
+    from prometheus_anomaly_detection_lstm_spark.sources.prometheus import (
+        PrometheusDataSource,
+    )
+    from pyspark.sql import functions as F
+
+    from .test_prometheus_source import _StubProm
+
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _StubProm)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        spark.dataSource.register(PrometheusDataSource)
+        stream = (
+            spark.readStream.format("prometheus")
+            .option("url", url)
+            .option("queries_json", json.dumps({"m1": "q1", "m2": "q2"}))
+            .option("start", "2024-01-01T00:00:00Z")
+            .option("end", "2024-01-01T00:10:00Z")
+            .option("step_seconds", "120")
+            .load()
+            .select(
+                "ts",
+                "metric",
+                "value",
+                F.col("series_idx").cast("long").alias("seq"),
+            )
+        )
+        from prometheus_anomaly_detection_lstm_spark.streaming.rate import (
+            streaming_counter_rate,
+        )
+
+        q = (
+            streaming_counter_rate(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("prom_rate_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM prom_rate_out").collect()
+        agg = {}
+        for r in rows:
+            a = agg.setdefault(r["metric"], {"inc": 0.0, "n": 0})
+            if r["batch_increase"] is not None:
+                a["inc"] += r["batch_increase"]
+            a["n"] += r["n_samples"]
+        assert set(agg) == {"m1", "m2"}
+        for m, a in agg.items():
+            assert a["n"] == 3, (m, a)
+            assert a["inc"] == pytest.approx(2.0), (m, a)
+    finally:
+        srv.shutdown()
