@@ -795,3 +795,79 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_frequent_tokens"] = (q_frequent_tokens, ORACLE_FREQUENT_TOKENS)
+
+
+# ------------------------------------------------------ n-gram novelty
+
+NOVELTY_N = 5
+
+
+def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-doc novelty: the fraction of its word ``n``-grams whose FIRST
+    corpus occurrence (by doc_id order) is this doc — the contribution
+    score dataset-curation pipelines use to rank near-redundant docs
+    (a doc whose grams all appeared earlier adds nothing).
+
+    Shape: distinct (doc_id, gram) -> min(doc_id) per gram (one keyed
+    agg on the gram — the inverted-index distribution every dedup op
+    here shares) -> join back -> per-doc ratio.  Output:
+    (doc_id, n_grams, n_novel, novelty) for docs with >= n words.
+    """
+    ws = F.split(F.col("text"), " ")
+    grams = (
+        docs.withColumn("ws", ws)
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(ws) - {n - 1})")).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(ws, i, {n}))").alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
+        )
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= {NOVELTY_N}
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, i, i + {NOVELTY_N - 1}), ' ') AS gram
+  FROM w, unnest(generate_series(1, len(ws) - {NOVELTY_N - 1})) AS t(i)
+), first AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+             / count(*), 6) AS novelty
+FROM grams g JOIN first f USING (gram)
+GROUP BY 1"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(_docs(spark, sf_dir))
+
+
+QUERIES["text_ngram_novelty"] = (q_ngram_novelty, ORACLE_NGRAM_NOVELTY)

@@ -753,3 +753,53 @@ QUERIES["metric_trend_slopes"] = (
     q_metric_trend_slopes,
     ORACLE_METRIC_TREND_SLOPES,
 )
+
+
+def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the aligned metric columns — the
+    redundancy screen run before training on a metric set (two highly
+    correlated inputs add parameters, not signal; the reference's
+    config hand-picks its 7 metrics, this measures that choice).
+
+    One aggregate computes all C(5,2) correlations map-side over the
+    shared wide frame — no joins, no extra shuffle beyond the pivot's.
+    NULL-row handling matches corr() in both engines (pairwise-complete
+    rows only).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wide = P.wide_frame(spark, sf_dir)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(P.METRICS)
+        for b in P.METRICS[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"{a}__{b}") for a, b in pairs
+    ]
+    row = wide.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (metric_a, metric_b, corr)"
+    )
+
+
+def _metric_correlations_oracle() -> str:
+    from ..oracles import pipeline_prefix
+
+    pairs = [
+        (a, b)
+        for i, a in enumerate(P.METRICS)
+        for b in P.METRICS[i + 1 :]
+    ]
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS metric_a, '{b}' AS metric_b, "
+        f"round(corr({a}, {b}), 6) AS corr FROM wide"
+        for a, b in pairs
+    )
+    return pipeline_prefix("wide") + "\n" + arms
+
+
+QUERIES["metric_correlations"] = (
+    q_metric_correlations,
+    _metric_correlations_oracle(),
+)

@@ -283,7 +283,7 @@ PRIORITY: list[str] = [
     "embedding_covariance", "promql_topk_series",
     "promql_rate_by_labelset", "cube_agg", "table_profile",
     "promql_rate_anomaly", "corpus_clean_pipeline", "promql_absent",
-    "promql_deriv_predict",
+    "promql_deriv_predict", "text_ngram_novelty", "metric_correlations",
     # ---- NEW this round: TPC-H second wave, event enrichment ops,
     # duplicate-span mining — never graded, must get a row ----
     "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
