@@ -43,6 +43,28 @@ def single_partition_key(col: Column | str) -> Column:
     return F.pmod(F.hash(F.col(col) if isinstance(col, str) else col), F.lit(1))
 
 
+def ntz_epoch_seconds(ts: Column | str) -> Column:
+    """TIMESTAMP_NTZ -> epoch seconds (DOUBLE), session-TZ-INDEPENDENT.
+
+    ``ntz.cast("timestamp").cast("double")`` interprets the wall-clock
+    value in the SESSION timezone — correct only under UTC, silently
+    DST-skewed otherwise (e.g. irate over a spring-forward boundary).
+    This expression uses only calendar-field extractions from the NTZ
+    value (date diff, hour, minute, decimal second), so no timezone
+    enters anywhere; fractional seconds survive via
+    ``extract(second)``'s DECIMAL.  Matches DuckDB ``epoch(ts)`` (which
+    also treats a plain TIMESTAMP as UTC wall-clock) for oracle parity.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    sec = F.date_part(F.lit("second"), c)
+    return (
+        F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("double") * 86400
+        + F.hour(c).cast("double") * 3600
+        + F.minute(c).cast("double") * 60
+        + sec.cast("double")
+    )
+
+
 def coerce_double(c: Column) -> Column:
     """String -> double with NULL on failure.
 

@@ -44,6 +44,78 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_if_underpartitioned(
+    df: DataFrame,
+    *key_cols: str,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Hash-repartition ``df`` by ``key_cols`` ONLY when the scan is
+    under-split — the local single-row-group parquet fix without the
+    at-scale tax.
+
+    The local testdata files are one row group each, so the scan — and
+    with it any CPU-heavy map stage (shingle explode+md5, per-vector
+    float kernels) — runs as ONE task.  A hash repartition on the
+    per-row key parallelizes the map work AND satisfies downstream
+    per-key aggregations' ClusteredDistribution, so no second exchange
+    appears.  On a real lake the input arrives pre-split into hundreds
+    of tasks; there the same repartition would insert an unconditional
+    full-data exchange on every run (round-3 verdict finding #2), so it
+    is gated: only fire when the current partition count is below half
+    the session's core count (i.e. the scan genuinely can't feed the
+    cores).  ``min_partitions=None`` derives the threshold from
+    ``defaultParallelism``; pass an explicit value to tune.
+
+    Contract: ``df`` must be a SCAN-ROOTED frame (a read plus row-level
+    projections/filters, no prior repartition) — the estimate comes from
+    the scan's file listing, which ``inputFiles()`` traces through any
+    later repartition, so a pre-shuffled frame would be re-exchanged.
+    Both call sites (shingle and embedding producers) pass raw scans.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    threshold = max(2, n // 2) if min_partitions is None else min_partitions
+    if _estimated_scan_partitions(df) >= threshold:
+        return df
+    return df.repartition(n, *key_cols)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate the scan's task count WITHOUT running a job.
+
+    ``df.rdd.getNumPartitions()`` forces physical planning (and under
+    AQE can run a job) — measured ~0.2 s per call, real money on the
+    bench hot path.  Instead: ``inputFiles()`` is a metadata-only
+    listing; each file yields at least one task, and a local file larger
+    than ``spark.sql.files.maxPartitionBytes`` splits into
+    ``ceil(size / maxPartitionBytes)``.  Non-local / non-statable inputs
+    count as one task per file — a LOWER bound, so the gate can only
+    over-parallelize (harmless locally), never skip a needed fix.
+    Frames with no scan lineage (in-memory, post-shuffle) fall back to
+    the exact ``.rdd`` count.
+    """
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.rdd.getNumPartitions()
+    max_bytes = int(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .removesuffix("b")
+    )
+    total = 0
+    for f in files:
+        local = f.removeprefix("file:")
+        if os.path.exists(local):
+            total += max(1, -(-os.path.getsize(local) // max_bytes))
+        else:
+            total += 1
+    return total
+
+
 def write_day_partitioned(
     df: DataFrame,
     path: str,

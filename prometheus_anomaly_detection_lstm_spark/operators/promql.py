@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import ntz_epoch_seconds
 from ..io_tables import load_table
 
 #: tumbling bucket width for the registered queries (seconds).
@@ -64,12 +65,13 @@ def _with_deltas(
     ``series_cols`` is the series identity — the full labelset in
     production (Prometheus series = metric name + every label pair),
     which is exactly what makes the lag window scale: partition count
-    grows with label cardinality.  Requires session TZ = UTC (the
-    NTZ->epoch hop, see plans/extended sessionize note on Spark 4.1
-    ANSI).
+    grows with label cardinality.  ``__dt`` derives from
+    ``ntz_epoch_seconds`` (calendar-field arithmetic), so it is correct
+    under ANY session timezone — direct library callers no longer need
+    the q_* wrappers' UTC pin (round-3 advisor finding).
     """
     w = Window.partitionBy(*series_cols).orderBy("ts", "seq")
-    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    ts_sec = ntz_epoch_seconds("ts")
     prev_v = F.lag("value").over(w)
     inc = (
         F.when(prev_v.isNull(), F.lit(None).cast("double"))
@@ -613,8 +615,7 @@ def deriv_predict(
         "seq",
     ).withColumn(
         "__t",
-        F.col("ts").cast("timestamp").cast("double")
-        - F.col("w_start").cast("timestamp").cast("double"),
+        ntz_epoch_seconds("ts") - ntz_epoch_seconds("w_start"),
     )
     slope = F.covar_pop("value", "__t") / F.expr(
         "nullif(var_pop(__t), 0D)"

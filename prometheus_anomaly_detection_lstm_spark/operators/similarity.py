@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import single_partition_key
-from ..io_tables import load_table
+from ..io_tables import load_table, parallelize_if_underpartitioned
 
 TOP_K = 10
 N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
@@ -23,16 +23,15 @@ LSH_PLANES = 8  # sign-LSH bits for the bucketed variant
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings, hash-distributed by vec_id across the session's cores.
 
-    Same single-row-group local-input fix as dedup._docs: without it the
-    scan is one task and every per-vector float kernel (dot products,
-    norms, quantization) serializes on one core.  vec_id hash keeps the
-    distribution reusable by downstream per-vector aggregations; on a
-    real lake the input arrives pre-split and this folds into the
-    scan's distribution.
+    Same single-row-group local-input fix as dedup._shingles_raw:
+    without it the scan is one task and every per-vector float kernel
+    (dot products, norms, quantization) serializes on one core.  vec_id
+    hash keeps the distribution reusable by downstream per-vector
+    aggregations.  Gated (``parallelize_if_underpartitioned``) so a real
+    lake whose scan is already well-split pays no exchange.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = spark.sparkContext.defaultParallelism
-    return emb.repartition(n, "vec_id")
+    return parallelize_if_underpartitioned(emb, "vec_id")
 
 
 def _as_double(col: str):

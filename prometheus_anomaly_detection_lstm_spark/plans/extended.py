@@ -773,8 +773,14 @@ def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(P.METRICS)
         for b in P.METRICS[i + 1 :]
     ]
+    # nanvl -> NULL: Spark's corr returns NaN on a zero-variance input
+    # while DuckDB returns NULL; canonicalize to NULL so a degenerate
+    # (constant) metric can't diverge the oracle comparison.
     aggs = [
-        F.round(F.corr(a, b), 6).alias(f"{a}__{b}") for a, b in pairs
+        F.nanvl(F.round(F.corr(a, b), 6), F.lit(None).cast("double")).alias(
+            f"{a}__{b}"
+        )
+        for a, b in pairs
     ]
     row = wide.agg(*aggs)
     stack = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)

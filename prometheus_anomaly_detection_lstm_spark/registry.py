@@ -274,75 +274,68 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- NEW: TPC-H third wave (completes all 22 classic shapes) ----
-    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13",
-    "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
-    # ---- NEW: native PromQL semantics (rate/irate/over_time) ----
-    "promql_counter_rate", "promql_gauge_over_time",
-    "promql_histogram_quantile", "text_frequent_tokens",
-    "embedding_covariance", "promql_topk_series",
-    "promql_rate_by_labelset", "cube_agg", "table_profile",
-    "promql_rate_anomaly", "corpus_clean_pipeline", "promql_absent",
-    "promql_deriv_predict", "text_ngram_novelty", "metric_correlations",
-    # ---- NEW this round: TPC-H second wave, event enrichment ops,
-    # duplicate-span mining — never graded, must get a row ----
-    "tpch_q10", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
-    "tpch_q22", "tpch_q7", "tpch_q4", "events_json_extract", "retention_cohorts",
-    "text_dup_ngram_spans", "user_path_transitions",
-    "embedding_random_projection", "text_lm_trigram_scores",
-    "metric_trend_slopes",
-    # sessionize: NTZ-cast fix for Spark 4.1 ANSI this round
-    "sessionize",
-    # ---- changed or new in round 4: need a fresh CORRECTNESS row ----
-    # prep pipeline rebuilt on the one-exchange day-partitioned pivot
-    # (mse_histogram/threshold_percentiles/per_feature_mse ride the same
-    # one-exchange prep subtree as the three in-window representatives
-    # below — local parity covers them; their slots go to never-graded
-    # round-3/4 ops)
-    # (anomaly_flags is the entry() flagship — smoke-checked every round)
-    "minmax_scaled", "anomaly_mse", "threshold_split",
-    "anomaly_mse_lstm",
-    # (ann_cosine_topk_ivf is rows-only for the driver — its recall and
-    # prebuilt-index equivalence are pinned by pytest, the stronger check)
-    "range_join_interval_counts", "dedup_minhash_incremental",
-    # minhash signature family rebuilt (sliced-md5, raw-shingle agg)
-    # (dedup_clusters shares the rebuilt minhash subtree with lsh/apply)
-    "dedup_minhash_lsh", "dedup_apply", "dedup_embedding_cosine",
-    # new corpus ops + salted stratified sample
-    "corpus_stratified_sample", "corpus_decontaminate",
-    "corpus_shuffle_shards", "corpus_token_budget_sample", "anomaly_flags",
-    "dedup_clusters",
-    # embedding quantizer (cell join moved up beside the minhash family)
-    "embedding_quantize_int8",
-    # text: size-gated tfidf join + new filters
-    "text_tfidf_top_terms", "text_repetition_scores",
-    "text_quality_filter",
-    # ANN production configs re-tuned in round 3 (rows-only, approx;
-    # ivf/range-join/incremental moved up into the window above)
+    # ---- round-3 verdict task 1: the 6 queries that have NEVER had an
+    # official CORRECTNESS row (displaced past the 50-slot window three
+    # rounds running) plus dedup_clusters (last row predates the
+    # sliced-md5 minhash rebuild it shares a subtree with) — first 10
+    # slots, guaranteed graded ----
+    "corpus_decontaminate", "corpus_shuffle_shards",
+    "corpus_token_budget_sample", "embedding_quantize_int8",
+    "text_repetition_scores", "text_quality_filter", "dedup_clusters",
+    # ---- NEW in round 4 (added as built; each needs a first row) ----
+    # (slot reserved: new ops are inserted here)
+    # ---- changed in round 4: shingle/embedding producers now gate the
+    # local-parallelism repartition (verdict tasks 2/4) — every consumer
+    # re-rowed on the new plan ----
+    "dedup_minhash_lsh", "dedup_minhash_incremental", "dedup_apply",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_exact", "dedup_embedding_cosine",
+    "ann_cosine_topk", "embedding_norms", "embedding_random_projection",
+    # (ann_cosine_topk_lsh / _ivf are rows-only for the driver — their
+    # recall floors and prebuilt-index equivalence are pinned by pytest)
     "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
-    # prep-subtree sharers displaced from the window (parity-covered)
-    "mse_histogram", "threshold_percentiles", "per_feature_mse",
-    # ---- green in r1 only, never re-rowed since (verdict r2 task 6);
-    # bench headliners + wide_frame/join-shape sharers stay in-window ----
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
-    "nan_counts",
-    # ---- r2-green queries sharing refactored code paths (shingles,
-    # fill, wide frame): re-rowed ahead of untouched leaf queries ----
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs",
-    # ---- past the driver's 50-query window: r1-green leaf queries on
-    # code untouched since r1 (displaced by this round's new ops) ----
-    "min_cost_supplier", "multires_rollup", "rollup_agg", "topk_per_group", "semi_anti_join",
-    "running_revenue", "distinct_users", "vocab_stats",
+    # ---- changed in round 4: TZ-independent ntz_epoch_seconds in the
+    # PromQL delta/derive expressions (advisor finding) ----
+    "promql_counter_rate", "promql_gauge_over_time",
+    "promql_histogram_quantile", "promql_topk_series",
+    "promql_rate_by_labelset", "promql_rate_anomaly",
+    "promql_deriv_predict", "promql_absent",
+    # metric_correlations: NaN->NULL canonicalization (advisor finding)
+    "metric_correlations",
+    # corpus_clean_pipeline: shares rules with the newly-graded filters
+    "corpus_clean_pipeline",
+    # ---- bench headliners + flagship family: re-rowed every round ----
+    "minmax_scaled", "anomaly_mse", "threshold_split", "anomaly_mse_lstm",
+    "corpus_stratified_sample", "tpch_q1", "tpch_q3", "tpch_q5",
+    "tpch_q6", "windowed_events", "text_quality_scores",
+    "text_tfidf_top_terms", "text_frequent_tokens",
+    # ---- r1-only-green leaf queries: rotate a few through the tail of
+    # the window each round to refresh their official rows ----
+    "min_cost_supplier", "multires_rollup", "rollup_agg",
+    "topk_per_group", "semi_anti_join", "running_revenue",
+    "distinct_users", "vocab_stats",
+    # ---- past the driver's 50-query window: green official rows on
+    # unchanged code (r1-r3); local parity still sweeps all of them ----
     "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
     "user_set_ops", "funnel",
     "approx_distinct_users", "approx_threshold_percentiles",
-    # ---- unchanged + green r2 ----
-    "ffill_bfill", "scaler_params", "standard_scaled", "metrics_wide", "calendar_features",
+    "embedding_covariance", "cube_agg", "table_profile",
+    "text_ngram_novelty", "text_dup_ngram_spans", "text_lm_trigram_scores",
+    "sessionize", "events_json_extract", "retention_cohorts",
+    "user_path_transitions", "metric_trend_slopes",
+    "range_join_interval_counts", "anomaly_flags",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22",
+    "mse_histogram", "threshold_percentiles", "per_feature_mse",
+    "nan_counts",
+    "ffill_bfill", "scaler_params", "standard_scaled", "metrics_wide",
+    "calendar_features",
     "fill_mean", "fill_median", "tail_n", "inner_align",
     "dedup_keep_first", "multi_series_first", "union_periods",
-    "backfill_missing", "numeric_coercion", "ann_cosine_topk",
-    "embedding_norms", "text_token_counts", "text_quality_scores",
+    "backfill_missing", "numeric_coercion",
+    "text_token_counts",
     "text_lang_id", "text_fingerprints", "text_winnowing_fingerprints",
     "text_pii_redact", "multimodal_binary_metadata",
     "multimodal_decode_stub", "multimodal_frame_sample",

@@ -61,8 +61,13 @@ def make_rate_fn():
                 "metric": [key[0]],
                 "n_samples": [len(v)],
                 "n_resets": [int((v < prev).sum())],
+                # None (SQL NULL), not np.nan: a batch holding only a
+                # series' first-ever sample has no defined increase, and
+                # NULL matches promql.counter_rate's batch semantics —
+                # NaN would poison downstream SUMs and break the
+                # cross-batch conservation law.
                 "batch_increase": [
-                    float(inc[valid].sum()) if valid.any() else np.nan
+                    float(inc[valid].sum()) if valid.any() else None
                 ],
                 "last_value": [float(v[-1])],
                 "last_ts": [pdf["ts"].iloc[-1]],

@@ -221,7 +221,7 @@ def test_tpch_wave3_no_nested_loops_and_pushdown(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "PushedFilters: [" in plan
-    assert "PushedFilters: [" and any(
+    assert any(
         "PushedFilters: [" + tok in plan
         for tok in ("IsNotNull", "EqualTo", "GreaterThan", "LessThan", "In(")
     )
