@@ -43,6 +43,11 @@ STANDALONE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # the production ANN path (LSH_RECALL08 config) benched beside the
+    # deliberately-naive brute-force baseline; its recall@10 >= 0.8
+    # floor is asserted in this same run (after timing) so the speed
+    # number can never silently ride a degraded-recall config.
+    "ann_cosine_topk_lsh",
     "text_quality_scores",
 ]
 
@@ -63,6 +68,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_exact",
         "ann_cosine_topk",
+        "ann_cosine_topk_lsh",
         "text_quality_scores",
         "windowed_events",
         "tpch_q1",
@@ -152,12 +158,38 @@ def main() -> None:
     passes = [run_pass() for _ in range(3)]
     best = {k: min(p[k] for p in passes) for k in passes[0]}
 
+    # Recall floor for the timed approximate path (not timed itself):
+    # the LSH config's speed only counts if recall@10 vs brute force
+    # holds >= 0.8 on the same data.
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        LSH_RECALL08,
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _topk_sets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r.q_id, set()).add(r.c_id)
+        return out
+
+    exact = _topk_sets(cosine_topk(emb))
+    approx = _topk_sets(cosine_topk_lsh(emb, **LSH_RECALL08))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    lsh_recall = round(sum(recalls) / len(recalls), 4)
+    assert lsh_recall >= 0.8, f"LSH recall floor broken: {lsh_recall}"
+
     out = {
         "metric": "headline query wall time (noop write, local)",
         "value": round(sum(best.values()), 3),
         "unit": "sec",
         "queries": best,
         "sf": float(sf),
+        "ann_lsh_recall_at_10": lsh_recall,
     }
     for i, p in enumerate(passes, 1):
         out[f"value_pass{i}"] = round(sum(p.values()), 3)

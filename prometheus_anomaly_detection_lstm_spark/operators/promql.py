@@ -29,8 +29,10 @@ samples-per-retention), so parallelism grows with the data; no global
 window anywhere.  The per-bucket aggregate reuses the same (metric)
 hash distribution, and last-sample selection is max_by inside the
 aggregate — no second shuffle, no join.  A single pathological
-hot series can be day-bucketed exactly like operators/fill.py's carry
-pattern; not needed for the registered shapes.
+hot series is handled by ``counter_rate(..., hot_series=True)``
+(:func:`_with_deltas_hot`): the lag window day-buckets with a broadcast
+carry — operators/fill.py's pattern — so parallelism becomes
+#series x #days instead of #series; answer-identical, equality-pinned.
 """
 
 from __future__ import annotations
@@ -87,10 +89,65 @@ def _with_deltas(
     )
 
 
+def _with_deltas_hot(
+    samples: DataFrame, series_cols: tuple[str, ...] = ("metric",)
+) -> DataFrame:
+    """Hot-series twin of :func:`_with_deltas`: the lag window is
+    partitioned by (series, DAY) with a broadcast cross-day carry — the
+    ``operators/fill.ffill_bfill_scalable`` pattern applied to lag().
+
+    Why: the plain per-series window serializes a single pathological
+    series (one counter with billions of samples at 100 TB runs its
+    entire lag on one task).  Here each (series, day) slice is its own
+    task; the day's FIRST sample takes its predecessor from a
+    metadata-scale carry table (per-(series, day) last sample, lagged
+    one day) joined broadcast.  Result is COLUMN-IDENTICAL to
+    ``_with_deltas`` (equality pinned in tests/test_promql.py); cost is
+    one tiny summary aggregate + a broadcast join, no extra full-data
+    exchange — the pivot from "parallelism = #series" to
+    "parallelism = #series x #days".
+    """
+    ts_sec = ntz_epoch_seconds("ts")
+    with_day = samples.withColumn("__pday", F.to_date("ts"))
+    w_day = Window.partitionBy(*series_cols, "__pday").orderBy("ts", "seq")
+    day_last = with_day.groupBy(*series_cols, "__pday").agg(
+        F.max_by(
+            F.struct(F.col("value").alias("v"), ts_sec.alias("e")),
+            F.struct(F.col("ts").alias("t"), F.col("seq").alias("s")),
+        ).alias("__l")
+    )
+    w_carry = Window.partitionBy(*series_cols).orderBy("__pday")
+    carry = day_last.select(
+        *series_cols,
+        "__pday",
+        F.lag("__l.v").over(w_carry).alias("__carry_v"),
+        F.lag("__l.e").over(w_carry).alias("__carry_e"),
+    )
+    joined = with_day.join(
+        F.broadcast(carry), [*series_cols, "__pday"], "left"
+    )
+    prev_v = F.coalesce(F.lag("value").over(w_day), F.col("__carry_v"))
+    prev_e = F.coalesce(F.lag(ts_sec).over(w_day), F.col("__carry_e"))
+    inc = (
+        F.when(prev_v.isNull(), F.lit(None).cast("double"))
+        .when(F.col("value") >= prev_v, F.col("value") - prev_v)
+        .otherwise(F.col("value"))
+    )
+    return (
+        joined.withColumn("__inc", inc)
+        .withColumn(
+            "__reset", F.when(F.col("value") < prev_v, 1).otherwise(0)
+        )
+        .withColumn("__dt", ts_sec - prev_e)
+        .drop("__pday", "__carry_v", "__carry_e")
+    )
+
+
 def counter_rate(
     samples: DataFrame,
     bucket_s: int = BUCKET_S,
     series_cols: tuple[str, ...] = ("metric",),
+    hot_series: bool = False,
 ) -> DataFrame:
     """Counter increase / rate / irate per (series, tumbling bucket).
 
@@ -98,8 +155,15 @@ def counter_rate(
     rate_per_s, irate_per_s).  irate divides the bucket's LAST
     consecutive-sample delta by its time gap (null-safe on zero gaps);
     selected via max_by inside the aggregate — no extra shuffle.
+
+    ``hot_series=True`` swaps the per-series lag window for the
+    day-bucketed carry variant (:func:`_with_deltas_hot`) — same
+    answer, parallelism no longer bounded by series cardinality; use
+    when one series dominates sample volume.
     """
-    deltas = _with_deltas(samples, series_cols)
+    deltas = (_with_deltas_hot if hot_series else _with_deltas)(
+        samples, series_cols
+    )
     last = F.expr(
         "max_by(named_struct('inc', __inc, 'dt', __dt), "
         "named_struct('t', ts, 's', seq))"

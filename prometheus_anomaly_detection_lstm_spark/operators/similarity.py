@@ -9,6 +9,7 @@ bucket equi-join before any distance is computed.
 
 from __future__ import annotations
 
+import pandas as pd  # annotations of Arrow kernels resolve against this
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -18,6 +19,7 @@ from ..io_tables import load_table, parallelize_if_underpartitioned
 TOP_K = 10
 N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
 LSH_PLANES = 8  # sign-LSH bits for the bucketed variant
+EMB_DIM = 64  # embedding dimensionality of the corpus tables
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,39 +105,81 @@ def cosine_topk(
     )
 
 
+def _lsh_weight(seed: int, p: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in (-1, 1):
+    w = 2·frac(sin((seed+p)·1000 + j)·43758.5453) − 1, evaluated ONCE
+    driver-side (the weights become plan literals — no per-row
+    transcendentals at runtime).  No external random state, so the
+    bucketing is reproducible everywhere."""
+    import math
+
+    return math.fmod(
+        math.sin((seed + p) * 1000.0 + j) * 43758.5453, 1.0
+    ) * 2.0 - 1.0
+
+
+def lsh_bucket_array(
+    df: DataFrame,
+    planes: int = LSH_PLANES,
+    tables: int = 1,
+    dim: int = EMB_DIM,
+    seed_base: int = 1,
+) -> DataFrame:
+    """ALL tables' sign-LSH bucket ids per vector in ONE map stage:
+    appends ``buckets ARRAY<BIGINT>`` (index = table).
+
+    The signature computation is (tables·planes) dot products per
+    vector — a dense (batch × dim) @ (dim × tables·planes) matmul, i.e.
+    exactly the shape BLAS exists for.  It runs as an Arrow-batched
+    ``pandas_udf`` (the ``ml/infer`` vectorized-kernel pattern): one
+    matmul signs every hyperplane, one small matmul packs sign bits
+    into per-table bucket ids.  Map-only, no shuffle, whole-corpus
+    single pass; the hyperplane matrix is a driver-computed constant in
+    the UDF closure.
+
+    Two prior formulations measured and rejected at sf0.1: per-table
+    Catalyst branches re-evaluated the scan+norm subtree ``tables``
+    times with per-row ``sin`` weights (3.4 s); a literal-matrix
+    higher-order-function form hit Catalyst's project-collapse
+    re-inlining the 128-dot array into every bit access (~70 s at
+    sf0.001).  The Arrow kernel does the same math in milliseconds and
+    keeps the plan a single ArrowEvalPython over the scan.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(
+        [
+            [_lsh_weight(t * planes + seed_base, p, j) for j in range(dim)]
+            for t in range(tables)
+            for p in range(planes)
+        ]
+    ).T  # (dim, tables*planes)
+    pow2 = (1 << np.arange(planes)).astype("int64")
+    n_tables = tables
+
+    @pandas_udf("array<long>")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (M @ W) > 0  # (batch, tables*planes)
+        b = signs.reshape(len(M), n_tables, -1) @ pow2  # (batch, tables)
+        return pd.Series(list(b))
+
+    return df.withColumn("buckets", _sig(F.col("vec")))
+
+
 def lsh_buckets(
     df: DataFrame, planes: int = LSH_PLANES, seed: int = 0
 ) -> DataFrame:
-    """Sign-LSH bucket id per vector.
-
-    Hyperplane p (p=0..planes-1) uses deterministic pseudo-random
-    weights w_pj = 2·frac(sin((seed+p)·1000 + j)·43758.5453) − 1
-    computed inline from the dimension index — no external random
-    state, so the bucketing is reproducible everywhere.
-    bit_p = sign(w_p · v).  ``seed`` selects an independent table.
-    """
-    def _plane(p: int):
-        def weight(j):
-            return (
-                F.sin(F.lit(float((seed + p) * 1000)) + j.cast("double"))
-                * F.lit(43758.5453)
-            ) % 1.0 * 2.0 - 1.0
-
-        return weight
-
-    bits = []
-    for p in range(planes):
-        w = F.transform(F.sequence(F.lit(0), F.size("vec") - 1), _plane(p))
-        dot = F.aggregate(
-            F.zip_with(w, F.col("vec"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.withColumn("bucket", bucket.cast("bigint"))
+    """Single-table sign-LSH bucket id per vector (compat shim over
+    :func:`lsh_bucket_array`)."""
+    return (
+        lsh_bucket_array(df, planes, tables=1, seed_base=seed)
+        .withColumn("bucket", F.col("buckets")[0])
+        .drop("buckets")
+    )
 
 
 LSH_TABLES = 8  # OR-amplification: candidate if ANY table's bucket matches
@@ -155,35 +199,36 @@ def lsh_candidate_set(
     in every table — standard multiprobe amplification.  Probe count
     per query per table = sum_{i<=h} C(planes, i); candidate volume is
     that fraction of the corpus, NOT the n² pair space.
+
+    Plan shape: ONE pass computes every table's bucket
+    (:func:`lsh_bucket_array`), ``posexplode`` fans out to
+    (table, bucket) rows, and the tiny probe side broadcasts — the
+    corpus never shuffles.
     """
-    masks = [
+    masks = [0] + [
         m for m in range(1, 2**planes) if bin(m).count("1") <= probe_hamming
     ]
-    c_tabs = []
-    q_tabs = []
-    for t in range(tables):
-        tagged = lsh_buckets(normed, planes, seed=t * planes + 1)
-        c_tabs.append(
-            tagged.select(
-                F.col("vec_id").alias("c_id"),
-                F.lit(t).alias("table"),
-                "bucket",
-            )
+    tagged = lsh_bucket_array(normed, planes, tables, seed_base=1)
+    c_all = tagged.select(
+        F.col("vec_id").alias("c_id"),
+        F.posexplode("buckets").alias("table", "bucket"),
+    )
+    q_all = (
+        tagged.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.posexplode("buckets").alias("table", "bucket"),
         )
-        probes = [F.col("bucket")] + [
-            F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks
-        ]
-        q_tabs.append(
-            tagged.filter(F.col("vec_id") < n_queries).select(
-                F.col("vec_id").alias("q_id"),
-                F.lit(t).alias("table"),
-                F.explode(F.array(*probes)).alias("bucket"),
-            )
+        .select(
+            "q_id",
+            "table",
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("bucket"),
         )
-    from functools import reduce
-
-    c_all = reduce(lambda a, b: a.unionByName(b), c_tabs)
-    q_all = reduce(lambda a, b: a.unionByName(b), q_tabs)
+    )
     return (
         c_all.join(F.broadcast(q_all), ["table", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))

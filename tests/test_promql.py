@@ -193,3 +193,71 @@ def test_embedding_covariance_empty(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert linalg.embedding_covariance(empty).count() == 0
+
+
+def test_hot_series_counter_rate_equals_plain(spark):
+    """The day-bucketed carry variant (hot_series=True) must be
+    answer-identical to the per-series lag window — multi-day single hot
+    series with mid-stream resets, plus a second sparse series, plus the
+    real events stream at sf0.001 (round-3 verdict task 6)."""
+    import datetime as dt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = []
+    v, seq = 0.0, 0
+    # hot series: 3 days x 200 samples, resets every 77 samples
+    for day in range(3):
+        for i in range(200):
+            seq += 1
+            v = 1.0 if seq % 77 == 0 else v + (seq % 5) + 0.25
+            rows.append(
+                (
+                    dt.datetime(2024, 1, 1 + day, i // 60, i % 60, 30),
+                    "hot",
+                    v,
+                    seq,
+                )
+            )
+    # sparse series: one sample per day (every lag crosses midnight)
+    for day in range(3):
+        seq += 1
+        rows.append((dt.datetime(2024, 1, 1 + day, 12, 0, 0), "sparse", float(day * 10), seq))
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, metric string, value double, seq long"
+    )
+
+    def key(frame):
+        return sorted(
+            (tuple(r) for r in frame.collect()),
+            key=lambda t: (t[0], str(t[1])),
+        )
+
+    plain = promql.counter_rate(df)
+    hot = promql.counter_rate(df, hot_series=True)
+    assert key(plain) == key(hot)
+
+    # and on the real sample stream
+    from .conftest import SF_SMALL
+
+    samples = promql._long(spark, SF_SMALL)
+    assert key(promql.counter_rate(samples)) == key(
+        promql.counter_rate(samples, hot_series=True)
+    )
+
+
+def test_hot_series_parallelism_grows_with_days(spark):
+    """The hot path's full-data lag window is partitioned by
+    (series, day) — a single giant series no longer serializes: the
+    plan's WindowExec partition spec must include the day column."""
+    import datetime as dt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, 0, 0, 0), "only", float(d), d)
+        for d in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, metric string, value double, seq long"
+    )
+    plan = promql.counter_rate(df, hot_series=True)._jdf.queryExecution().executedPlan().toString()
+    assert "__pday" in plan  # day key present in the window/exchange spec
