@@ -516,3 +516,80 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["corpus_clean_pipeline"] = (q_clean_corpus, ORACLE_CLEAN_CORPUS)
+
+
+# ------------------------------------------------------ mixture sampling
+
+#: per-language target sampling rates for the training mixture (the
+#: data-mixing step of an LLM pipeline: up/down-weight sources to hit a
+#: composition target).  Rates are acceptance probabilities applied
+#: deterministically per doc.
+MIXTURE_RATES: dict[str, float] = {
+    "en": 1.0,
+    "de": 0.5,
+    "fr": 0.5,
+    "es": 0.25,
+    "zh": 0.25,
+}
+MIXTURE_DEFAULT_RATE = 0.1
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = MIXTURE_DEFAULT_RATE,
+) -> DataFrame:
+    """Deterministic per-group mixture sampling: keep each doc with its
+    language's target rate.
+
+    Acceptance is a pure function of doc_id (md5-hex prefix below a
+    per-lang threshold), so the sample is reproducible across runs,
+    engines and partitionings — rerunning the pipeline after adding a
+    source cannot silently reshuffle which documents of the OLD sources
+    survive (the property random() sampling lacks).  The rate table is
+    a broadcast dim (metadata scale); the filter is map-only, no
+    shuffle, and prunes before any downstream stage — at 100 TB the
+    mixture step costs one scan.
+
+    Output: (doc_id, lang, source) of surviving docs.
+    """
+    rates = MIXTURE_RATES if rates is None else rates
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(lang, _rate_hex(r)) for lang, r in rates.items()],
+        "lang string, __thr string",
+    )
+    prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    )
+    return (
+        docs.join(F.broadcast(dim), "lang", "left")
+        .withColumn(
+            "__thr2", F.coalesce(F.col("__thr"), F.lit(_rate_hex(default_rate)))
+        )
+        .filter(prefix < F.col("__thr2"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _rate_hex(rate: float) -> str:
+    """Acceptance rate -> 8-hex-char threshold (md5 prefix uniform on
+    [0, 16^8))."""
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_sample(_docs(spark, sf_dir))
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{_rate_hex(r)}'"
+        for lang, r in MIXTURE_RATES.items()
+    )
+    return f"""SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE {cases} ELSE '{_rate_hex(MIXTURE_DEFAULT_RATE)}' END"""
+
+
+QUERIES["corpus_mixture_sample"] = (q_mixture_sample, _mixture_oracle())

@@ -685,3 +685,104 @@ QUERIES = {
         ORACLE_DEDUP_APPLY.format(minhash=_minhash_lsh_sql(0.05)),
     ),
 }
+
+
+# ---------------------------------------------------------- containment
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """All ordered doc pairs with shingle-set CONTAINMENT
+    C(A, B) = |A ∩ B| / |A| >= threshold — the asymmetric near-dup
+    relation Jaccard misses: a short document wholly embedded in a long
+    one has high containment but low Jaccard (|A∩B|/|A∪B| shrinks with
+    the size gap), which is exactly the quote/boilerplate/subset-dup
+    case a training-data scrub cares about.
+
+    EXACT via the same AllPairs-style bound as :func:`ngram_jaccard_pairs`,
+    adapted to the asymmetric measure: C(A,B) >= t forces
+    |A ∩ B| >= ceil(t·|A|), so under the global rarest-first shingle
+    order A's prefix of size |A| - ceil(t·|A|) + 1 must intersect B's
+    FULL set (B is unrestricted — the relation is one-sided).
+    Candidate generation joins A-prefixes against the full inverted
+    index; the exact intersection count then verifies candidates only.
+    Self-pairs and A=B excluded; both (A,B) and (B,A) can appear, each
+    on its own threshold test.
+    """
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    # same -1e-9 float-boundary guard as the Jaccard prefix
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    ).select("doc_id", "shingle")
+    cands = (
+        prefix.alias("pa")
+        .join(sh.alias("pb"), "shingle")
+        .filter(F.col("pa.doc_id") != F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn("containment", F.col("inter") / F.col("na"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(_docs(spark, sf_dir))
+
+
+ORACLE_CONTAINMENT = f"""WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ') AS shingle
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+    ), UNNEST(generate_series(1, len(toks) - {SHINGLE_N} + 1)) AS t(i)
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / sa.n_sh, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE i * 1.0 / sa.n_sh >= {CONTAINMENT_THRESHOLD}"""
+
+QUERIES["text_containment_pairs"] = (q_containment_pairs, ORACLE_CONTAINMENT)

@@ -738,3 +738,135 @@ GROUP BY 1, 2"""
 
 
 QUERIES["promql_deriv_predict"] = (q_deriv_predict, ORACLE_DERIV_PREDICT)
+
+
+# --------------------------------------------------- changes() / resets()
+
+def changes_resets(
+    samples: DataFrame,
+    bucket_s: int = BUCKET_S,
+    series_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """PromQL ``changes()`` and ``resets()`` per (series, tumbling
+    bucket): the number of times the value CHANGED between consecutive
+    samples, and the number of counter resets (value decreases).
+
+    Rides the same per-series lag chain as :func:`counter_rate`
+    (:func:`_with_deltas`'s exchange shape), so the full-data shuffle
+    count stays one; a sample whose predecessor sits in the previous
+    bucket still counts — PromQL's range-vector semantics over a
+    window that spans the boundary.
+    """
+    w = Window.partitionBy(*series_cols).orderBy("ts", "seq")
+    prev_v = F.lag("value").over(w)
+    changed = F.when(
+        prev_v.isNotNull() & (F.col("value") != prev_v), 1
+    ).otherwise(0)
+    reset = F.when(
+        prev_v.isNotNull() & (F.col("value") < prev_v), 1
+    ).otherwise(0)
+    return (
+        samples.select(
+            *series_cols,
+            F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
+            changed.alias("__chg"),
+            reset.alias("__rst"),
+        )
+        .groupBy(*series_cols, "w_start")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("__chg").cast("bigint").alias("changes"),
+            F.sum("__rst").cast("bigint").alias("resets"),
+        )
+    )
+
+
+def q_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return changes_resets(_long(spark, sf_dir))
+
+
+ORACLE_CHANGES_RESETS = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS pv
+  FROM events
+)
+SELECT metric,
+       time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND value != pv
+                     THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND value < pv
+                     THEN 1 ELSE 0 END) AS BIGINT) AS resets
+FROM s
+GROUP BY 1, 2"""
+
+QUERIES["promql_changes_resets"] = (q_changes_resets, ORACLE_CHANGES_RESETS)
+
+
+# ------------------------------------------------------------- EWMA
+
+EWMA_ALPHA = 0.3
+EWMA_K = 60  # truncation horizon: (1-0.3)^60 ~ 5e-10 << round(6) noise
+
+
+def metric_ewma(
+    samples: DataFrame,
+    alpha: float = EWMA_ALPHA,
+    k: int = EWMA_K,
+    series_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Per-series exponentially weighted moving average — the smoother
+    behind alerting baselines (Holt-style level term).
+
+    Defined as the K-TERM truncated EWMA: a left fold of
+    ``acc*(1-alpha) + alpha*x`` over the last ``k`` samples in (ts,
+    seq) order, seeded with the oldest sample in the frame.  With the
+    default (alpha=0.3, k=60) the truncation error is (1-alpha)^k ~
+    5e-10 — below the 6-decimal output rounding — while keeping the
+    operator a bounded sliding frame instead of an unbounded
+    recursion: every row costs O(k), any partition split point gives
+    identical results, and the shuffle is the same one per-series
+    exchange as the PromQL lag family.  ``collect_list`` over a
+    running ROWS frame preserves frame order in both engines, so the
+    fold is deterministic cross-engine.
+    """
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("ts", "seq")
+        .rowsBetween(-(k - 1), 0)
+    )
+    window_vals = F.collect_list("value").over(w)
+    folded = F.aggregate(
+        F.slice(window_vals, 2, k),
+        F.element_at(window_vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
+    )
+    return samples.select(
+        *series_cols,
+        "ts",
+        "seq",
+        "value",
+        F.round(folded, 6).alias("ewma"),
+    )
+
+
+def q_metric_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return metric_ewma(_long(spark, sf_dir))
+
+
+ORACLE_METRIC_EWMA = f"""WITH s AS (
+  SELECT event_type AS metric, ts, event_id AS seq, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {EWMA_K - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT metric, ts, seq, value,
+       round(list_reduce(vals,
+             (acc, x) -> acc * {1.0 - EWMA_ALPHA} + {EWMA_ALPHA} * x),
+             6) AS ewma
+FROM s"""
+
+QUERIES["metric_ewma"] = (q_metric_ewma, ORACLE_METRIC_EWMA)

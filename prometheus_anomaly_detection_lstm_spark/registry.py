@@ -283,7 +283,8 @@ PRIORITY: list[str] = [
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_repetition_scores", "text_quality_filter", "dedup_clusters",
     # ---- NEW in round 4 (added as built; each needs a first row) ----
-    # (slot reserved: new ops are inserted here)
+    "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
+    "text_containment_pairs",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----

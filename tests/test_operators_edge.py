@@ -15,6 +15,8 @@ from prometheus_anomaly_detection_lstm_spark.operators import (
     scale,
     windows,
 )
+
+from .conftest import SF_ORACLE, SF_SMALL
 from prometheus_anomaly_detection_lstm_spark.config import (
     load_config,
     parse_duration_seconds,
@@ -298,3 +300,110 @@ def test_quantize_int8_roundtrip_bound(spark):
             assert r.q == 0
         else:
             assert abs(r.q * r.scale / 127.0 - v) <= r.scale / 127.0 + 1e-9
+
+
+def test_containment_asymmetric_subset_doc(spark):
+    """A short doc fully embedded in a long one: containment(short ->
+    long) ~ 1.0 while Jaccard stays below its threshold — the relation
+    the symmetric measure misses by construction."""
+    from prometheus_anomaly_detection_lstm_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # short's shingles all inside long
+    assert (2, 1) not in pairs  # long is NOT contained in short
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the subset-dup
+
+
+def test_containment_prefix_filter_is_exact(spark):
+    """Candidate generation (prefix x full index) must lose nothing:
+    results equal the brute-force all-pairs computation."""
+    from prometheus_anomaly_detection_lstm_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = dedup._docs(spark, SF_SMALL).limit(60)
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.3).collect()
+    }
+    sh = dedup.shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    brute = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), "n"), "doc_a"
+        )
+        .withColumn("c", F.round(F.col("i") / F.col("n"), 6))
+        .filter(F.col("c") >= 0.3)
+    )
+    want = {(r.doc_a, r.doc_b): r.c for r in brute.collect()}
+    assert got == want
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Per-lang acceptance tracks the target rate, and the survivor set
+    is identical across partitionings (pure function of doc_id)."""
+    from prometheus_anomaly_detection_lstm_spark.operators import corpus
+
+    docs = corpus._docs(spark, SF_ORACLE)
+    out = corpus.mixture_sample(docs)
+    counts = {
+        (r.lang): r.cnt
+        for r in out.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()
+    }
+    totals = {
+        (r.lang): r.cnt
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert counts["en"] == totals["en"]  # rate 1.0 keeps everything
+    # rate 0.5 and 0.25 land near target (binomial noise at n~100)
+    assert 0.3 <= counts["de"] / totals["de"] <= 0.7
+    assert 0.1 <= counts["zh"] / totals["zh"] <= 0.45
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in corpus.mixture_sample(docs.repartition(13)).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_metric_ewma_hand_computed(spark):
+    """EWMA fold against the hand recursion, incl. the truncation
+    window and per-series isolation."""
+    import datetime as dt
+
+    from prometheus_anomaly_detection_lstm_spark.operators import promql
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = []
+    for i, v in enumerate([10.0, 20.0, 30.0, 40.0]):
+        rows.append((dt.datetime(2024, 1, 1, 0, i), "a", v, i))
+    rows.append((dt.datetime(2024, 1, 1, 0, 0), "b", 99.0, 100))
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, metric string, value double, seq long"
+    )
+    out = {
+        (r.metric, r.seq): r.ewma
+        for r in promql.metric_ewma(df, alpha=0.3, k=3).collect()
+    }
+    assert out[("a", 0)] == 10.0
+    assert out[("a", 1)] == round(10.0 * 0.7 + 0.3 * 20.0, 6)
+    w2 = (10.0 * 0.7 + 0.3 * 20.0) * 0.7 + 0.3 * 30.0
+    assert out[("a", 2)] == round(w2, 6)
+    # k=3: seq 3's frame drops the first sample — seeded at seq 1
+    w3 = (20.0 * 0.7 + 0.3 * 30.0) * 0.7 + 0.3 * 40.0
+    assert out[("a", 3)] == round(w3, 6)
+    assert out[("b", 100)] == 99.0  # series isolation
