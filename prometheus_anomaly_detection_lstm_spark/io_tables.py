@@ -304,3 +304,48 @@ def cluster_by_zorder(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+#: canonical JSONL corpus schema — the interchange format training-data
+#: pipelines actually exchange (one JSON object per line, gzip per
+#: shard).  Explicit schema: corpus readers must never pay Spark's
+#: whole-input schema-inference pass, and a malformed line must become
+#: a NULL-keyed row to quarantine, not a silent column-type flip.
+JSONL_CORPUS_SCHEMA = (
+    "doc_id BIGINT, lang STRING, source STRING, ts_added STRING, "
+    "n_chars BIGINT, text STRING"
+)
+
+
+def write_jsonl_corpus(
+    df: DataFrame, path: str, shards: int | None = None, compress: bool = True
+) -> None:
+    """documents-shaped frame -> sharded (optionally gzipped) JSONL.
+
+    ``shards`` bounds the file count (one exchange); None keeps the
+    input partitioning (zero exchange — the right call when the frame
+    is already well-split).  gzip is the interchange default; Spark
+    writes/reads it natively per shard, and since gzip is not
+    splittable each shard should stay ~100-500 MB at scale — which is
+    what ``shards`` is for.
+    """
+    out = df if shards is None else df.repartition(shards)
+    writer = out.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Sharded JSONL (plain or .gz) -> corpus frame under the explicit
+    schema.  Lines that do not parse land with all-NULL columns plus
+    the raw line in ``_corrupt_record`` for quarantine — PERMISSIVE
+    mode, so one bad shard cannot fail a 100-TB read.  (Spark disallows
+    a query referencing ONLY ``_corrupt_record`` on a raw JSON scan;
+    persist the frame before a quarantine-only filter.)"""
+    return (
+        spark.read.schema(JSONL_CORPUS_SCHEMA + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

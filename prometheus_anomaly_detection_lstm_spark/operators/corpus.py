@@ -593,3 +593,76 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
 
 
 QUERIES["corpus_mixture_sample"] = (q_mixture_sample, _mixture_oracle())
+
+
+# ------------------------------------------------------- upsert (merge)
+
+UPSERT_REV_MOD = 7  # docs with doc_id % 7 == 0 arrive revised
+UPSERT_NEW_MOD = 97  # docs with doc_id % 97 == 0 spawn a new doc id
+UPSERT_NEW_OFFSET = 1_000_000_000
+
+
+def upsert_latest(
+    snapshot: DataFrame, delta: DataFrame, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """MERGE a delta into a snapshot: delta rows win on key collision,
+    new keys append — the daily-ingest upsert every incremental corpus
+    lake performs.
+
+    Shape chosen for the realistic size skew (delta << snapshot): LEFT
+    ANTI join drops replaced snapshot rows, then UNION appends the
+    delta.  The anti join's build side is the delta — AQE broadcasts it
+    when small, so the 100-TB snapshot is never shuffled; a full-outer
+    formulation would shuffle BOTH sides on the key.  Columns must
+    match; output carries exactly one row per key.
+    """
+    keys = list(key_cols)
+    survivors = snapshot.join(delta.select(*keys), keys, "left_anti")
+    return survivors.unionByName(delta)
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry shape: a deterministic delta derived from the corpus
+    itself (every UPSERT_REV_MOD-th doc revised, every
+    UPSERT_NEW_MOD-th doc spawning a brand-new id), merged back.
+    Output: the upserted snapshot with a revision marker."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    revised = (
+        docs.filter(F.col("doc_id") % UPSERT_REV_MOD == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [rev2]")))
+    )
+    fresh = (
+        docs.filter(F.col("doc_id") % UPSERT_NEW_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + UPSERT_NEW_OFFSET)
+    )
+    delta = revised.unionByName(fresh)
+    merged = upsert_latest(docs, delta, ("doc_id",))
+    return merged.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+    )
+
+
+ORACLE_UPSERT = f"""WITH base AS (
+  SELECT doc_id, lang, source, text FROM documents
+), delta AS (
+  SELECT doc_id, lang, source, text || ' [rev2]' AS text
+  FROM base WHERE doc_id % {UPSERT_REV_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {UPSERT_NEW_OFFSET}, lang, source, text
+  FROM base WHERE doc_id % {UPSERT_NEW_MOD} = 0
+), merged AS (
+  SELECT * FROM base
+  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+  UNION ALL
+  SELECT * FROM delta
+)
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS digest
+FROM merged"""
+
+QUERIES["corpus_upsert_latest"] = (q_upsert_latest, ORACLE_UPSERT)

@@ -284,7 +284,7 @@ PRIORITY: list[str] = [
     "text_repetition_scores", "text_quality_filter", "dedup_clusters",
     # ---- NEW in round 4 (added as built; each needs a first row) ----
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
-    "text_containment_pairs",
+    "text_containment_pairs", "corpus_upsert_latest",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----

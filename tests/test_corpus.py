@@ -196,3 +196,26 @@ def test_token_budget_sample_respects_budget(spark):
         docs, budget=corpus.TOKEN_BUDGET_PER_SOURCE * 2
     ).collect()
     assert {r.doc_id for r in out} <= {r.doc_id for r in bigger}
+
+
+def test_upsert_latest_semantics_and_plan(spark):
+    """Delta wins on collision, new keys append, exactly one row per
+    key; and the snapshot side is NEVER the build side of a shuffle —
+    the anti join must broadcast the (small) delta."""
+    from prometheus_anomaly_detection_lstm_spark.operators.corpus import (
+        upsert_latest,
+    )
+    from pyspark.sql import functions as F
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    delta = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "k long, v string"
+    )
+    out = upsert_latest(snap, delta, ("k",))
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    assert out.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -67,3 +67,51 @@ def test_dedup_and_similarity_producers_use_the_gate():
     for src in (src_d, src_s):
         assert "parallelize_if_underpartitioned" in src
         assert ".repartition(" not in src
+
+
+def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL interchange: gzip shard roundtrip preserves rows; a
+    malformed line quarantines into _corrupt_record instead of failing
+    the read or flipping column types."""
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_anomaly_detection_lstm_spark.io_tables import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .withColumn("ts_added", F.lit("2024-01-01T00:00:00Z"))
+        .select("doc_id", "lang", "source", "ts_added", "n_chars", "text")
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl_corpus(docs, path, shards=4)
+    files = [f for f in os.listdir(path) if f.endswith(".json.gz")]
+    assert len(files) == 4
+    # Spark disallows filtering RAW json on only _corrupt_record
+    # (column pruning would drop the source line) — persist first, the
+    # documented pattern for quarantine queries.
+    back = read_jsonl_corpus(spark, path).persist()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    a = {tuple(r) for r in docs.collect()}
+    b = {
+        tuple(r)
+        for r in back.drop("_corrupt_record").collect()
+    }
+    assert a == b
+
+    # inject a malformed shard
+    bad = str(tmp_path / "corpus_bad")
+    os.makedirs(bad)
+    with gzip.open(f"{bad}/part-bad.json.gz", "wt") as fh:
+        fh.write('{"doc_id": 1, "lang": "en", "text": "ok"}\n')
+        fh.write("NOT JSON AT ALL\n")
+    q = read_jsonl_corpus(spark, bad).persist()
+    assert q.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert q.filter(F.col("doc_id") == 1).count() == 1
+    q.unpersist()
+    back.unpersist()
