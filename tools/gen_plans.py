@@ -98,6 +98,21 @@ SHOWCASE = [
      "Explode to 8-gram spans is a pure map stage; the only shuffle is "
      "the partial/final agg pair on the span key, and output is "
      "proportional to duplicated volume (support >= 2 filter)."),
+    ("ann_cosine_topk_lsh", "ANN production path: one Arrow signature pass",
+     "All 16 tables' sign-LSH buckets come from a single Arrow-batched "
+     "matmul kernel over the scan (ArrowEvalPython, map-only); probes "
+     "fan out by posexplode and BROADCAST to the corpus side, so the "
+     "corpus is never shuffled for candidate generation — only the "
+     "candidate pairs and the top-k rank exchange move data."),
+    ("metric_ewma", "EWMA as a bounded sliding fold",
+     "The K-term truncated fold runs inside ONE per-series window "
+     "(running ROWS frame) — O(K) per row, no recursion, no global "
+     "sort, same single hashpartitioning(metric) exchange as the "
+     "PromQL lag family."),
+    ("corpus_upsert_latest", "incremental MERGE, snapshot never shuffles",
+     "The delta is the build side of a BroadcastHashJoin LeftAnti; the "
+     "snapshot flows map-only into the union — a full-outer "
+     "formulation would shuffle the 100-TB snapshot on the key."),
 ]
 
 JOIN_RE = re.compile(
