@@ -287,3 +287,24 @@ ORACLE_NUMERIC_COERCION = """SELECT event_id,
        TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DOUBLE) AS k_num,
        TRY_CAST(event_type AS DOUBLE) AS bad
 FROM events"""
+
+
+ORACLE_ANOMALY_INTERVALS = (
+    pipeline_prefix("win")
+    + f""",
+flagged AS (
+  SELECT window_id, ts AS start_ts, mse
+  FROM win WHERE cnt = {L} AND mse > {ANOMALY_THRESHOLD}
+),
+islands AS (
+  SELECT *,
+         window_id - row_number() OVER (ORDER BY window_id) AS g
+  FROM flagged
+)
+SELECT min(window_id) AS first_window_id,
+       max(window_id) AS last_window_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       min(start_ts) AS start_ts,
+       round(max(mse), 8) AS peak_mse
+FROM islands GROUP BY g"""
+)

@@ -17,7 +17,7 @@ stub-autoencoder reconstruction MSE -> threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hour_of_day, weekday_mon0
@@ -117,4 +117,44 @@ def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_ts",
         F.round("mse", 8).alias("mse"),
         (F.col("mse") > F.lit(ANOMALY_THRESHOLD)).cast("bigint").alias("is_anomaly"),
+    )
+
+
+def anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge consecutive anomalous windows into alert EPISODES — the
+    gaps-and-islands rollup the reference's per-cycle flags imply but
+    never compute (an operator fires one alert per incident, not one
+    per 2-minute window).
+
+    Island key = window_id - rank within the flagged subset (classic
+    consecutive-run grouping over the already-global window index from
+    windows.bucket_assign — no new global sort).  The rank window runs
+    single-partition ON THE FLAGGED SUBSET ONLY: anomalous windows are
+    alert volume (rare by construction of the threshold), i.e.
+    metadata scale like the per-day summaries; a regime where flags are
+    dense enough to matter would day-bucket the rank with a broadcast
+    carry exactly like operators/fill.py.
+
+    Output per episode: first/last window id, window count, episode
+    start timestamp, peak MSE.
+    """
+    from ..functions import single_partition_key
+
+    flags = anomaly_flags(spark, sf_dir)
+    anom = flags.filter(F.col("is_anomaly") == 1)
+    w = Window.partitionBy(single_partition_key("window_id")).orderBy(
+        "window_id"
+    )
+    grp = F.col("window_id") - F.row_number().over(w)
+    return (
+        anom.withColumn("__g", grp)
+        .groupBy("__g")
+        .agg(
+            F.min("window_id").alias("first_window_id"),
+            F.max("window_id").alias("last_window_id"),
+            F.count("*").alias("n_windows"),
+            F.min("start_ts").alias("start_ts"),
+            F.round(F.max("mse"), 8).alias("peak_mse"),
+        )
+        .drop("__g")
     )

@@ -108,6 +108,13 @@ def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.anomaly_flags(spark, sf_dir)
 
 
+def q_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive anomalous windows merged into
+    alert episodes (first/last window, count, start, peak MSE)."""
+    _utc(spark)
+    return P.anomaly_intervals(spark, sf_dir)
+
+
 def q_threshold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8/A9: normal-vs-anomalous counts and percentages."""
     _utc(spark)
@@ -239,6 +246,7 @@ DOMAIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "standard_scaled": (q_standard_scaled, oracles.ORACLE_STANDARD_SCALED),
     "anomaly_mse": (q_anomaly_mse, oracles.ORACLE_ANOMALY_MSE),
     "anomaly_flags": (q_anomaly_flags, oracles.ORACLE_ANOMALY_FLAGS),
+    "anomaly_intervals": (q_anomaly_intervals, oracles.ORACLE_ANOMALY_INTERVALS),
     "threshold_split": (q_threshold_split, oracles.ORACLE_THRESHOLD_SPLIT),
     "mse_histogram": (q_mse_histogram, oracles.ORACLE_MSE_HISTOGRAM),
     "threshold_percentiles": (
@@ -284,7 +292,7 @@ PRIORITY: list[str] = [
     "text_repetition_scores", "text_quality_filter", "dedup_clusters",
     # ---- NEW in round 4 (added as built; each needs a first row) ----
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
-    "text_containment_pairs", "corpus_upsert_latest",
+    "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----

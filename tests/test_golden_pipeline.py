@@ -40,3 +40,39 @@ def test_golden_flagship_output(spark):
     # full-content golden: deterministic across repeated runs in-session
     digest2, _ = _current_hash(spark)
     assert digest == digest2
+
+
+def test_anomaly_intervals_merge_consecutive_windows(spark):
+    """Hand-checkable gaps-and-islands: flagged windows {3,4,5, 9, 12,13}
+    merge into 3 episodes with correct bounds/counts/peaks."""
+    import datetime as dt
+
+    from unittest import mock
+
+    from prometheus_anomaly_detection_lstm_spark.plans import pipeline as P
+
+    flagged = [3, 4, 5, 9, 12, 13]
+    rows = [
+        (
+            w,
+            dt.datetime(2024, 1, 1, 0, w),
+            0.001 * (w + 1),
+            1 if w in flagged else 0,
+        )
+        for w in range(15)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "window_id long, start_ts timestamp_ntz, mse double, is_anomaly bigint",
+    )
+    with mock.patch.object(P, "anomaly_flags", return_value=df):
+        out = {
+            r.first_window_id: r
+            for r in P.anomaly_intervals(spark, "unused").collect()
+        }
+    assert set(out) == {3, 9, 12}
+    assert (out[3].last_window_id, out[3].n_windows) == (5, 3)
+    assert out[3].peak_mse == 0.006
+    assert (out[9].last_window_id, out[9].n_windows) == (9, 1)
+    assert (out[12].last_window_id, out[12].n_windows) == (13, 2)
+    assert out[12].start_ts == dt.datetime(2024, 1, 1, 0, 12)
