@@ -870,3 +870,165 @@ SELECT metric, ts, seq, value,
 FROM s"""
 
 QUERIES["metric_ewma"] = (q_metric_ewma, ORACLE_METRIC_EWMA)
+
+
+# --------------------------------------- subquery composition + episodes
+
+SUBQ_INNER_S = 60  # inner rate() resolution
+SUBQ_OUTER_S = 600  # outer *_over_time window
+
+
+def subquery_max_rate(
+    samples: DataFrame,
+    inner_s: int = SUBQ_INNER_S,
+    outer_s: int = SUBQ_OUTER_S,
+) -> DataFrame:
+    """PromQL subquery semantics: ``max_over_time(rate(m[1m])[10m:1m])``
+    (+ sum_over_time and sample count) — the inner function evaluated
+    at a fine step, the outer aggregation over a coarser window.
+
+    Pure composition: the inner frame IS :func:`counter_rate` at
+    ``inner_s`` buckets; the outer pass is one more keyed aggregate on
+    the same (metric) hash distribution, so the subquery costs ONE
+    extra metadata-scale aggregate over the inner result — never a
+    second pass over raw samples.
+    """
+    inner = counter_rate(samples, inner_s).filter(
+        F.col("rate_per_s").isNotNull()
+    )
+    return (
+        inner.groupBy(
+            "metric",
+            F.window("w_start", f"{outer_s} seconds").start.alias("w_start"),
+        )
+        .agg(
+            F.count("*").alias("n_inner"),
+            F.round(F.max("rate_per_s"), 6).alias("max_rate"),
+            # sum_over_time, not avg: an average of exactly-6dp inner
+            # rates lands on .5 at the 7th decimal for ~0.2% of
+            # windows, where Spark's and DuckDB's round() tie-break
+            # differently; the SUM of 6dp decimals stays a 6dp decimal
+            # — no tie surface (same class of fix as the money-sum
+            # rounding note in the repo's oracle conventions).
+            F.round(F.sum("rate_per_s"), 6).alias("sum_rate"),
+        )
+    )
+
+
+def q_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return subquery_max_rate(_long(spark, sf_dir))
+
+
+ORACLE_SUBQUERY_MAX_RATE = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS pv
+  FROM events
+), e AS (
+  SELECT metric,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '{SUBQ_INNER_S} seconds', ts) AS iw
+  FROM s
+), r AS (
+  SELECT metric, iw, round(sum(inc) / {SUBQ_INNER_S}.0, 6) AS rate_per_s
+  FROM e GROUP BY 1, 2
+  HAVING sum(inc) IS NOT NULL
+)
+SELECT metric,
+       time_bucket(INTERVAL '{SUBQ_OUTER_S} seconds', iw) AS w_start,
+       CAST(count(*) AS BIGINT) AS n_inner,
+       round(max(rate_per_s), 6) AS max_rate,
+       round(sum(rate_per_s), 6) AS sum_rate
+FROM r
+GROUP BY 1, 2"""
+
+QUERIES["promql_subquery_max_rate"] = (
+    q_subquery_max_rate,
+    ORACLE_SUBQUERY_MAX_RATE,
+)
+
+
+def alert_episodes(
+    samples: DataFrame, z: float = 3.0, bucket_s: int = BUCKET_S
+) -> DataFrame:
+    """Merge consecutive anomalous rate buckets into alert EPISODES per
+    series — the Alertmanager-style "for:"-duration view of
+    :func:`rate_anomaly_flags` (one alert per incident, not one per
+    bucket).
+
+    Island key = bucket_index − rank, with the rank window PARTITIONED
+    BY METRIC — unlike the flagship pipeline's single-partition
+    episode merge (alert volume there), this scales with series
+    cardinality exactly like every other operator in this module: the
+    anomalous-bucket subset of each series merges independently.
+    Output per episode: first/last bucket, bucket count, peak |z|.
+    """
+    flags = rate_anomaly_flags(samples, z, bucket_s).filter(
+        F.col("is_anomaly") == 1
+    )
+    idx = (ntz_epoch_seconds("w_start") / F.lit(float(bucket_s))).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("metric").orderBy("w_start")
+    grp = idx - F.row_number().over(w)
+    return (
+        flags.withColumn("__g", grp)
+        .groupBy("metric", "__g")
+        .agg(
+            F.min("w_start").alias("first_w"),
+            F.max("w_start").alias("last_w"),
+            F.count("*").alias("n_buckets"),
+            F.round(F.max(F.abs(F.col("z_score"))), 6).alias("peak_abs_z"),
+        )
+        .drop("__g")
+    )
+
+
+def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # z tuned so episodes BIND on the testdata (z=3 flags are sparse
+    # singletons; 1.5 produces multi-bucket runs at sf0.01)
+    return alert_episodes(_long(spark, sf_dir), z=1.5)
+
+
+ORACLE_ALERT_EPISODES = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), e AS (
+  SELECT metric,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM s
+), r AS (
+  SELECT metric, w_start, round(sum(inc) / {BUCKET_S}.0, 6) AS rate_per_s
+  FROM e GROUP BY 1, 2
+  HAVING sum(inc) IS NOT NULL
+), m AS (
+  SELECT metric, avg(rate_per_s) AS mu, stddev_pop(rate_per_s) AS sigma
+  FROM r GROUP BY 1
+), flagged AS (
+  SELECT r.metric, w_start,
+         round((rate_per_s - mu) / nullif(sigma, 0), 6) AS z_score
+  FROM r JOIN m ON r.metric = m.metric
+  WHERE abs((rate_per_s - mu) / nullif(sigma, 0)) > 1.5
+), islands AS (
+  SELECT *,
+         CAST(epoch(w_start) / {BUCKET_S} AS BIGINT)
+           - row_number() OVER (PARTITION BY metric ORDER BY w_start) AS g
+  FROM flagged
+)
+SELECT metric,
+       min(w_start) AS first_w,
+       max(w_start) AS last_w,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(max(abs(z_score)), 6) AS peak_abs_z
+FROM islands GROUP BY metric, g"""
+
+QUERIES["promql_alert_episodes"] = (q_alert_episodes, ORACLE_ALERT_EPISODES)
