@@ -29,6 +29,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "ann_cosine_topk",          # query block vs corpus: bounded n_queries
     "ann_cosine_topk_ivf",      # centroid table (n_lists rows)
     "anomaly_flags",            # scaler params + threshold scalars
+    "anomaly_intervals",        # same flags subtree (episode rollup)
     "anomaly_mse",              # scaler params + window count scalar
     "anomaly_mse_lstm",         # same prep subtree
     "approx_threshold_percentiles",  # sketch summary row
