@@ -1032,3 +1032,85 @@ SELECT metric,
 FROM islands GROUP BY metric, g"""
 
 QUERIES["promql_alert_episodes"] = (q_alert_episodes, ORACLE_ALERT_EPISODES)
+
+
+# ------------------------------------------------------ offset modifier
+
+OFFSET_S = 86400  # compare each bucket against the same bucket 1 day ago
+
+
+def rate_offset_delta(
+    samples: DataFrame,
+    offset_s: int = OFFSET_S,
+    bucket_s: int = BUCKET_S,
+) -> DataFrame:
+    """PromQL ``offset`` modifier composition:
+    ``rate(m[10m]) / rate(m[10m] offset 1d)`` (+ absolute delta) — the
+    day-over-day regression check behind most capacity alerts.
+
+    The offset side is the SAME rate frame shifted by a constant:
+    self-equi-join on (metric, w_start + offset) — hash join on the
+    bucket key, both sides the already-aggregated per-bucket frame
+    (metadata scale relative to raw samples), reusing one rate subtree
+    in two roles.  Buckets with no counterpart a day earlier drop
+    (inner join = PromQL vector matching).
+    """
+    rates = counter_rate(samples, bucket_s).filter(
+        F.col("rate_per_s").isNotNull()
+    )
+    cur = rates.select("metric", "w_start", "rate_per_s")
+    prev = rates.select(
+        "metric",
+        (
+            F.col("w_start") + F.expr(f"INTERVAL {offset_s} SECONDS")
+        ).alias("w_start"),
+        F.col("rate_per_s").alias("rate_prev"),
+    )
+    ratio = F.col("rate_per_s") / F.expr("nullif(rate_prev, 0D)")
+    return (
+        cur.join(prev, ["metric", "w_start"])
+        .select(
+            "metric",
+            "w_start",
+            "rate_per_s",
+            "rate_prev",
+            F.round(F.col("rate_per_s") - F.col("rate_prev"), 6).alias(
+                "delta"
+            ),
+            F.round(ratio, 6).alias("ratio"),
+        )
+    )
+
+
+def q_rate_offset_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return rate_offset_delta(_long(spark, sf_dir))
+
+
+ORACLE_RATE_OFFSET = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS pv
+  FROM events
+), e AS (
+  SELECT metric,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM s
+), r AS (
+  SELECT metric, w_start, round(sum(inc) / {BUCKET_S}.0, 6) AS rate_per_s
+  FROM e GROUP BY 1, 2
+  HAVING sum(inc) IS NOT NULL
+)
+SELECT cur.metric, cur.w_start, cur.rate_per_s,
+       prev.rate_per_s AS rate_prev,
+       round(cur.rate_per_s - prev.rate_per_s, 6) AS delta,
+       round(cur.rate_per_s / nullif(prev.rate_per_s, 0), 6) AS ratio
+FROM r cur
+JOIN r prev
+  ON cur.metric = prev.metric
+ AND prev.w_start + INTERVAL '{OFFSET_S} seconds' = cur.w_start"""
+
+QUERIES["promql_rate_offset_delta"] = (q_rate_offset_delta, ORACLE_RATE_OFFSET)
