@@ -143,3 +143,82 @@ def test_counter_rate_total_increase_matches_reference(spark, vals):
     # per-bucket round(.,6) before summing: tolerance scales with buckets
     assert got_inc == pytest.approx(want_inc, abs=1e-5 * max(1, len(got)))
     assert sum(r["n_samples"] for r in got) == len(vals)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1,
+        max_size=80,
+    ),
+    alpha=st.sampled_from([0.1, 0.3, 0.7]),
+    k=st.sampled_from([1, 3, 10, 200]),
+)
+def test_ewma_fold_matches_naive_recursion(spark, vals, alpha, k):
+    """metric_ewma == the direct K-window recursion for arbitrary
+    values, alphas, and truncation horizons (incl. k > n and k = 1)."""
+    from prometheus_anomaly_detection_lstm_spark.operators import promql
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(seconds=37 * i), "m", float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, metric string, value double, seq long"
+    )
+    got = {
+        r.seq: r.ewma
+        for r in promql.metric_ewma(df, alpha=alpha, k=k).collect()
+    }
+    for i in range(len(vals)):
+        window = vals[max(0, i - k + 1) : i + 1]
+        level = window[0]
+        for x in window[1:]:
+            level = level * (1 - alpha) + alpha * x
+        assert got[i] == pytest.approx(round(level, 6), abs=1e-9), (
+            i, alpha, k
+        )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=3, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_containment_prefix_complete_on_random_docs(spark, docs, threshold):
+    """The one-sided AllPairs prefix candidate generation loses nothing
+    on adversarial tiny-vocab corpora (max shingle collision rates)."""
+    from prometheus_anomaly_detection_lstm_spark.operators import dedup
+
+    frame = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(frame, threshold=threshold).collect()
+    }
+    sh = dedup.shingles(frame)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    brute = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), "n"), "doc_a")
+        .withColumn("c", F.round(F.col("i") / F.col("n"), 6))
+        .filter(F.col("c") >= threshold)
+    )
+    want = {(r.doc_a, r.doc_b): r.c for r in brute.collect()}
+    assert got == want
