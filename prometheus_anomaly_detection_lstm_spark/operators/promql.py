@@ -1114,3 +1114,123 @@ JOIN r prev
  AND prev.w_start + INTERVAL '{OFFSET_S} seconds' = cur.w_start"""
 
 QUERIES["promql_rate_offset_delta"] = (q_rate_offset_delta, ORACLE_RATE_OFFSET)
+
+
+# -------------------------------------------- series-collapse sum by()
+
+def q_sum_by_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sum by (metric) (rate(m{label=...}[10m]))`` — the most common
+    PromQL idiom: per-LABELSET rates aggregated back up to the metric.
+
+    The per-series lag/rate runs at full labelset identity (the
+    q_rate_by_labelset series key), then ONE more keyed aggregate
+    collapses the label dimension.  The collapse reuses the
+    (metric, label) hash distribution's metric prefix — only the
+    already-aggregated per-(series, bucket) frame moves, never raw
+    samples; output cardinality is #metrics x #buckets.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        "ts",
+        F.col("event_type").alias("metric"),
+        (F.get_json_object(F.col("props"), "$.k").cast("bigint") % 10)
+        .cast("bigint")
+        .alias("label"),
+        "value",
+        F.col("event_id").alias("seq"),
+    )
+    rates = counter_rate(samples, series_cols=("metric", "label")).filter(
+        F.col("rate_per_s").isNotNull()
+    )
+    return rates.groupBy("metric", "w_start").agg(
+        F.count("*").cast("bigint").alias("n_series"),
+        # sum of exactly-6dp per-series rates: 6dp-closed, no tie surface
+        F.round(F.sum("rate_per_s"), 6).alias("sum_rate_per_s"),
+        F.round(F.max("rate_per_s"), 6).alias("max_series_rate"),
+    )
+
+
+ORACLE_SUM_BY_RATE = f"""WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         ts, value, event_id AS seq
+  FROM events
+), l AS (
+  SELECT metric, label, value,
+         lag(value) OVER (PARTITION BY metric, label
+                          ORDER BY ts, seq) AS pv,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM s
+), r AS (
+  SELECT metric, label, w_start,
+         round(sum(CASE WHEN pv IS NULL THEN NULL
+                        WHEN value >= pv THEN value - pv
+                        ELSE value END) / {BUCKET_S}.0, 6) AS rate_per_s
+  FROM l GROUP BY 1, 2, 3
+  HAVING sum(CASE WHEN pv IS NULL THEN NULL
+                  WHEN value >= pv THEN value - pv
+                  ELSE value END) IS NOT NULL
+)
+SELECT metric, w_start,
+       CAST(count(*) AS BIGINT) AS n_series,
+       round(sum(rate_per_s), 6) AS sum_rate_per_s,
+       round(max(rate_per_s), 6) AS max_series_rate
+FROM r
+GROUP BY 1, 2"""
+
+QUERIES["promql_sum_by_rate"] = (q_sum_by_rate, ORACLE_SUM_BY_RATE)
+
+
+# ------------------------------------------- cardinality diagnostics
+
+def q_series_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric series-cardinality report — the diagnostics every
+    Prometheus operator runs when storage explodes: how many distinct
+    labelsets does each metric carry, how many samples, and how
+    concentrated is the volume (top labelset's share).
+
+    One pre-aggregate keyed on (metric, label) — the same distribution
+    as the rate family — then a per-metric rollup of the per-series
+    counts; exact distinct via the two-level aggregate, no
+    count_distinct shuffle of raw samples.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    per_series = (
+        ev.select(
+            F.col("event_type").alias("metric"),
+            (F.get_json_object(F.col("props"), "$.k").cast("bigint") % 10)
+            .cast("bigint")
+            .alias("label"),
+        )
+        .groupBy("metric", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_series.groupBy("metric").agg(
+        F.count("*").cast("bigint").alias("n_series"),
+        F.sum("n").cast("bigint").alias("n_samples"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_series_share"),
+    )
+
+
+ORACLE_SERIES_CARDINALITY = """WITH per AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n_series,
+       CAST(sum(n) AS BIGINT) AS n_samples,
+       round(max(n) * 1.0 / sum(n), 6) AS top_series_share
+FROM per
+GROUP BY 1"""
+
+QUERIES["promql_series_cardinality"] = (
+    q_series_cardinality,
+    ORACLE_SERIES_CARDINALITY,
+)

@@ -294,7 +294,8 @@ PRIORITY: list[str] = [
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
     "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",
-    "promql_rate_offset_delta",
+    "promql_rate_offset_delta", "promql_sum_by_rate",
+    "promql_series_cardinality",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----
