@@ -1234,3 +1234,77 @@ QUERIES["promql_series_cardinality"] = (
     q_series_cardinality,
     ORACLE_SERIES_CARDINALITY,
 )
+
+
+# ------------------------------------------------- time-weighted average
+
+def time_weighted_avg(
+    samples: DataFrame,
+    bucket_s: int = BUCKET_S,
+    series_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Time-weighted average per (series, tumbling bucket) — the
+    irregular-sampling gauge average (TimescaleDB ``time_weight``):
+    trapezoidal integral of the value over time divided by covered
+    time, so a gauge sampled 1x/min and 1x/sec in the same bucket is
+    not biased toward the chatty interval the way PromQL's sample-mean
+    ``avg_over_time`` is.
+
+    Each consecutive-sample segment contributes
+    ``(v_prev + v) / 2 * dt`` attributed to the bucket holding the
+    segment's END sample (documented convention — segments are not
+    split at bucket boundaries, matching the exact-increase convention
+    of :func:`counter_rate`).  Same single per-series exchange as the
+    whole lag family.
+    """
+    w = Window.partitionBy(*series_cols).orderBy("ts", "seq")
+    ts_sec = ntz_epoch_seconds("ts")
+    prev_v = F.lag("value").over(w)
+    dt = ts_sec - F.lag(ts_sec).over(w)
+    seg = (prev_v + F.col("value")) / 2.0 * dt
+    return (
+        samples.select(
+            *series_cols,
+            F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
+            seg.alias("__seg"),
+            dt.alias("__dt"),
+        )
+        .groupBy(*series_cols, "w_start")
+        .agg(
+            F.count("__dt").cast("bigint").alias("n_segments"),
+            F.round(
+                F.sum("__seg") / F.expr("nullif(sum(__dt), 0D)"), 6
+            ).alias("twa"),
+        )
+        .filter(F.col("n_segments") > 0)
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return time_weighted_avg(_long(spark, sf_dir))
+
+
+ORACLE_TIME_WEIGHTED_AVG = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER w AS pv,
+         epoch(ts) - epoch(lag(ts) OVER w) AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), e AS (
+  SELECT metric,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start,
+         (pv + value) / 2.0 * dt AS seg, dt
+  FROM s
+)
+SELECT metric, w_start,
+       CAST(count(dt) AS BIGINT) AS n_segments,
+       round(sum(seg) / nullif(sum(dt), 0), 6) AS twa
+FROM e
+GROUP BY 1, 2
+HAVING count(dt) > 0"""
+
+QUERIES["promql_time_weighted_avg"] = (
+    q_time_weighted_avg,
+    ORACLE_TIME_WEIGHTED_AVG,
+)

@@ -295,7 +295,7 @@ PRIORITY: list[str] = [
     "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",
     "promql_rate_offset_delta", "promql_sum_by_rate",
-    "promql_series_cardinality",
+    "promql_series_cardinality", "promql_time_weighted_avg",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----
