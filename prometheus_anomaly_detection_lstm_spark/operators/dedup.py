@@ -817,6 +817,17 @@ def build_dedup_index(
     """
     from ..io_tables import write_bucketed
 
+    spark = docs.sparkSession
+    # DROP first, and clear an ORPHANED location (dir left by a prior
+    # process whose in-memory catalog is gone): saveAsTable refuses to
+    # adopt an existing managed-table path (LOCATION_ALREADY_EXISTS).
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     write_bucketed(
         band_buckets(minhash_signatures(docs)), table, "bucket", n_buckets
     )
