@@ -1,0 +1,263 @@
+"""Distributed k-means over embedding columns + SemDeDup semantic dedup.
+
+The reference repo has no clustering surface; these are the
+training-data-pipeline operators a 100 TB corpus needs: k-means is the
+coarse quantizer behind IVF indexes and the partitioner behind
+SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
+corpus, then prune near-duplicates WITHIN each cluster so the pairwise
+stage never goes n^2 over the full corpus).
+
+Design for scale
+----------------
+- **Assignment is map-only.** Centroids are k x d doubles — metadata
+  scale even at k=100k — so they ride the plan as literal arrays
+  (plan-side broadcast); each vector computes its k distances inside
+  whole-stage codegen via ``zip_with`` + ``aggregate`` folds.  No
+  shuffle, no UDF, no driver loop over rows.
+- **Recomputation is one hash aggregate.** posexplode(vec) ->
+  (cluster, pos, val) -> groupBy(cluster, pos).avg: partial (map-side)
+  aggregation reduces shuffle volume to #partitions x k x d regardless
+  of corpus size.  The k x d result is collected driver-side (same
+  metadata-scale collect as the PCA fit in operators/linalg.py).
+- **Determinism / oracle parity.** Init centroids are the k lowest
+  vec_id vectors; recomputed centroids are ROUNDED to 6 decimals on
+  both engines, so iteration-2 distances start from bit-identical
+  values; every distance/dot fold is a sequential left fold replicated
+  exactly in the DuckDB oracle (list_reduce over list_zip), making the
+  argmin tie-break (lowest cluster id on equal distance) stable
+  cross-engine.
+- **SemDeDup cluster-size note.** The within-cluster pair join keys on
+  the cluster id, so parallelism equals k and the per-task cost is
+  bounded by the largest cluster.  In production k grows with the
+  corpus (SemDeDup uses n/avg_cluster_size clusters, e.g. 50k for
+  LAION-440M) and oversized clusters are re-split before pairing; the
+  registered query uses k=8 on the 500-row test corpus which keeps the
+  same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+from .similarity import _emb, with_norm
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2  # assignment rounds; centroids recomputed in between
+EMB_DIM = 64
+SEMDEDUP_TAU = 0.35  # cosine threshold calibrated to the test corpus
+
+
+def _vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vec ARRAY<DOUBLE>) — shared distributed producer."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def _dist2(vec_col, centroid: list[float]):
+    """Squared Euclidean distance to a literal centroid as a sequential
+    left fold (same op order as the oracle's list_reduce)."""
+    return F.aggregate(
+        F.zip_with(vec_col, F.lit(centroid), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Append (cluster, sq_dist): nearest centroid by squared distance,
+    ties broken by lowest cluster id (first index of the minimum).
+
+    ``centroids`` must be sorted by cluster id; they become plan
+    literals, so assignment is a pure map stage in codegen.
+    """
+    dists = F.array(*[_dist2(F.col("vec"), c) for _, c in centroids])
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    idx = F.array_position(dists, F.array_min(dists))
+    return df.withColumn(
+        "cluster", F.element_at(cids, idx.cast("int")).cast("bigint")
+    ).withColumn("sq_dist", F.array_min(dists))
+
+
+def _recompute_centroids(
+    assigned: DataFrame,
+) -> list[tuple[int, list[float]]]:
+    """Per-cluster per-dimension mean, rounded to 6 decimals (the
+    cross-engine determinism anchor).  One hash aggregate with map-side
+    combine; k x d rows collected driver-side (metadata scale)."""
+    rows = (
+        assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
+    return [
+        (cid, [dims[p] for p in sorted(dims)])
+        for cid, dims in sorted(by_cluster.items())
+    ]
+
+
+def init_centroids(df: DataFrame, k: int = K_CLUSTERS) -> list[tuple[int, list[float]]]:
+    """Deterministic init: the k lowest-vec_id vectors, cluster id =
+    their rank.  A k-row collect."""
+    rows = (
+        df.filter(F.col("vec_id") < k).select("vec_id", "vec").collect()
+    )
+    return [(int(r["vec_id"]), list(r["vec"])) for r in sorted(rows, key=lambda r: r["vec_id"])]
+
+
+def kmeans_assign(
+    df: DataFrame, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's algorithm, ``iters`` assignment rounds: assign ->
+    recompute (rounded) -> ... -> final assignment.  Returns
+    (vec_id, cluster, sq_dist)."""
+    cents = init_centroids(df, k)
+    assigned = assign_clusters(df, cents)
+    for _ in range(iters - 1):
+        cents = _recompute_centroids(assigned)
+        assigned = assign_clusters(df, cents)
+    return assigned.select("vec_id", "cluster", "sq_dist")
+
+
+def semantic_dedup(
+    df: DataFrame, k: int = K_CLUSTERS, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup: one assignment to the fixed init centroids partitions
+    the corpus; cosine pairs are computed WITHIN clusters only; any
+    vector with a lower-id neighbor at rounded cosine >= tau is a
+    duplicate.  Output (vec_id, n_similar, keep_candidate, max_cos):
+    one row per pruned vector, keep_candidate = its lowest-id similar
+    neighbor.
+
+    The dot/norm folds are sequential left folds, replicated exactly in
+    the oracle; the threshold compares the 6-decimal ROUNDED cosine so
+    the cut is bit-stable cross-engine.
+    """
+    normed = with_norm(df.select("vec_id", F.col("vec").alias("embedding")))
+    cents = init_centroids(df, k)
+    member = assign_clusters(normed, cents).select(
+        "vec_id", "vec", "norm", "cluster"
+    )
+    a = member.select(
+        F.col("vec_id").alias("i"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+        "cluster",
+    )
+    b = member.select(
+        F.col("vec_id").alias("j"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+        "cluster",
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("i") < F.col("j"))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= tau)
+    )
+    return pairs.groupBy(F.col("j").alias("vec_id")).agg(
+        F.count("*").alias("n_similar"),
+        F.min("i").alias("keep_candidate"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+# ------------------------------------------------------------- registry
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = kmeans_assign(_vec(spark, sf_dir))
+    return out.select(
+        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return semantic_dedup(_vec(spark, sf_dir))
+
+
+_FOLD_D2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) ^ 2), (acc, x) -> acc + x)"
+)
+
+ORACLE_KMEANS = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), init AS (
+  SELECT vec_id AS cluster, vec FROM v WHERE vec_id < {K_CLUSTERS}
+), d1 AS (
+  SELECT v.vec_id, i.cluster,
+         {_FOLD_D2.format(a='v.vec', b='i.vec')} AS d2
+  FROM v CROSS JOIN init i
+), a1 AS (
+  SELECT vec_id, cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+), m1 AS (
+  SELECT a1.cluster, g.pos, round(avg(v.vec[g.pos]), 6) AS c
+  FROM a1 JOIN v USING (vec_id), generate_series(1, {EMB_DIM}) g(pos)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cluster, list(c ORDER BY pos) AS vec FROM m1 GROUP BY 1
+), d2s AS (
+  SELECT v.vec_id, c1.cluster,
+         {_FOLD_D2.format(a='v.vec', b='c1.vec')} AS d2
+  FROM v CROSS JOIN c1
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(d2, 6) AS sq_dist
+FROM d2s
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1"""
+
+
+ORACLE_SEMANTIC_DEDUP = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), n AS (
+  SELECT vec_id, vec,
+         sqrt(list_reduce(list_transform(vec, x -> x * x),
+              (acc, x) -> acc + x)) AS nrm
+  FROM v
+), init AS (
+  SELECT vec_id AS cluster, vec FROM v WHERE vec_id < {K_CLUSTERS}
+), d1 AS (
+  SELECT v.vec_id, i.cluster,
+         {_FOLD_D2.format(a='v.vec', b='i.vec')} AS d2
+  FROM v CROSS JOIN init i
+), a1 AS (
+  SELECT vec_id, cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+), m AS (
+  SELECT n.vec_id, n.vec, n.nrm, a1.cluster FROM n JOIN a1 USING (vec_id)
+), p AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         round(list_reduce(list_transform(list_zip(a.vec, b.vec),
+                 p -> p[1] * p[2]), (acc, x) -> acc + x)
+               / (a.nrm * b.nrm), 6) AS cos
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT j AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_similar,
+       min(i) AS keep_candidate,
+       max(cos) AS max_cos
+FROM p WHERE cos >= {SEMDEDUP_TAU}
+GROUP BY 1"""
+
+
+QUERIES = {
+    "embedding_kmeans": (q_embedding_kmeans, ORACLE_KMEANS),
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+}

@@ -296,6 +296,7 @@ PRIORITY: list[str] = [
     "promql_subquery_max_rate", "promql_alert_episodes",
     "promql_rate_offset_delta", "promql_sum_by_rate",
     "promql_series_cardinality", "promql_time_weighted_avg",
+    "embedding_kmeans", "semantic_dedup",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----
@@ -359,8 +360,8 @@ PRIORITY: list[str] = [
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import extended, relational, tpch_more, tpch_wave3
     from .operators import (
-        approx, corpus, dedup, linalg, profile, promql, similarity, text,
-        multimodal,
+        approx, corpus, dedup, kmeans, linalg, profile, promql, similarity,
+        text, multimodal,
     )
     from .ml import lstm_query
 
@@ -373,6 +374,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(linalg.QUERIES)
+    merged.update(kmeans.QUERIES)
     merged.update(profile.QUERIES)
     merged.update(dedup.QUERIES)
     merged.update(similarity.QUERIES)

@@ -1,0 +1,70 @@
+"""k-means + SemDeDup: Lloyd monotonicity, partitioning invariance, and
+subset-of-brute-force soundness vs a NumPy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark.operators import kmeans as KM
+
+from .conftest import SF_SMALL
+
+
+def _vec_np(spark, sf_dir):
+    rows = KM._vec(spark, sf_dir).orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["vec"] for r in rows])
+    return ids, X
+
+
+def test_inertia_non_increasing_across_iterations(spark):
+    df = KM._vec(spark, SF_SMALL)
+    one = KM.kmeans_assign(df, iters=1).agg(F.sum("sq_dist")).first()[0]
+    two = KM.kmeans_assign(df, iters=2).agg(F.sum("sq_dist")).first()[0]
+    # Lloyd is monotone; centroid rounding at 1e-6 can add at most a
+    # hair, so allow a tiny relative slack.
+    assert two <= one * (1 + 1e-9)
+
+
+def test_assignment_matches_numpy(spark):
+    ids, X = _vec_np(spark, SF_SMALL)
+    k = KM.K_CLUSTERS
+    cents = X[np.argsort(ids)[:k]]  # vec_id 0..k-1 in order
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want_iter1 = d.argmin(axis=1)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in KM.kmeans_assign(
+            KM._vec(spark, SF_SMALL), iters=1
+        ).collect()
+    }
+    np_map = dict(zip(ids.tolist(), want_iter1.tolist()))
+    assert got == np_map
+
+
+def test_assignment_partitioning_invariant(spark):
+    df = KM._vec(spark, SF_SMALL)
+    a = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in KM.kmeans_assign(df.repartition(3)).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in KM.kmeans_assign(df.repartition(11)).collect()
+    )
+    assert a == b
+
+
+def test_semantic_dedup_sound_vs_brute_force(spark):
+    """Every reported duplicate pair really is >= tau by exact cosine,
+    and every reported dup shares a cluster with its keep_candidate."""
+    ids, X = _vec_np(spark, SF_SMALL)
+    norms = np.linalg.norm(X, axis=1)
+    out = KM.semantic_dedup(KM._vec(spark, SF_SMALL)).collect()
+    pos = {v: i for i, v in enumerate(ids.tolist())}
+    for r in out:
+        i, j = pos[r["keep_candidate"]], pos[r["vec_id"]]
+        cos = float(X[i] @ X[j] / (norms[i] * norms[j]))
+        assert cos >= KM.SEMDEDUP_TAU - 1e-6
+        assert r["keep_candidate"] < r["vec_id"]
