@@ -1308,3 +1308,160 @@ QUERIES["promql_time_weighted_avg"] = (
     q_time_weighted_avg,
     ORACLE_TIME_WEIGHTED_AVG,
 )
+
+
+# -------------------------------------------- Holt linear-trend smoothing
+
+HOLT_ALPHA = 0.3  # level smoothing factor (PromQL sf)
+HOLT_BETA = 0.1  # trend smoothing factor (PromQL tf)
+HOLT_K = 120  # truncation horizon (spectral radius < 1-beta => ~1e-6)
+
+
+def holt_smoothing(
+    samples: DataFrame,
+    alpha: float = HOLT_ALPHA,
+    beta: float = HOLT_BETA,
+    k: int = HOLT_K,
+    series_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Per-series Holt linear-trend smoothing — the batch twin of
+    PromQL's ``double_exponential_smoothing(v[w], sf, tf)``:
+
+        s_t = alpha*x_t + (1-alpha)*(s_{t-1} + b_{t-1})
+        b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1}
+
+    Defined (like :func:`metric_ewma`) as the K-TERM truncated fold over
+    the last ``k`` samples in (ts, seq) order, seeded with
+    (s=first value in frame, b=0) — a bounded sliding frame, so any
+    partition split gives identical results and the only exchange is
+    the family's per-series hash.  The two-state recursion folds a
+    STRUCT accumulator; the DuckDB oracle replicates the identical fold
+    over ``list_transform(vals, x -> struct(s := x, b := 0))`` so the
+    sequence of float ops matches bit-for-bit.
+    """
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("ts", "seq")
+        .rowsBetween(-(k - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    seed = F.struct(F.element_at(vals, 1).alias("s"), F.lit(0.0).alias("b"))
+
+    def step(acc, x):
+        s2 = F.lit(alpha) * x + F.lit(1.0 - alpha) * (acc["s"] + acc["b"])
+        b2 = F.lit(beta) * (s2 - acc["s"]) + F.lit(1.0 - beta) * acc["b"]
+        return F.struct(s2.alias("s"), b2.alias("b"))
+
+    folded = F.aggregate(F.slice(vals, 2, k), seed, step)
+    return samples.select(
+        *series_cols,
+        "ts",
+        "seq",
+        "value",
+        F.round(folded["s"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+    )
+
+
+def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return holt_smoothing(_long(spark, sf_dir))
+
+
+#: constants interpolated via repr so both engines parse the exact same
+#: doubles (1-alpha is computed in PYTHON, not re-derived in SQL).  The
+#: accumulator is a 2-element LIST [level, trend], not a struct:
+#: DuckDB 1.0.0 miscomputes duplicated subexpressions inside
+#: struct_pack within list_reduce lambdas (minimal repro: fold
+#: (acc, x) -> struct(s := acc.s + x.s, b := (acc.s + x.s) + acc.b)
+#: over [1,2,3] yields b=12 instead of 9); the list form evaluates
+#: correctly and matches the Spark struct fold value-for-value.
+ORACLE_HOLT = f"""WITH s AS (
+  SELECT event_type AS metric, ts, event_id AS seq, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {HOLT_K - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+), h AS (
+  SELECT metric, ts, seq, value,
+         list_reduce(
+           list_transform(vals, x -> [x, 0.0::DOUBLE]),
+           (acc, x) -> [
+             {HOLT_ALPHA!r}::DOUBLE * x[1]
+               + {1.0 - HOLT_ALPHA!r}::DOUBLE * (acc[1] + acc[2]),
+             {HOLT_BETA!r}::DOUBLE
+               * (({HOLT_ALPHA!r}::DOUBLE * x[1]
+                   + {1.0 - HOLT_ALPHA!r}::DOUBLE * (acc[1] + acc[2]))
+                  - acc[1])
+               + {1.0 - HOLT_BETA!r}::DOUBLE * acc[2]]) AS hw
+  FROM s
+)
+SELECT metric, ts, seq, value,
+       round(hw[1], 6) AS level, round(hw[2], 6) AS trend
+FROM h"""
+
+QUERIES["promql_holt_smoothing"] = (q_holt_smoothing, ORACLE_HOLT)
+
+
+# -------------------------------------------- seasonal-profile baseline
+
+SEASONAL_Z = 3.0
+
+
+def seasonal_anomaly(
+    samples: DataFrame,
+    z_cut: float = SEASONAL_Z,
+    series_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Seasonal-profile anomaly baseline: per (series, hour-of-day)
+    mean/std_pop profile, then every sample scored as a z-score against
+    its seasonal slot; rows with |z| >= z_cut are flagged.  The
+    statistical sibling of the LSTM detector (same premise as the
+    reference: learn "normal for this time", alert on deviation) and
+    the classic first-line production baseline.
+
+    Scale: the profile is one hash aggregate (#series x 24 rows —
+    metadata scale), broadcast back onto the sample stream, so the
+    scoring pass is map-only; no per-series window at all.
+    """
+    prof = (
+        samples.groupBy(*series_cols, F.hour("ts").alias("__h"))
+        .agg(
+            F.avg("value").alias("__m"),
+            F.stddev_pop("value").alias("__s"),
+        )
+    )
+    z = (F.col("value") - F.col("__m")) / F.expr("nullif(__s, 0D)")
+    return (
+        samples.withColumn("__h", F.hour("ts"))
+        .join(F.broadcast(prof), [*series_cols, "__h"])
+        .withColumn("__z", z)
+        .filter(F.abs(F.col("__z")) >= z_cut)
+        .select(
+            *series_cols,
+            "ts",
+            "seq",
+            "value",
+            F.round("__z", 6).alias("z"),
+        )
+    )
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return seasonal_anomaly(_long(spark, sf_dir))
+
+
+ORACLE_SEASONAL = f"""WITH prof AS (
+  SELECT event_type AS metric, hour(ts) AS h,
+         avg(value) AS m, stddev_pop(value) AS s
+  FROM events GROUP BY 1, 2
+), z AS (
+  SELECT e.event_type AS metric, e.ts, e.event_id AS seq, e.value,
+         (e.value - p.m) / nullif(p.s, 0) AS z
+  FROM events e
+  JOIN prof p ON e.event_type = p.metric AND hour(e.ts) = p.h
+)
+SELECT metric, ts, seq, value, round(z, 6) AS z
+FROM z WHERE abs(z) >= {SEASONAL_Z!r}"""
+
+QUERIES["metric_seasonal_anomaly"] = (q_seasonal_anomaly, ORACLE_SEASONAL)
