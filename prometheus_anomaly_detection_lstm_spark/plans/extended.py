@@ -809,3 +809,88 @@ QUERIES["metric_correlations"] = (
     q_metric_correlations,
     _metric_correlations_oracle(),
 )
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS beside the rollup/cube entries: the
+    hand-picked lattice ((metric), (metric, day), ()) with per-column
+    GROUPING() flags — the shape BI layers emit when the full cube is
+    too wide.  One shuffle; Spark expands the sets map-side (Expand
+    node) exactly like rollup/cube, so the cost is #sets partial
+    aggregates, not #sets scans."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # day is a TRUNCATED TIMESTAMP, not a DATE: the driver's hash
+    # canonicalizes datetime64 columns but Spark DATE arrives in pandas
+    # as python-date objects, so a DATE column would hash differently
+    # between the engines even with identical values.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        F.date_trunc("DAY", "ts").alias("day"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["metric"], ["metric", "day"], []], "metric", "day"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+            F.grouping("metric").cast("int").alias("g_metric"),
+            F.grouping("day").cast("int").alias("g_day"),
+        )
+    )
+
+
+ORACLE_EVENTS_GROUPING_SETS = """SELECT
+  event_type AS metric, date_trunc('day', ts) AS day,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 6) AS sum_v,
+  CAST(grouping(event_type) AS INT) AS g_metric,
+  CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day
+FROM events
+GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('day', ts)), ())"""
+
+
+QUERIES["events_grouping_sets"] = (
+    q_events_grouping_sets,
+    ORACLE_EVENTS_GROUPING_SETS,
+)
+
+
+def q_events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-rank surface: percent_rank / cume_dist over value
+    (standard tie semantics) and ntile(4) over the tie-broken total
+    order — per-metric windows, so partition count grows with series
+    cardinality (same scale axis as the PromQL family)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    w_val = Window.partitionBy("metric").orderBy("value")
+    w_uni = Window.partitionBy("metric").orderBy("value", "seq")
+    return ev.select(
+        "metric",
+        "seq",
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cume_dist"),
+        F.ntile(4).over(w_uni).cast("bigint").alias("quartile"),
+    )
+
+
+ORACLE_EVENTS_RANK_FUNCTIONS = """SELECT
+  event_type AS metric, event_id AS seq,
+  round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+    AS pct_rank,
+  round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6)
+    AS cume_dist,
+  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+    AS BIGINT) AS quartile
+FROM events"""
+
+
+QUERIES["events_rank_functions"] = (
+    q_events_rank_functions,
+    ORACLE_EVENTS_RANK_FUNCTIONS,
+)
