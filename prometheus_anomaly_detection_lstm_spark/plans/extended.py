@@ -857,6 +857,108 @@ QUERIES["events_grouping_sets"] = (
 )
 
 
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+
+
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user-journey transition graph (which event
+    types are central to user paths) — the iterative-graph-algorithm
+    shape on DataFrames: edges stay DISTRIBUTED, the rank vector is a
+    node-cardinality frame broadcast into each iteration's join, so one
+    iteration = broadcast-join + bounded-key aggregate and the edge set
+    is never collected.  Fixed iteration count unrolls into one DAG —
+    no driver loop over data, only over plan construction.
+
+    Node count rides a one-row broadcast (no driver-side count job).
+    Rank mass: nodes without in-edges keep the teleport term via the
+    right-join + coalesce; dangling mass is not redistributed (all
+    event types have out-edges in this graph; documented convention).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w_out = Window.partitionBy("from_type")
+    edges = cnt.select(
+        F.col("from_type").alias("f"),
+        F.col("to_type").alias("t"),
+        (F.col("n") / F.sum("n").over(w_out)).alias("p"),
+    )
+    nodes = (
+        edges.select(F.col("f").alias("node"))
+        .union(edges.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(PAGERANK_ITERS):
+        inflow = (
+            edges.join(
+                F.broadcast(ranks.withColumnRenamed("node", "f")), "f"
+            )
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(F.col("p") * F.col("r")).alias("v"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(inflow), "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - PAGERANK_D) / F.col("n_nodes")
+                    + F.lit(PAGERANK_D) * F.coalesce("v", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
+def _pagerank_oracle() -> str:
+    d = PAGERANK_D
+    prev = "r0"
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""r{i} AS (
+  SELECT nd.node,
+         {1.0 - d!r} / (SELECT n_nodes FROM nn)
+           + {d!r} * coalesce(s.v, 0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.t AS node, sum(e.p * {prev}.r) AS v
+    FROM edges e JOIN {prev} ON e.f = {prev}.node GROUP BY e.t) s
+  USING (node))""")
+        prev = f"r{i}"
+    joined_iters = ",\n".join(iters)
+    return f"""WITH seq AS (
+  SELECT event_type AS to_type, lag(event_type) OVER w AS from_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), cnt AS (
+  SELECT from_type AS f, to_type AS t, count(*)::DOUBLE AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+), edges AS (
+  SELECT f, t, n / sum(n) OVER (PARTITION BY f) AS p FROM cnt
+), nodes AS (
+  SELECT f AS node FROM cnt UNION SELECT t FROM cnt
+), nn AS (
+  SELECT count(*)::DOUBLE AS n_nodes FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS r FROM nodes
+), {joined_iters}
+SELECT node, round(r, 6) AS rank FROM {prev}"""
+
+
+QUERIES["event_pagerank"] = (q_event_pagerank, _pagerank_oracle())
+
+
 def q_events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-rank surface: percent_rank / cume_dist over value
     (standard tie semantics) and ntile(4) over the tie-broken total

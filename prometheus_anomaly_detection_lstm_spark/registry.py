@@ -298,7 +298,7 @@ PRIORITY: list[str] = [
     "promql_series_cardinality", "promql_time_weighted_avg",
     "embedding_kmeans", "semantic_dedup",
     "promql_holt_smoothing", "metric_seasonal_anomaly",
-    "events_grouping_sets", "events_rank_functions",
+    "events_grouping_sets", "events_rank_functions", "event_pagerank",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----
