@@ -959,6 +959,79 @@ SELECT node, round(r, 6) AS rank FROM {prev}"""
 QUERIES["event_pagerank"] = (q_event_pagerank, _pagerank_oracle())
 
 
+def q_scd2_user_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 dimension build: per user, collapse the run-length
+    history of a derived attribute (value band) into validity intervals
+    [valid_from, valid_to), open interval (NULL valid_to) for the
+    current state — the merge-into-dimension shape every warehouse
+    pipeline runs.
+
+    Gaps-and-islands on the rn-difference key; both windows partition
+    by user_id so parallelism scales with user cardinality and the
+    island aggregate reuses the same hash distribution (one exchange
+    total).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ub = Window.partitionBy("user_id", "band").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        band.alias("band"),
+    ).withColumn(
+        "island",
+        F.row_number().over(w_u) - F.row_number().over(w_ub),
+    )
+    iv = runs.groupBy("user_id", "band", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    return iv.select(
+        "user_id",
+        "band",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        "n_events",
+    )
+
+
+ORACLE_SCD2_USER_BANDS = """WITH runs AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value < 20 THEN 'low'
+              WHEN value < 100 THEN 'mid'
+              ELSE 'high' END AS band
+  FROM events
+), isl AS (
+  SELECT user_id, ts, band,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, band
+                              ORDER BY ts, event_id) AS island
+  FROM runs
+), iv AS (
+  SELECT user_id, band, island,
+         min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT user_id, band, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events
+FROM iv"""
+
+
+QUERIES["scd2_user_bands"] = (q_scd2_user_bands, ORACLE_SCD2_USER_BANDS)
+
+
 def q_events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-rank surface: percent_rank / cume_dist over value
     (standard tie semantics) and ntile(4) over the tie-broken total

@@ -299,6 +299,7 @@ PRIORITY: list[str] = [
     "embedding_kmeans", "semantic_dedup",
     "promql_holt_smoothing", "metric_seasonal_anomaly",
     "events_grouping_sets", "events_rank_functions", "event_pagerank",
+    "scd2_user_bands",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----
