@@ -349,3 +349,53 @@ def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+#: CSV metric-sample interchange schema (the flat-file drop every
+#: monitoring export produces: one sample per line).  ts is read as
+#: STRING then parsed explicitly — CSV timestamp inference is both slow
+#: and timezone-ambiguous; try_to_timestamp keeps a malformed stamp a
+#: NULL instead of failing the scan.
+CSV_METRICS_SCHEMA = "ts STRING, metric STRING, value DOUBLE, seq BIGINT"
+
+
+def write_csv_metrics(
+    df: DataFrame, path: str, shards: int | None = None, compress: bool = True
+) -> None:
+    """(ts, metric, value, seq) frame -> sharded (optionally gzipped)
+    CSV with header.  Same sharding contract as write_jsonl_corpus:
+    None keeps the input partitioning (zero exchange)."""
+    out = df if shards is None else df.repartition(shards)
+    writer = out.selectExpr(
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts",
+        "metric",
+        "value",
+        "seq",
+    ).write.mode("overwrite").option("header", True)
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.csv(path)
+
+
+def read_csv_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """Sharded CSV (plain or .gz) -> sample stream (ts TIMESTAMP_NTZ,
+    metric, value, seq) under the explicit schema — no inference scan.
+    Malformed lines keep the raw text in ``_corrupt_record`` for
+    quarantine (PERMISSIVE), and unparseable timestamps surface as NULL
+    ts rather than a failed 100-TB read."""
+    raw = (
+        spark.read.schema(CSV_METRICS_SCHEMA + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", True)
+        .csv(path)
+    )
+    return raw.select(
+        F.expr(
+            "try_to_timestamp(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        ).cast("timestamp_ntz").alias("ts"),
+        "metric",
+        "value",
+        "seq",
+        "_corrupt_record",
+    )

@@ -115,3 +115,50 @@ def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
     assert q.filter(F.col("doc_id") == 1).count() == 1
     q.unpersist()
     back.unpersist()
+
+
+def test_csv_metrics_roundtrip_and_quarantine(spark, tmp_path):
+    """CSV interchange: gzip shard roundtrip preserves the sample
+    stream; malformed lines quarantine; bad timestamps become NULL ts
+    instead of failing the scan."""
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_anomaly_detection_lstm_spark.io_tables import (
+        read_csv_metrics,
+        write_csv_metrics,
+    )
+
+    samples = load_table(spark, SF_SMALL, "events").select(
+        "ts",
+        F.col("event_type").alias("metric"),
+        "value",
+        F.col("event_id").alias("seq"),
+    )
+    path = str(tmp_path / "metrics_csv")
+    write_csv_metrics(samples, path, shards=3)
+    files = [f for f in os.listdir(path) if f.endswith(".csv.gz")]
+    assert len(files) == 3
+    back = read_csv_metrics(spark, path).persist()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    a = {tuple(r) for r in samples.collect()}
+    b = {tuple(r) for r in back.drop("_corrupt_record").collect()}
+    assert a == b
+
+    bad = str(tmp_path / "metrics_bad")
+    os.makedirs(bad)
+    with gzip.open(f"{bad}/part-bad.csv.gz", "wt") as fh:
+        fh.write("ts,metric,value,seq\n")
+        fh.write("2024-01-01 00:00:00.000000,cpu,1.5,1\n")
+        fh.write("not-a-timestamp,cpu,2.5,2\n")
+        fh.write("2024-01-01 00:02:00.000000,cpu,NOT_A_NUMBER,3\n")
+    q = read_csv_metrics(spark, bad).persist()
+    # row 3: value fails DOUBLE -> quarantined; row 2: ts string parses
+    # into the schema but try_to_timestamp yields NULL ts
+    assert q.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert q.filter(F.col("ts").isNull() & F.col("_corrupt_record").isNull()).count() == 1
+    assert q.filter(F.col("seq") == 1).select("value").first()[0] == 1.5
+    q.unpersist()
+    back.unpersist()
