@@ -261,3 +261,107 @@ QUERIES = {
     "embedding_kmeans": (q_embedding_kmeans, ORACLE_KMEANS),
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
 }
+
+
+# --------------------------------------------------- product quantization
+
+PQ_M = 8  # subspaces
+PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 4  # codewords per subspace
+
+
+def pq_codes(
+    df: DataFrame, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
+    """Product-quantization codes: split each d-dim vector into ``m``
+    subvectors and replace each with the id of its nearest codeword —
+    the compression behind IVF-PQ, the ANN layout that actually holds
+    at 100 TB (memory per vector drops from d*4 bytes to m bytes; ADC
+    distance scans read codes, not floats).
+
+    Codebooks here are the ``k`` lowest-vec_id vectors' subvector
+    slices (deterministic, oracle-replicable); production would refine
+    them with per-subspace Lloyd iterations — :func:`kmeans_assign`
+    shows that loop, it composes the same way per subspace.  Assignment
+    is map-only codegen: m x k literal-codeword distance folds per
+    vector, argmin per subspace, no shuffle at all.
+
+    Output: (vec_id, code_0..code_{m-1}, recon_err) where recon_err is
+    the total squared quantization error — the quality metric a PQ
+    tuning loop watches.
+    """
+    dsub = EMB_DIM // m
+    cb_rows = sorted(
+        df.filter(F.col("vec_id") < k).select("vec_id", "vec").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    out_cols = ["vec_id"]
+    err_total = None
+    sel = df.select("vec_id", "vec")
+    for mi in range(m):
+        sub = F.slice("vec", mi * dsub + 1, dsub)
+        cw = [
+            (int(r["vec_id"]), list(r["vec"])[mi * dsub: (mi + 1) * dsub])
+            for r in cb_rows
+        ]
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(sub, F.lit(c), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for _, c in cw
+            ]
+        )
+        cids = F.array(*[F.lit(cid) for cid, _ in cw])
+        idx = F.array_position(dists, F.array_min(dists))
+        sel = sel.withColumn(
+            f"code_{mi}",
+            F.element_at(cids, idx.cast("int")).cast("bigint"),
+        ).withColumn(f"__err_{mi}", F.array_min(dists))
+        out_cols.append(f"code_{mi}")
+        err_total = (
+            F.col(f"__err_{mi}")
+            if err_total is None
+            else err_total + F.col(f"__err_{mi}")
+        )
+    return sel.select(
+        *out_cols, F.round(err_total, 6).alias("recon_err")
+    )
+
+
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return pq_codes(_vec(spark, sf_dir))
+
+
+def _pq_oracle() -> str:
+    code_cols = ",\n       ".join(
+        f"CAST(max(CASE WHEN m = {mi} THEN code END) AS BIGINT) AS code_{mi}"
+        for mi in range(PQ_M)
+    )
+    return f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), sub AS (
+  SELECT v.vec_id, g.m,
+         list_slice(v.vec, g.m * {PQ_DSUB} + 1, g.m * {PQ_DSUB} + {PQ_DSUB})
+           AS sv
+  FROM v, generate_series(0, {PQ_M - 1}) g(m)
+), cb AS (
+  SELECT vec_id AS code, m, sv FROM sub WHERE vec_id < {PQ_K}
+), d AS (
+  SELECT s.vec_id, s.m, c.code,
+         {_FOLD_D2.format(a='s.sv', b='c.sv')} AS d2
+  FROM sub s JOIN cb c USING (m)
+), a AS (
+  SELECT vec_id, m, code, d2 FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
+)
+SELECT vec_id,
+       {code_cols},
+       round(sum(d2), 6) AS recon_err
+FROM a GROUP BY vec_id"""
+
+
+QUERIES["embedding_pq_codes"] = (q_embedding_pq_codes, _pq_oracle())

@@ -296,7 +296,7 @@ PRIORITY: list[str] = [
     "promql_subquery_max_rate", "promql_alert_episodes",
     "promql_rate_offset_delta", "promql_sum_by_rate",
     "promql_series_cardinality", "promql_time_weighted_avg",
-    "embedding_kmeans", "semantic_dedup",
+    "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
     "promql_holt_smoothing", "metric_seasonal_anomaly",
     "events_grouping_sets", "events_rank_functions", "event_pagerank",
     "scd2_user_bands",

@@ -68,3 +68,22 @@ def test_semantic_dedup_sound_vs_brute_force(spark):
         cos = float(X[i] @ X[j] / (norms[i] * norms[j]))
         assert cos >= KM.SEMDEDUP_TAU - 1e-6
         assert r["keep_candidate"] < r["vec_id"]
+
+
+def test_pq_codes_match_numpy(spark):
+    """PQ assignment and reconstruction error vs a NumPy oracle."""
+    ids, X = _vec_np(spark, SF_SMALL)
+    k, m, dsub = KM.PQ_K, KM.PQ_M, KM.PQ_DSUB
+    order = np.argsort(ids)
+    cb = X[order[:k]]  # vec_id 0..k-1
+    got = {r["vec_id"]: r for r in KM.pq_codes(
+        KM._vec(spark, SF_SMALL)).collect()}
+    for row_i, vid in enumerate(ids.tolist()):
+        err = 0.0
+        for mi in range(m):
+            sl = slice(mi * dsub, (mi + 1) * dsub)
+            d = ((X[row_i, sl][None, :] - cb[:, sl]) ** 2).sum(axis=1)
+            code = int(d.argmin())
+            assert got[vid][f"code_{mi}"] == code, (vid, mi)
+            err += float(d.min())
+        assert abs(got[vid]["recon_err"] - round(err, 6)) < 1e-6
