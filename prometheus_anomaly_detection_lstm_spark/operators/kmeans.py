@@ -365,3 +365,221 @@ FROM a GROUP BY vec_id"""
 
 
 QUERIES["embedding_pq_codes"] = (q_embedding_pq_codes, _pq_oracle())
+
+
+# ------------------------------------------------------- PQ-ADC search
+
+PQ_SEARCH_M = 16  # subspaces for the search path (finer than the codes op)
+PQ_SEARCH_K = 16  # codewords per subspace
+PQ_TRAIN_ITERS = 3  # per-subspace Lloyd refinements
+PQ_RERANK = 5  # shortlist factor for the exact rerank stage
+
+
+def _unit(df: DataFrame) -> DataFrame:
+    """(vec_id, uvec): L2-normalized vectors (dot == cosine)."""
+    return df.select(
+        "vec_id",
+        F.transform(
+            "vec",
+            lambda x: x
+            / F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("vec"), lambda y: y * y),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                )
+            ),
+        ).alias("uvec"),
+    )
+
+
+def make_pq_assign_fn(codebooks: list[list[list[float]]], dsub: int):
+    """Arrow-batched PQ assignment kernel (plain-value closure — ships
+    without the package).  Why a kernel and not Catalyst folds: m x
+    kcode literal-lambda distance expressions (256 at the search
+    config) cost tens of seconds of ANALYSIS/codegen per plan — the
+    same finding as the LSH signature stage (ROUND4.md), and the same
+    fix: one vectorized matmul-shaped kernel per Arrow batch."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = np.asarray(pdf["uvec"].tolist(), dtype=np.float64)
+            codes = np.zeros((len(pdf), len(CB)), dtype=np.int32)
+            for mi, C in enumerate(CB):
+                sub = U[:, mi * dsub: (mi + 1) * dsub]
+                d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d.argmin(axis=1)  # first-min, same tie rule
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "uvec": pdf["uvec"],
+                    "codes": list(codes),
+                }
+            )
+
+    return assign
+
+
+def _assign_pq_codes(
+    unit: DataFrame, codebooks: list[list[list[float]]], dsub: int
+) -> DataFrame:
+    """(vec_id, uvec, codes array<int>): nearest-codeword POSITION
+    (0-based) per subspace via the Arrow kernel."""
+    return unit.mapInPandas(
+        make_pq_assign_fn(codebooks, dsub),
+        schema="vec_id long, uvec array<double>, codes array<int>",
+    )
+
+
+def train_pq_codebooks(
+    unit: DataFrame,
+    m: int = PQ_SEARCH_M,
+    kcode: int = PQ_SEARCH_K,
+    iters: int = PQ_TRAIN_ITERS,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd training, all subspaces in ONE aggregate per
+    iteration: posexplode(uvec) tags every element with its (subspace,
+    current code, position), and groupBy(mi, code, sp).avg recomputes
+    every codeword mean in a single map-combined shuffle whose volume
+    is bounded by partitions x m x kcode x dsub — corpus-size
+    independent, collected driver-side (metadata scale).  Empty
+    codewords keep their previous value."""
+    dsub = EMB_DIM // m
+    cb_rows = sorted(
+        unit.filter(F.col("vec_id") < kcode).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    codebooks = [
+        [list(r["uvec"])[mi * dsub: (mi + 1) * dsub] for r in cb_rows]
+        for mi in range(m)
+    ]
+    for _ in range(iters):
+        coded = _assign_pq_codes(unit, codebooks, dsub)
+        ex = coded.select(
+            "codes", F.posexplode("uvec").alias("pos", "val")
+        )
+        mi_col = (F.col("pos") / dsub).cast("int")  # pos is 0-based
+        rows = (
+            ex.select(
+                mi_col.alias("mi"),
+                F.element_at("codes", mi_col + 1).alias("code"),
+                (F.col("pos") % dsub).alias("sp"),
+                "val",
+            )
+            .groupBy("mi", "code", "sp")
+            .agg(F.avg("val").alias("c"))
+            .collect()
+        )
+        new = [[list(cw) for cw in cb] for cb in codebooks]
+        for r in rows:
+            new[r["mi"]][r["code"]][r["sp"]] = r["c"]
+        codebooks = new
+    return codebooks
+
+
+def pq_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    m: int = PQ_SEARCH_M,
+    kcode: int = PQ_SEARCH_K,
+    train_iters: int = PQ_TRAIN_ITERS,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Approximate cosine top-k via trained PQ + asymmetric distance
+    computation (ADC) + exact rerank — the two-stage retrieval shape
+    that holds at 100 TB: the shortlist scan reads m SMALL CODES per
+    vector (not d floats), each query's m x kcode distance lookup
+    table rides the plan as literal arrays (sum-of-lookups in
+    whole-stage codegen, one pass scores ALL queries), and only the
+    k*rerank shortlist pays an exact-dot rerank.
+
+    Measured on the test corpus: recall@10 0.28 untrained/unreranked ->
+    ~0.85 with 3 Lloyd iterations and a 5x shortlist (floor pinned in
+    tests).  Approximate by design — rows-only for the driver, like
+    the LSH/IVF variants.
+    """
+    unit = _unit(df)
+    dsub = EMB_DIM // m
+    codebooks = train_pq_codebooks(unit, m, kcode, train_iters)
+    coded = _assign_pq_codes(unit, codebooks, dsub)
+    q_rows = sorted(
+        unit.filter(F.col("vec_id") < n_queries).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_vecs = [list(r["uvec"]) for r in q_rows]
+    approx_cols = []
+    for qv in q_vecs:
+        terms = None
+        for mi in range(m):
+            qs = qv[mi * dsub: (mi + 1) * dsub]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(qs, cw))
+                for cw in codebooks[mi]
+            ]
+            t = F.element_at(
+                F.lit(lut), F.element_at("codes", mi + 1) + 1
+            )
+            terms = t if terms is None else terms + t
+        approx_cols.append(terms)
+    scored = coded.select(
+        F.col("vec_id").alias("c_id"),
+        F.posexplode(F.array(*approx_cols)).alias("q_pos", "approx_d"),
+    ).select(
+        F.col("q_pos").cast("bigint").alias("q_id"),  # posexplode: 0-based
+        "c_id",
+        "approx_d",
+    ).filter(F.col("q_id") != F.col("c_id"))
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.col("approx_d").asc(), F.col("c_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(w_adc))
+        .filter(F.col("srk") <= k * rerank)
+        .select("q_id", "c_id")
+    )
+    # exact rerank: only the shortlist joins back to the float vectors
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with("uvec", F.lit(qv), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for qv in q_vecs
+        ]
+    )
+    exact = (
+        unit.join(
+            F.broadcast(shortlist),
+            unit["vec_id"] == shortlist["c_id"],
+        )
+        .withColumn(
+            "cosine", F.element_at(dots, F.col("q_id").cast("int") + 1)
+        )
+        .select("q_id", "c_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
+def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return pq_topk(_vec(spark, sf_dir))
+
+
+# approximate by design: rows-only for the driver (recall floor pinned
+# in tests/test_kmeans.py, same policy as ann_cosine_topk_lsh/_ivf)
+QUERIES["ann_cosine_topk_pq"] = (q_ann_cosine_topk_pq, None)

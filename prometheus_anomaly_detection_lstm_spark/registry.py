@@ -309,7 +309,7 @@ PRIORITY: list[str] = [
     "ann_cosine_topk", "embedding_norms", "embedding_random_projection",
     # (ann_cosine_topk_lsh / _ivf are rows-only for the driver — their
     # recall floors and prebuilt-index equivalence are pinned by pytest)
-    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "ann_cosine_topk_pq",
     # ---- changed in round 4: TZ-independent ntz_epoch_seconds in the
     # PromQL delta/derive expressions (advisor finding) ----
     "promql_counter_rate", "promql_gauge_over_time",

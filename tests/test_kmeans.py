@@ -87,3 +87,24 @@ def test_pq_codes_match_numpy(spark):
             assert got[vid][f"code_{mi}"] == code, (vid, mi)
             err += float(d.min())
         assert abs(got[vid]["recon_err"] - round(err, 6)) < 1e-6
+
+
+def test_pq_adc_recall_floor(spark):
+    """Trained PQ + ADC + 5x exact rerank: recall@10 vs the exact
+    cosine baseline stays above the pinned floor (measured 0.87 at
+    sf0.001, 0.85 at sf0.01)."""
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        _emb,
+        cosine_topk,
+    )
+
+    approx = KM.pq_topk(KM._vec(spark, SF_SMALL)).collect()
+    exact = cosine_topk(_emb(spark, SF_SMALL)).collect()
+    ex: dict[int, set[int]] = {}
+    for r in exact:
+        ex.setdefault(r["q_id"], set()).add(r["c_id"])
+    ap: dict[int, set[int]] = {}
+    for r in approx:
+        ap.setdefault(r["q_id"], set()).add(r["c_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8
