@@ -34,6 +34,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "anomaly_mse_lstm",         # same prep subtree
     "approx_threshold_percentiles",  # sketch summary row
     "dedup_embedding_cosine",   # centroid + radius tables (n_cells rows)
+    "event_pagerank",           # one-row node-count frame per iteration
     "fill_mean",                # per-column means summary row
     "promql_absent",            # one-row (lo, hi) bounds aggregate
     "fill_median",              # per-column medians summary row
