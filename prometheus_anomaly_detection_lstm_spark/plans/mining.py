@@ -1,0 +1,319 @@
+"""Pattern-mining / diagnostics plans: rolling quantiles, change-point
+detection, graph triangle counting, curriculum bucketing.
+
+Engine-completeness work (the reference —
+vpuhoff/prometheus-anomaly-detection-lstm — has none of this surface);
+the metric-facing entries extend its anomaly-detection premise with the
+classic statistical baselines a metrics platform runs beside an LSTM:
+
+- ``metric_rolling_median``  exact sliding median per series (the
+  robust-baseline twin of the mean/EWMA smoothers already registered)
+- ``metric_change_points``   two-sample mean-shift scan (CUSUM-style
+  level-change detection expressed as bounded window frames)
+- ``event_graph_triangles``  degree-oriented triangle counting over the
+  user-journey transition graph (the clustering-coefficient precursor)
+- ``corpus_quality_curriculum`` quantile-boundary curriculum buckets
+  over document length (the stage-wise training-data split)
+
+Scale notes (100 TB):
+
+- Rolling median / change points use per-series ROWS frames — the only
+  exchange is hashpartitioning(metric); parallelism grows with label
+  cardinality, and the frames are bounded (24/16 rows), so state per
+  row is O(frame), never O(series).
+- Triangle counting uses the degree-orientation trick (direct every
+  edge from its lower-(degree, name) endpoint to the higher one): the
+  join cost is sum of squared OUT-degrees, which orientation minimizes
+  — the standard MapReduce-triangles shape.  All joins are equi-joins
+  on node keys; no broadcast hints, AQE size-gates the tiny sides.
+- Curriculum boundaries are a one-row percentile aggregate (partial
+  aggregation map-side, one row to the driver-free broadcast), so the
+  bucket assignment is a map-only projection over the corpus — no sort,
+  no ntile single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io_tables import load_table
+
+QUERIES: dict = {}
+
+#: sliding-median frame: current row + 23 preceding (24 samples ~ "2h
+#: at 5min scrape" in the reference's cadence).
+MEDIAN_FRAME = 23
+#: mean-shift windows: 16 samples each side of the candidate point.
+SHIFT_W = 16
+#: |standardized mean shift| above this flags a change point.
+SHIFT_THRESHOLD = 1.0
+#: curriculum boundary quantiles over document length.
+CURRICULUM_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (metric, ts, seq, value) sample stream (same adapter as
+    operators/promql._samples: event_type is the series label)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+
+
+# ------------------------------------------------------- rolling median
+
+def q_metric_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding median per series: ``percentile(value, 0.5)`` over a
+    bounded ROWS frame (continuous interpolation — DuckDB's
+    quantile_cont twin is bit-identical, verified).  One
+    hashpartitioning(metric) exchange; the frame is 24 rows, so memory
+    per row is constant."""
+    s = _series(spark, sf_dir)
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts", "seq")
+        .rowsBetween(-MEDIAN_FRAME, 0)
+    )
+    return s.select(
+        "metric",
+        "ts",
+        "seq",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "roll_median"
+        ),
+    )
+
+
+ORACLE_ROLLING_MEDIAN = f"""SELECT event_type AS metric, ts,
+       event_id AS seq,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN {MEDIAN_FRAME} PRECEDING AND CURRENT ROW), 6)
+         AS roll_median
+FROM events"""
+
+QUERIES["metric_rolling_median"] = (
+    q_metric_rolling_median,
+    ORACLE_ROLLING_MEDIAN,
+)
+
+
+# -------------------------------------------------------- change points
+
+def q_metric_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample mean-shift scan: at every sample, compare the mean of
+    the 16 preceding samples against the mean of the 16 starting here;
+    standardize by the series' population stddev; flag |shift| >
+    threshold.  Both windows must be FULL (count == 16) so series edges
+    can't fire spurious alerts.
+
+    All three window aggregates (two bounded frames + the unbounded
+    stddev) share one hashpartitioning(metric) exchange."""
+    s = _series(spark, sf_dir)
+    base = Window.partitionBy("metric").orderBy("ts", "seq")
+    pre = base.rowsBetween(-SHIFT_W, -1)
+    post = base.rowsBetween(0, SHIFT_W - 1)
+    whole = Window.partitionBy("metric")
+    shift = (
+        (F.avg("value").over(post) - F.avg("value").over(pre))
+        / F.stddev_pop("value").over(whole)
+    )
+    return (
+        s.select(
+            "metric",
+            "ts",
+            "seq",
+            F.count("value").over(pre).alias("__pre_n"),
+            F.count("value").over(post).alias("__post_n"),
+            F.round(shift, 6).alias("shift_z"),
+        )
+        .filter(
+            (F.col("__pre_n") == SHIFT_W)
+            & (F.col("__post_n") == SHIFT_W)
+            & (F.abs("shift_z") > SHIFT_THRESHOLD)
+        )
+        .select("metric", "ts", "seq", "shift_z")
+    )
+
+
+ORACLE_CHANGE_POINTS = f"""WITH d AS (
+  SELECT event_type AS metric, ts, event_id AS seq,
+    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN {SHIFT_W} PRECEDING AND 1 PRECEDING) AS pre_avg,
+    count(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN {SHIFT_W} PRECEDING AND 1 PRECEDING) AS pre_n,
+    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN CURRENT ROW AND {SHIFT_W - 1} FOLLOWING) AS post_avg,
+    count(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN CURRENT ROW AND {SHIFT_W - 1} FOLLOWING) AS post_n,
+    stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+  FROM events)
+SELECT metric, ts, seq, round((post_avg - pre_avg) / sd, 6) AS shift_z
+FROM d
+WHERE pre_n = {SHIFT_W} AND post_n = {SHIFT_W}
+  AND abs(round((post_avg - pre_avg) / sd, 6)) > {SHIFT_THRESHOLD}"""
+
+QUERIES["metric_change_points"] = (
+    q_metric_change_points,
+    ORACLE_CHANGE_POINTS,
+)
+
+
+# ------------------------------------------------------------ triangles
+
+def q_event_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected user-journey
+    transition graph (event types that co-occur in closed loops).
+
+    Degree orientation: every undirected edge is directed from its
+    lower-(degree, name) endpoint to the higher one, making the
+    orientation a total order — each triangle is then found EXACTLY
+    once as a directed path u->v, v->w closed by u->w, and the
+    wedge-join fan-out is bounded by the squared out-degree, which the
+    orientation minimizes (high-degree hubs get few out-edges).  The
+    oracle counts the same triangles with the lexical a<b<c
+    orientation: the triangle SET is orientation-independent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t"),
+        F.lag("event_type").over(w).alias("f"),
+    ).filter(F.col("f").isNotNull() & (F.col("f") != F.col("t")))
+    und = seq.select(
+        F.least("f", "t").alias("a"), F.greatest("f", "t").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+    )
+    lo_first = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    oriented = withdeg.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented
+    e2 = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    e3 = oriented.select(
+        F.col("u").alias("u3"), F.col("v").alias("w3")
+    )
+    tri = (
+        e1.join(e2, "v")
+        .join(
+            e3,
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
+        )
+        .select("u", "v", "w")
+    )
+    return (
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+ORACLE_TRIANGLES = """WITH seq AS (
+  SELECT event_type AS t,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS f
+  FROM events
+), und AS (
+  SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b
+  FROM seq WHERE f IS NOT NULL AND f <> t
+), tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), pernode AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM pernode GROUP BY node"""
+
+QUERIES["event_graph_triangles"] = (
+    q_event_graph_triangles,
+    ORACLE_TRIANGLES,
+)
+
+
+# ----------------------------------------------------------- curriculum
+
+def q_corpus_quality_curriculum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stage-wise curriculum split of the corpus by document length:
+    exact continuous quantile boundaries (p25/p50/p75/p90) computed as
+    ONE one-row aggregate (map-side partials — no sort, no single-
+    partition ntile window), broadcast into a map-only bucket
+    projection, then a per-stage summary.
+
+    The one-row boundary frame rides a BroadcastNestedLoopJoin by
+    construction (allowlisted in the plan-hygiene sweep); bucket
+    assignment and the final rollup never see a global sort, so the
+    shape survives any corpus size."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    qs = ", ".join(repr(q) for q in CURRICULUM_QS)
+    bounds = docs.agg(
+        F.expr(f"percentile(n_chars, array({qs}))").alias("__b")
+    )
+    bucket = sum(
+        F.when(F.col("n_chars") > F.col("__b")[i], 1).otherwise(0)
+        for i in range(len(CURRICULUM_QS))
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .select(bucket.alias("stage"), "n_chars", "doc_id")
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _curriculum_oracle() -> str:
+    qs = ", ".join(repr(q) for q in CURRICULUM_QS)
+    bucket = " + ".join(
+        f"CASE WHEN n_chars > b[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(len(CURRICULUM_QS))
+    )
+    return f"""WITH bounds AS (
+  SELECT quantile_cont(n_chars, [{qs}]) AS b FROM documents
+), staged AS (
+  SELECT ({bucket}) AS stage, n_chars
+  FROM documents, bounds
+)
+SELECT stage, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM staged GROUP BY stage"""
+
+
+QUERIES["corpus_quality_curriculum"] = (
+    q_corpus_quality_curriculum,
+    _curriculum_oracle(),
+)

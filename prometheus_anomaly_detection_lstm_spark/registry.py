@@ -291,6 +291,8 @@ PRIORITY: list[str] = [
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_repetition_scores", "text_quality_filter", "dedup_clusters",
     # ---- NEW in round 4 (added as built; each needs a first row) ----
+    "metric_rolling_median", "metric_change_points",
+    "event_graph_triangles", "corpus_quality_curriculum",
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
     "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",
@@ -361,7 +363,7 @@ PRIORITY: list[str] = [
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    from .plans import extended, relational, tpch_more, tpch_wave3
+    from .plans import extended, mining, relational, tpch_more, tpch_wave3
     from .operators import (
         approx, corpus, dedup, kmeans, linalg, profile, promql, similarity,
         text, multimodal,
@@ -374,6 +376,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(tpch_more.QUERIES)
     merged.update(tpch_wave3.QUERIES)
     merged.update(extended.QUERIES)
+    merged.update(mining.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(linalg.QUERIES)

@@ -1,0 +1,111 @@
+"""Semantic pins for plans/mining (rolling median, change points,
+triangle counting, curriculum buckets).
+
+The oracle-parity sweep already hash-checks every entry against DuckDB
+at the graded scale; these tests pin the SEMANTICS on hand-built inputs
+where the expected answer is computable by eye, so an oracle-and-engine
+shared mistake can't stay green."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from prometheus_anomaly_detection_lstm_spark.plans import mining
+
+from .conftest import SF_SMALL
+
+
+def _events(spark, rows):
+    """rows: (user_id, seconds, event_type, value) -> events-shaped df."""
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=s), u, t, float(v), "{}")
+            for i, (u, s, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_triangles_hand_graph(spark, tmp_path):
+    # Path a-b-c-a plus pendant d: exactly one triangle {a,b,c}.
+    rows = [
+        (1, 0, "a", 0), (1, 1, "b", 0), (1, 2, "c", 0), (1, 3, "a", 0),
+        (2, 0, "c", 0), (2, 1, "d", 0),
+    ]
+    p = str(tmp_path / "events.parquet")
+    _events(spark, rows).write.mode("overwrite").parquet(p)
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in mining.q_event_graph_triangles(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_orientation_independent(spark):
+    """Degree-oriented Spark count == lexical-oriented oracle count on
+    the real table (same invariant the hash gate checks, pinned here as
+    an explicit set comparison at the test scale)."""
+    out = {
+        (r["node"], r["n_triangles"])
+        for r in mining.q_event_graph_triangles(spark, SF_SMALL).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_SMALL}/events.parquet'"
+    )
+    ora = set(con.sql(mining.ORACLE_TRIANGLES).fetchall())
+    assert out == ora and out
+
+
+def test_change_points_require_full_windows(spark, tmp_path):
+    # A hard level shift exactly at sample 16 of 32: the only full
+    # pre+post alignment flags at the jump; series edges stay silent.
+    rows = [(1, s, "m", 0.0 if s < 16 else 10.0) for s in range(32)]
+    p = str(tmp_path / "events.parquet")
+    _events(spark, rows).write.mode("overwrite").parquet(p)
+    out = mining.q_metric_change_points(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r["seq"] == 16  # event_id of the first post-shift sample
+    assert r["shift_z"] == 2.0  # (10-0)/5.0 population stddev
+
+
+def test_rolling_median_matches_unwindowed_prefix(spark, tmp_path):
+    # First rows of a series: frame is the whole prefix, so the rolling
+    # median equals the plain median of everything seen so far.
+    vals = [5.0, 1.0, 9.0, 3.0]
+    rows = [(1, s, "m", v) for s, v in enumerate(vals)]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = [
+        r["roll_median"]
+        for r in mining.q_metric_rolling_median(spark, str(tmp_path))
+        .orderBy("seq")
+        .collect()
+    ]
+    assert out == [5.0, 3.0, 5.0, 4.0]
+
+
+def test_curriculum_stages_partition_the_corpus(spark):
+    out = mining.q_corpus_quality_curriculum(spark, SF_SMALL).collect()
+    stages = sorted(r["stage"] for r in out)
+    assert stages == list(range(len(stages)))
+    total = sum(r["n_docs"] for r in out)
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchone()[0]
+    assert total == n_docs
+    # stage boundaries are ordered: max_chars of stage i < min_chars of
+    # stage i+1 is not guaranteed at ties, but avg must be monotone.
+    avgs = [r["avg_chars"] for r in sorted(out, key=lambda r: r["stage"])]
+    assert avgs == sorted(avgs)

@@ -33,6 +33,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "anomaly_mse",              # scaler params + window count scalar
     "anomaly_mse_lstm",         # same prep subtree
     "approx_threshold_percentiles",  # sketch summary row
+    "corpus_quality_curriculum",  # one-row quantile-boundary aggregate
     "dedup_embedding_cosine",   # centroid + radius tables (n_cells rows)
     "event_pagerank",           # one-row node-count frame per iteration
     "fill_mean",                # per-column means summary row
