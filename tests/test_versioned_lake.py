@@ -1,0 +1,83 @@
+"""Versioned lake (io_versioned): time travel, diff, vacuum, pushdown."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark import io_versioned as V
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert V.commit_append(_df(spark, 0, 10), t) == 1
+    assert V.commit_append(_df(spark, 10, 15), t) == 2
+    return t
+
+
+def test_time_travel_reads_each_snapshot(spark, table):
+    assert V.read_version(spark, table, 1).count() == 10
+    assert V.read_version(spark, table, 2).count() == 15
+    assert V.read_version(spark, table).count() == 15  # latest
+    assert V.latest_version(table) == 2
+
+
+def test_overwrite_replaces_visible_files_not_history(spark, table):
+    v3 = V.commit_overwrite(_df(spark, 100, 103), table)
+    assert v3 == 3
+    ids = {r["id"] for r in V.read_version(spark, table).collect()}
+    assert ids == {100, 101, 102}
+    # history intact: v2 still reads the pre-overwrite union
+    assert V.read_version(spark, table, 2).count() == 15
+
+
+def test_snapshot_diff_reads_only_changed_files(spark, table):
+    added, removed = V.snapshot_diff(spark, table, 1, 2)
+    assert removed is None  # pure append
+    assert {r["id"] for r in added.collect()} == set(range(10, 15))
+    V.commit_overwrite(_df(spark, 100, 103), table)
+    added, removed = V.snapshot_diff(spark, table, 2, 3)
+    assert {r["id"] for r in added.collect()} == {100, 101, 102}
+    assert removed.count() == 15
+
+
+def test_half_written_commit_is_invisible(spark, table):
+    # Data files staged without a manifest (writer died mid-commit):
+    # readers and the next committer must both ignore them.
+    stray = os.path.join(table, "data", "c99999")
+    _df(spark, 500, 505).write.parquet(stray)
+    assert V.latest_version(table) == 2
+    assert V.read_version(spark, table).count() == 15
+
+
+def test_vacuum_drops_unreachable_files_keeps_live_versions(spark, table):
+    V.commit_overwrite(_df(spark, 100, 103), table)  # v3 orphans v1+v2 files
+    deleted = V.vacuum(table, keep_last=1)
+    assert deleted, "the pre-overwrite files must be reclaimed"
+    assert V.list_versions(table) == [3]
+    assert V.read_version(spark, table, 3).count() == 3
+    with pytest.raises(FileNotFoundError):
+        V.read_manifest(table, 2)
+
+
+def test_vacuum_keeps_files_shared_by_retained_versions(spark, table):
+    # v2 (append) shares v1's files; keeping v2 must keep them all.
+    deleted = V.vacuum(table, keep_last=1)
+    assert deleted == []
+    assert V.read_version(spark, table, 2).count() == 15
+
+
+def test_manifest_scan_still_pushes_predicates(spark, table):
+    df = V.read_version(spark, table).filter(F.col("id") > 12)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(id,12)" in plan
+    assert df.count() == 2
