@@ -317,3 +317,183 @@ QUERIES["corpus_quality_curriculum"] = (
     q_corpus_quality_curriculum,
     _curriculum_oracle(),
 )
+
+
+# ------------------------------------------------------ autocorrelation
+
+#: ACF lags computed per series.
+ACF_LAGS = 8
+
+
+def q_metric_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1..K — the seasonality /
+    memory diagnostic run before choosing a window length (the
+    reference hard-codes its LSTM lookback; ACF is how that choice is
+    audited).  lag() columns ride ONE hashpartitioning(metric) window
+    exchange which the per-metric corr() aggregate then reuses; the
+    K correlations fan out of a single aggregate row via stack() —
+    no per-lag re-scan (the oracle's UNION ALL form is the readable
+    equivalent on the DuckDB side)."""
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("ts", "seq")
+    lagged = s.select(
+        "metric",
+        "value",
+        *[
+            F.lag("value", k).over(w).alias(f"__l{k}")
+            for k in range(1, ACF_LAGS + 1)
+        ],
+    )
+    agg = lagged.groupBy("metric").agg(
+        *[
+            F.round(F.corr("value", f"__l{k}"), 6).alias(f"__acf{k}")
+            for k in range(1, ACF_LAGS + 1)
+        ]
+    )
+    pairs = ", ".join(
+        f"{k}, __acf{k}" for k in range(1, ACF_LAGS + 1)
+    )
+    return agg.select(
+        "metric",
+        F.expr(f"stack({ACF_LAGS}, {pairs}) AS (lag, acf)"),
+    ).select("metric", "lag", "acf")
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(value, {k}) OVER w AS l{k}" for k in range(1, ACF_LAGS + 1)
+    )
+    branches = "\nUNION ALL ".join(
+        f"SELECT metric, {k} AS lag, round(corr(value, l{k}), 6) AS acf"
+        f" FROM lagged GROUP BY metric"
+        for k in range(1, ACF_LAGS + 1)
+    )
+    return f"""WITH lagged AS (
+  SELECT event_type AS metric, value,
+         {lag_cols}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+{branches}"""
+
+
+QUERIES["metric_autocorrelation"] = (q_metric_autocorrelation, _acf_oracle())
+
+
+# -------------------------------------------------- MAD robust outliers
+
+#: |0.6745·(x−median)/MAD| above this flags a robust outlier.
+MAD_THRESHOLD = 5.0
+
+
+def q_metric_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags — the heavy-tail-safe twin of the
+    z-score rate anomaly already registered (one planted spike can
+    poison a mean/stddev threshold; it cannot move the median).
+
+    Two exact-percentile aggregates over metric-cardinality frames (the
+    median must exist before deviations can be ranked — inherently two
+    passes); both summary frames join back by metric unhinted, so AQE
+    broadcasts them at any realistic label cardinality."""
+    s = _series(spark, sf_dir)
+    med = s.groupBy("metric").agg(
+        F.expr("percentile(value, 0.5)").alias("__med")
+    )
+    dev = s.join(med, "metric").withColumn(
+        "__ad", F.abs(F.col("value") - F.col("__med"))
+    )
+    mad = dev.groupBy("metric").agg(
+        F.expr("percentile(__ad, 0.5)").alias("__mad")
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("__med")) / F.col("__mad")
+    return (
+        dev.join(mad, "metric")
+        .select("metric", "ts", "seq", "value", F.round(z, 6).alias("robust_z"))
+        .filter(F.abs("robust_z") > MAD_THRESHOLD)
+    )
+
+
+ORACLE_MAD_OUTLIERS = f"""WITH med AS (
+  SELECT event_type AS m, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type AS metric, e.ts, e.event_id AS seq, e.value,
+         med.med, abs(e.value - med.med) AS ad
+  FROM events e JOIN med ON e.event_type = med.m
+), mad AS (
+  SELECT metric AS m2, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT metric, ts, seq, value,
+       round(0.6745 * (value - med) / mad, 6) AS robust_z
+FROM dev JOIN mad ON dev.metric = mad.m2
+WHERE abs(round(0.6745 * (value - med) / mad, 6)) > {MAD_THRESHOLD}"""
+
+QUERIES["metric_mad_outliers"] = (q_metric_mad_outliers, ORACLE_MAD_OUTLIERS)
+
+
+# ------------------------------------------------- STL-lite decompose
+
+#: centered moving-average half-width for the trend component.
+STL_HALF = 12
+
+
+def q_metric_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition (STL-lite):
+    trend = centered 25-sample moving average (full frames only),
+    seasonal = mean detrended value per (series, hour-of-day) phase,
+    residual = the rest.  The anomaly-detection preprocessing shape the
+    reference approximates with calendar features (SURVEY P4): here the
+    seasonal profile is LEARNED from the data instead of one-hot
+    encoded.
+
+    Two exchanges by necessity: the trend window partitions by metric,
+    the phase profile by (metric, hour) — the second operates on the
+    already-bounded per-series distribution."""
+    s = _series(spark, sf_dir)
+    base = Window.partitionBy("metric").orderBy("ts", "seq")
+    frame = base.rowsBetween(-STL_HALF, STL_HALF)
+    trended = s.select(
+        "metric",
+        "ts",
+        "seq",
+        "value",
+        F.when(
+            F.count("value").over(frame) == 2 * STL_HALF + 1,
+            F.avg("value").over(frame),
+        ).alias("__trend"),
+        F.hour("ts").alias("__phase"),
+    ).withColumn("__detr", F.col("value") - F.col("__trend"))
+    wp = Window.partitionBy("metric", "__phase")
+    out = trended.withColumn("__seasonal", F.avg("__detr").over(wp))
+    return out.filter(F.col("__trend").isNotNull()).select(
+        "metric",
+        "ts",
+        "seq",
+        F.round("__trend", 6).alias("trend"),
+        F.round("__seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("__detr") - F.col("__seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+ORACLE_STL = f"""WITH t AS (
+  SELECT event_type AS metric, ts, event_id AS seq, value,
+    CASE WHEN count(value) OVER w = {2 * STL_HALF + 1}
+         THEN avg(value) OVER w END AS trend,
+    hour(ts) AS phase
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+), d AS (
+  SELECT *, value - trend AS detr FROM t
+), s AS (
+  SELECT *, avg(detr) OVER (PARTITION BY metric, phase) AS seasonal
+  FROM d
+)
+SELECT metric, ts, seq, round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(detr - seasonal, 6) AS residual
+FROM s WHERE trend IS NOT NULL"""
+
+QUERIES["metric_stl_decompose"] = (q_metric_stl_decompose, ORACLE_STL)

@@ -293,6 +293,8 @@ PRIORITY: list[str] = [
     # ---- NEW in round 4 (added as built; each needs a first row) ----
     "metric_rolling_median", "metric_change_points",
     "event_graph_triangles", "corpus_quality_curriculum",
+    "metric_autocorrelation", "metric_mad_outliers",
+    "metric_stl_decompose",
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
     "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",

@@ -94,6 +94,54 @@ def test_rolling_median_matches_unwindowed_prefix(spark, tmp_path):
     assert out == [5.0, 3.0, 5.0, 4.0]
 
 
+def test_acf_lag1_near_one_for_smooth_series(spark, tmp_path):
+    # A slow ramp is maximally autocorrelated; white-ish alternation is
+    # strongly negative at lag 1.
+    rows = [(1, s, "ramp", s) for s in range(64)] + [
+        (1, s, "alt", 1.0 if s % 2 else -1.0) for s in range(64)
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        (r["metric"], r["lag"]): r["acf"]
+        for r in mining.q_metric_autocorrelation(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("ramp", 1)] > 0.99
+    assert out[("alt", 1)] == -1.0
+    assert out[("alt", 2)] == 1.0
+    assert len(out) == 2 * mining.ACF_LAGS
+
+
+def test_mad_flags_planted_spike_mean_z_would_share(spark, tmp_path):
+    # 63 calm samples + one 1000x spike: MAD flags exactly the spike.
+    rows = [(1, s, "m", float(s % 7)) for s in range(63)] + [(1, 63, "m", 3000.0)]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = mining.q_metric_mad_outliers(spark, str(tmp_path)).collect()
+    assert [r["seq"] for r in out] == [63]
+
+
+def test_stl_components_reassemble_the_series(spark):
+    out = mining.q_metric_stl_decompose(spark, SF_SMALL)
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT event_id, value FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    values = dict(ev)
+    rows = out.collect()
+    assert rows
+    for r in rows[:200]:
+        assert (
+            abs(r["trend"] + r["seasonal"] + r["residual"] - values[r["seq"]])
+            < 2e-6
+        )
+
+
 def test_curriculum_stages_partition_the_corpus(spark):
     out = mining.q_corpus_quality_curriculum(spark, SF_SMALL).collect()
     stages = sorted(r["stage"] for r in out)
