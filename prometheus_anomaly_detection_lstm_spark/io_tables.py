@@ -351,6 +351,34 @@ def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    bloom_cols: tuple[str, ...] = (),
+    shards: int | None = None,
+) -> None:
+    """Frame -> ORC with optional per-column Bloom filters — the
+    columnar interchange for Hive/Trino-adjacent stacks (ORC is built
+    into Spark; no extra package).  Bloom filters on point-lookup
+    columns let the reader skip entire stripes on equality predicates
+    the min/max stripe stats can't prune (high-cardinality ids).
+    Same sharding contract as the JSONL/CSV writers: ``shards=None``
+    keeps the input partitioning (zero exchange)."""
+    out = df if shards is None else df.repartition(shards)
+    writer = out.write.mode("overwrite")
+    if bloom_cols:
+        writer = writer.option(
+            "orc.bloom.filter.columns", ",".join(bloom_cols)
+        )
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — vectorized reader, predicate pushdown and column
+    pruning apply exactly as on parquet (pinned by test)."""
+    return spark.read.orc(path)
+
+
 #: CSV metric-sample interchange schema (the flat-file drop every
 #: monitoring export produces: one sample per line).  ts is read as
 #: STRING then parsed explicitly — CSV timestamp inference is both slow

@@ -162,3 +162,25 @@ def test_csv_metrics_roundtrip_and_quarantine(spark, tmp_path):
     assert q.filter(F.col("seq") == 1).select("value").first()[0] == 1.5
     q.unpersist()
     back.unpersist()
+
+
+def test_orc_roundtrip_pushdown_and_bloom_option(spark, tmp_path):
+    from prometheus_anomaly_detection_lstm_spark.io_tables import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path, bloom_cols=("event_type",), shards=3)
+    files = [f for f in os.listdir(path) if f.endswith(".orc")]
+    assert len(files) == 3
+    back = read_orc(spark, path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ev.collect()}
+    # predicate pushdown + column pruning reach the ORC scan
+    q = back.filter(F.col("event_type") == "click").select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "EqualTo(event_type,click)" in plan
+    assert "struct<event_id:bigint,event_type:string>" in plan.replace(" ", "")
+    assert q.count() == ev.filter("event_type = 'click'").count()
