@@ -66,13 +66,12 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- rolling median
 
-def q_metric_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rolling_median(s: DataFrame) -> DataFrame:
     """Exact sliding median per series: ``percentile(value, 0.5)`` over a
     bounded ROWS frame (continuous interpolation — DuckDB's
     quantile_cont twin is bit-identical, verified).  One
     hashpartitioning(metric) exchange; the frame is 24 rows, so memory
     per row is constant."""
-    s = _series(spark, sf_dir)
     w = (
         Window.partitionBy("metric")
         .orderBy("ts", "seq")
@@ -86,6 +85,10 @@ def q_metric_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roll_median"
         ),
     )
+
+
+def q_metric_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_median(_series(spark, sf_dir))
 
 
 ORACLE_ROLLING_MEDIAN = f"""SELECT event_type AS metric, ts,
@@ -104,7 +107,7 @@ QUERIES["metric_rolling_median"] = (
 
 # -------------------------------------------------------- change points
 
-def q_metric_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def change_points(s: DataFrame) -> DataFrame:
     """Two-sample mean-shift scan: at every sample, compare the mean of
     the 16 preceding samples against the mean of the 16 starting here;
     standardize by the series' population stddev; flag |shift| >
@@ -113,7 +116,6 @@ def q_metric_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three window aggregates (two bounded frames + the unbounded
     stddev) share one hashpartitioning(metric) exchange."""
-    s = _series(spark, sf_dir)
     base = Window.partitionBy("metric").orderBy("ts", "seq")
     pre = base.rowsBetween(-SHIFT_W, -1)
     post = base.rowsBetween(0, SHIFT_W - 1)
@@ -138,6 +140,10 @@ def q_metric_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("metric", "ts", "seq", "shift_z")
     )
+
+
+def q_metric_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return change_points(_series(spark, sf_dir))
 
 
 ORACLE_CHANGE_POINTS = f"""WITH d AS (
@@ -325,7 +331,7 @@ QUERIES["corpus_quality_curriculum"] = (
 ACF_LAGS = 8
 
 
-def q_metric_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def autocorrelation(s: DataFrame) -> DataFrame:
     """Per-series autocorrelation at lags 1..K — the seasonality /
     memory diagnostic run before choosing a window length (the
     reference hard-codes its LSTM lookback; ACF is how that choice is
@@ -334,7 +340,6 @@ def q_metric_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     K correlations fan out of a single aggregate row via stack() —
     no per-lag re-scan (the oracle's UNION ALL form is the readable
     equivalent on the DuckDB side)."""
-    s = _series(spark, sf_dir)
     w = Window.partitionBy("metric").orderBy("ts", "seq")
     lagged = s.select(
         "metric",
@@ -357,6 +362,10 @@ def q_metric_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         F.expr(f"stack({ACF_LAGS}, {pairs}) AS (lag, acf)"),
     ).select("metric", "lag", "acf")
+
+
+def q_metric_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return autocorrelation(_series(spark, sf_dir))
 
 
 def _acf_oracle() -> str:
@@ -386,7 +395,7 @@ QUERIES["metric_autocorrelation"] = (q_metric_autocorrelation, _acf_oracle())
 MAD_THRESHOLD = 5.0
 
 
-def q_metric_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mad_outliers(s: DataFrame) -> DataFrame:
     """Median/MAD robust outlier flags — the heavy-tail-safe twin of the
     z-score rate anomaly already registered (one planted spike can
     poison a mean/stddev threshold; it cannot move the median).
@@ -395,7 +404,6 @@ def q_metric_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     median must exist before deviations can be ranked — inherently two
     passes); both summary frames join back by metric unhinted, so AQE
     broadcasts them at any realistic label cardinality."""
-    s = _series(spark, sf_dir)
     med = s.groupBy("metric").agg(
         F.expr("percentile(value, 0.5)").alias("__med")
     )
@@ -411,6 +419,10 @@ def q_metric_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("metric", "ts", "seq", "value", F.round(z, 6).alias("robust_z"))
         .filter(F.abs("robust_z") > MAD_THRESHOLD)
     )
+
+
+def q_metric_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outliers(_series(spark, sf_dir))
 
 
 ORACLE_MAD_OUTLIERS = f"""WITH med AS (
@@ -437,7 +449,7 @@ QUERIES["metric_mad_outliers"] = (q_metric_mad_outliers, ORACLE_MAD_OUTLIERS)
 STL_HALF = 12
 
 
-def q_metric_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stl_decompose(s: DataFrame) -> DataFrame:
     """Additive trend/seasonal/residual decomposition (STL-lite):
     trend = centered 25-sample moving average (full frames only),
     seasonal = mean detrended value per (series, hour-of-day) phase,
@@ -449,7 +461,6 @@ def q_metric_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two exchanges by necessity: the trend window partitions by metric,
     the phase profile by (metric, hour) — the second operates on the
     already-bounded per-series distribution."""
-    s = _series(spark, sf_dir)
     base = Window.partitionBy("metric").orderBy("ts", "seq")
     frame = base.rowsBetween(-STL_HALF, STL_HALF)
     trended = s.select(
@@ -475,6 +486,10 @@ def q_metric_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__detr") - F.col("__seasonal"), 6
         ).alias("residual"),
     )
+
+
+def q_metric_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stl_decompose(_series(spark, sf_dir))
 
 
 ORACLE_STL = f"""WITH t AS (
