@@ -666,3 +666,55 @@ SELECT doc_id, lang, source,
 FROM merged"""
 
 QUERIES["corpus_upsert_latest"] = (q_upsert_latest, ORACLE_UPSERT)
+
+
+#: importance-sampling length target: docs at/above keep with prob 1.
+IMPORTANCE_TARGET_CHARS = 400.0
+
+
+def importance_sample(
+    docs: DataFrame, target_chars: float = IMPORTANCE_TARGET_CHARS
+) -> DataFrame:
+    """Quality-weighted deterministic sampling (importance resampling,
+    the DoReMi/data-mixing primitive): each document keeps with
+    probability ``min(1, n_chars / target)`` — longer docs always
+    survive, short ones proportionally — using the doc's md5 as the
+    uniform draw, so the decision is reproducible per document across
+    runs and engines (same family as :func:`hash_sample`, but with a
+    PER-DOC weight instead of a global rate).
+
+    Map-only: a projection + filter over the scan, no exchange at any
+    corpus size.  u = first 24 md5 bits / 2^24 (exact in double)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**6))
+    )
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(target_chars))
+    return docs.filter(u < w).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.round(w, 6).alias("keep_weight"),
+    )
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return importance_sample(_docs(spark, sf_dir))
+
+
+ORACLE_IMPORTANCE = f"""SELECT doc_id, lang, source, n_chars,
+       round(least(1.0, n_chars / {IMPORTANCE_TARGET_CHARS}), 6)
+         AS keep_weight
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+        / {float(16**6)}
+      < least(1.0, n_chars / {IMPORTANCE_TARGET_CHARS})"""
+
+QUERIES["corpus_importance_sample"] = (q_importance_sample, ORACLE_IMPORTANCE)

@@ -512,3 +512,142 @@ SELECT metric, ts, seq, round(trend, 6) AS trend,
 FROM s WHERE trend IS NOT NULL"""
 
 QUERIES["metric_stl_decompose"] = (q_metric_stl_decompose, ORACLE_STL)
+
+
+# ------------------------------------------------------ M4 downsampling
+
+def m4_downsample(s: DataFrame) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, tumbling bucket) keep the four pixel-defining points —
+    first, last, min, max — the error-free reduction for line-chart
+    rendering at any zoom level.
+
+    One keyed aggregate; each extreme is a lexicographic min/max over a
+    struct whose trailing (ts, seq) fields make ties deterministic, so
+    both engines pick the identical sample.  At 100 TB this is the
+    query a dashboard issues per paint: output is O(buckets), shuffle
+    carries only the four struct partials per bucket."""
+    first = F.min(F.struct("ts", "seq", "value"))
+    last = F.max(F.struct("ts", "seq", "value"))
+    low = F.min(F.struct("value", "ts", "seq"))
+    high = F.max(F.struct("value", "ts", "seq"))
+    return (
+        s.groupBy("metric", F.date_trunc("hour", "ts").alias("w_start"))
+        .agg(
+            F.count("*").alias("n_samples"),
+            first.alias("__f"),
+            last.alias("__l"),
+            low.alias("__lo"),
+            high.alias("__hi"),
+        )
+        .select(
+            "metric",
+            "w_start",
+            "n_samples",
+            F.col("__f.ts").alias("first_ts"),
+            F.round("__f.value", 6).alias("first_v"),
+            F.col("__l.ts").alias("last_ts"),
+            F.round("__l.value", 6).alias("last_v"),
+            F.col("__lo.ts").alias("min_ts"),
+            F.round("__lo.value", 6).alias("min_v"),
+            F.col("__hi.ts").alias("max_ts"),
+            F.round("__hi.value", 6).alias("max_v"),
+        )
+    )
+
+
+def q_metric_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return m4_downsample(_series(spark, sf_dir))
+
+
+ORACLE_M4 = """SELECT event_type AS metric,
+       date_trunc('hour', ts) AS w_start,
+       count(*) AS n_samples,
+       (min({'ts': ts, 'seq': event_id, 'value': value})).ts AS first_ts,
+       round((min({'ts': ts, 'seq': event_id, 'value': value})).value, 6)
+         AS first_v,
+       (max({'ts': ts, 'seq': event_id, 'value': value})).ts AS last_ts,
+       round((max({'ts': ts, 'seq': event_id, 'value': value})).value, 6)
+         AS last_v,
+       (min({'value': value, 'ts': ts, 'seq': event_id})).ts AS min_ts,
+       round((min({'value': value, 'ts': ts, 'seq': event_id})).value, 6)
+         AS min_v,
+       (max({'value': value, 'ts': ts, 'seq': event_id})).ts AS max_ts,
+       round((max({'value': value, 'ts': ts, 'seq': event_id})).value, 6)
+         AS max_v
+FROM events
+GROUP BY 1, 2"""
+
+QUERIES["metric_m4_downsample"] = (q_metric_m4_downsample, ORACLE_M4)
+
+
+# -------------------------------------------------------- SLO burn rate
+
+#: SLO error budget: tolerated error ratio.
+SLO_BUDGET = 0.2
+#: multiwindow alert thresholds (short 1h, long 1d burn multiples).
+BURN_SHORT_TH = 1.5
+BURN_LONG_TH = 1.1
+
+
+def slo_burn_rate(ev: DataFrame) -> DataFrame:
+    """Multiwindow SLO burn-rate alert (the SRE-workbook shape): an
+    hour pages only when BOTH its own burn and its day's burn exceed
+    their thresholds — the short window gives reaction time, the long
+    window suppresses blips.
+
+    The daily frame re-aggregates the hourly partials (no second scan
+    of the raw events), and at ~365 rows/year/service it broadcasts
+    into the hour-side join under AQE."""
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("w_start")
+    ).agg(
+        F.count("*").alias("__n"),
+        F.count_if(F.col("event_type") == "error").alias("__err"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "w_start").alias("__day")
+    ).agg(
+        F.sum("__n").alias("__dn"), F.sum("__err").alias("__derr")
+    )
+    burn_s = (F.col("__err") / F.col("__n")) / F.lit(SLO_BUDGET)
+    burn_l = (F.col("__derr") / F.col("__dn")) / F.lit(SLO_BUDGET)
+    return (
+        hourly.join(
+            daily,
+            F.date_trunc("day", "w_start") == F.col("__day"),
+        )
+        .select(
+            "w_start",
+            F.round(burn_s, 6).alias("burn_1h"),
+            F.round(burn_l, 6).alias("burn_1d"),
+        )
+        .filter(
+            (F.col("burn_1h") > BURN_SHORT_TH)
+            & (F.col("burn_1d") > BURN_LONG_TH)
+        )
+    )
+
+
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return slo_burn_rate(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SLO_BURN = f"""WITH h AS (
+  SELECT date_trunc('hour', ts) AS w_start, count(*) AS n,
+         count(*) FILTER (event_type = 'error') AS err
+  FROM events GROUP BY 1
+), d AS (
+  SELECT date_trunc('day', w_start) AS day,
+         sum(n) AS dn, sum(err) AS derr
+  FROM h GROUP BY 1
+)
+SELECT h.w_start,
+       round((h.err / h.n) / {SLO_BUDGET}, 6) AS burn_1h,
+       round((d.derr / d.dn) / {SLO_BUDGET}, 6) AS burn_1d
+FROM h JOIN d ON date_trunc('day', h.w_start) = d.day
+WHERE round((h.err / h.n) / {SLO_BUDGET}, 6) > {BURN_SHORT_TH}
+  AND round((d.derr / d.dn) / {SLO_BUDGET}, 6) > {BURN_LONG_TH}"""
+
+QUERIES["metric_slo_burn_rate"] = (q_slo_burn_rate, ORACLE_SLO_BURN)

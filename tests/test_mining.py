@@ -142,6 +142,67 @@ def test_stl_components_reassemble_the_series(spark):
         )
 
 
+def test_m4_preserves_extremes_and_endpoints(spark, tmp_path):
+    # One series, one hour bucket: first/last by time, min/max by value.
+    vals = [(0, 5.0), (60, 1.0), (120, 9.0), (180, 7.0)]
+    rows = [(1, s, "m", v) for s, v in vals]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    (r,) = mining.q_metric_m4_downsample(spark, str(tmp_path)).collect()
+    assert (r["first_v"], r["last_v"], r["min_v"], r["max_v"]) == (
+        5.0, 7.0, 1.0, 9.0,
+    )
+    assert r["min_ts"].second == 1 * 60 % 60 or r["min_ts"].minute == 1
+    assert r["n_samples"] == 4
+
+
+def test_slo_burn_requires_both_windows(spark, tmp_path):
+    # Hour 0: 50% errors inside a clean day -> day burn below threshold,
+    # no alert.  Same bad hour inside a bad day -> alert fires.
+    def day(day_idx, bad_hours, n=20):
+        rows = []
+        for h in range(24):
+            bad = h in bad_hours
+            for i in range(n):
+                rows.append(
+                    (
+                        1,
+                        day_idx * 86400 + h * 3600 + i,
+                        "error" if (bad and i % 2 == 0) else "view",
+                        0.0,
+                    )
+                )
+        return rows
+
+    # day 0: one bad hour only; day 1: twelve bad hours
+    rows = day(0, {0}) + day(1, set(range(12)))
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = mining.q_slo_burn_rate(spark, str(tmp_path)).collect()
+    days = {r["w_start"].day for r in out}
+    assert days == {2}  # only hours of day 1 (Jan 2) page
+    assert len(out) == 12
+    for r in out:
+        assert r["burn_1h"] == 2.5  # 50% errors / 20% budget
+        assert r["burn_1d"] == 1.25
+
+
+def test_importance_sample_weights_and_determinism(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.corpus import (
+        q_importance_sample,
+    )
+
+    a = q_importance_sample(spark, SF_SMALL).collect()
+    b = q_importance_sample(spark, SF_SMALL).collect()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+    for r in a:
+        assert 0 < r["keep_weight"] <= 1.0
+        if r["n_chars"] >= 400:
+            assert r["keep_weight"] == 1.0  # long docs always kept
+
+
 def test_curriculum_stages_partition_the_corpus(spark):
     out = mining.q_corpus_quality_curriculum(spark, SF_SMALL).collect()
     stages = sorted(r["stage"] for r in out)
