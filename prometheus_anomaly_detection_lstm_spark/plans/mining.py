@@ -651,3 +651,64 @@ WHERE round((h.err / h.n) / {SLO_BUDGET}, 6) > {BURN_SHORT_TH}
   AND round((d.derr / d.dn) / {SLO_BUDGET}, 6) > {BURN_LONG_TH}"""
 
 QUERIES["metric_slo_burn_rate"] = (q_slo_burn_rate, ORACLE_SLO_BURN)
+
+
+# ---------------------------------------------------------- periodogram
+
+#: top spectral peaks reported per series.
+PERIODOGRAM_TOP = 3
+
+
+def periodogram(s: DataFrame, top: int = PERIODOGRAM_TOP) -> DataFrame:
+    """Dominant-period detection per series: an rFFT power spectrum over
+    the sample-index axis, top peaks by power share — the seasonality
+    probe behind window-length choices (daily/weekly cycles in metrics).
+
+    No SQL twin exists (FFT), so this is a rows-only registry entry;
+    the spectrum itself is pinned against numpy on synthetic sinusoids
+    in tests.  Arrow-batched ``applyInPandas`` per series (one group =
+    one kernel call — the §2.9 UDF surface, never row-at-a-time);
+    parallelism grows with series cardinality, the kernel is O(n log n)
+    in the series length.  The closure captures only numpy/pandas, so
+    it pickles to executors without shipping the package.  Peak order:
+    power descending, frequency index ascending on exact ties —
+    deterministic for the hash gate."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "metric string, rank int, period_samples double, power_share double"
+    )
+
+    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "seq"], ignore_index=True)
+        metric = pdf["metric"].iloc[0]
+        v = pdf["value"].to_numpy(dtype=float)
+        n = len(v)
+        if n < 2 * top + 2:
+            return pd.DataFrame(
+                columns=["metric", "rank", "period_samples", "power_share"]
+            )
+        p = np.abs(np.fft.rfft(v - v.mean())) ** 2
+        p[0] = 0.0  # DC carries no period
+        total = float(p.sum())
+        order = np.lexsort((np.arange(len(p)), -p))[:top]
+        return pd.DataFrame(
+            {
+                "metric": metric,
+                "rank": np.arange(1, top + 1, dtype="int32"),
+                "period_samples": np.round(n / order, 6),
+                "power_share": np.round(p[order] / total, 6),
+            }
+        )
+
+    return s.groupBy("metric").applyInPandas(spectrum, out_schema)
+
+
+def q_metric_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return periodogram(_series(spark, sf_dir))
+
+
+# FFT has no DuckDB twin: rows-only driver check (like the ANN family);
+# numpy-pinned in tests/test_mining.py.
+QUERIES["metric_periodogram"] = (q_metric_periodogram, None)

@@ -203,6 +203,43 @@ def test_importance_sample_weights_and_determinism(spark):
             assert r["keep_weight"] == 1.0  # long docs always kept
 
 
+def test_periodogram_finds_planted_period(spark, tmp_path):
+    import math
+
+    # 256 samples of sin(2*pi*t/16) + weak sin(2*pi*t/64): the top peak
+    # must be period 16, the runner-up 64.
+    rows = [
+        (
+            1,
+            s,
+            "m",
+            math.sin(2 * math.pi * s / 16)
+            + 0.3 * math.sin(2 * math.pi * s / 64),
+        )
+        for s in range(256)
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = sorted(
+        mining.q_metric_periodogram(spark, str(tmp_path)).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert out[0]["period_samples"] == 16.0
+    assert out[1]["period_samples"] == 64.0
+    assert out[0]["power_share"] > 0.8
+    # power shares are a distribution over the spectrum
+    assert sum(r["power_share"] for r in out) <= 1.0
+
+
+def test_periodogram_short_series_yields_no_rows(spark, tmp_path):
+    rows = [(1, s, "m", float(s)) for s in range(4)]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    assert mining.q_metric_periodogram(spark, str(tmp_path)).count() == 0
+
+
 def test_curriculum_stages_partition_the_corpus(spark):
     out = mining.q_corpus_quality_curriculum(spark, SF_SMALL).collect()
     stages = sorted(r["stage"] for r in out)
