@@ -296,7 +296,7 @@ PRIORITY: list[str] = [
     "metric_autocorrelation", "metric_mad_outliers",
     "metric_stl_decompose", "metric_m4_downsample",
     "metric_slo_burn_rate", "corpus_importance_sample",
-    "metric_periodogram",
+    "metric_periodogram", "vocab_bpe_merges",
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
     "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",
@@ -369,8 +369,8 @@ PRIORITY: list[str] = [
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import extended, mining, relational, tpch_more, tpch_wave3
     from .operators import (
-        approx, corpus, dedup, kmeans, linalg, profile, promql, similarity,
-        text, multimodal,
+        approx, bpe, corpus, dedup, kmeans, linalg, profile, promql,
+        similarity, text, multimodal,
     )
     from .ml import lstm_query
 
@@ -392,6 +392,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(multimodal.QUERIES)
     merged.update(corpus.QUERIES)
     merged.update(lstm_query.QUERIES)
+    merged.update(bpe.QUERIES)
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
     for name in PRIORITY:
