@@ -131,11 +131,16 @@ def change_points(s: DataFrame) -> DataFrame:
             "seq",
             F.count("value").over(pre).alias("__pre_n"),
             F.count("value").over(post).alias("__post_n"),
+            # sd == 0 (constant series) means shift is 0/0 = NaN, and
+            # BOTH engines order NaN above every number — guard it out
+            # explicitly or a flat series would flag every sample.
+            F.stddev_pop("value").over(whole).alias("__sd"),
             F.round(shift, 6).alias("shift_z"),
         )
         .filter(
             (F.col("__pre_n") == SHIFT_W)
             & (F.col("__post_n") == SHIFT_W)
+            & (F.col("__sd") > 0)
             & (F.abs("shift_z") > SHIFT_THRESHOLD)
         )
         .select("metric", "ts", "seq", "shift_z")
@@ -160,7 +165,7 @@ ORACLE_CHANGE_POINTS = f"""WITH d AS (
   FROM events)
 SELECT metric, ts, seq, round((post_avg - pre_avg) / sd, 6) AS shift_z
 FROM d
-WHERE pre_n = {SHIFT_W} AND post_n = {SHIFT_W}
+WHERE pre_n = {SHIFT_W} AND post_n = {SHIFT_W} AND sd > 0
   AND abs(round((post_avg - pre_avg) / sd, 6)) > {SHIFT_THRESHOLD}"""
 
 QUERIES["metric_change_points"] = (
@@ -416,6 +421,10 @@ def mad_outliers(s: DataFrame) -> DataFrame:
     z = F.lit(0.6745) * (F.col("value") - F.col("__med")) / F.col("__mad")
     return (
         dev.join(mad, "metric")
+        # mad == 0 (majority-constant series) makes z ±Inf/NaN; the
+        # robust score is undefined there, so flag nothing — guarded in
+        # BOTH engines (they order NaN above every number).
+        .filter(F.col("__mad") > 0)
         .select("metric", "ts", "seq", "value", F.round(z, 6).alias("robust_z"))
         .filter(F.abs("robust_z") > MAD_THRESHOLD)
     )
@@ -438,7 +447,8 @@ ORACLE_MAD_OUTLIERS = f"""WITH med AS (
 SELECT metric, ts, seq, value,
        round(0.6745 * (value - med) / mad, 6) AS robust_z
 FROM dev JOIN mad ON dev.metric = mad.m2
-WHERE abs(round(0.6745 * (value - med) / mad, 6)) > {MAD_THRESHOLD}"""
+WHERE mad > 0
+  AND abs(round(0.6745 * (value - med) / mad, 6)) > {MAD_THRESHOLD}"""
 
 QUERIES["metric_mad_outliers"] = (q_metric_mad_outliers, ORACLE_MAD_OUTLIERS)
 

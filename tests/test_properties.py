@@ -222,3 +222,79 @@ def test_containment_prefix_complete_on_random_docs(spark, docs, threshold):
     )
     want = {(r.doc_a, r.doc_b): r.c for r in brute.collect()}
     assert got == want
+
+
+# ----------------------------- mining/diagnostics family invariants
+
+_series_vals = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _series_df(spark, vals):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("m", t0 + datetime.timedelta(minutes=7 * i), i, float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, ts timestamp, seq long, value double"
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=_series_vals)
+def test_rolling_median_bounded_by_frame_extremes(spark, vals):
+    from prometheus_anomaly_detection_lstm_spark.plans import mining
+
+    out = [
+        r["roll_median"]
+        for r in mining.rolling_median(_series_df(spark, vals))
+        .orderBy("seq")
+        .collect()
+    ]
+    for i, med in enumerate(out):
+        frame = vals[max(0, i - mining.MEDIAN_FRAME) : i + 1]
+        assert min(frame) - 1e-6 <= med <= max(frame) + 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=_series_vals,
+    shift=st.floats(min_value=-1e5, max_value=1e5, allow_nan=False),
+    scale_=st.floats(min_value=0.5, max_value=100.0, allow_nan=False),
+)
+def test_mad_flags_invariant_under_affine_transform(spark, vals, shift, scale_):
+    """Robust z is affine-equivariant: x -> a + b*x (b>0) flags the
+    SAME samples (MAD degenerate/empty cases yield no flags both ways)."""
+    from prometheus_anomaly_detection_lstm_spark.plans import mining
+
+    base = _series_df(spark, vals)
+    flagged0 = {
+        r["seq"] for r in mining.mad_outliers(base).collect()
+    }
+    moved = base.withColumn(
+        "value", F.lit(shift) + F.lit(scale_) * F.col("value")
+    )
+    flagged1 = {
+        r["seq"] for r in mining.mad_outliers(moved).collect()
+    }
+    assert flagged0 == flagged1
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+              allow_infinity=False),
+    min_size=34, max_size=60,
+))
+def test_change_points_silent_on_constant_series(spark, vals):
+    from prometheus_anomaly_detection_lstm_spark.plans import mining
+
+    n = len(vals)
+    const = _series_df(spark, [7.5] * n)
+    assert mining.change_points(const).count() == 0
