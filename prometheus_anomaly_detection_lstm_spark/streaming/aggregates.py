@@ -79,3 +79,51 @@ def session_metric_windows(
             "sum_value",
         )
     )
+
+
+def windowed_m4(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of plans/mining.m4_downsample: per (event-time
+    window, series) keep the four pixel-defining points — first, last,
+    min, max — as lexicographic struct extremes with (ts, seq) trailing
+    fields for deterministic ties.
+
+    Struct min/max are ordinary aggregates, so state per open window is
+    FOUR structs per series regardless of sample rate; append mode
+    emits each finalized window exactly once — the live dashboard feed
+    whose history the batch operator backfills.
+
+    ``stream`` must carry (ts TIMESTAMP, seq LONG, metric STRING,
+    value DOUBLE).
+    """
+    first = F.min(F.struct("ts", "seq", "value"))
+    last = F.max(F.struct("ts", "seq", "value"))
+    low = F.min(F.struct("value", "ts", "seq"))
+    high = F.max(F.struct("value", "ts", "seq"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "metric")
+        .agg(
+            F.count("*").alias("n_samples"),
+            first.alias("__f"),
+            last.alias("__l"),
+            low.alias("__lo"),
+            high.alias("__hi"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "metric",
+            "n_samples",
+            F.col("__f.ts").alias("first_ts"),
+            F.round("__f.value", 6).alias("first_v"),
+            F.col("__l.ts").alias("last_ts"),
+            F.round("__l.value", 6).alias("last_v"),
+            F.col("__lo.ts").alias("min_ts"),
+            F.round("__lo.value", 6).alias("min_v"),
+            F.col("__hi.ts").alias("max_ts"),
+            F.round("__hi.value", 6).alias("max_v"),
+        )
+    )

@@ -143,3 +143,83 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
         (str(r["session_start"]), r["n"], r["sum_value"]) for r in batch
     }
     assert got <= batch_set and len(batch_set) == 3
+
+
+def test_windowed_m4_stream_equals_batch(spark, tmp_path):
+    """Streaming M4: per finalized window the four pixel points equal
+    the batch operator on the same data, split across microbatches."""
+    from prometheus_anomaly_detection_lstm_spark.plans.mining import (
+        m4_downsample,
+    )
+    from prometheus_anomaly_detection_lstm_spark.streaming.aggregates import (
+        windowed_m4,
+    )
+
+    src = str(tmp_path / "m4_src")
+    out = str(tmp_path / "m4_out")
+    ck = str(tmp_path / "m4_ck")
+
+    def write(rows):
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # hour 10: shaped so first/min/max/last are four DISTINCT samples;
+    # the 12:00 sample advances the watermark to finalize hour 10.
+    write(
+        [
+            {"ts": pd.Timestamp("2024-01-01 10:05:00"), "seq": 1,
+             "metric": "m1", "value": 5.0},
+            {"ts": pd.Timestamp("2024-01-01 10:15:00"), "seq": 2,
+             "metric": "m1", "value": 1.0},
+        ]
+    )
+    time.sleep(1.1)
+    write(
+        [
+            {"ts": pd.Timestamp("2024-01-01 10:25:00"), "seq": 3,
+             "metric": "m1", "value": 9.0},
+            {"ts": pd.Timestamp("2024-01-01 10:55:00"), "seq": 4,
+             "metric": "m1", "value": 7.0},
+        ]
+    )
+    time.sleep(1.1)
+    write([{"ts": pd.Timestamp("2024-01-01 12:00:00"), "seq": 5,
+            "metric": "m1", "value": 0.0}])
+
+    stream = spark.readStream.schema(
+        "ts timestamp, seq long, metric string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        windowed_m4(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        r
+        for r in spark.read.parquet(out).collect()
+        if str(r["w_start"]) == "2024-01-01 10:00:00"
+    ]
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["first_v"], r["last_v"], r["min_v"], r["max_v"]) == (
+        5.0, 7.0, 1.0, 9.0,
+    )
+    assert r["n_samples"] == 4
+
+    # batch equivalence: the same aggregate body over the full input
+    batch = {
+        (str(b["w_start"]), b["metric"], b["first_v"], b["last_v"],
+         b["min_v"], b["max_v"], b["n_samples"])
+        for b in m4_downsample(
+            spark.read.parquet(src).select("metric", "ts", "seq", "value")
+        ).collect()
+    }
+    assert (
+        "2024-01-01 10:00:00", "m1", 5.0, 7.0, 1.0, 9.0, 4
+    ) in batch
