@@ -174,3 +174,97 @@ def pca_project(
             expr = term if expr is None else expr + term
         cols.append(F.round(expr, 6).alias(f"pc_{r}"))
     return emb.select(*cols)
+
+
+# ----------------------------------------------------- ridge regression
+
+#: default L2 penalty for the registered probe query.
+RIDGE_LAMBDA = 1.0
+
+
+def _ridge_partials(d: int, label_col: str):
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        xtx = np.zeros((d + 1, d + 1), dtype=np.float64)
+        xty = np.zeros(d + 1, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            x = np.hstack([np.ones((x.shape[0], 1)), x])  # bias column
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            xtx += x.T @ x
+            xty += x.T @ y
+        if not xty.any() and not xtx.any():
+            return
+        ii, jj = np.meshgrid(
+            np.arange(d + 1), np.arange(d + 1), indexing="ij"
+        )
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel(),
+                "j": jj.ravel(),
+                "xtx": xtx.ravel(),
+                "xty": np.repeat(xty, d + 1),
+            }
+        )
+
+    return gen
+
+
+def ridge_fit(
+    emb: DataFrame,
+    label_col: str = "label",
+    d: int = DIM,
+    lam: float = RIDGE_LAMBDA,
+) -> DataFrame:
+    """Closed-form distributed ridge regression (the linear-probe fit
+    run over frozen embeddings): solve (XᵀX + λI)w = Xᵀy from
+    per-partition normal-equation partials — the same
+    shuffle-volume-independent-of-corpus-size shape as the covariance
+    operator (each partition contributes ONE (d+1)² partial; a 100-TB
+    table moves megabytes).  Bias column appended, unpenalized data
+    convention kept simple: λ applies to all weights incl. bias
+    (documented; set lam=0 for OLS).
+
+    The (d+1)×(d+1) solve happens on the driver — d is model
+    dimensionality, not data size.  Returns (dim, weight): dim 0 is
+    the intercept, 1..d the coefficients.  numpy-pinned in tests;
+    rows-only registry entry (no SQL twin for the solve)."""
+    import numpy as np
+
+    partials = emb.select("embedding", label_col).mapInPandas(
+        _ridge_partials(d, label_col),
+        "i long, j long, xtx double, xty double",
+    )
+    # xty[i] is replicated across every j of row i in the partial frame,
+    # so one keyed aggregate sums both moments; the (i, 0) rows carry
+    # the summed Xᵀy.
+    rows = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("xtx").alias("xtx"), F.sum("xty").alias("xty"))
+        .collect()
+    )
+    xtx = np.zeros((d + 1, d + 1))
+    xty = np.zeros(d + 1)
+    for r in rows:
+        xtx[r["i"], r["j"]] = r["xtx"]
+        if r["j"] == 0:
+            xty[r["i"]] = r["xty"]
+    w = np.linalg.solve(xtx + lam * np.eye(d + 1), xty)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(int(i), float(round(v, 6))) for i, v in enumerate(w)],
+        "dim int, weight double",
+    )
+
+
+def q_embedding_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ridge_fit(load_table(spark, sf_dir, "embeddings"))
+
+
+# iterable-free closed-form fit, but the SOLVE has no SQL twin ->
+# rows-only driver check; numpy equality pinned in tests/test_linalg.py.
+QUERIES["embedding_ridge_fit"] = (q_embedding_ridge_fit, None)

@@ -261,3 +261,47 @@ def test_hot_series_parallelism_grows_with_days(spark):
     )
     plan = promql.counter_rate(df, hot_series=True)._jdf.queryExecution().executedPlan().toString()
     assert "__pday" in plan  # day key present in the window/exchange spec
+
+
+def test_ridge_fit_matches_numpy(spark):
+    """Distributed normal-equation ridge == numpy closed form."""
+    import numpy as np
+
+    from prometheus_anomaly_detection_lstm_spark.operators import linalg
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    got = np.array(
+        [
+            r["weight"]
+            for r in linalg.ridge_fit(emb).orderBy("dim").collect()
+        ]
+    )
+    pdf = emb.select("embedding", "label").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    x = np.hstack([np.ones((x.shape[0], 1)), x])
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    want = np.linalg.solve(
+        x.T @ x + linalg.RIDGE_LAMBDA * np.eye(x.shape[1]), x.T @ y
+    )
+    assert np.allclose(got, np.round(want, 6), atol=2e-6)
+    # the probe is non-trivial: some coefficient moves off zero
+    assert np.abs(got[1:]).max() > 1e-4
+
+
+def test_ridge_fit_partitioning_invariant(spark):
+    import numpy as np
+
+    from prometheus_anomaly_detection_lstm_spark.operators import linalg
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = [r["weight"] for r in
+         linalg.ridge_fit(emb.repartition(1)).orderBy("dim").collect()]
+    b = [r["weight"] for r in
+         linalg.ridge_fit(emb.repartition(13)).orderBy("dim").collect()]
+    assert np.allclose(a, b, atol=2e-6)
