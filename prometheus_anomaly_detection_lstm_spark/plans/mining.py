@@ -722,3 +722,64 @@ def q_metric_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FFT has no DuckDB twin: rows-only driver check (like the ANN family);
 # numpy-pinned in tests/test_mining.py.
 QUERIES["metric_periodogram"] = (q_metric_periodogram, None)
+
+
+# ------------------------------------------------- detector ensemble
+
+#: votes needed to confirm an ensemble anomaly.
+ENSEMBLE_CONFIRM = 2
+
+
+def anomaly_ensemble(s: DataFrame) -> DataFrame:
+    """Majority-vote ensemble over three statistical detectors with
+    DISJOINT failure modes: MAD robust z (global heavy-tail outliers),
+    two-sample mean shift (level changes), and the seasonal-profile
+    z-score (wrong-for-this-hour values).  A sample is CONFIRMED when
+    at least two detectors agree — the standard trick for cutting
+    single-detector false positives without a labeled set.
+
+    Composition reuses the registered operator bodies verbatim (the
+    same no-drift rule as corpus_clean_pipeline), so each branch keeps
+    its one-exchange plan; the vote is one keyed aggregate over the
+    alert-scale union."""
+    from ..operators.promql import seasonal_anomaly
+
+    branches = [
+        mad_outliers(s).select("metric", "ts", "seq"),
+        change_points(s).select("metric", "ts", "seq"),
+        seasonal_anomaly(s).select("metric", "ts", "seq"),
+    ]
+    u = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    return u.groupBy("metric", "ts", "seq").agg(
+        F.count("*").cast("int").alias("n_votes"),
+        (F.count("*") >= ENSEMBLE_CONFIRM).cast("int").alias("confirmed"),
+    )
+
+
+def q_metric_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly_ensemble(_series(spark, sf_dir))
+
+
+def _ensemble_oracle() -> str:
+    from ..operators.promql import ORACLE_SEASONAL
+
+    return f"""WITH mad_side AS (
+  {ORACLE_MAD_OUTLIERS}
+), chg_side AS (
+  {ORACLE_CHANGE_POINTS}
+), seas_side AS (
+  {ORACLE_SEASONAL}
+), u AS (
+  SELECT metric, ts, seq FROM mad_side
+  UNION ALL SELECT metric, ts, seq FROM chg_side
+  UNION ALL SELECT metric, ts, seq FROM seas_side
+)
+SELECT metric, ts, seq, CAST(count(*) AS INTEGER) AS n_votes,
+       CAST(count(*) >= {ENSEMBLE_CONFIRM} AS INTEGER) AS confirmed
+FROM u GROUP BY 1, 2, 3"""
+
+
+QUERIES["metric_anomaly_ensemble"] = (
+    q_metric_anomaly_ensemble,
+    _ensemble_oracle(),
+)

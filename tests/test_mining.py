@@ -240,6 +240,29 @@ def test_periodogram_short_series_yields_no_rows(spark, tmp_path):
     assert mining.q_metric_periodogram(spark, str(tmp_path)).count() == 0
 
 
+def test_ensemble_votes_are_union_of_branch_flags(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.promql import (
+        seasonal_anomaly,
+    )
+
+    s = mining._series(spark, SF_SMALL)
+    mad = {(r["metric"], r["seq"]) for r in mining.mad_outliers(s).collect()}
+    chg = {(r["metric"], r["seq"]) for r in mining.change_points(s).collect()}
+    sea = {(r["metric"], r["seq"]) for r in seasonal_anomaly(s).collect()}
+    out = {
+        (r["metric"], r["seq"]): (r["n_votes"], r["confirmed"])
+        for r in mining.anomaly_ensemble(s).collect()
+    }
+    assert set(out) == mad | chg | sea
+    for key, (votes, confirmed) in out.items():
+        expect = sum(key in branch for branch in (mad, chg, sea))
+        assert votes == expect
+        assert confirmed == int(votes >= mining.ENSEMBLE_CONFIRM)
+    # the ensemble is not vacuous at the test scale: some sample is
+    # flagged by at least one branch
+    assert out
+
+
 def test_curriculum_stages_partition_the_corpus(spark):
     out = mining.q_corpus_quality_curriculum(spark, SF_SMALL).collect()
     stages = sorted(r["stage"] for r in out)

@@ -113,6 +113,22 @@ SHOWCASE = [
      "The delta is the build side of a BroadcastHashJoin LeftAnti; the "
      "snapshot flows map-only into the union — a full-outer "
      "formulation would shuffle the 100-TB snapshot on the key."),
+    ("metric_change_points", "mean-shift scan, one shared exchange",
+     "Both bounded frames (pre/post means) and the unbounded stddev "
+     "ride ONE hashpartitioning(metric) window exchange — three "
+     "aggregates, one shuffle, parallelism grows with cardinality."),
+    ("event_graph_triangles", "degree-oriented triangle join",
+     "All joins are hash equi-joins on node keys; the orientation "
+     "bounds wedge fan-out by squared OUT-degree (hubs emit few "
+     "out-edges), the MapReduce-triangles shape."),
+    ("metric_m4_downsample", "M4: four struct extremes, one aggregate",
+     "One keyed aggregate; each extreme is a lexicographic struct "
+     "min/max, so the shuffle carries four structs per bucket "
+     "regardless of sample rate."),
+    ("corpus_quality_curriculum", "quantile curriculum, no global sort",
+     "Stage boundaries are a ONE-ROW percentile aggregate broadcast "
+     "into a map-only bucket projection — the ntile formulation would "
+     "funnel the corpus through a single-partition window."),
 ]
 
 JOIN_RE = re.compile(
