@@ -783,3 +783,124 @@ QUERIES["metric_anomaly_ensemble"] = (
     q_metric_anomaly_ensemble,
     _ensemble_oracle(),
 )
+
+
+# -------------------------------------------------- distribution drift
+
+#: PSI decile edges learned from the reference half.
+PSI_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+#: Laplace smoothing keeping ln() finite on empty buckets.
+PSI_SMOOTH = 0.5
+
+
+def distribution_drift(s: DataFrame) -> DataFrame:
+    """Population-stability-index (PSI) drift report per series: split
+    the stream at its median timestamp, learn decile boundaries from
+    the REFERENCE half, histogram both halves on those edges, and score
+    PSI = Σ (actual−expected)·ln(actual/expected) with Laplace-smoothed
+    shares (empty buckets stay finite) — the production train/serve
+    drift metric.
+
+    Scale shape: the time cut is a ONE-ROW percentile broadcast; decile
+    edges are a metric-cardinality aggregate joined back unhinted (AQE
+    broadcasts); both halves histogram in a single pass (conditional
+    counts per (metric, bucket)), and the PSI rollup runs on the
+    metrics×10 grid — metadata scale."""
+    from ..functions import ntz_epoch_seconds
+
+    x = ntz_epoch_seconds("ts")
+    cut = s.agg(
+        F.percentile(x, F.lit(0.5)).alias("__cut")
+    )
+    tagged = s.join(F.broadcast(cut)).withColumn(
+        "__is_ref", x <= F.col("__cut")
+    )
+    qs = ", ".join(repr(q) for q in PSI_QS)
+    edges = (
+        tagged.filter("__is_ref")
+        .groupBy("metric")
+        .agg(F.expr(f"percentile(value, array({qs}))").alias("__bs"))
+    )
+    bucket = sum(
+        F.when(F.col("value") > F.col("__bs")[i], 1).otherwise(0)
+        for i in range(len(PSI_QS))
+    )
+    counts = (
+        tagged.join(edges, "metric")
+        .select("metric", bucket.alias("bucket"), "__is_ref")
+        .groupBy("metric", "bucket")
+        .agg(
+            F.count_if("__is_ref").alias("__rn"),
+            F.count_if(~F.col("__is_ref")).alias("__cn"),
+        )
+    )
+    grid = edges.select(
+        "metric", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket")
+    )
+    j = grid.join(counts, ["metric", "bucket"], "left").select(
+        "metric",
+        "bucket",
+        F.coalesce("__rn", F.lit(0)).alias("__rn"),
+        F.coalesce("__cn", F.lit(0)).alias("__cn"),
+    )
+    w = Window.partitionBy("metric")
+    e = (F.col("__rn") + PSI_SMOOTH) / (F.sum("__rn").over(w) + 10 * PSI_SMOOTH)
+    a = (F.col("__cn") + PSI_SMOOTH) / (F.sum("__cn").over(w) + 10 * PSI_SMOOTH)
+    return (
+        j.withColumn("__term", (a - e) * F.log(a / e))
+        .groupBy("metric")
+        .agg(F.round(F.sum("__term"), 6).alias("psi"))
+    )
+
+
+def q_metric_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distribution_drift(_series(spark, sf_dir))
+
+
+def _drift_oracle() -> str:
+    cases = " + ".join(
+        f"CASE WHEN value > bs[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(len(PSI_QS))
+    )
+    qs = ", ".join(repr(q) for q in PSI_QS)
+    sm = PSI_SMOOTH
+    return f"""WITH s AS (
+  SELECT event_type AS metric, ts, value FROM events
+), cut AS (
+  SELECT quantile_cont(epoch(ts), 0.5) AS c FROM s
+), tagged AS (
+  SELECT metric, value, epoch(ts) <= c AS is_ref FROM s, cut
+), b AS (
+  SELECT metric, quantile_cont(value, [{qs}]) AS bs
+  FROM tagged WHERE is_ref GROUP BY 1
+), bucketed AS (
+  SELECT t.metric, ({cases}) AS bucket, is_ref
+  FROM tagged t JOIN b ON t.metric = b.metric
+), counts AS (
+  SELECT metric, bucket,
+         count(*) FILTER (is_ref) AS rn,
+         count(*) FILTER (NOT is_ref) AS cn
+  FROM bucketed GROUP BY 1, 2
+), grid AS (
+  SELECT metric, unnest(generate_series(0, 9)) AS bucket FROM b
+), j AS (
+  SELECT g.metric, g.bucket,
+         coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+  FROM grid g LEFT JOIN counts c
+    ON g.metric = c.metric AND g.bucket = c.bucket
+), sh AS (
+  SELECT metric, bucket,
+         (rn + {sm}) / (sum(rn) OVER (PARTITION BY metric)
+                        + 10 * {sm}) AS e,
+         (cn + {sm}) / (sum(cn) OVER (PARTITION BY metric)
+                        + 10 * {sm}) AS a
+  FROM j
+)
+SELECT metric, round(sum((a - e) * ln(a / e)), 6) AS psi
+FROM sh GROUP BY 1"""
+
+
+QUERIES["metric_distribution_drift"] = (
+    q_metric_distribution_drift,
+    _drift_oracle(),
+)

@@ -263,6 +263,27 @@ def test_ensemble_votes_are_union_of_branch_flags(spark):
     assert out
 
 
+def test_psi_detects_planted_drift_and_stays_low_without(spark, tmp_path):
+    # stable: same alternating values in both time halves -> tiny PSI;
+    # drifted: second half shifted by +100 -> PSI far above the 0.2
+    # "significant drift" rule of thumb.
+    rows = [(1, s, "stable", float(s % 10)) for s in range(200)] + [
+        (1, s, "drifted", float(s % 10) + (100.0 if s >= 100 else 0.0))
+        for s in range(200)
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r["metric"]: r["psi"]
+        for r in mining.q_metric_distribution_drift(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["stable"] < 0.05
+    assert out["drifted"] > 1.0
+
+
 def test_curriculum_stages_partition_the_corpus(spark):
     out = mining.q_corpus_quality_curriculum(spark, SF_SMALL).collect()
     stages = sorted(r["stage"] for r in out)

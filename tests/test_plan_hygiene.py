@@ -34,6 +34,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "anomaly_mse_lstm",         # same prep subtree
     "approx_threshold_percentiles",  # sketch summary row
     "corpus_quality_curriculum",  # one-row quantile-boundary aggregate
+    "metric_distribution_drift",  # one-row median-timestamp cut
     "dedup_embedding_cosine",   # centroid + radius tables (n_cells rows)
     "event_pagerank",           # one-row node-count frame per iteration
     "fill_mean",                # per-column means summary row
