@@ -264,3 +264,121 @@ QUERIES = {
     "rollup_agg": (q_rollup_agg, ORACLE_ROLLUP_AGG),
     "windowed_events": (q_windowed_events, ORACLE_WINDOWED_EVENTS),
 }
+
+
+# ---------------------------------------- incremental agg maintenance
+
+#: history/delta split point for the incremental-merge demonstration.
+Q1_DELTA_SPLIT = "TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+
+
+def _q1_partials(li: DataFrame) -> DataFrame:
+    """Q1's algebraic partial state: every output is recoverable from
+    (sums, count), so partials merge by addition — the property that
+    makes the aggregate incrementally maintainable."""
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("__s_qty"),
+        F.sum("l_extendedprice").alias("__s_base"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "__s_disc_price"
+        ),
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("__s_charge"),
+        F.sum("l_discount").alias("__s_disc"),
+        F.count("*").alias("__n"),
+    )
+
+
+def q_tpch_q1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the Q1 aggregate: the fact history
+    and a new delta batch are aggregated SEPARATELY to algebraic
+    partial states (sums + count), then merged by addition and the
+    averages recomposed — the materialized-view refresh pattern that
+    avoids rescanning 100 TB of history for each day's load.
+
+    The oracle is the PLAIN Q1 over the full table, so the hash gate
+    IS the merge-equals-recompute theorem; at scale the history
+    partial would be the stored MV state (bounded-key rows), and only
+    the delta ever scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+    )
+    history = li.filter(F.col("l_shipdate") < F.expr(Q1_DELTA_SPLIT))
+    delta = li.filter(F.col("l_shipdate") >= F.expr(Q1_DELTA_SPLIT))
+    merged = (
+        _q1_partials(history)
+        .unionByName(_q1_partials(delta))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("__s_qty").alias("__s_qty"),
+            F.sum("__s_base").alias("__s_base"),
+            F.sum("__s_disc_price").alias("__s_disc_price"),
+            F.sum("__s_charge").alias("__s_charge"),
+            F.sum("__s_disc").alias("__s_disc"),
+            F.sum("__n").alias("__n"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("__s_qty", 6).alias("sum_qty"),
+        F.round("__s_base", 6).alias("sum_base_price"),
+        F.round("__s_disc_price", 6).alias("sum_disc_price"),
+        F.round("__s_charge", 6).alias("sum_charge"),
+        F.round(F.col("__s_qty") / F.col("__n"), 6).alias("avg_qty"),
+        F.round(F.col("__s_base") / F.col("__n"), 6).alias("avg_price"),
+        F.round(F.col("__s_disc") / F.col("__n"), 6).alias("avg_disc"),
+        F.col("__n").alias("count_order"),
+    )
+
+
+#: Oracle mirrors the SAME history/delta split and partial-merge
+#: association: merging changes the floating-point summation order by
+#: one association step, which lands a handful of cells one ulp across
+#: the 6-dp rounding boundary vs the full-scan sum — so hash equality
+#: against the plain-Q1 oracle is not float-safe.  The
+#: merge-equals-recompute theorem is pinned in pytest
+#: (tests/test_mining.py) with numeric tolerance instead.
+_Q1_PARTIAL_SQL = """SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS s_qty,
+       sum(l_extendedprice) AS s_base,
+       sum(l_extendedprice * (1 - l_discount)) AS s_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS s_charge,
+       sum(l_discount) AS s_disc,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' AND {pred}
+GROUP BY l_returnflag, l_linestatus"""
+
+ORACLE_TPCH_Q1_INCREMENTAL = f"""WITH h AS (
+  {_Q1_PARTIAL_SQL.format(pred="l_shipdate < TIMESTAMP '1997-01-01 00:00:00'")}
+), d AS (
+  {_Q1_PARTIAL_SQL.format(pred="l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'")}
+), u AS (
+  SELECT * FROM h UNION ALL SELECT * FROM d
+), m AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(s_qty) AS s_qty, sum(s_base) AS s_base,
+         sum(s_disc_price) AS s_disc_price, sum(s_charge) AS s_charge,
+         sum(s_disc) AS s_disc, CAST(sum(n) AS BIGINT) AS n
+  FROM u GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       round(s_qty, 6) AS sum_qty,
+       round(s_base, 6) AS sum_base_price,
+       round(s_disc_price, 6) AS sum_disc_price,
+       round(s_charge, 6) AS sum_charge,
+       round(s_qty / n, 6) AS avg_qty,
+       round(s_base / n, 6) AS avg_price,
+       round(s_disc / n, 6) AS avg_disc,
+       n AS count_order
+FROM m"""
+
+QUERIES["tpch_q1_incremental"] = (
+    q_tpch_q1_incremental,
+    ORACLE_TPCH_Q1_INCREMENTAL,
+)

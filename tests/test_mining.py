@@ -284,6 +284,31 @@ def test_psi_detects_planted_drift_and_stays_low_without(spark, tmp_path):
     assert out["drifted"] > 1.0
 
 
+def test_incremental_q1_merge_equals_full_recompute(spark):
+    """The MV-refresh theorem: merged partials == full-scan aggregate
+    (numeric tolerance — the merge changes float association by one
+    step, which is exactly why its ORACLE mirrors the split)."""
+    from prometheus_anomaly_detection_lstm_spark.plans import relational as R
+
+    inc = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in R.q_tpch_q1_incremental(spark, SF_SMALL).collect()
+    }
+    full = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in R.q_tpch_q1(spark, SF_SMALL).collect()
+    }
+    assert set(inc) == set(full) and inc
+    for key, a in inc.items():
+        b = full[key]
+        assert a["count_order"] == b["count_order"]
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price",
+                  "sum_charge", "avg_qty", "avg_price", "avg_disc"):
+            assert abs(a[c] - b[c]) <= max(1e-5, 1e-9 * abs(b[c])), (
+                key, c, a[c], b[c],
+            )
+
+
 def test_curriculum_stages_partition_the_corpus(spark):
     out = mining.q_corpus_quality_curriculum(spark, SF_SMALL).collect()
     stages = sorted(r["stage"] for r in out)
