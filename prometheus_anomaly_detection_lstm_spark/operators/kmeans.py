@@ -583,3 +583,67 @@ def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximate by design: rows-only for the driver (recall floor pinned
 # in tests/test_kmeans.py, same policy as ann_cosine_topk_lsh/_ivf)
 QUERIES["ann_cosine_topk_pq"] = (q_ann_cosine_topk_pq, None)
+
+
+# ------------------------------------------- nearest-centroid probe
+
+def nearest_centroid_eval(df: DataFrame) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the embedding corpus
+    against its OWN label centroids, reported as a confusion matrix —
+    the cheapest label-quality / cluster-separability probe a training
+    pipeline runs before spending on a learned head.
+
+    Reuses the k-means machinery verbatim: per-label centroids are one
+    posexplode hash aggregate (label x d rows, rounded 6 — the
+    cross-engine determinism anchor), assignment is literal-centroid
+    codegen (pure map stage), and the confusion rollup is one keyed
+    aggregate over label-pair space.  ``df`` must carry (vec_id, label,
+    vec ARRAY<DOUBLE>)."""
+    labeled = df.withColumn("cluster", F.col("label").cast("bigint"))
+    cents = _recompute_centroids(labeled)
+    assigned = assign_clusters(df, cents)
+    return (
+        assigned.groupBy(
+            F.col("label").cast("int").alias("true_label"),
+            F.col("cluster").cast("int").alias("pred_label"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    df = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    return nearest_centroid_eval(df)
+
+
+ORACLE_NEAREST_CENTROID = f"""WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+), m AS (
+  SELECT label AS cl, g.pos, round(avg(vec[g.pos]), 6) AS c
+  FROM v, generate_series(1, {EMB_DIM}) g(pos)
+  GROUP BY 1, 2
+), c AS (
+  SELECT cl, list(c ORDER BY pos) AS vec FROM m GROUP BY 1
+), d AS (
+  SELECT v.vec_id, v.label, c.cl,
+         {_FOLD_D2.format(a='v.vec', b='c.vec')} AS d2
+  FROM v CROSS JOIN c
+)
+, pred AS (
+  SELECT vec_id, label, cl FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
+)
+SELECT CAST(label AS INTEGER) AS true_label,
+       CAST(cl AS INTEGER) AS pred_label,
+       count(*) AS n
+FROM pred GROUP BY 1, 2"""
+
+QUERIES["embedding_nearest_centroid_eval"] = (
+    q_nearest_centroid_eval,
+    ORACLE_NEAREST_CENTROID,
+)

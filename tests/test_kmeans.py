@@ -108,3 +108,25 @@ def test_pq_adc_recall_floor(spark):
         ap.setdefault(r["q_id"], set()).add(r["c_id"])
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_nearest_centroid_eval_diagonal_dominates_and_totals(spark):
+    """The synthetic labels are cluster-correlated: the confusion
+    matrix's diagonal must dominate, and row totals must partition the
+    corpus."""
+    import duckdb
+
+    from prometheus_anomaly_detection_lstm_spark.operators.kmeans import (
+        q_nearest_centroid_eval,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = q_nearest_centroid_eval(spark, SF_SMALL).collect()
+    total = sum(r["n"] for r in rows)
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert total == n_vecs
+    diag = sum(r["n"] for r in rows if r["true_label"] == r["pred_label"])
+    assert diag / total > 0.3  # far above the 1/k random-guess floor
