@@ -904,3 +904,76 @@ QUERIES["metric_distribution_drift"] = (
     q_metric_distribution_drift,
     _drift_oracle(),
 )
+
+
+# --------------------------------------------------- forecast backtest
+
+#: lookback window for the one-step linear forecast.
+BACKTEST_K = 16
+
+
+def forecast_backtest(s: DataFrame) -> DataFrame:
+    """Rolling-origin one-step backtest of the linear forecast (the
+    eval loop behind predict_linear-style alerting): at every sample,
+    fit slope/intercept on the PREVIOUS K samples (closed-form
+    co-moment regression over a bounded frame, x = sample index — no
+    timestamp arithmetic), extrapolate one step, and score the realized
+    error.  Output: per-series MAE / RMSE / n — the numbers that decide
+    whether the forecaster is trustworthy enough to page on.
+
+    One hashpartitioning(metric) exchange carries the row_number, all
+    four frame aggregates AND feeds the final per-metric rollup."""
+    base = Window.partitionBy("metric").orderBy("ts", "seq")
+    frame = base.rowsBetween(-BACKTEST_K, -1)
+    x = F.row_number().over(base).cast("double")
+    withx = s.withColumn("__x", x)
+    slope = F.covar_pop("__x", "value").over(frame) / F.var_pop("__x").over(
+        frame
+    )
+    pred = (
+        F.avg("value").over(frame)
+        + slope * (F.col("__x") - F.avg("__x").over(frame))
+    )
+    scored = withx.select(
+        "metric",
+        F.count("value").over(frame).alias("__k"),
+        (F.col("value") - pred).alias("__err"),
+    ).filter(F.col("__k") == BACKTEST_K)
+    return scored.groupBy("metric").agg(
+        F.count("*").alias("n_forecasts"),
+        F.round(F.avg(F.abs("__err")), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(F.col("__err") * F.col("__err"))), 6).alias(
+            "rmse"
+        ),
+    )
+
+
+def q_metric_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forecast_backtest(_series(spark, sf_dir))
+
+
+ORACLE_BACKTEST = f"""WITH w AS (
+  SELECT event_type AS metric, ts, event_id AS seq, value,
+         CAST(row_number() OVER o AS DOUBLE) AS x
+  FROM events
+  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id)
+), p AS (
+  SELECT metric, value,
+         count(value) OVER f AS k,
+         avg(value) OVER f
+           + (covar_pop(x, value) OVER f) / (var_pop(x) OVER f)
+             * (x - avg(x) OVER f) AS pred
+  FROM w
+  WINDOW f AS (PARTITION BY metric ORDER BY ts, seq
+               ROWS BETWEEN {BACKTEST_K} PRECEDING AND 1 PRECEDING)
+)
+SELECT metric, count(*) AS n_forecasts,
+       round(avg(abs(value - pred)), 6) AS mae,
+       round(sqrt(avg((value - pred) * (value - pred))), 6) AS rmse
+FROM p WHERE k = {BACKTEST_K}
+GROUP BY 1"""
+
+QUERIES["metric_forecast_backtest"] = (
+    q_metric_forecast_backtest,
+    ORACLE_BACKTEST,
+)

@@ -309,6 +309,26 @@ def test_incremental_q1_merge_equals_full_recompute(spark):
             )
 
 
+def test_backtest_perfect_on_linear_series(spark, tmp_path):
+    # y = 3t + 7 is exactly recoverable by the linear forecaster: MAE
+    # and RMSE collapse to ~0; a noisy series scores strictly worse.
+    rows = [(1, s, "line", 3.0 * s + 7.0) for s in range(64)] + [
+        (1, s, "jumpy", float((s * 37) % 11)) for s in range(64)
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r["metric"]: r
+        for r in mining.q_metric_forecast_backtest(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["line"]["mae"] < 1e-6 and out["line"]["rmse"] < 1e-6
+    assert out["jumpy"]["mae"] > 1.0
+    assert out["line"]["n_forecasts"] == 64 - mining.BACKTEST_K
+
+
 def test_curriculum_stages_partition_the_corpus(spark):
     out = mining.q_corpus_quality_curriculum(spark, SF_SMALL).collect()
     stages = sorted(r["stage"] for r in out)
