@@ -177,3 +177,19 @@ def vacuum(table: str, keep_last: int = 2) -> list[str]:
         if not any(f.endswith(".parquet") for f in os.listdir(cdir)):
             shutil.rmtree(cdir)
     return deleted
+
+
+def read_version_merged_schema(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot scan with SCHEMA EVOLUTION: commits written with
+    different (compatible) schemas — e.g. a column added mid-history —
+    read as their union, missing columns NULL-filled per file.  The
+    mergeSchema pass reads footers only; data pages are untouched until
+    the real scan."""
+    if version is None:
+        version = latest_version(table)
+    files = read_manifest(table, version)["files"]
+    return spark.read.option("mergeSchema", True).parquet(
+        *[os.path.join(table, f) for f in files]
+    )

@@ -81,3 +81,18 @@ def test_manifest_scan_still_pushes_predicates(spark, table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(id,12)" in plan
     assert df.count() == 2
+
+
+def test_schema_evolution_across_commits(spark, tmp_path):
+    t = str(tmp_path / "evo")
+    V.commit_append(_df(spark, 0, 5), t)
+    widened = _df(spark, 5, 8).withColumn(
+        "quality", F.col("id").cast("double") / 10
+    )
+    V.commit_append(widened, t)
+    out = V.read_version_merged_schema(spark, t)
+    assert set(out.columns) == {"id", "v", "quality"}
+    rows = {r["id"]: r["quality"] for r in out.collect()}
+    assert len(rows) == 8
+    assert rows[2] is None          # pre-evolution rows NULL-fill
+    assert rows[6] == 0.6           # post-evolution rows carry the column
