@@ -702,6 +702,10 @@ def periodogram(s: DataFrame, top: int = PERIODOGRAM_TOP) -> DataFrame:
         p = np.abs(np.fft.rfft(v - v.mean())) ** 2
         p[0] = 0.0  # DC carries no period
         total = float(p.sum())
+        if total == 0.0:  # constant series: no spectrum, no rows
+            return pd.DataFrame(
+                columns=["metric", "rank", "period_samples", "power_share"]
+            )
         order = np.lexsort((np.arange(len(p)), -p))[:top]
         return pd.DataFrame(
             {

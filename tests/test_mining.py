@@ -232,6 +232,14 @@ def test_periodogram_finds_planted_period(spark, tmp_path):
     assert sum(r["power_share"] for r in out) <= 1.0
 
 
+def test_periodogram_constant_series_yields_no_rows(spark, tmp_path):
+    rows = [(1, s, "m", 4.25) for s in range(64)]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    assert mining.q_metric_periodogram(spark, str(tmp_path)).count() == 0
+
+
 def test_periodogram_short_series_yields_no_rows(spark, tmp_path):
     rows = [(1, s, "m", float(s)) for s in range(4)]
     _events(spark, rows).write.mode("overwrite").parquet(
