@@ -106,3 +106,33 @@ def test_encode_shrinks_token_count_and_preserves_chars(spark):
         for r in bpe.encode_token_counts(docs, []).collect()
     }
     assert raw[0] == 8 and raw[1] == 6
+
+
+def test_learned_merges_match_python_reference_fuzz(spark):
+    """Hypothesis fuzz: random tiny corpora over a 3-letter alphabet —
+    adversarial for merge ties and overlap (aaa/abab cases) — must
+    match the independent Python BPE exactly, including tiebreaks."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(ws=words)
+    def run(ws):
+        texts = [" ".join(ws)]
+        docs = spark.createDataFrame(
+            [(0, texts[0])], "doc_id long, text string"
+        )
+        got = [
+            (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in bpe.learn_bpe_merges(spark, docs, n_merges=3)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == _py_bpe(texts, 3)
+
+    run()
