@@ -1465,3 +1465,68 @@ SELECT metric, ts, seq, value, round(z, 6) AS z
 FROM z WHERE abs(z) >= {SEASONAL_Z!r}"""
 
 QUERIES["metric_seasonal_anomaly"] = (q_seasonal_anomaly, ORACLE_SEASONAL)
+
+
+# ------------------------------------------ label manipulation family
+
+def q_label_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL's label-manipulation trio on the full-labelset stream —
+    label_replace (regex capture from an existing label), label_join
+    (concatenate labels into one), clamp(v, lo, hi) — composed into a
+    relabeled per-series summary.  All pure codegen string/math
+    expressions; the only exchange is the final keyed aggregate, and
+    relabeling happens BEFORE it so the aggregate keys on the new
+    identity (the recording-rule pattern)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("metric"),
+        (F.get_json_object(F.col("props"), "$.k").cast("bigint") % 10)
+        .cast("bigint")
+        .alias("label"),
+        "value",
+    )
+    relabeled = s.select(
+        # label_replace(env, "$1", metric, "^(click|view)$") -> 'ui'
+        F.when(
+            F.regexp_extract("metric", r"^(click|view)$", 1) != "",
+            F.lit("ui"),
+        )
+        .otherwise(F.lit("backend"))
+        .alias("env"),
+        # label_replace(short, "$1", metric, "^(..)") — capture group
+        F.regexp_extract("metric", r"^(..)", 1).alias("short"),
+        # label_join(series_id, ":", metric, label)
+        F.concat_ws(":", "metric", F.col("label").cast("string")).alias(
+            "series_id"
+        ),
+        # clamp(value, 0, 100)
+        F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0)).alias(
+            "clamped"
+        ),
+    )
+    return relabeled.groupBy("env", "short", "series_id").agg(
+        F.count("*").alias("n_samples"),
+        F.round(F.sum("clamped"), 6).alias("sum_clamped"),
+    )
+
+
+ORACLE_LABEL_OPS = """WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         value
+  FROM events
+), r AS (
+  SELECT CASE WHEN regexp_extract(metric, '^(click|view)$', 1) <> ''
+              THEN 'ui' ELSE 'backend' END AS env,
+         regexp_extract(metric, '^(..)', 1) AS short,
+         metric || ':' || CAST(label AS VARCHAR) AS series_id,
+         least(greatest(value, 0.0), 100.0) AS clamped
+  FROM s
+)
+SELECT env, short, series_id, count(*) AS n_samples,
+       round(sum(clamped), 6) AS sum_clamped
+FROM r GROUP BY 1, 2, 3"""
+
+QUERIES["promql_label_ops"] = (q_label_ops, ORACLE_LABEL_OPS)
