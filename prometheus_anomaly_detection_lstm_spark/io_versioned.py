@@ -193,3 +193,78 @@ def read_version_merged_schema(
     return spark.read.option("mergeSchema", True).parquet(
         *[os.path.join(table, f) for f in files]
     )
+
+
+def _file_stats(path: str) -> dict:
+    """Footer-only per-column [min, max] for primitive columns (the
+    Delta/Iceberg data-skipping stats).  Columns without usable
+    statistics are simply absent — readers must treat absence as
+    'might match'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, str)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def collect_stats(table: str, version: int | None = None) -> int:
+    """Backfill data-skipping stats into a manifest (footer reads only;
+    no data pages).  Run at commit time in a real deployment; separate
+    here so stats stay optional.  Returns the stat'd file count."""
+    if version is None:
+        version = latest_version(table)
+    manifest = read_manifest(table, version)
+    stats = {
+        f: _file_stats(os.path.join(table, f)) for f in manifest["files"]
+    }
+    manifest["stats"] = stats
+    final = _manifest_path(table, version)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, final)
+    return len(stats)
+
+
+def read_version_skipping(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot scan with MANIFEST-LEVEL data skipping: files whose
+    stored [min, max] for ``column`` cannot intersect [lo, hi] are
+    dropped from the scan plan before Spark ever sees them — the
+    Delta/Iceberg stats-pruning step on top of parquet's own row-group
+    pruning.  Files without stats are conservatively kept.  The range
+    filter is ALSO applied to the surviving rows, so the result is
+    exactly the filtered snapshot."""
+    if version is None:
+        version = latest_version(table)
+    manifest = read_manifest(table, version)
+    stats = manifest.get("stats", {})
+    keep = []
+    for f in manifest["files"]:
+        s = stats.get(f, {}).get(column)
+        if s is None or not (hi < s[0] or lo > s[1]):
+            keep.append(f)
+    from pyspark.sql import functions as F
+
+    df = _read_files(spark, table, keep)
+    return df.filter((F.col(column) >= lo) & (F.col(column) <= hi))

@@ -96,3 +96,26 @@ def test_schema_evolution_across_commits(spark, tmp_path):
     assert len(rows) == 8
     assert rows[2] is None          # pre-evolution rows NULL-fill
     assert rows[6] == 0.6           # post-evolution rows carry the column
+
+
+def test_manifest_stats_skip_nonoverlapping_files(spark, tmp_path):
+    t = str(tmp_path / "skip")
+    V.commit_append(_df(spark, 0, 100).coalesce(1), t)
+    V.commit_append(_df(spark, 1000, 1100).coalesce(1), t)
+    assert V.collect_stats(t) == 2
+    pruned = V.read_version_skipping(spark, t, "id", 1000, 1050)
+    # only the second commit's file survives manifest pruning
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 51
+    # equality with the unpruned filtered scan
+    full = V.read_version(spark, t).filter("id between 1000 and 1050")
+    assert {r["id"] for r in pruned.collect()} == {
+        r["id"] for r in full.collect()
+    }
+    # a version without stats keeps every file (conservative)
+    t2 = str(tmp_path / "nostats")
+    V.commit_append(_df(spark, 0, 10).coalesce(1), t2)
+    V.commit_append(_df(spark, 50, 60).coalesce(1), t2)
+    allkept = V.read_version_skipping(spark, t2, "id", 0, 5)
+    assert len(allkept.inputFiles()) == 2
+    assert allkept.count() == 6
