@@ -382,3 +382,183 @@ QUERIES["tpch_q1_incremental"] = (
     q_tpch_q1_incremental,
     ORACLE_TPCH_Q1_INCREMENTAL,
 )
+
+
+# ------------------------------------------------- RFM segmentation
+
+#: quartile edges for the R/F/M scores.
+RFM_QS = (0.25, 0.5, 0.75)
+#: recency anchor (the analysis date).
+RFM_ANCHOR = "1998-12-31"
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer recency (days before the
+    anchor), frequency (orders) and monetary (spend), each scored 0-3
+    against exact quartile edges of the per-customer distribution, and
+    a composite segment code.  Recency score is inverted — recent
+    buyers score high.
+
+    The per-customer rollup is one keyed aggregate; quartile edges are
+    ONE one-row percentile aggregate over that (customer-cardinality)
+    frame broadcast into a map-only scoring projection — no ntile, no
+    global sort, the same no-single-partition-window discipline as the
+    curriculum/PSI operators."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 6).alias("monetary"),
+    )
+    qs = ", ".join(repr(q) for q in RFM_QS)
+    edges = per_cust.agg(
+        F.expr(f"percentile(recency_days, array({qs}))").alias("__er"),
+        F.expr(f"percentile(frequency, array({qs}))").alias("__ef"),
+        F.expr(f"percentile(monetary, array({qs}))").alias("__em"),
+    )
+
+    def score(col, edge):
+        return sum(
+            F.when(F.col(col) > F.col(edge)[i], 1).otherwise(0)
+            for i in range(len(RFM_QS))
+        )
+
+    return per_cust.join(F.broadcast(edges)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(3) - score("recency_days", "__er")).alias("r_score"),
+        score("frequency", "__ef").alias("f_score"),
+        score("monetary", "__em").alias("m_score"),
+        F.concat(
+            (F.lit(3) - score("recency_days", "__er")).cast("string"),
+            score("frequency", "__ef").cast("string"),
+            score("monetary", "__em").cast("string"),
+        ).alias("segment"),
+    )
+
+
+def _rfm_oracle() -> str:
+    qs = ", ".join(repr(q) for q in RFM_QS)
+
+    def score(col, edge):
+        return " + ".join(
+            f"CASE WHEN {col} > {edge}[{i + 1}] THEN 1 ELSE 0 END"
+            for i in range(len(RFM_QS))
+        )
+
+    r = score("recency_days", "er")
+    f_ = score("frequency", "ef")
+    m = score("monetary", "em")
+    return f"""WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate::DATE), DATE '{RFM_ANCHOR}')
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 6) AS monetary
+  FROM orders GROUP BY 1
+), edges AS (
+  SELECT quantile_cont(recency_days, [{qs}]) AS er,
+         quantile_cont(frequency, [{qs}]) AS ef,
+         quantile_cont(monetary, [{qs}]) AS em
+  FROM per_cust
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       3 - ({r}) AS r_score,
+       ({f_}) AS f_score,
+       ({m}) AS m_score,
+       CAST(3 - ({r}) AS VARCHAR) || CAST({f_} AS VARCHAR)
+         || CAST({m} AS VARCHAR) AS segment
+FROM per_cust, edges"""
+
+
+QUERIES["customer_rfm_segments"] = (q_customer_rfm, _rfm_oracle())
+
+
+# -------------------------------------------- association rules (lift)
+
+#: minimum pair support (fraction of users) for a reported rule.
+RULES_MIN_SUPPORT = 0.01
+
+
+def q_events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over per-user event-type baskets —
+    support / confidence / lift for every ordered pair above the
+    support floor (the market-basket primitive; full FP-growth prunes
+    the same lattice, this is its 2-itemset stage).
+
+    Baskets collapse to DISTINCT (user, type) first (support counts
+    users, not events), the pair join is per-user (bounded fan-out:
+    #types per user), and the singles frame joins back twice unhinted —
+    type-cardinality, AQE broadcasts it.  The user-count denominator is
+    a one-row broadcast."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.select("user_id", F.col("event_type").alias("t")).distinct()
+    n_users = baskets.select("user_id").distinct().agg(
+        F.count("*").cast("double").alias("__nu")
+    )
+    singles = baskets.groupBy("t").agg(F.count("*").alias("__n1"))
+    a = baskets.withColumnRenamed("t", "antecedent")
+    b = baskets.withColumnRenamed("t", "consequent")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("__n2"))
+    )
+    sa = singles.withColumnRenamed("t", "antecedent").withColumnRenamed(
+        "__n1", "__na"
+    )
+    sc = singles.withColumnRenamed("t", "consequent").withColumnRenamed(
+        "__n1", "__nc"
+    )
+    out = (
+        pairs.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .join(F.broadcast(n_users))
+    )
+    support = F.col("__n2") / F.col("__nu")
+    conf = F.col("__n2") / F.col("__na")
+    lift = conf / (F.col("__nc") / F.col("__nu"))
+    return out.filter(support >= RULES_MIN_SUPPORT).select(
+        "antecedent",
+        "consequent",
+        F.col("__n2").alias("n_users_both"),
+        F.round(support, 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+ORACLE_ASSOCIATION_RULES = f"""WITH baskets AS (
+  SELECT DISTINCT user_id, event_type AS t FROM events
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nu FROM baskets
+), singles AS (
+  SELECT t, count(*) AS n1 FROM baskets GROUP BY 1
+), pairs AS (
+  SELECT a.t AS antecedent, b.t AS consequent, count(*) AS n2
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.t <> b.t
+  GROUP BY 1, 2
+)
+SELECT antecedent, consequent, n2 AS n_users_both,
+       round(n2 / nu, 6) AS support,
+       round(n2 / sa.n1, 6) AS confidence,
+       round((n2 / sa.n1) / (sc.n1 / nu), 6) AS lift
+FROM pairs
+JOIN singles sa ON pairs.antecedent = sa.t
+JOIN singles sc ON pairs.consequent = sc.t
+CROSS JOIN nu
+WHERE n2 / nu >= {RULES_MIN_SUPPORT}"""
+
+QUERIES["events_association_rules"] = (
+    q_events_association_rules,
+    ORACLE_ASSOCIATION_RULES,
+)

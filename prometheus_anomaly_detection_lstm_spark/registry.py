@@ -300,6 +300,7 @@ PRIORITY: list[str] = [
     "metric_anomaly_ensemble", "metric_distribution_drift",
     "tpch_q1_incremental", "embedding_nearest_centroid_eval",
     "metric_forecast_backtest", "promql_label_ops",
+    "customer_rfm_segments", "events_association_rules",
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
     "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",

@@ -352,3 +352,32 @@ def test_curriculum_stages_partition_the_corpus(spark):
     # stage i+1 is not guaranteed at ties, but avg must be monotone.
     avgs = [r["avg_chars"] for r in sorted(out, key=lambda r: r["stage"])]
     assert avgs == sorted(avgs)
+
+
+def test_rfm_scores_partition_and_invert_recency(spark):
+    from prometheus_anomaly_detection_lstm_spark.plans import relational as R
+
+    rows = R.q_customer_rfm(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["r_score"] <= 3
+        assert r["segment"] == (
+            f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        )
+    # recency inversion: the most recent buyer never scores r=0, the
+    # stalest never scores r=3
+    by_recency = sorted(rows, key=lambda r: r["recency_days"])
+    assert by_recency[0]["r_score"] >= by_recency[-1]["r_score"]
+
+
+def test_association_rules_lift_symmetry_and_bounds(spark):
+    from prometheus_anomaly_detection_lstm_spark.plans import relational as R
+
+    rows = R.q_events_association_rules(spark, SF_SMALL).collect()
+    assert rows
+    lifts = {(r["antecedent"], r["consequent"]): r["lift"] for r in rows}
+    for (a, b), lv in lifts.items():
+        assert lifts[(b, a)] == lv  # lift is symmetric
+    for r in rows:
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1

@@ -35,6 +35,8 @@ BNLJ_SCALAR_BROADCASTS = {
     "approx_threshold_percentiles",  # sketch summary row
     "corpus_quality_curriculum",  # one-row quantile-boundary aggregate
     "metric_distribution_drift",  # one-row median-timestamp cut
+    "customer_rfm_segments",      # one-row quartile-edges aggregate
+    "events_association_rules",   # one-row user-count denominator
     "dedup_embedding_cosine",   # centroid + radius tables (n_cells rows)
     "event_pagerank",           # one-row node-count frame per iteration
     "fill_mean",                # per-column means summary row
