@@ -61,6 +61,10 @@ def main() -> None:
         bench("autocorrelation", mining.autocorrelation(samples))
         bench("mad_outliers", mining.mad_outliers(samples))
         bench("stl_decompose", mining.stl_decompose(samples))
+        bench("m4_downsample", mining.m4_downsample(samples))
+        bench("anomaly_ensemble", mining.anomaly_ensemble(samples))
+        bench("distribution_drift", mining.distribution_drift(samples))
+        bench("forecast_backtest", mining.forecast_backtest(samples))
 
         samples.unpersist()
         print(json.dumps(out), flush=True)
