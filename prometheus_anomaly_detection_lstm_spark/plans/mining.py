@@ -986,3 +986,118 @@ QUERIES["metric_forecast_backtest"] = (
     q_metric_forecast_backtest,
     ORACLE_BACKTEST,
 )
+
+
+# ------------------------------------------------------- A/B analysis
+
+#: |t| above this is reported significant (~95% two-sided).
+AB_T_CRIT = 1.96
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split by a deterministic hash of
+    their id (user_id % 2 — the bucketing every experimentation system
+    does), per-user purchase spend as the metric, Welch's t between the
+    variants.  One row: variant sizes/means/stds, the t statistic and
+    the significance verdict — the analysis every product team runs
+    daily, expressed as two keyed aggregates and a one-row join (the
+    per-variant summary is 2 rows; nothing after the per-user rollup
+    exceeds metadata scale)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("__spend"))
+        .withColumn("__variant", (F.col("user_id") % 2).cast("int"))
+    )
+    stats = per_user.groupBy("__variant").agg(
+        F.count("*").alias("n"),
+        F.avg("__spend").alias("m"),
+        F.var_samp("__spend").alias("v"),
+    )
+    a = stats.filter(F.col("__variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = stats.filter(F.col("__variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return a.join(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(F.round(t, 6)) > AB_T_CRIT).cast("int").alias("significant"),
+    )
+
+
+ORACLE_AB_TEST = f"""WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+         sum(value) AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), s AS (
+  SELECT variant, count(*) AS n, avg(spend) AS m, var_samp(spend) AS v
+  FROM per_user GROUP BY 1
+), a AS (SELECT n AS n_a, m AS m_a, v AS v_a FROM s WHERE variant = 0),
+b AS (SELECT n AS n_b, m AS m_b, v AS v_b FROM s WHERE variant = 1)
+SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       CAST(abs(round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6))
+            > {AB_T_CRIT} AS INTEGER) AS significant
+FROM a, b"""
+
+QUERIES["events_ab_test"] = (q_events_ab_test, ORACLE_AB_TEST)
+
+
+# ---------------------------------------------------- Gini inequality
+
+def q_corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini coefficient of document lengths — the
+    inequality diagnostic behind mixture decisions (a language whose
+    token mass concentrates in a few giant documents needs different
+    chunking/sampling than a uniform one).
+
+    Exact rank-based Gini: G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over the
+    ascending order — the rank window partitions by LANGUAGE (hash
+    exchange, parallelism grows with language count; never a global
+    sort).  Ties contribute identically under any tie order, so the
+    (n_chars, doc_id) tiebreak is for determinism only."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).cast("double").alias("__i"),
+    )
+    n = F.count("*").cast("double")
+    gini = (
+        F.lit(2.0) * F.sum(F.col("__i") * F.col("n_chars"))
+        / (n * F.sum("n_chars"))
+        - (n + 1) / n
+    )
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+ORACLE_LENGTH_GINI = """WITH r AS (
+  SELECT lang, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY n_chars, doc_id) AS DOUBLE) AS i,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(2.0 * sum(i * n_chars) / (max(n) * sum(n_chars))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM r GROUP BY 1"""
+
+QUERIES["corpus_length_gini"] = (q_corpus_length_gini, ORACLE_LENGTH_GINI)

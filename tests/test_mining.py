@@ -381,3 +381,56 @@ def test_association_rules_lift_symmetry_and_bounds(spark):
     for r in rows:
         assert 0 < r["support"] <= 1
         assert 0 < r["confidence"] <= 1
+
+
+def test_ab_test_detects_planted_effect_and_stays_quiet_without(
+    spark, tmp_path
+):
+    # no effect: identical spend per user in both variants -> t == 0;
+    # planted effect: variant 1 spends 2x -> |t| blows past critical.
+    def events(effect):
+        rows = []
+        for u in range(40):
+            mult = 2.0 if (effect and u % 2 == 1) else 1.0
+            for k in range(3):
+                rows.append((u, u * 100 + k, "purchase", mult * (10 + u % 5)))
+        return rows
+
+    _events(spark, events(False)).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    (quiet,) = mining.q_events_ab_test(spark, str(tmp_path)).collect()
+    assert quiet["significant"] == 0 and abs(quiet["t_stat"]) < 1.0
+
+    _events(spark, events(True)).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    (hot,) = mining.q_events_ab_test(spark, str(tmp_path)).collect()
+    assert hot["significant"] == 1
+    assert hot["mean_b"] > hot["mean_a"]
+
+
+def test_gini_zero_for_uniform_high_for_concentrated(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        [
+            {"doc_id": i, "text": "x", "lang": "uni", "source": "s",
+             "n_chars": 100}
+            for i in range(50)
+        ]
+        + [
+            {"doc_id": 100 + i, "text": "x", "lang": "conc", "source": "s",
+             "n_chars": 1 if i else 100000}
+            for i in range(50)
+        ]
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["lang"]: r["gini"]
+        for r in mining.q_corpus_length_gini(spark, str(tmp_path)).collect()
+    }
+    assert out["uni"] == 0.0
+    assert out["conc"] > 0.9

@@ -37,6 +37,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "metric_distribution_drift",  # one-row median-timestamp cut
     "customer_rfm_segments",      # one-row quartile-edges aggregate
     "events_association_rules",   # one-row user-count denominator
+    "events_ab_test",             # two one-row variant summaries
     "dedup_embedding_cosine",   # centroid + radius tables (n_cells rows)
     "event_pagerank",           # one-row node-count frame per iteration
     "fill_mean",                # per-column means summary row
