@@ -1101,3 +1101,83 @@ SELECT lang, count(*) AS n_docs,
 FROM r GROUP BY 1"""
 
 QUERIES["corpus_length_gini"] = (q_corpus_length_gini, ORACLE_LENGTH_GINI)
+
+
+# ------------------------------------------------- cross-correlation
+
+#: CCF lags examined (minutes of bucket offset, both directions).
+CCF_MAX_LAG = 3
+#: alignment bucket for the irregular sample streams.
+CCF_BUCKET = "15 minutes"
+
+
+def q_metric_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between metric pairs: align each
+    series onto a common 15-minute grid (bucket averages), then for
+    every ordered pair and lag in [-3, 3] correlate a's bucket t with
+    b's bucket t+lag — the screen for WHICH metric moves first (the
+    input to alerting-dependency and root-cause graphs; lag 0 recovers
+    the plain correlation matrix).
+
+    The grid frame is (metric x buckets) — already aggregate-scale;
+    the pair-lag join is an equi-join on the shifted bucket key, and
+    the final corr() rollup groups on (pair, lag).  Lags materialize
+    via one small explode of the lag range, NOT one join per lag."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = _series(spark, sf_dir)
+    from ..functions import ntz_epoch_seconds
+
+    bucket = (ntz_epoch_seconds("ts") / 900).cast("long")
+    grid = (
+        s.groupBy("metric", bucket.alias("__b"))
+        .agg(F.avg("value").alias("__v"))
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-CCF_MAX_LAG), F.lit(CCF_MAX_LAG))
+    ).alias("lag")
+    a = grid.select(
+        F.col("metric").alias("m_lead"),
+        F.col("__b").alias("__ba"),
+        F.col("__v").alias("__va"),
+        lags,
+    )
+    b = grid.select(
+        F.col("metric").alias("m_follow"),
+        F.col("__b").alias("__bb"),
+        F.col("__v").alias("__vb"),
+    )
+    joined = a.join(
+        b,
+        (F.col("__ba") + F.col("lag") == F.col("__bb"))
+        & (F.col("m_lead") < F.col("m_follow")),
+    )
+    return joined.groupBy("m_lead", "m_follow", "lag").agg(
+        F.count("*").alias("n_buckets"),
+        F.nanvl(
+            F.round(F.corr("__va", "__vb"), 6),
+            F.lit(None).cast("double"),
+        ).alias("ccf"),
+    )
+
+
+ORACLE_CROSS_CORRELATION = f"""WITH grid AS (
+  SELECT event_type AS metric,
+         CAST(floor(epoch(ts) / 900) AS BIGINT) AS b,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), lags AS (
+  SELECT unnest(generate_series(-{CCF_MAX_LAG}, {CCF_MAX_LAG})) AS lag
+)
+SELECT a.metric AS m_lead, bb.metric AS m_follow, lags.lag,
+       count(*) AS n_buckets,
+       round(corr(a.v, bb.v), 6) AS ccf
+FROM grid a
+CROSS JOIN lags
+JOIN grid bb
+  ON a.b + lags.lag = bb.b AND a.metric < bb.metric
+GROUP BY 1, 2, 3"""
+
+QUERIES["metric_cross_correlation"] = (
+    q_metric_cross_correlation,
+    ORACLE_CROSS_CORRELATION,
+)

@@ -434,3 +434,31 @@ def test_gini_zero_for_uniform_high_for_concentrated(spark, tmp_path):
     }
     assert out["uni"] == 0.0
     assert out["conc"] > 0.9
+
+
+def test_ccf_recovers_planted_lead_lag(spark, tmp_path):
+    import math
+
+    # metric "b" is metric "a" delayed by one 15-minute bucket: the
+    # cross-correlation must peak (≈1) at lag +1 for (a leads b).
+    rows = []
+    for t in range(96):
+        v = math.sin(2 * math.pi * t / 24) + t * 0.01
+        rows.append((1, t * 900 + 10, "a", v))
+        rows.append((1, (t + 1) * 900 + 20, "b", v))
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        (r["m_lead"], r["m_follow"], r["lag"]): r["ccf"]
+        for r in mining.q_metric_cross_correlation(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    peak_lag = max(
+        (lag for (a, b, lag) in out if (a, b) == ("a", "b")),
+        key=lambda lag: out[("a", "b", lag)],
+    )
+    assert peak_lag == 1
+    assert out[("a", "b", 1)] > 0.999
+    assert out[("a", "b", 0)] < out[("a", "b", 1)]
