@@ -1181,3 +1181,81 @@ QUERIES["metric_cross_correlation"] = (
     q_metric_cross_correlation,
     ORACLE_CROSS_CORRELATION,
 )
+
+
+# ----------------------------------------------------- cohort LTV curve
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue by (signup cohort, weeks since signup) — the
+    LTV curve behind payback-period decisions (the money twin of the
+    count-based retention_cohorts matrix).
+
+    Cohort assignment is one per-user min() aggregate joined back
+    unhinted (user-cardinality, AQE decides); weekly revenue is one
+    keyed aggregate; the cumulative sum runs per-cohort (hash exchange
+    on the cohort key — a running frame over ~weeks rows per cohort,
+    never a global sort).  Weeks are epoch-week integers, so both
+    engines bucket identically with no calendar semantics in play."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..functions import ntz_epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    week = (ntz_epoch_seconds("ts") / 604800).cast("long")
+    with_week = ev.withColumn("__w", week)
+    cohorts = with_week.groupBy("user_id").agg(
+        F.min("__w").alias("cohort_week")
+    )
+    weekly = (
+        with_week.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "__w")
+        .agg(F.sum("value").alias("__rev"))
+    )
+    aged = weekly.join(cohorts, "user_id").select(
+        "cohort_week",
+        (F.col("__w") - F.col("cohort_week")).alias("age_weeks"),
+        "user_id",
+        "__rev",
+    )
+    per_cell = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.count_distinct("user_id").alias("n_buyers"),
+        F.sum("__rev").alias("__cell_rev"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_cell.select(
+        "cohort_week",
+        "age_weeks",
+        "n_buyers",
+        F.round("__cell_rev", 6).alias("revenue"),
+        F.round(F.sum("__cell_rev").over(w), 6).alias("cum_revenue"),
+    )
+
+
+ORACLE_COHORT_LTV = """WITH e AS (
+  SELECT user_id, event_type, value,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+), cohorts AS (
+  SELECT user_id, min(w) AS cohort_week FROM e GROUP BY 1
+), weekly AS (
+  SELECT user_id, w, sum(value) AS rev
+  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+), cell AS (
+  SELECT cohort_week, w - cohort_week AS age_weeks,
+         count(DISTINCT weekly.user_id) AS n_buyers,
+         sum(rev) AS cell_rev
+  FROM weekly JOIN cohorts ON weekly.user_id = cohorts.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort_week, age_weeks, n_buyers,
+       round(cell_rev, 6) AS revenue,
+       round(sum(cell_rev) OVER (PARTITION BY cohort_week
+             ORDER BY age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_revenue
+FROM cell"""
+
+QUERIES["cohort_ltv_curve"] = (q_cohort_ltv_curve, ORACLE_COHORT_LTV)

@@ -462,3 +462,21 @@ def test_ccf_recovers_planted_lead_lag(spark, tmp_path):
     assert peak_lag == 1
     assert out[("a", "b", 1)] > 0.999
     assert out[("a", "b", 0)] < out[("a", "b", 1)]
+
+
+def test_ltv_curve_monotone_and_totals(spark):
+    import duckdb
+
+    rows = mining.q_cohort_ltv_curve(spark, SF_SMALL).collect()
+    assert rows
+    by_cohort = {}
+    for r in sorted(rows, key=lambda r: (r["cohort_week"], r["age_weeks"])):
+        prev = by_cohort.get(r["cohort_week"], 0.0)
+        assert r["cum_revenue"] >= prev  # cumulative is monotone
+        assert r["cum_revenue"] >= r["revenue"]
+        by_cohort[r["cohort_week"]] = r["cum_revenue"]
+    total = duckdb.sql(
+        f"SELECT round(sum(value), 6) FROM '{SF_SMALL}/events.parquet'"
+        " WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert abs(sum(by_cohort.values()) - total) < 1e-4
