@@ -296,7 +296,6 @@ PRIORITY: list[str] = [
     "metric_autocorrelation", "metric_mad_outliers",
     "metric_stl_decompose", "metric_m4_downsample",
     "metric_slo_burn_rate", "corpus_importance_sample",
-    "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
     "metric_anomaly_ensemble", "metric_distribution_drift",
     "tpch_q1_incremental", "embedding_nearest_centroid_eval",
     "metric_forecast_backtest", "promql_label_ops",
@@ -312,6 +311,11 @@ PRIORITY: list[str] = [
     "promql_holt_smoothing", "metric_seasonal_anomaly",
     "events_grouping_sets", "events_rank_functions", "event_pagerank",
     "scd2_user_bands",
+    # rows-only entries (periodogram/BPE/ridge have no SQL twin, so
+    # their driver row is the weaker rows-only check): parked just past
+    # the hash-graded queries above — pytest pins their exactness
+    # (numpy spectra, the from-scratch Python BPE, the numpy solve)
+    "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----
