@@ -1259,3 +1259,61 @@ SELECT cohort_week, age_weeks, n_buyers,
 FROM cell"""
 
 QUERIES["cohort_ltv_curve"] = (q_cohort_ltv_curve, ORACLE_COHORT_LTV)
+
+
+# ---------------------------------------------------- cadence anomaly
+
+#: coefficient-of-variation floor: human/poisson traffic sits near 1,
+#: schedulers and bots sit near 0.
+BOT_CV_THRESHOLD = 0.85
+#: minimum inter-event gaps before a user is scoreable.
+BOT_MIN_GAPS = 20
+
+
+def q_events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-cadence detection: users whose inter-event times are too
+    REGULAR (coefficient of variation of the gaps below threshold) —
+    Poisson-ish human traffic has CV≈1, schedulers/bots approach 0.
+    The abuse-filtering pass a training-data pipeline runs before
+    trusting engagement signals.
+
+    One per-user lag window (hash exchange on user_id — parallelism
+    grows with the user base) feeding one per-user aggregate; the
+    minimum-gap floor keeps thin users from producing noise scores."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..functions import ntz_epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ntz_epoch_seconds("ts")
+    gaps = ev.select(
+        "user_id", (x - F.lag(x).over(w)).alias("__dt")
+    ).filter(F.col("__dt").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        (F.stddev_pop("__dt") / F.avg("__dt")).alias("__cv"),
+    )
+    return (
+        per_user.filter(
+            (F.col("n_gaps") >= BOT_MIN_GAPS)
+            & (F.col("__cv") < BOT_CV_THRESHOLD)
+        )
+        .select("user_id", "n_gaps", F.round("__cv", 6).alias("cadence_cv"))
+    )
+
+
+ORACLE_BOT_CADENCE = f"""WITH d AS (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS dt
+  FROM events
+), cv AS (
+  SELECT user_id, count(dt) AS n_gaps,
+         stddev_pop(dt) / avg(dt) AS cv
+  FROM d WHERE dt IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_gaps, round(cv, 6) AS cadence_cv
+FROM cv
+WHERE n_gaps >= {BOT_MIN_GAPS} AND cv < {BOT_CV_THRESHOLD}"""
+
+QUERIES["events_bot_cadence"] = (q_events_bot_cadence, ORACLE_BOT_CADENCE)

@@ -301,7 +301,7 @@ PRIORITY: list[str] = [
     "metric_forecast_backtest", "promql_label_ops",
     "customer_rfm_segments", "events_association_rules",
     "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
-    "cohort_ltv_curve",
+    "cohort_ltv_curve", "events_bot_cadence",
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
     "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",

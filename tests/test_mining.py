@@ -480,3 +480,24 @@ def test_ltv_curve_monotone_and_totals(spark):
         " WHERE event_type = 'purchase'"
     ).fetchone()[0]
     assert abs(sum(by_cohort.values()) - total) < 1e-4
+
+
+def test_bot_cadence_flags_metronome_not_poisson(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # user 1: metronome (exact 60s gaps); user 2: poisson-ish
+    for k in range(40):
+        rows.append((1, k * 60, "view", 0.0))
+    t = 0.0
+    for k in range(40):
+        t += rng.expovariate(1 / 60)
+        rows.append((2, t, "view", 0.0))
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r["user_id"]: r["cadence_cv"] for r in
+           mining.q_events_bot_cadence(spark, str(tmp_path)).collect()}
+    assert 1 in out and out[1] == 0.0  # perfectly regular
+    assert 2 not in out                # human-ish stays unflagged
