@@ -1,19 +1,27 @@
-"""Pattern-mining / diagnostics plans: rolling quantiles, change-point
-detection, graph triangle counting, curriculum bucketing.
+"""Pattern-mining / diagnostics plans.
 
 Engine-completeness work (the reference —
 vpuhoff/prometheus-anomaly-detection-lstm — has none of this surface);
 the metric-facing entries extend its anomaly-detection premise with the
 classic statistical baselines a metrics platform runs beside an LSTM:
 
-- ``metric_rolling_median``  exact sliding median per series (the
-  robust-baseline twin of the mean/EWMA smoothers already registered)
-- ``metric_change_points``   two-sample mean-shift scan (CUSUM-style
-  level-change detection expressed as bounded window frames)
-- ``event_graph_triangles``  degree-oriented triangle counting over the
-  user-journey transition graph (the clustering-coefficient precursor)
-- ``corpus_quality_curriculum`` quantile-boundary curriculum buckets
-  over document length (the stage-wise training-data split)
+- TS diagnostics: ``metric_rolling_median`` (exact sliding median),
+  ``metric_change_points`` (two-sample mean-shift scan),
+  ``metric_autocorrelation`` (ACF 1..8), ``metric_mad_outliers``
+  (median/MAD robust z), ``metric_stl_decompose`` (trend/seasonal/
+  residual), ``metric_periodogram`` (rFFT dominant periods),
+  ``metric_cross_correlation`` (lead/lag CCF between series)
+- Serving/alerting: ``metric_m4_downsample`` (error-free chart
+  reduction), ``metric_slo_burn_rate`` (multiwindow SRE alert),
+  ``metric_anomaly_ensemble`` (2-of-3 detector vote),
+  ``metric_distribution_drift`` (PSI vs the reference half),
+  ``metric_forecast_backtest`` (rolling-origin MAE/RMSE)
+- Graph: ``event_graph_triangles`` (degree-oriented triangle count)
+- Corpus/product analytics: ``corpus_quality_curriculum`` (quantile
+  curriculum stages), ``corpus_length_gini`` (per-language length
+  inequality), ``events_ab_test`` (Welch's t readout),
+  ``cohort_ltv_curve`` (cumulative cohort revenue),
+  ``events_bot_cadence`` (inter-event-time regularity)
 
 Scale notes (100 TB):
 
