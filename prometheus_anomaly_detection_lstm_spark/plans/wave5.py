@@ -1,0 +1,497 @@
+"""Wave-5 plans: resampling, corpus keywords, attribution, Bloom scrub.
+
+Engine-completeness surface beyond the reference
+(vpuhoff/prometheus-anomaly-detection-lstm preprocesses metrics with a
+fixed pandas chain — preprocess_data.py — and has none of these):
+
+- ``metric_resample_interpolate``: linear interpolation of every series
+  onto a regular hourly grid — the resampling step a metrics store runs
+  before cross-series math (PromQL's evaluation-grid semantics, done as
+  a batch operator).
+- ``text_log_odds_keywords``: per-language distinctive terms via
+  log-odds ratio with an informative Dirichlet prior (Monroe et al.
+  2008, "Fightin' Words") — the standard corpus-comparison statistic.
+- ``events_attribution``: last-touch revenue attribution — each
+  purchase credits the user's most recent preceding non-purchase event
+  type; the classic marketing-funnel readout.
+- ``corpus_bloom_decontaminate``: the benchmark scrub re-planned as a
+  Bloom-prefiltered join — answer-identical to
+  :func:`..operators.corpus.decontaminate` (same oracle), but the
+  corpus-side n-gram stream is cut to Bloom candidates BEFORE any join.
+
+Scale notes (100 TB):
+
+- Resample: everything is per-series — the sample collapse, the grid
+  generation (one row per series feeds ``sequence``), and both carry
+  windows share ONE hashpartitioning(metric) exchange; parallelism
+  grows with label cardinality and no global sort exists anywhere.
+- Keywords: token explode reduces map-side into a (lang, token) keyed
+  aggregate; every later frame is vocabulary-scale (independent of
+  corpus row count), so the joins and the per-lang rank window cost
+  O(|vocab|) no matter how large the corpus.
+- Attribution: one hashpartitioning(user_id) exchange for the
+  carry-forward window; the channel rollup is metadata-scale.
+- Bloom scrub: the benchmark set is fixed-size (a benchmark), so its
+  bit positions collect to the driver and ship as a literal bitset —
+  the corpus-side membership test is a map-only projection (two JVM
+  hashes + bit tests), and only surviving candidate grams enter the
+  exact verify join.  False positives cannot leak into the answer: the
+  exact join re-checks every candidate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import ntz_epoch_seconds
+from ..io_tables import load_table
+from ..operators.corpus import DECON_BENCH_MOD, DECON_NGRAM
+
+QUERIES: dict = {}
+
+#: resample grid step (seconds) — hourly, the chart/alerting cadence.
+GRID_STEP = 3600
+#: Dirichlet prior mass for the log-odds keywords (Monroe et al. a0).
+KEYWORD_PRIOR = 100.0
+#: minimum corpus count for a token to be scored at all.
+KEYWORD_MIN_COUNT = 10
+#: distinctive terms kept per language.
+KEYWORD_TOP_K = 5
+#: Bloom sizing: bits per benchmark n-gram (k=2 hashes -> ~11% fpp;
+#: the exact verify join removes every false positive).
+BLOOM_BITS_PER_KEY = 16
+BLOOM_HASHES = 2
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (metric, ts, value) sample stream (same adapter as
+    operators/promql._samples: event_type is the series label)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"), "ts", "value"
+    )
+
+
+# --------------------------------------------- resample + interpolation
+
+def resample_interpolate(s: DataFrame, step: int = GRID_STEP) -> DataFrame:
+    """Linear interpolation of each series onto a regular ``step`` grid.
+
+    Duplicate timestamps collapse to their mean first (so the bracketing
+    samples are well-defined), then grid points and samples merge into
+    one per-series ordered stream: a forward carry window supplies the
+    previous (ts, value) sample, a backward one the next, and the grid
+    value is the exact sample on a hit or the linear blend otherwise.
+    Grid bounds are ceil(min)/floor(max), so both brackets always
+    exist.  All three window passes reuse the same
+    hashpartitioning(metric) exchange.
+    """
+    pts = (
+        s.select("metric", ntz_epoch_seconds("ts").alias("e"), "value")
+        .groupBy("metric", "e")
+        .agg(F.avg("value").alias("val"))
+    )
+    bounds = pts.groupBy("metric").agg(
+        (F.ceil(F.min("e") / step) * step).cast("long").alias("g0"),
+        (F.floor(F.max("e") / step) * step).cast("long").alias("g1"),
+    )
+    grid = bounds.filter(F.col("g0") <= F.col("g1")).select(
+        "metric",
+        F.explode(F.expr(f"sequence(g0, g1, {step})")).alias("ge"),
+    )
+    unioned = pts.select(
+        "metric", "e", F.lit(0).alias("is_grid"), "val"
+    ).unionByName(
+        grid.select(
+            "metric",
+            F.col("ge").cast("double").alias("e"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+    fwd = (
+        Window.partitionBy("metric")
+        .orderBy("e", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("metric")
+        .orderBy("e", "is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    sample_e = F.when(F.col("val").isNotNull(), F.col("e"))
+    interp = F.when(F.col("pe") == F.col("e"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("e") - F.col("pe"))
+        / (F.col("ne") - F.col("pe"))
+    )
+    return (
+        unioned.select(
+            "metric",
+            "e",
+            "is_grid",
+            F.last("val", ignorenulls=True).over(fwd).alias("pv"),
+            F.last(sample_e, ignorenulls=True).over(fwd).alias("pe"),
+            F.first("val", ignorenulls=True).over(bwd).alias("nv"),
+            F.first(sample_e, ignorenulls=True).over(bwd).alias("ne"),
+        )
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "metric",
+            F.col("e").cast("long").alias("grid_epoch"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+    )
+
+
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample_interpolate(_series(spark, sf_dir))
+
+
+ORACLE_RESAMPLE = f"""WITH s AS (
+  SELECT event_type AS metric, epoch(ts) AS e, avg(value) AS val
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT metric,
+         CAST(ceil(min(e) / {GRID_STEP}) * {GRID_STEP} AS BIGINT) AS g0,
+         CAST(floor(max(e) / {GRID_STEP}) * {GRID_STEP} AS BIGINT) AS g1
+  FROM s GROUP BY 1
+),
+g AS (
+  SELECT metric, CAST(u.ge AS DOUBLE) AS e
+  FROM b, unnest(generate_series(g0, g1, {GRID_STEP})) AS u(ge)
+  WHERE g0 <= g1
+),
+u AS (
+  SELECT metric, e, 0 AS is_grid, val FROM s
+  UNION ALL
+  SELECT metric, e, 1 AS is_grid, NULL AS val FROM g
+),
+w AS (
+  SELECT metric, e, is_grid,
+    last_value(val IGNORE NULLS) OVER (
+      PARTITION BY metric ORDER BY e, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN val IS NOT NULL THEN e END IGNORE NULLS) OVER (
+      PARTITION BY metric ORDER BY e, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe,
+    first_value(val IGNORE NULLS) OVER (
+      PARTITION BY metric ORDER BY e, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN val IS NOT NULL THEN e END IGNORE NULLS) OVER (
+      PARTITION BY metric ORDER BY e, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
+  FROM u
+)
+SELECT metric, CAST(e AS BIGINT) AS grid_epoch,
+       round(CASE WHEN pe = e THEN pv
+                  ELSE pv + (nv - pv) * (e - pe) / (ne - pe) END,
+             6) AS value_interp
+FROM w WHERE is_grid = 1"""
+
+QUERIES["metric_resample_interpolate"] = (q_resample_interpolate, ORACLE_RESAMPLE)
+
+
+# ------------------------------------------------ log-odds keywords
+
+#: word tokens only (the keyword statistic is about vocabulary, not
+#: punctuation) — lowercased a-z runs.
+WORD_RE = "[a-z]+"
+
+
+def log_odds_keywords(
+    docs: DataFrame,
+    a0: float = KEYWORD_PRIOR,
+    min_count: int = KEYWORD_MIN_COUNT,
+    top_k: int = KEYWORD_TOP_K,
+) -> DataFrame:
+    """Per-language distinctive terms: log-odds ratio, informative
+    Dirichlet prior (Monroe et al. 2008).
+
+    For token w in language l vs the REST of the corpus r:
+
+        a_w   = a0 * y_w / n                     (corpus-shaped prior)
+        d     = ln((y_lw + a_w) / (n_l + a0 - y_lw - a_w))
+              - ln((y_rw + a_w) / (n_r + a0 - y_rw - a_w))
+        z     = d / sqrt(1/(y_lw + a_w) + 1/(y_rw + a_w))
+
+    The token explode map-reduces into ONE (lang, token) keyed
+    aggregate; every subsequent frame (per-token totals, per-lang
+    totals, the rank window) is vocabulary-scale, so corpus size only
+    affects the first aggregate's map side.
+    """
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), F.lit(0))
+        ).alias("token"),
+    )
+    lt = toks.groupBy("lang", "token").agg(
+        F.count("*").cast("double").alias("y_lt")
+    )
+    t = lt.groupBy("token").agg(F.sum("y_lt").alias("y_t"))
+    l = lt.groupBy("lang").agg(F.sum("y_lt").alias("n_l"))
+    n = lt.agg(F.sum("y_lt").alias("n"))
+    j = (
+        lt.join(t, "token")
+        .join(l, "lang")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("y_t") >= min_count)
+    )
+    a_t = F.lit(a0) * F.col("y_t") / F.col("n")
+    y_rt = F.col("y_t") - F.col("y_lt")
+    n_r = F.col("n") - F.col("n_l")
+    d = F.log(
+        (F.col("y_lt") + a_t) / (F.col("n_l") + F.lit(a0) - F.col("y_lt") - a_t)
+    ) - F.log((y_rt + a_t) / (n_r + F.lit(a0) - y_rt - a_t))
+    z = d / F.sqrt(1.0 / (F.col("y_lt") + a_t) + 1.0 / (y_rt + a_t))
+    scored = j.select(
+        "lang",
+        "token",
+        F.col("y_lt").cast("long").alias("lang_count"),
+        F.round(z, 6).alias("log_odds_z"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("log_odds_z"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("lang", "token", "lang_count", "log_odds_z",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_log_odds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return log_odds_keywords(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_KEYWORDS = f"""WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS token
+  FROM documents
+),
+lt AS (
+  SELECT lang, token, CAST(count(*) AS DOUBLE) AS y_lt
+  FROM toks GROUP BY 1, 2
+),
+t AS (SELECT token, sum(y_lt) AS y_t FROM lt GROUP BY 1),
+l AS (SELECT lang, sum(y_lt) AS n_l FROM lt GROUP BY 1),
+n AS (SELECT sum(y_lt) AS n FROM lt),
+j AS (
+  SELECT lt.lang, lt.token, y_lt, y_t, n_l, n,
+         {KEYWORD_PRIOR} * y_t / n AS a_t
+  FROM lt JOIN t USING (token) JOIN l USING (lang) CROSS JOIN n
+  WHERE y_t >= {KEYWORD_MIN_COUNT}
+),
+scored AS (
+  SELECT lang, token, CAST(y_lt AS BIGINT) AS lang_count,
+    round((ln((y_lt + a_t) / (n_l + {KEYWORD_PRIOR} - y_lt - a_t))
+         - ln((y_t - y_lt + a_t) / (n - n_l + {KEYWORD_PRIOR} - (y_t - y_lt) - a_t)))
+      / sqrt(1.0 / (y_lt + a_t) + 1.0 / (y_t - y_lt + a_t)), 6) AS log_odds_z
+  FROM j
+),
+rk AS (
+  SELECT lang, token, lang_count, log_odds_z,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY log_odds_z DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT lang, token, lang_count, log_odds_z, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= {KEYWORD_TOP_K}"""
+
+QUERIES["text_log_odds_keywords"] = (q_log_odds_keywords, ORACLE_KEYWORDS)
+
+
+# ------------------------------------------------- last-touch attribution
+
+def last_touch_attribution(ev: DataFrame) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent PRECEDING non-purchase event type; purchases
+    with no prior touch are 'direct'.
+
+    One hashpartitioning(user_id) exchange carries the
+    last-non-purchase (type, ts) forward; the per-channel rollup is
+    metadata-scale (|event types| rows).
+    """
+    e = ntz_epoch_seconds("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != "purchase"
+    touch_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touch_e = F.last(F.when(is_touch, e), ignorenulls=True).over(w)
+    purchases = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            touch_type.alias("__touch"),
+            (e - touch_e).alias("__latency"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    return (
+        purchases.groupBy(
+            F.coalesce(F.col("__touch"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_revenue"),
+            F.round(F.avg("__latency"), 2).alias("avg_latency_s"),
+        )
+    )
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_ATTRIBUTION = """WITH w AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch,
+    epoch(ts) - last_value(CASE WHEN event_type != 'purchase'
+                                THEN epoch(ts) END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS latency
+  FROM events
+)
+SELECT COALESCE(touch, 'direct') AS channel,
+       count(*) AS purchases,
+       round(sum(value), 2) AS attributed_revenue,
+       round(avg(latency), 2) AS avg_latency_s
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1"""
+
+QUERIES["events_attribution"] = (q_last_touch_attribution, ORACLE_ATTRIBUTION)
+
+
+# -------------------------------------------- Bloom-prefiltered scrub
+
+def _gram_stream(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, gram) word n-grams — the decontaminate feed
+    (same construction as operators/corpus.decontaminate)."""
+    return (
+        docs.withColumn("ws", F.split(F.col("text"), " "))
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(ws) - {n - 1})")).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(ws, i, {n}))").alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def _bloom_position_sql(i: int, m_mask: int) -> str:
+    """The i-th Bloom bit position of `gram`, as a Spark SQL expression.
+
+    Double hashing over the two JVM hash families Spark exposes
+    (xxhash64 + murmur3), each masked into [0, m) BEFORE combining so
+    the sum can never overflow a long (ANSI-safe).  The SAME expression
+    computes the benchmark-side positions (collected once) and the
+    corpus-side membership test, so no hash function is ever
+    reimplemented driver-side.
+    """
+    return (
+        f"(((xxhash64(gram) & {m_mask}) + "
+        f"{i} * (cast(hash(gram) as bigint) & {m_mask})) & {m_mask})"
+    )
+
+
+def _bloom_positions(m_mask: int, k: int = BLOOM_HASHES):
+    """Column form of :func:`_bloom_position_sql` for the k hashes."""
+    return [F.expr(_bloom_position_sql(i, m_mask)) for i in range(k)]
+
+
+def _bloom_candidates(
+    docs: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate non-benchmark grams surviving the Bloom test,
+    distinct benchmark grams) — split out so tests can measure the
+    prefilter's candidate volume directly."""
+    grams = _gram_stream(docs, n)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench = grams.filter(is_bench).select("gram").distinct()
+
+    # benchmark bit positions: computed by the SAME Catalyst
+    # expressions the corpus test uses, collected once (benchmark-sized
+    # driver work, like broadcasting any dimension).
+    n_bench = bench.count()
+    m = 1 << max(10, math.ceil(math.log2(max(1, n_bench) * BLOOM_BITS_PER_KEY)))
+    mask = m - 1
+    pos_rows = bench.select(
+        F.array(*_bloom_positions(mask)).alias("ps")
+    ).collect()
+    bits = [0] * (m // 64)
+    for row in pos_rows:
+        for p in row["ps"]:
+            bits[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed 64-bit for the LongType literal
+    signed = [b - (1 << 64) if b >= (1 << 63) else b for b in bits]
+    bitset = F.array(*[F.lit(b).cast("long") for b in signed])
+
+    cand = grams.filter(~is_bench).withColumn("__bs", bitset)
+    for i in range(BLOOM_HASHES):
+        p = _bloom_position_sql(i, mask)
+        cand = cand.filter(
+            F.expr(
+                f"(shiftright(element_at(__bs, cast({p} div 64 as int) + 1),"
+                f" cast({p} % 64 as int)) & 1) = 1"
+            )
+        )
+    return cand.drop("__bs"), bench
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """Benchmark decontamination, Bloom-prefiltered: answer-identical to
+    :func:`..operators.corpus.decontaminate`, but the corpus n-gram
+    stream is cut to Bloom candidates BEFORE the verify join.
+
+    The benchmark set is fixed-size (it is a benchmark), so its Bloom
+    bit positions collect to the driver once and ship to every executor
+    as a literal long[] bitset — at 100 TB the corpus side pays two JVM
+    hashes and two bit tests per gram (map-only, whole-stage codegen)
+    and only the surviving ~fpp fraction enters the exact join, whose
+    equi-match on the real gram text removes every false positive.
+    """
+    cand, bench = _bloom_candidates(docs, n, bench_mod)
+    return (
+        cand.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+# answer-identical to the inverted-index plan -> identical oracle.
+from ..operators.corpus import ORACLE_DECONTAMINATE as _ORACLE_DECON
+
+QUERIES["corpus_bloom_decontaminate"] = (q_bloom_decontaminate, _ORACLE_DECON)

@@ -320,6 +320,12 @@ PRIORITY: list[str] = [
     # still need their FIRST official row): verified by pytest + the
     # local full-registry sweep; rotates in next round
     "events_bot_cadence",
+    # wave-5 additions (this session): parked past the window so the
+    # never-graded backlog above gets its official rows first; all four
+    # are swept by the local sf0.01 parity suite and rotate in next
+    # round
+    "metric_resample_interpolate", "text_log_odds_keywords",
+    "events_attribution", "corpus_bloom_decontaminate",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----
@@ -381,7 +387,7 @@ PRIORITY: list[str] = [
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    from .plans import extended, mining, relational, tpch_more, tpch_wave3
+    from .plans import extended, mining, relational, tpch_more, tpch_wave3, wave5
     from .operators import (
         approx, bpe, corpus, dedup, kmeans, linalg, profile, promql,
         similarity, text, multimodal,
@@ -395,6 +401,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(tpch_wave3.QUERIES)
     merged.update(extended.QUERIES)
     merged.update(mining.QUERIES)
+    merged.update(wave5.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(linalg.QUERIES)

@@ -48,6 +48,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "standard_scaled",          # scaler params row
     "text_frequent_tokens",     # global token-count scalar
     "text_lm_trigram_scores",   # corpus-total scalar
+    "text_log_odds_keywords",   # one-row corpus token-total aggregate
     "text_tfidf_top_terms",     # n_docs scalar
     "threshold_percentiles",    # percentile summary row
     "threshold_split",          # threshold scalar

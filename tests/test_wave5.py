@@ -1,0 +1,176 @@
+"""Wave-5 operator tests: resample interpolation, log-odds keywords,
+last-touch attribution, Bloom-prefiltered decontamination."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+from prometheus_anomaly_detection_lstm_spark.operators.corpus import (
+    decontaminate,
+)
+from prometheus_anomaly_detection_lstm_spark.plans.wave5 import (
+    _bloom_candidates,
+    _gram_stream,
+    bloom_decontaminate,
+    last_touch_attribution,
+    log_odds_keywords,
+    resample_interpolate,
+)
+
+from .conftest import SF_ORACLE
+
+
+TS = dt.datetime  # NTZ wall-clock literals
+
+
+def _series_df(spark, rows):
+    return spark.createDataFrame(rows, "metric string, ts timestamp_ntz, value double")
+
+
+# ------------------------------------------------------------- resample
+
+def test_resample_exact_hit_and_midpoint(spark):
+    s = _series_df(
+        spark,
+        [
+            ("m", TS(2024, 1, 1, 0, 0, 0), 10.0),   # on-grid sample
+            ("m", TS(2024, 1, 1, 0, 30, 0), 99.0),  # off-grid
+            ("m", TS(2024, 1, 1, 1, 30, 0), 20.0),  # off-grid
+            ("m", TS(2024, 1, 1, 2, 0, 0), 40.0),   # on-grid sample
+        ],
+    )
+    out = {
+        r["grid_epoch"]: r["value_interp"]
+        for r in resample_interpolate(s).collect()
+    }
+    base = int(TS(2024, 1, 1).timestamp() // 86400) * 86400
+    assert out[1704067200] == 10.0          # exact hit, no interpolation
+    assert out[1704067200 + 7200] == 40.0   # exact hit at the far edge
+    # 01:00 sits midway between 00:30 (99.0) and 01:30 (20.0)
+    assert out[1704067200 + 3600] == pytest.approx(59.5)
+
+
+def test_resample_duplicate_ts_collapse_to_mean(spark):
+    s = _series_df(
+        spark,
+        [
+            ("m", TS(2024, 1, 1, 0, 0, 0), 10.0),
+            ("m", TS(2024, 1, 1, 0, 0, 0), 30.0),  # same instant -> avg 20
+            ("m", TS(2024, 1, 1, 1, 0, 0), 40.0),
+        ],
+    )
+    out = {
+        r["grid_epoch"]: r["value_interp"]
+        for r in resample_interpolate(s).collect()
+    }
+    assert out[1704067200] == 20.0
+
+
+def test_resample_sub_step_series_has_no_grid_rows(spark):
+    # samples spanning < 1 grid step with no aligned instant inside
+    s = _series_df(
+        spark,
+        [
+            ("m", TS(2024, 1, 1, 0, 10, 0), 1.0),
+            ("m", TS(2024, 1, 1, 0, 50, 0), 2.0),
+        ],
+    )
+    assert resample_interpolate(s).count() == 0
+
+
+# ------------------------------------------------------------- keywords
+
+def test_log_odds_plants_distinctive_token(spark):
+    # 'qqq' dominates lang A and never appears in B -> top keyword for A
+    rows = [(i, "qqq common word", "A", "s", 1) for i in range(20)]
+    rows += [(100 + i, "zzz common word", "B", "s", 1) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = log_odds_keywords(docs, min_count=5, top_k=2).collect()
+    top = {r["lang"]: [] for r in out}
+    for r in sorted(out, key=lambda r: (r["lang"], r["rk"])):
+        top[r["lang"]].append(r["token"])
+    assert top["A"][0] == "qqq"
+    assert top["B"][0] == "zzz"
+
+
+def test_log_odds_z_is_antisymmetric_for_two_langs(spark):
+    # with exactly two languages, z(token | A) == -z(token | B)
+    rows = [(i, "alpha beta beta", "A", "s", 1) for i in range(10)]
+    rows += [(100 + i, "alpha alpha beta", "B", "s", 1) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = log_odds_keywords(docs, min_count=1, top_k=10).collect()
+    z = {(r["lang"], r["token"]): r["log_odds_z"] for r in out}
+    for tok in ("alpha", "beta"):
+        assert z[("A", tok)] == pytest.approx(-z[("B", tok)], abs=2e-6)
+
+
+# ---------------------------------------------------------- attribution
+
+def test_attribution_last_touch_and_direct(spark):
+    rows = [
+        # user 1: view -> click -> purchase (credit: click)
+        (1, TS(2024, 1, 1, 0, 0), 1, "view", 0.0, "{}"),
+        (2, TS(2024, 1, 1, 0, 10), 1, "click", 0.0, "{}"),
+        (3, TS(2024, 1, 1, 0, 20), 1, "purchase", 50.0, "{}"),
+        # user 2: purchase with no prior touch (credit: direct)
+        (4, TS(2024, 1, 1, 1, 0), 2, "purchase", 10.0, "{}"),
+        # user 2: later purchase after an error touch (credit: error)
+        (5, TS(2024, 1, 1, 2, 0), 2, "error", 0.0, "{}"),
+        (6, TS(2024, 1, 1, 2, 30), 2, "purchase", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {r["channel"]: r for r in last_touch_attribution(ev).collect()}
+    assert out["click"]["attributed_revenue"] == 50.0
+    assert out["click"]["avg_latency_s"] == 600.0
+    assert out["direct"]["attributed_revenue"] == 10.0
+    assert out["direct"]["avg_latency_s"] is None
+    assert out["error"]["attributed_revenue"] == 5.0
+    assert set(out) == {"click", "direct", "error"}
+
+
+def test_attribution_revenue_conserved(spark):
+    ev = load_table(spark, SF_ORACLE, "events")
+    total = ev.filter(F.col("event_type") == "purchase").agg(
+        F.round(F.sum("value"), 2)
+    ).collect()[0][0]
+    attributed = last_touch_attribution(ev).agg(
+        F.round(F.sum("attributed_revenue"), 2)
+    ).collect()[0][0]
+    assert attributed == pytest.approx(total, abs=0.05)
+
+
+# ---------------------------------------------------------- bloom scrub
+
+def test_bloom_equals_inverted_index_decontaminate(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = {(r["doc_id"], r["n_hits"]) for r in bloom_decontaminate(docs).collect()}
+    b = {(r["doc_id"], r["n_hits"]) for r in decontaminate(docs).collect()}
+    assert a == b
+    assert a  # the scrub binds on the graded corpus
+
+
+def test_bloom_prefilter_cuts_join_input(spark):
+    # the candidate stream entering the verify join must be a strict
+    # subset of the full non-benchmark gram stream (that is the point
+    # of the prefilter) while still covering every true hit.
+    docs = load_table(spark, SF_ORACLE, "documents")
+    grams = _gram_stream(docs, 4)
+    non_bench = grams.filter(F.col("doc_id") % 97 != 0)
+    total = non_bench.count()
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    true_hits = non_bench.join(bench, "gram").count()
+    candidates = _bloom_candidates(docs)[0].count()
+    assert true_hits <= candidates  # no false negatives, ever
+    assert candidates < total / 2   # the prefilter actually bites
