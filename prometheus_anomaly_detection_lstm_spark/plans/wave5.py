@@ -495,3 +495,122 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.corpus import ORACLE_DECONTAMINATE as _ORACLE_DECON
 
 QUERIES["corpus_bloom_decontaminate"] = (q_bloom_decontaminate, _ORACLE_DECON)
+
+
+# ------------------------------------------------ frequent path mining
+
+#: minimum occurrences for a length-3 path to be reported.
+PATH_MIN_SUPPORT = 5
+
+
+def frequent_paths(ev: DataFrame, min_support: int = PATH_MIN_SUPPORT) -> DataFrame:
+    """Frequent length-3 event sequences per user (the PrefixSpan-style
+    sequential-pattern stage behind funnel discovery, one level deeper
+    than ``user_path_transitions``'s bigrams).
+
+    Two leads on the SAME user_id window share one exchange; the
+    trigram rollup is bounded-key (|event_types|³ — metadata scale at
+    any SF).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        seq.groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_support)
+    )
+
+
+def q_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return frequent_paths(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_FREQUENT_PATHS = f"""WITH s AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s3
+  FROM events
+)
+SELECT s1, s2, s3, count(*) AS n
+FROM s WHERE s3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= {PATH_MIN_SUPPORT}"""
+
+QUERIES["events_frequent_paths"] = (q_frequent_paths, ORACLE_FREQUENT_PATHS)
+
+
+# ---------------------------------------------- open-order backlog curve
+
+def backlog_daily(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Open-order backlog over time via the boundary-event trick: each
+    order contributes +1 at its order date and -1 the day after its
+    last shipment — NO interval join ever materializes.  The running sum
+    over per-day deltas is the backlog curve at every boundary day
+    (stepwise-constant between boundaries).
+
+    Scale shape: the close-date rollup shuffles on l_orderkey (the
+    orders join reuses that exchange), the day rollup is
+    bounded-cardinality (|distinct days| ~ 2.5k for TPC-H), and the
+    final running window orders THAT metadata-scale frame — the classic
+    way to count overlapping intervals at 100 TB without an
+    interval/range join.
+    """
+    closes = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    spans = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    ).join(closes, "l_orderkey")
+    deltas = spans.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add(F.to_date("last_ship"), 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        # ISO string, not DATE: the two engines' drivers materialize
+        # DATE differently (python date vs datetime64), so the stable
+        # cross-engine surface is the formatted day.
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("d").over(w).cast("long").alias("backlog"),
+    )
+
+
+def q_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return backlog_daily(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+ORACLE_BACKLOG = """WITH closes AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT o.o_orderdate, c.last_ship
+  FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+),
+deltas AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT CAST(last_ship AS DATE) + 1 AS day, -1 AS delta FROM spans
+),
+daily AS (SELECT day, sum(delta) AS d FROM deltas GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(d) OVER (ORDER BY day
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+FROM daily"""
+
+QUERIES["orders_backlog_daily"] = (q_backlog_daily, ORACLE_BACKLOG)

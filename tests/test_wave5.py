@@ -174,3 +174,76 @@ def test_bloom_prefilter_cuts_join_input(spark):
     candidates = _bloom_candidates(docs)[0].count()
     assert true_hits <= candidates  # no false negatives, ever
     assert candidates < total / 2   # the prefilter actually bites
+
+
+# ------------------------------------------------------- frequent paths
+
+def test_frequent_paths_counts_and_support(spark):
+    rows = []
+    # user 1 repeats view->click->purchase 6 times (passes min_support=5)
+    eid = 0
+    for rep in range(6):
+        for et in ("view", "click", "purchase"):
+            rows.append((eid, TS(2024, 1, 1, rep, eid % 60), 1, et, 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import frequent_paths
+
+    out = {(r["s1"], r["s2"], r["s3"]): r["n"] for r in frequent_paths(ev).collect()}
+    assert out[("view", "click", "purchase")] == 6
+    # rotations occur only 5 times — kept at exactly the threshold
+    assert out[("click", "purchase", "view")] == 5
+    assert out[("purchase", "view", "click")] == 5
+
+
+def test_frequent_paths_no_cross_user_trigrams(spark):
+    # 3 users x 1 event each: no user has 3 consecutive events
+    rows = [
+        (1, TS(2024, 1, 1, 0, 0), 1, "view", 0.0, "{}"),
+        (2, TS(2024, 1, 1, 0, 1), 2, "click", 0.0, "{}"),
+        (3, TS(2024, 1, 1, 0, 2), 3, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import frequent_paths
+
+    assert frequent_paths(ev, min_support=1).count() == 0
+
+
+# ------------------------------------------------------ backlog curve
+
+def test_backlog_steps_and_final_zero(spark):
+    orders = spark.createDataFrame(
+        [(1, TS(2024, 1, 1)), (2, TS(2024, 1, 2))],
+        "o_orderkey long, o_orderdate timestamp_ntz",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, TS(2024, 1, 3)), (1, TS(2024, 1, 5)), (2, TS(2024, 1, 4))],
+        "l_orderkey long, l_shipdate timestamp_ntz",
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import backlog_daily
+
+    out = {r["day"]: r["backlog"] for r in backlog_daily(orders, lineitem).collect()}
+    # +1 Jan1 (o1), +1 Jan2 (o2), -1 Jan5 (o2 closed Jan4), -1 Jan6 (o1)
+    assert out == {
+        "2024-01-01": 1,
+        "2024-01-02": 2,
+        "2024-01-05": 1,
+        "2024-01-06": 0,
+    }
+
+
+def test_backlog_conservation_on_real_data(spark):
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import q_backlog_daily
+
+    rows = q_backlog_daily(spark, SF_ORACLE).collect()
+    last = max(rows, key=lambda r: r["day"])
+    assert last["backlog"] == 0  # every +1 eventually closes
+    assert all(r["backlog"] >= 0 for r in rows)
