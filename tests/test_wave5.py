@@ -247,3 +247,38 @@ def test_backlog_conservation_on_real_data(spark):
     last = max(rows, key=lambda r: r["day"])
     assert last["backlog"] == 0  # every +1 eventually closes
     assert all(r["backlog"] >= 0 for r in rows)
+
+
+# ------------------------------------------------------ quality checks
+
+def test_quality_checks_plant_violations(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 5.0), (2, 99, -1.0)],  # dup key, orphan cust, bad price
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 5.0), (77, 200.0)],  # orphan order, out-of-range qty
+        "l_orderkey long, l_quantity double",
+    )
+    events = spark.createDataFrame(
+        [(1, None), (2, 3.0)], "event_id long, value double"
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import quality_checks
+
+    out = {r["check"]: r for r in quality_checks(orders, customer, lineitem, events).collect()}
+    assert out["orders.custkey_in_customer"]["violations"] == 1
+    assert out["lineitem.orderkey_in_orders"]["violations"] == 1
+    assert out["orders.orderkey_unique"]["violations"] == 1
+    assert out["lineitem.quantity_in_1_50"]["violations"] == 1
+    assert out["events.value_not_null"]["violations"] == 1
+    assert out["orders.totalprice_positive"]["violations"] == 1
+    assert all(r["passed"] == 0 for r in out.values())
+
+
+def test_quality_checks_clean_on_testdata(spark):
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import q_quality_checks
+
+    out = q_quality_checks(spark, SF_ORACLE).collect()
+    assert len(out) == 6
+    assert all(r["passed"] == 1 for r in out)  # synthetic TPC-H is clean
