@@ -154,6 +154,114 @@ def decode_png_batch(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, PNG_DECODE_SCHEMA)
 
 
+#: perceptual-hash config: 64-bit codes, 8 bands x 8 bits.  Any pair
+#: within PHASH_MAX_HAMMING < PHASH_BANDS bit flips must agree on at
+#: least one full band (pigeonhole), so the banded join is COMPLETE for
+#: the reported threshold — same guarantee as dedup_simhash_pairs.
+PHASH_BANDS = 8
+PHASH_BAND_BITS = 8
+PHASH_MAX_HAMMING = 7
+PHASH_SCHEMA = "media_id bigint, phash bigint"
+
+
+def phash_codes(media: DataFrame) -> DataFrame:
+    """64-bit perceptual hash per payload via mapInPandas.
+
+    Stands in for a real image pHash (DCT of decoded pixels): the
+    deterministic fake "decodes" the payload into a 17-d feature vector
+    (z-scored means of 16 positional chunks + log length — the
+    structure-sensitive thumbnail summary a real pHash reduces to; a
+    position-blind byte histogram was measured useless here: similar
+    corpora collapse onto one code) and takes sign bits of a FIXED
+    random projection, one Arrow-batched matmul per batch.  Swap
+    `_features` for a codec call and nothing else changes — the
+    schema, batch shape and downstream join are the production ones.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = np.random.RandomState(7).standard_normal((17, 64))
+
+        def _features(b: bytes) -> np.ndarray:
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+            if a.size == 0:
+                return np.zeros(17)
+            m = np.array([c.mean() for c in np.array_split(a, 16)])
+            z = (m - m.mean()) / (m.std() or 1.0)
+            return np.concatenate([z, [np.log1p(a.size)]])
+
+        for pdf in batches:
+            feats = np.stack([_features(b) for b in pdf["payload"]])
+            bits = (feats @ proj) > 0.0  # (n, 64) sign bits
+            weights = (1 << np.arange(64, dtype=np.uint64))
+            codes = (bits.astype(np.uint64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": codes.view(np.int64),  # two's complement
+                }
+            )
+
+    return media.mapInPandas(encode, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: banded Hamming join over the
+    pHash codes.
+
+    Each code explodes into 8 (band_idx, band_val) rows; candidates
+    share a band (equi-join — never all-pairs), then the exact Hamming
+    distance (`bit_count(a ^ b)`) filters to the threshold.  Because
+    max_hamming < PHASH_BANDS, the pigeonhole principle makes the
+    banded candidate set COMPLETE — verified against brute force in
+    tests.  At 100 TB this is the simhash/banded-LSH shape: join cost
+    follows bucket occupancy, not corpus².
+    """
+    codes = phash_codes(media)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned("phash", i * PHASH_BAND_BITS).bitwiseAND(
+                F.lit(mask)
+            )
+            for i in range(PHASH_BANDS)
+        ]
+    )
+    bands = codes.select(
+        "media_id",
+        "phash",
+        F.posexplode(band_vals).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("a"),
+        F.col("phash").alias("ph_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("b"),
+        F.col("phash").alias("ph_b"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return phash_near_dup_pairs(as_binary_table(_docs(spark, sf_dir)))
+
+
 def resize_stub(media: DataFrame, target: int = 224) -> DataFrame:
     """STUB resize: real codecs unavailable -> raises if actually asked
     to produce pixels; metadata path works."""
@@ -262,4 +370,7 @@ QUERIES = {
     "multimodal_binary_metadata": (q_binary_metadata, ORACLE_BINARY_METADATA),
     "multimodal_decode_stub": (q_decode_stub, ORACLE_DECODE_STUB),
     "multimodal_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
+    # rows-only: the feature extraction is a Python mapInPandas stage
+    # (no SQL twin); brute-force pair-set equality is pinned in pytest.
+    "multimodal_phash_dedup": (q_phash_dedup, None),
 }

@@ -95,3 +95,49 @@ def test_distributed_png_decode(spark):
         assert r.err is None
     # corrupt record isolated, not fatal
     assert out[99].width is None and "PNG" in out[99].err
+
+
+# ------------------------------------------------- perceptual-hash dedup
+
+def test_phash_banded_join_equals_brute_force(spark):
+    """Pigeonhole completeness: the banded candidate join must yield
+    EXACTLY the brute-force Hamming<=7 pair set."""
+    import numpy as np
+
+    from prometheus_anomaly_detection_lstm_spark.operators import multimodal as M
+
+    docs = M._docs(spark, "/root/testdata/sf0.001")
+    media = M.as_binary_table(docs)
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in M.phash_near_dup_pairs(media).collect()
+    }
+    codes = {
+        r["media_id"]: int(np.int64(r["phash"]).astype(np.uint64))
+        for r in M.phash_codes(media).collect()
+    }
+    ids = sorted(codes)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(codes[a] ^ codes[b]).count("1")
+            if h <= M.PHASH_MAX_HAMMING:
+                want.add((a, b, h))
+    assert got == want
+    assert got  # binds on the corpus
+    # and stays selective: near-dup, not all-pairs
+    assert len(got) < len(ids) * (len(ids) - 1) / 2 / 4
+
+
+def test_phash_identical_payloads_collide_at_zero(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, b"the same bytes exactly", "image/fake"),
+         (2, b"the same bytes exactly", "image/fake"),
+         (3, b"completely different payload here with other text", "image/fake")],
+        "media_id long, payload binary, media_type string",
+    )
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in M.phash_near_dup_pairs(media).collect()}
+    assert pairs.get((1, 2)) == 0
