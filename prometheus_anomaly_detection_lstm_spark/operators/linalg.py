@@ -176,6 +176,42 @@ def pca_project(
     return emb.select(*cols)
 
 
+def whiten_project(
+    emb: DataFrame, components, eigenvalues, mean, d: int = DIM,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA-whitening: the pca_project map with each component scaled by
+    1/sqrt(eigenvalue) — the whitened coordinates have unit variance
+    and zero cross-covariance (pinned in tests).  Scaling happens in
+    the WEIGHTS (driver-side, k x d floats), so the executor-side plan
+    is still a pure literal-dot-product projection: map-only, no UDF,
+    no shuffle.  Output: (vec_id, wh_1..wh_k)."""
+    import numpy as np
+
+    scaled = np.asarray(components, dtype=float) / np.sqrt(
+        np.asarray(eigenvalues, dtype=float) + eps
+    )[:, None]
+    out = pca_project(emb, scaled, mean, d)
+    return out.select(
+        "vec_id",
+        *[
+            F.col(f"pc_{r}").alias(f"wh_{r}")
+            for r in range(1, len(scaled) + 1)
+        ],
+    )
+
+
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only registry entry (eigh has no SQL twin): whitened top-8
+    coordinates of the embedding corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, vals, mean = pca_fit(emb, k=8)
+    return whiten_project(emb, comps, vals, mean)
+
+
+QUERIES["embedding_whiten"] = (q_embedding_whiten, None)
+
+
 # ----------------------------------------------------- ridge regression
 
 #: default L2 penalty for the registered probe query.

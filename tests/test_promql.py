@@ -305,3 +305,21 @@ def test_ridge_fit_partitioning_invariant(spark):
     b = [r["weight"] for r in
          linalg.ridge_fit(emb.repartition(13)).orderBy("dim").collect()]
     assert np.allclose(a, b, atol=2e-6)
+
+
+def test_whitened_embeddings_have_identity_covariance(spark):
+    """PCA-whitening contract: unit variance on every kept component,
+    zero cross-covariance (population, matching the covariance op)."""
+    import numpy as np
+
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+    from prometheus_anomaly_detection_lstm_spark.operators import linalg
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    comps, vals, mean = linalg.pca_fit(emb, k=6)
+    out = linalg.whiten_project(emb, comps, vals, mean).toPandas()
+    w = out[[f"wh_{r}" for r in range(1, 7)]].to_numpy()
+    cov = np.cov(w, rowvar=False, bias=True)
+    assert np.allclose(np.diag(cov), 1.0, atol=1e-3)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-3

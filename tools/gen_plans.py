@@ -129,6 +129,22 @@ SHOWCASE = [
      "Stage boundaries are a ONE-ROW percentile aggregate broadcast "
      "into a map-only bucket projection — the ntile formulation would "
      "funnel the corpus through a single-partition window."),
+    ("metric_resample_interpolate", "grid interpolation, running frames only",
+     "Grid rows and samples merge into one per-series stream; BOTH "
+     "carries (previous and next sample) are RUNNING frames — the next "
+     "carry runs over the reversed sort because an UNBOUNDED FOLLOWING "
+     "frame re-evaluates per row (O(n^2) per series, measured 26x "
+     "slower).  One hashpartitioning(metric) exchange, two sorts."),
+    ("corpus_bloom_decontaminate", "Bloom prefilter before the verify join",
+     "The benchmark bitset ships as a literal long[]; candidate "
+     "membership is two JVM hashes + bit tests inside whole-stage "
+     "codegen, so only the ~fpp candidate fraction of the corpus gram "
+     "stream enters the exact join that removes false positives."),
+    ("orders_backlog_daily", "interval counting without an interval join",
+     "Intervals become +1/-1 boundary events; the only shuffles are "
+     "the close-date rollup on the order key and the bounded day "
+     "rollup — the running backlog window orders a metadata-scale "
+     "frame, never the fact table."),
 ]
 
 JOIN_RE = re.compile(
