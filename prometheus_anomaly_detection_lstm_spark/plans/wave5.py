@@ -749,3 +749,134 @@ SELECT 'orders.totalprice_positive',
    AS BIGINT)"""
 
 QUERIES["table_quality_checks"] = (q_quality_checks, ORACLE_QUALITY)
+
+
+# ------------------------------------- point-in-time feature snapshot
+
+#: trailing feature horizon (seconds) — 7 days.
+PIT_HORIZON = 604800
+
+
+def pointintime_features(ev: DataFrame, horizon: int = PIT_HORIZON) -> DataFrame:
+    """Point-in-time-correct feature snapshot at every purchase: the
+    user's trailing-``horizon`` event counts and spend STRICTLY BEFORE
+    the purchase instant — the feature-store primitive that prevents
+    label leakage (a training row must never see its own label's
+    moment or anything after it).
+
+    One hashpartitioning(user_id) exchange; all four features are
+    conditional sums over the SAME bounded RANGE frame (range upper
+    bound -1 excludes the purchase second itself, identically in both
+    engines).  At 100 TB the frame is bounded by the horizon, so state
+    per row is O(events-in-horizon), never O(history).
+    """
+    e = ntz_epoch_seconds("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__e"))
+        .rangeBetween(-horizon, -1)
+    )
+    base = ev.select(
+        "user_id", "event_id", "event_type", "value", e.alias("__e")
+    )
+    cnt = lambda t: F.sum((F.col("event_type") == t).cast("long")).over(w)
+    spend = F.sum(
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+            0.0
+        )
+    ).over(w)
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.coalesce(cnt("click"), F.lit(0)).alias("n_clicks_7d"),
+            F.coalesce(cnt("view"), F.lit(0)).alias("n_views_7d"),
+            F.coalesce(cnt("error"), F.lit(0)).alias("n_errors_7d"),
+            F.round(F.coalesce(spend, F.lit(0.0)), 2).alias("spend_7d"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id", "n_clicks_7d", "n_views_7d",
+            "n_errors_7d", "spend_7d",
+        )
+    )
+
+
+def q_pointintime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return pointintime_features(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_PIT = f"""WITH b AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(epoch(ts) AS BIGINT) AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, event_type,
+    CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER f, 0) AS BIGINT) AS n_clicks_7d,
+    CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER f, 0) AS BIGINT) AS n_views_7d,
+    CAST(COALESCE(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             OVER f, 0) AS BIGINT) AS n_errors_7d,
+    round(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0.0 END) OVER f, 0.0), 2) AS spend_7d
+  FROM b
+  WINDOW f AS (PARTITION BY user_id ORDER BY e
+               RANGE BETWEEN {PIT_HORIZON} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, n_clicks_7d, n_views_7d, n_errors_7d, spend_7d
+FROM w WHERE event_type = 'purchase'"""
+
+QUERIES["events_pointintime_features"] = (q_pointintime_features, ORACLE_PIT)
+
+
+# ------------------------------------------------ churn label generation
+
+#: churn horizon (days): no order in the dataset's final N days.
+CHURN_DAYS = 90
+
+
+def churn_labels(orders: DataFrame, days: int = CHURN_DAYS) -> DataFrame:
+    """Training-label generation: a customer is 'churned' if their last
+    order predates the dataset horizon minus ``days``.
+
+    The horizon is a ONE-ROW max aggregate broadcast into a map-only
+    comparison over the per-customer rollup — one o_custkey exchange,
+    no date logic on the driver.
+    """
+    last = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order")
+    )
+    horizon = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("max_day")
+    )
+    return (
+        last.crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            F.date_format("last_order", "yyyy-MM-dd").alias("last_order_day"),
+            (
+                F.col("last_order") < F.date_sub(F.col("max_day"), days)
+            ).cast("long").alias("churned"),
+        )
+    )
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return churn_labels(load_table(spark, sf_dir, "orders"))
+
+
+ORACLE_CHURN = f"""WITH last AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order
+  FROM orders GROUP BY 1
+),
+h AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders)
+SELECT o_custkey, strftime(last_order, '%Y-%m-%d') AS last_order_day,
+       CAST(last_order < max_day - {CHURN_DAYS} AS BIGINT) AS churned
+FROM last, h"""
+
+QUERIES["orders_churn_labels"] = (q_churn_labels, ORACLE_CHURN)

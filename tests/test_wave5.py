@@ -282,3 +282,72 @@ def test_quality_checks_clean_on_testdata(spark):
     out = q_quality_checks(spark, SF_ORACLE).collect()
     assert len(out) == 6
     assert all(r["passed"] == 1 for r in out)  # synthetic TPC-H is clean
+
+
+# ------------------------------------------- point-in-time features
+
+def test_pointintime_excludes_label_moment_and_future(spark):
+    """Leakage contract: the snapshot sees strictly-before events only —
+    nothing at the purchase second, nothing after."""
+    rows = [
+        (1, TS(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, "{}"),
+        (2, TS(2024, 1, 5, 12, 0, 0), 1, "view", 0.0, "{}"),
+        # same second as the purchase: must NOT count
+        (3, TS(2024, 1, 5, 12, 0, 30), 1, "click", 0.0, "{}"),
+        (4, TS(2024, 1, 5, 12, 0, 30), 1, "purchase", 9.0, "{}"),
+        # after: must NOT count
+        (5, TS(2024, 1, 5, 13, 0, 0), 1, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import (
+        pointintime_features,
+    )
+
+    out = {r["event_id"]: r for r in pointintime_features(ev).collect()}
+    r = out[4]
+    # Jan 1 click is outside the 7-day horizon start? no: Jan 5 - 7d =
+    # Dec 29, so it IS in horizon; the same-second click (id 3) is not.
+    assert r["n_clicks_7d"] == 1
+    assert r["n_views_7d"] == 1
+    assert r["spend_7d"] == 0.0
+
+
+def test_pointintime_horizon_bound(spark):
+    rows = [
+        (1, TS(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, "{}"),   # 10 days before
+        (2, TS(2024, 1, 11, 0, 0, 0), 1, "purchase", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import (
+        pointintime_features,
+    )
+
+    r = pointintime_features(ev).collect()[0]
+    assert r["n_clicks_7d"] == 0  # outside the 7-day horizon
+
+
+# ------------------------------------------------------ churn labels
+
+def test_churn_labels_planted(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 100, TS(2024, 6, 1)),   # last order at horizon -> active
+            (2, 200, TS(2024, 1, 1)),   # stale -> churned
+            (3, 200, TS(2023, 12, 1)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import churn_labels
+
+    out = {r["o_custkey"]: r for r in churn_labels(orders).collect()}
+    assert out[100]["churned"] == 0
+    assert out[200]["churned"] == 1
+    assert out[200]["last_order_day"] == "2024-01-01"
