@@ -865,3 +865,70 @@ def minhash_incremental_prebuilt(
         .distinct()
     )
     return _verify_jaccard(shingles(docs), cands, threshold)
+
+
+# ----------------------------------------------- related-docs top-k
+
+#: relatedness floor + neighbors kept for the related-docs query.
+RELATED_THRESHOLD = 0.05
+RELATED_TOP_K = 3
+
+
+def related_docs_topk(
+    docs: DataFrame,
+    threshold: float = RELATED_THRESHOLD,
+    k: int = RELATED_TOP_K,
+) -> DataFrame:
+    """Top-k most-similar documents per document ("related articles"):
+    the minhash candidate machinery re-used for RETRIEVAL instead of
+    removal.
+
+    Pairs come from the banded-LSH candidate join + exact-Jaccard
+    verify (same subtree as dedup_minhash_lsh), symmetrized so each
+    side sees the other as a neighbor, then ranked per document —
+    the rank window partitions by doc, so parallelism follows corpus
+    size and the only new shuffle is the pair-scale rank exchange.
+    """
+    pairs = minhash_lsh_dedup(docs, threshold)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc"),
+        F.col("doc_b").alias("nbr"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc"),
+            F.col("doc_a").alias("nbr"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("jaccard"), F.asc("nbr")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return related_docs_topk(_docs(spark, sf_dir))
+
+
+ORACLE_RELATED_DOCS = f"""WITH p AS (
+{_minhash_lsh_sql(RELATED_THRESHOLD)}
+),
+sym AS (
+  SELECT doc_a AS doc, doc_b AS nbr, jaccard FROM p
+  UNION ALL
+  SELECT doc_b AS doc, doc_a AS nbr, jaccard FROM p
+),
+rk AS (
+  SELECT doc, nbr, jaccard,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY jaccard DESC, nbr ASC) AS rk
+  FROM sym
+)
+SELECT doc, nbr, jaccard, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= {RELATED_TOP_K}"""
+
+QUERIES["text_related_docs_topk"] = (q_related_docs, ORACLE_RELATED_DOCS)
