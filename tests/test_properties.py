@@ -226,10 +226,20 @@ def test_containment_prefix_complete_on_random_docs(spark, docs, threshold):
 
 # ----------------------------- mining/diagnostics family invariants
 
+# Quantized to a 1e-6 grid: a tiny value (hypothesis found the denormal
+# 2.2e-308) is a REAL distinct sample until an affine shift absorbs it
+# (1.0 + 2.2e-308 == 1.0), which turns a non-degenerate MAD into an
+# exact zero and breaks affine-invariance claims that are true over the
+# reals.  Quantizing bounds the dynamic range to what the operators
+# meet in practice; the properties under test are range-independent.
 _series_vals = st.lists(
     st.floats(
-        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
-    ),
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+        allow_subnormal=False,
+    ).map(lambda v: round(v, 6)),
     min_size=1,
     max_size=60,
 )
