@@ -932,3 +932,68 @@ SELECT doc, nbr, jaccard, CAST(rk AS BIGINT) AS rk
 FROM rk WHERE rk <= {RELATED_TOP_K}"""
 
 QUERIES["text_related_docs_topk"] = (q_related_docs, ORACLE_RELATED_DOCS)
+
+
+# ------------------------------------------- banding recall evaluation
+
+def minhash_recall_eval(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """One-row evaluation of the banded-LSH candidate generator against
+    exact AllPairs Jaccard at the same threshold: the in-registry
+    answer to "what does the banding miss?".
+
+    found ⊆ true by construction (candidates are verified with the
+    SAME exact-Jaccard threshold), so precision is identically 1 and
+    the interesting number is recall = found/true — banding misses are
+    pairs above threshold that collide in no band.  Both sides reuse
+    the existing operators; the comparison join is pair-scale.
+    """
+    true_pairs = ngram_jaccard_pairs(docs, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    found_pairs = minhash_lsh_dedup(docs, threshold).select(
+        "doc_a", "doc_b"
+    )
+    n_true = true_pairs.count()
+    hit = found_pairs.join(true_pairs, ["doc_a", "doc_b"]).count()
+    n_found = found_pairs.count()
+    from pyspark.sql import Row
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            Row(
+                n_true=n_true,
+                n_found=n_found,
+                n_hit=hit,
+                recall=round(hit / n_true, 6) if n_true else None,
+            )
+        ]
+    )
+
+
+def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_recall_eval(_docs(spark, sf_dir))
+
+
+ORACLE_MINHASH_RECALL = f"""WITH t AS (
+{ORACLE_NGRAM_JACCARD}
+),
+f AS (
+{_minhash_lsh_sql(JACCARD_THRESHOLD)}
+),
+h AS (
+  SELECT count(*) AS n_hit
+  FROM f JOIN t ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+)
+SELECT (SELECT count(*) FROM t) AS n_true,
+       (SELECT count(*) FROM f) AS n_found,
+       n_hit,
+       round(n_hit * 1.0 / (SELECT count(*) FROM t), 6) AS recall
+FROM h"""
+
+QUERIES["dedup_minhash_recall_eval"] = (
+    q_minhash_recall_eval,
+    ORACLE_MINHASH_RECALL,
+)

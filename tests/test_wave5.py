@@ -351,3 +351,18 @@ def test_churn_labels_planted(spark):
     assert out[100]["churned"] == 0
     assert out[200]["churned"] == 1
     assert out[200]["last_order_day"] == "2024-01-01"
+
+
+# --------------------------------------------- minhash recall eval
+
+def test_minhash_recall_eval_contract(spark):
+    """found ⊆ true (precision 1 by construction), recall in (0, 1],
+    and the counts reconcile."""
+    from prometheus_anomaly_detection_lstm_spark.operators.dedup import (
+        minhash_recall_eval, _docs,
+    )
+
+    r = minhash_recall_eval(_docs(spark, SF_ORACLE)).collect()[0]
+    assert r["n_hit"] == r["n_found"]  # verified candidates are all true
+    assert 0 < r["recall"] <= 1.0
+    assert r["n_true"] >= r["n_hit"] > 0
