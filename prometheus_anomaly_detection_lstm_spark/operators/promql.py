@@ -1530,3 +1530,76 @@ SELECT env, short, series_id, count(*) AS n_samples,
 FROM r GROUP BY 1, 2, 3"""
 
 QUERIES["promql_label_ops"] = (q_label_ops, ORACLE_LABEL_OPS)
+
+
+# ------------------------------------------------ vector matching (/)
+
+def vector_match_ratio(
+    samples: DataFrame,
+    num_metric: str = "error",
+    den_metric: str = "click",
+    bucket_s: int = BUCKET_S,
+) -> DataFrame:
+    """PromQL binary-operator vector matching:
+    ``rate(num[w]) / rate(den[w])`` joined ON the shared identity
+    (here the time bucket; with labelsets, the match labels) — the
+    error-ratio / cache-hit-ratio recording-rule shape.
+
+    Both sides come from ONE pass of the shared rate frame (the
+    aggregate computes every metric's rate; the two selectors are
+    filters over it), so the join inputs are bucket-scale aggregates —
+    metadata-sized at any SF — and PromQL's "no match -> no result"
+    semantics fall out of the inner join.  NULL ratio on a zero
+    denominator (PromQL yields +Inf; SQL NULL is the cross-engine
+    representable twin — documented divergence).
+    """
+    rates = counter_rate(samples, bucket_s)
+    num = rates.filter(F.col("metric") == num_metric).select(
+        "w_start", F.col("rate_per_s").alias("num_rate")
+    )
+    den = rates.filter(F.col("metric") == den_metric).select(
+        "w_start", F.col("rate_per_s").alias("den_rate")
+    )
+    return num.join(den, "w_start").select(
+        "w_start",
+        "num_rate",
+        "den_rate",
+        F.round(
+            F.when(F.col("den_rate") != 0, F.col("num_rate") / F.col("den_rate")),
+            6,
+        ).alias("ratio"),
+    )
+
+
+def q_vector_match_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return vector_match_ratio(_long(spark, sf_dir))
+
+
+ORACLE_VECTOR_MATCH = f"""WITH s AS (
+  SELECT event_type AS metric, ts, value, event_id AS seq,
+         lag(value) OVER w AS pv
+  FROM events
+  WHERE event_type IN ('error', 'click')
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), e AS (
+  SELECT metric,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '{BUCKET_S} seconds', ts) AS w_start
+  FROM s
+), r AS (
+  SELECT metric, w_start, round(sum(inc) / {BUCKET_S}.0, 6) AS rate_per_s
+  FROM e GROUP BY 1, 2
+)
+SELECT n.w_start, n.rate_per_s AS num_rate, d.rate_per_s AS den_rate,
+       round(CASE WHEN d.rate_per_s != 0
+                  THEN n.rate_per_s / d.rate_per_s END, 6) AS ratio
+FROM r n JOIN r d ON n.w_start = d.w_start
+WHERE n.metric = 'error' AND d.metric = 'click'"""
+
+QUERIES["promql_vector_match_ratio"] = (
+    q_vector_match_ratio,
+    ORACLE_VECTOR_MATCH,
+)

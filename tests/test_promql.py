@@ -323,3 +323,41 @@ def test_whitened_embeddings_have_identity_covariance(spark):
     assert np.allclose(np.diag(cov), 1.0, atol=1e-3)
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 1e-3
+
+
+def test_vector_match_ratio_zero_denominator_and_match_semantics(spark):
+    """PromQL vector matching: inner-join semantics (no match -> no
+    row) and NULL on a zero denominator."""
+    import datetime as dt
+
+    from prometheus_anomaly_detection_lstm_spark.operators.promql import (
+        vector_match_ratio,
+    )
+
+    TS = dt.datetime
+    rows = [
+        # bucket 10:00: error increases 12, click increases 24 -> 0.5
+        # (both increments divide the 600 s bucket exactly, so the
+        # pre-rounded rates are exact and the ratio is exactly 0.5)
+        ("error", TS(2024, 1, 1, 10, 0, 0), 0.0, 1),
+        ("error", TS(2024, 1, 1, 10, 5, 0), 12.0, 2),
+        ("click", TS(2024, 1, 1, 10, 0, 0), 0.0, 3),
+        ("click", TS(2024, 1, 1, 10, 5, 0), 24.0, 4),
+        # bucket 10:10: click flat (denominator 0) -> NULL ratio
+        ("error", TS(2024, 1, 1, 10, 10, 0), 15.0, 5),
+        ("error", TS(2024, 1, 1, 10, 15, 0), 21.0, 6),
+        ("click", TS(2024, 1, 1, 10, 10, 0), 24.0, 7),
+        ("click", TS(2024, 1, 1, 10, 15, 0), 24.0, 8),
+        # bucket 10:20: error only -> NO row (inner join)
+        ("error", TS(2024, 1, 1, 10, 20, 0), 30.0, 9),
+    ]
+    s = spark.createDataFrame(
+        rows, "metric string, ts timestamp_ntz, value double, seq long"
+    )
+    out = {
+        r["w_start"].strftime("%H:%M"): r
+        for r in vector_match_ratio(s).collect()
+    }
+    assert out["10:00"]["ratio"] == 0.5
+    assert out["10:10"]["ratio"] is None
+    assert "10:20" not in out
