@@ -181,6 +181,27 @@ DECON_NGRAM = 4  # real pipelines use 8-13; 4 suits the synthetic vocab
 DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out benchmark doc
 
 
+def gram_stream(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """Distinct (doc_id, gram) word n-grams — shared by the
+    inverted-index and Bloom-prefiltered decontaminate plans (one
+    tokenization, no drift)."""
+    ws = F.split(F.col("text"), " ")
+    return (
+        docs.withColumn("ws", ws)
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(ws) - {n - 1})")).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(ws, i, {n}))").alias("gram"),
+        )
+        .distinct()
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     n: int = DECON_NGRAM,
@@ -198,21 +219,7 @@ def decontaminate(
     discriminative, so the per-gram posting lists stay short and the
     join never approaches |train| x |bench|.
     """
-    ws = F.split(F.col("text"), " ")
-    grams = (
-        docs.withColumn("ws", ws)
-        .filter(F.size("ws") >= n)
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(1, size(ws) - {n - 1})")).alias("i"),
-            "ws",
-        )
-        .select(
-            "doc_id",
-            F.expr(f"concat_ws(' ', slice(ws, i, {n}))").alias("gram"),
-        )
-        .distinct()
-    )
+    grams = gram_stream(docs, n)
     is_bench = F.col("doc_id") % bench_mod == 0
     bench_grams = grams.filter(is_bench).select("gram").distinct()
     return (

@@ -949,15 +949,23 @@ def minhash_recall_eval(
     pairs above threshold that collide in no band.  Both sides reuse
     the existing operators; the comparison join is pair-scale.
     """
-    true_pairs = ngram_jaccard_pairs(docs, threshold=threshold).select(
-        "doc_a", "doc_b"
+    # three actions consume each pair set — persist both so the
+    # AllPairs and minhash subtrees run ONCE, not twice each
+    true_pairs = (
+        ngram_jaccard_pairs(docs, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    found_pairs = minhash_lsh_dedup(docs, threshold).select(
-        "doc_a", "doc_b"
+    found_pairs = (
+        minhash_lsh_dedup(docs, threshold)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     n_true = true_pairs.count()
     hit = found_pairs.join(true_pairs, ["doc_a", "doc_b"]).count()
     n_found = found_pairs.count()
+    true_pairs.unpersist()
+    found_pairs.unpersist()
     from pyspark.sql import Row
 
     spark = docs.sparkSession

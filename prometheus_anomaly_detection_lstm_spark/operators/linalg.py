@@ -188,8 +188,11 @@ def whiten_project(
     no shuffle.  Output: (vec_id, wh_1..wh_k)."""
     import numpy as np
 
+    # clamp before the sqrt: eigh on a covariance rebuilt from rounded
+    # entries can return a trailing eigenvalue as a tiny NEGATIVE
+    # number, and sqrt(negative + eps) would silently NaN the column
     scaled = np.asarray(components, dtype=float) / np.sqrt(
-        np.asarray(eigenvalues, dtype=float) + eps
+        np.maximum(np.asarray(eigenvalues, dtype=float), 0.0) + eps
     )[:, None]
     out = pca_project(emb, scaled, mean, d)
     return out.select(

@@ -185,6 +185,11 @@ def phash_codes(media: DataFrame) -> DataFrame:
             a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
             if a.size == 0:
                 return np.zeros(17)
+            if a.size < 16:
+                # pad: array_split would yield EMPTY chunks whose mean
+                # is NaN, silently collapsing every short payload onto
+                # the all-zero code
+                a = np.pad(a, (0, 16 - a.size))
             m = np.array([c.mean() for c in np.array_split(a, 16)])
             z = (m - m.mean()) / (m.std() or 1.0)
             return np.concatenate([z, [np.log1p(a.size)]])

@@ -390,22 +390,12 @@ QUERIES["events_attribution"] = (q_last_touch_attribution, ORACLE_ATTRIBUTION)
 # -------------------------------------------- Bloom-prefiltered scrub
 
 def _gram_stream(docs: DataFrame, n: int) -> DataFrame:
-    """Distinct (doc_id, gram) word n-grams — the decontaminate feed
-    (same construction as operators/corpus.decontaminate)."""
-    return (
-        docs.withColumn("ws", F.split(F.col("text"), " "))
-        .filter(F.size("ws") >= n)
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(1, size(ws) - {n - 1})")).alias("i"),
-            "ws",
-        )
-        .select(
-            "doc_id",
-            F.expr(f"concat_ws(' ', slice(ws, i, {n}))").alias("gram"),
-        )
-        .distinct()
-    )
+    """Distinct (doc_id, gram) word n-grams — the SAME helper the
+    inverted-index decontaminate uses, so the two plans can never
+    drift apart on tokenization."""
+    from ..operators.corpus import gram_stream
+
+    return gram_stream(docs, n)
 
 
 def _bloom_position_sql(i: int, m_mask: int) -> str:
@@ -810,7 +800,10 @@ def q_pointintime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PIT = f"""WITH b AS (
   SELECT user_id, event_id, event_type, value,
-         CAST(epoch(ts) AS BIGINT) AS e
+         -- floor, not CAST: DuckDB CAST-to-BIGINT ROUNDS while Spark's
+         -- cast('long') truncates; with fractional-second timestamps a
+         -- .5+ second would shift the frame boundary by one second
+         CAST(floor(epoch(ts)) AS BIGINT) AS e
   FROM events
 ),
 w AS (

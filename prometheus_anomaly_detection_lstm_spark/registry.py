@@ -320,10 +320,10 @@ PRIORITY: list[str] = [
     # still need their FIRST official row): verified by pytest + the
     # local full-registry sweep; rotates in next round
     "events_bot_cadence",
-    # wave-5 additions (this session): parked past the window so the
-    # never-graded backlog above gets its official rows first; all four
-    # are swept by the local sf0.01 parity suite and rotate in next
-    # round
+    # wave-5/6 additions (fourth session): parked past the window so
+    # the never-graded backlog above gets its official rows first; ALL
+    # of these are swept by the local sf0.01 parity suite and the
+    # full-registry driver-sim, and rotate into the window next round
     "metric_resample_interpolate", "text_log_odds_keywords",
     "events_attribution", "corpus_bloom_decontaminate",
     "events_frequent_paths", "orders_backlog_daily",

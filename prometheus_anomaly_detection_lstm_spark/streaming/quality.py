@@ -11,11 +11,12 @@ streaming PSI monitor), so adding a check adds a column, never a pass.
 Checks (rates in [0, 1] per window):
 - null_rate: fraction of events with NULL value
 - negative_rate: fraction with value < 0
-- dup_event_rate: 1 - distinct(event_id)/count(*) (approximate dupes
-  via approx_count_distinct in the stream — exact distinct is not
-  expressible in append-mode streaming aggregation; the batch twin is
-  exact, and the test pins agreement on duplicate-free and
-  planted-duplicate windows)
+- dup_event_rate: 1 - approx_distinct(event_id)/count(*) (exact
+  distinct is not expressible in append-mode streaming aggregation;
+  the batch twin shares the SAME approximate aggregate so the two
+  stay comparable — clamped at 0 because HLL can overestimate on
+  high-cardinality windows.  An exact batch audit is
+  plans/wave5.quality_checks' uniqueness check.)
 
 Watermark bounds state; append mode emits each window once, finalized.
 """
@@ -39,8 +40,9 @@ def _checks(grouped) -> DataFrame:
         F.round(
             F.sum((F.col("value") < 0).cast("long")) / n, 6
         ).alias("negative_rate"),
-        F.round(
-            1.0 - F.approx_count_distinct("event_id") / n, 6
+        F.greatest(
+            F.lit(0.0),
+            F.round(1.0 - F.approx_count_distinct("event_id") / n, 6),
         ).alias("dup_event_rate"),
     )
 

@@ -52,6 +52,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "text_tfidf_top_terms",     # n_docs scalar
     "threshold_percentiles",    # percentile summary row
     "threshold_split",          # threshold scalar
+    "orders_churn_labels",      # one-row dataset-horizon aggregate
     "table_quality_checks",     # one-row per-table total aggregates
     "tpch_q11",                 # global value-total scalar
     "tpch_q22",                 # avg-balance scalar subquery

@@ -62,9 +62,15 @@ def main() -> None:
         return functools.reduce(lambda a, b: a.unionByName(b), parts)
 
     for mult in mults:
+        # user-cardinality axis for the event operators: event_type is
+        # NOT renamed (renaming it made replicas purchase-free, so the
+        # attribution/point-in-time rollups never grew — caught in
+        # review); the series axis for resample renames event_type on
+        # its own frame below.
         ev = replicate(
-            ev0, {"event_type": "str", "user_id": "int", "event_id": "int"}, mult
+            ev0, {"user_id": "int", "event_id": "int"}, mult
         ).persist()
+        ev_series = replicate(ev0, {"event_type": "str"}, mult).persist()
         docs = replicate(docs0, {"doc_id": "int"}, mult).persist()
         orders = replicate(orders0, {"o_orderkey": "int"}, mult).persist()
         li = replicate(li0, {"l_orderkey": "int"}, mult).persist()
@@ -76,7 +82,7 @@ def main() -> None:
         }
         li.count()
 
-        series = ev.select(
+        series = ev_series.select(
             F.col("event_type").alias("metric"), "ts", "value"
         )
 
@@ -105,7 +111,7 @@ def main() -> None:
         )
         bench("related_docs_topk", related_docs_topk(docs))
 
-        for f in (ev, docs, orders, li):
+        for f in (ev, ev_series, docs, orders, li):
             f.unpersist()
         print(json.dumps(out), flush=True)
 
