@@ -873,3 +873,51 @@ SELECT o_custkey, strftime(last_order, '%Y-%m-%d') AS last_order_day,
 FROM last, h"""
 
 QUERIES["orders_churn_labels"] = (q_churn_labels, ORACLE_CHURN)
+
+
+# -------------------------------------------- JSON key profiling
+
+def props_key_profile(ev: DataFrame) -> DataFrame:
+    """Schema inference over a semi-structured JSON column: per key,
+    how often it appears, its distinct-value count, and how many values
+    parse as numbers — the drift detector a 100-TB event pipeline runs
+    when upstream teams own the payload.
+
+    ``from_json`` to ``map<string,string>`` keeps the parse JVM-side
+    (one codegen projection), the explode is map-only, and the only
+    shuffle is the keyed aggregate on the (small) key space.
+    """
+    kv = ev.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.sum(
+            F.expr("try_cast(val AS double)").isNotNull().cast("long")
+        ).alias("n_numeric"),
+    )
+
+
+def q_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return props_key_profile(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_PROPS_PROFILE = """WITH kv AS (
+  SELECT u.k AS key,
+         json_extract_string(props, '$.' || u.k) AS val
+  FROM events, unnest(json_keys(props)) AS u(k)
+)
+SELECT key, count(*) AS n,
+       count(DISTINCT val) AS n_distinct,
+       CAST(count(*) FILTER (try_cast(val AS DOUBLE) IS NOT NULL)
+            AS BIGINT) AS n_numeric
+FROM kv GROUP BY 1"""
+
+QUERIES["events_props_key_profile"] = (
+    q_props_key_profile,
+    ORACLE_PROPS_PROFILE,
+)

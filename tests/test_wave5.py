@@ -366,3 +366,27 @@ def test_minhash_recall_eval_contract(spark):
     assert r["n_hit"] == r["n_found"]  # verified candidates are all true
     assert 0 < r["recall"] <= 1.0
     assert r["n_true"] >= r["n_hit"] > 0
+
+
+# ------------------------------------------------ props key profiling
+
+def test_props_key_profile_mixed_schema(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, '{"k": 1, "name": "a"}'),
+            (2, '{"k": 2}'),
+            (3, '{"name": "b", "flag": "true"}'),
+            (4, '{"k": "not-a-number"}'),
+        ],
+        "event_id long, props string",
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import (
+        props_key_profile,
+    )
+
+    out = {r["key"]: r for r in props_key_profile(ev).collect()}
+    assert out["k"]["n"] == 3
+    assert out["k"]["n_numeric"] == 2  # "not-a-number" fails the cast
+    assert out["name"]["n"] == 2
+    assert out["name"]["n_numeric"] == 0
+    assert out["flag"]["n_distinct"] == 1
