@@ -60,7 +60,7 @@ def list_versions(table: str) -> list[int]:
     if not os.path.isdir(mdir):
         return []
     return sorted(
-        int(f[1:6])
+        int(f[1:-5])  # full digit run: v100000.json parses as 100000
         for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".json")
     )
@@ -82,6 +82,12 @@ def _commit(table: str, df: DataFrame, op: str) -> int:
     versions = list_versions(table)
     version = (versions[-1] if versions else 0) + 1
     commit_dir = os.path.join(table, _DATA_DIR, f"c{version:05d}")
+    if os.path.isdir(commit_dir):
+        # a writer that died between the parquet write and the manifest
+        # rename left this orphan; no manifest references it (the rename
+        # IS the commit point), so clearing it is safe — without this,
+        # mode("error") would block every future commit on the table
+        shutil.rmtree(commit_dir)
     df.write.mode("error").parquet(commit_dir)
     new_files = sorted(
         os.path.join(_DATA_DIR, f"c{version:05d}", f)
@@ -157,6 +163,10 @@ def vacuum(table: str, keep_last: int = 2) -> list[str]:
     """Drop all but the newest ``keep_last`` manifests, then delete
     every data file no retained manifest references.  Returns the
     deleted paths (table-relative)."""
+    if keep_last < 1:
+        # versions[-0:] would slice the whole list, silently keeping
+        # every manifest — the opposite of what keep_last=0 suggests
+        raise ValueError("vacuum keeps at least one version (keep_last >= 1)")
     versions = list_versions(table)
     keep = set(versions[-keep_last:])
     reachable: set[str] = set()

@@ -43,15 +43,21 @@ N_MERGES = 8
 MAX_WORD_CHARS = 20
 
 
-def word_counts(docs: DataFrame) -> DataFrame:
-    """corpus -> (t: array<string> of chars, cnt) word-frequency table."""
-    words = docs.select(
-        F.explode(
-            F.split(F.lower(F.col("text")), r"\s+")
-        ).alias("word")
+def _word_stream(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(*extra_cols, word): THE tokenization contract (lowercase,
+    whitespace split, 1..MAX_WORD_CHARS) — shared by the trainer and
+    the encoder so the merges always apply to the same token stream."""
+    return docs.select(
+        *extra_cols,
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
     ).filter(
         (F.length("word") > 0) & (F.length("word") <= MAX_WORD_CHARS)
     )
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """corpus -> (t: array<string> of chars, cnt) word-frequency table."""
+    words = _word_stream(docs)
     return words.groupBy("word").agg(F.count("*").alias("cnt")).select(
         F.split("word", "").alias("t"), "cnt"
     )
@@ -129,12 +135,7 @@ def encode_token_counts(
     """Apply a learned merge list to the corpus: per document, the BPE
     token count before/after — map-only (one chained Catalyst fold per
     merge, rank order), no shuffle at any corpus size."""
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
-    ).filter(
-        (F.length("word") > 0) & (F.length("word") <= MAX_WORD_CHARS)
-    )
+    words = _word_stream(docs, "doc_id")
     toks = words.select("doc_id", F.split("word", "").alias("t"))
     for left, right in merges:
         toks = toks.withColumn("__l", F.lit(left)).withColumn(

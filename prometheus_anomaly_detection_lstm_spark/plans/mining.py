@@ -714,11 +714,15 @@ def periodogram(s: DataFrame, top: int = PERIODOGRAM_TOP) -> DataFrame:
             return pd.DataFrame(
                 columns=["metric", "rank", "period_samples", "power_share"]
             )
-        order = np.lexsort((np.arange(len(p)), -p))[:top]
+        # only strictly-positive bins are peaks: with fewer than
+        # `top` of them the old code padded with the zeroed DC bin,
+        # fabricating period n/0 = inf rows
+        pos = np.flatnonzero(p > 0.0)
+        order = pos[np.lexsort((pos, -p[pos]))][:top]
         return pd.DataFrame(
             {
                 "metric": metric,
-                "rank": np.arange(1, top + 1, dtype="int32"),
+                "rank": np.arange(1, len(order) + 1, dtype="int32"),
                 "period_samples": np.round(n / order, 6),
                 "power_share": np.round(p[order] / total, 6),
             }
@@ -803,6 +807,19 @@ QUERIES["metric_anomaly_ensemble"] = (
 PSI_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
 #: Laplace smoothing keeping ln() finite on empty buckets.
 PSI_SMOOTH = 0.5
+#: bucket count implied by the edge list — derived ONCE so the batch
+#: operator, its oracle and the streaming twin can never disagree.
+PSI_N_BUCKETS = len(PSI_QS) + 1
+
+
+def psi_bucket_expr(edges_col: str):
+    """0-based PSI bucket of ``value`` against the quantile-edge array
+    column — THE bucketization, shared by the batch drift operator and
+    both streaming-profile sites so edge semantics cannot drift."""
+    return sum(
+        F.when(F.col("value") > F.col(edges_col)[i], 1).otherwise(0)
+        for i in range(len(PSI_QS))
+    )
 
 
 def distribution_drift(s: DataFrame) -> DataFrame:
@@ -838,10 +855,7 @@ def distribution_drift(s: DataFrame) -> DataFrame:
         .groupBy("metric")
         .agg(F.expr(f"percentile(value, array({qs}))").alias("__bs"))
     )
-    bucket = sum(
-        F.when(F.col("value") > F.col("__bs")[i], 1).otherwise(0)
-        for i in range(len(PSI_QS))
-    )
+    bucket = psi_bucket_expr("__bs")
     counts = (
         tagged.join(edges, "metric")
         .select("metric", bucket.alias("bucket"), "__is_ref")
@@ -852,7 +866,10 @@ def distribution_drift(s: DataFrame) -> DataFrame:
         )
     )
     grid = edges.select(
-        "metric", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket")
+        "metric",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(PSI_N_BUCKETS - 1))
+        ).alias("bucket"),
     )
     j = grid.join(counts, ["metric", "bucket"], "left").select(
         "metric",
@@ -861,8 +878,12 @@ def distribution_drift(s: DataFrame) -> DataFrame:
         F.coalesce("__cn", F.lit(0)).alias("__cn"),
     )
     w = Window.partitionBy("metric")
-    e = (F.col("__rn") + PSI_SMOOTH) / (F.sum("__rn").over(w) + 10 * PSI_SMOOTH)
-    a = (F.col("__cn") + PSI_SMOOTH) / (F.sum("__cn").over(w) + 10 * PSI_SMOOTH)
+    e = (F.col("__rn") + PSI_SMOOTH) / (
+        F.sum("__rn").over(w) + PSI_N_BUCKETS * PSI_SMOOTH
+    )
+    a = (F.col("__cn") + PSI_SMOOTH) / (
+        F.sum("__cn").over(w) + PSI_N_BUCKETS * PSI_SMOOTH
+    )
     return (
         j.withColumn("__term", (a - e) * F.log(a / e))
         .groupBy("metric")
@@ -899,7 +920,7 @@ def _drift_oracle() -> str:
          count(*) FILTER (NOT is_ref) AS cn
   FROM bucketed GROUP BY 1, 2
 ), grid AS (
-  SELECT metric, unnest(generate_series(0, 9)) AS bucket FROM b
+  SELECT metric, unnest(generate_series(0, {PSI_N_BUCKETS - 1})) AS bucket FROM b
 ), j AS (
   SELECT g.metric, g.bucket,
          coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
@@ -908,9 +929,9 @@ def _drift_oracle() -> str:
 ), sh AS (
   SELECT metric, bucket,
          (rn + {sm}) / (sum(rn) OVER (PARTITION BY metric)
-                        + 10 * {sm}) AS e,
+                        + {PSI_N_BUCKETS} * {sm}) AS e,
          (cn + {sm}) / (sum(cn) OVER (PARTITION BY metric)
-                        + 10 * {sm}) AS a
+                        + {PSI_N_BUCKETS} * {sm}) AS a
   FROM j
 )
 SELECT metric, round(sum((a - e) * ln(a / e)), 6) AS psi
@@ -1032,8 +1053,11 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"), F.col("m").alias("m_b"),
         F.col("v").alias("v_b"),
     )
-    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(
-        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    # nullif: zero spend variance in BOTH variants (fixed-price
+    # single purchases) would be 0/0 — ANSI throws, DuckDB yields NULL
+    t = (F.col("m_a") - F.col("m_b")) / F.nullif(
+        F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+        F.lit(0.0),
     )
     return a.join(F.broadcast(b)).select(
         "n_a",
@@ -1085,9 +1109,11 @@ def q_corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("double").alias("__i"),
     )
     n = F.count("*").cast("double")
+    # nullif: a language of all-zero-length documents would divide
+    # by zero — ANSI throws, DuckDB yields NULL
     gini = (
         F.lit(2.0) * F.sum(F.col("__i") * F.col("n_chars"))
-        / (n * F.sum("n_chars"))
+        / F.nullif(n * F.sum("n_chars"), F.lit(0.0))
         - (n + 1) / n
     )
     return ranked.groupBy("lang").agg(
@@ -1278,7 +1304,7 @@ BOT_CV_THRESHOLD = 0.85
 BOT_MIN_GAPS = 20
 
 
-def q_events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bot_cadence(ev: DataFrame) -> DataFrame:
     """Machine-cadence detection: users whose inter-event times are too
     REGULAR (coefficient of variation of the gaps below threshold) —
     Poisson-ish human traffic has CV≈1, schedulers/bots approach 0.
@@ -1288,10 +1314,8 @@ def q_events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     One per-user lag window (hash exchange on user_id — parallelism
     grows with the user base) feeding one per-user aggregate; the
     minimum-gap floor keeps thin users from producing noise scores."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from ..functions import ntz_epoch_seconds
 
-    ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     x = ntz_epoch_seconds("ts")
     gaps = ev.select(
@@ -1299,7 +1323,12 @@ def q_events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("__dt").isNotNull())
     per_user = gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
-        (F.stddev_pop("__dt") / F.avg("__dt")).alias("__cv"),
+        # nullif: >= 21 events at ONE instant make avg gap 0 and ANSI
+        # Spark throws on 0/0 where DuckDB yields NULL; NULL cv drops
+        # the row in the filter below, matching the oracle
+        (
+            F.stddev_pop("__dt") / F.nullif(F.avg("__dt"), F.lit(0.0))
+        ).alias("__cv"),
     )
     return (
         per_user.filter(
@@ -1308,6 +1337,11 @@ def q_events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_gaps", F.round("__cv", 6).alias("cadence_cv"))
     )
+
+
+def q_events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bot_cadence(load_table(spark, sf_dir, "events"))
 
 
 ORACLE_BOT_CADENCE = f"""WITH d AS (

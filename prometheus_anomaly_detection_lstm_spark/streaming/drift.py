@@ -21,9 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.mining import PSI_QS, PSI_SMOOTH
-
-N_BUCKETS = len(PSI_QS) + 1
+from ..plans.mining import (
+    PSI_N_BUCKETS as N_BUCKETS,
+    PSI_QS,
+    PSI_SMOOTH,
+    psi_bucket_expr,
+)
 
 
 def reference_profile(batch: DataFrame) -> DataFrame:
@@ -33,10 +36,7 @@ def reference_profile(batch: DataFrame) -> DataFrame:
     edges = batch.groupBy("metric").agg(
         F.expr(f"percentile(value, array({qs}))").alias("bs")
     )
-    bucket = sum(
-        F.when(F.col("value") > F.col("bs")[i], 1).otherwise(0)
-        for i in range(len(PSI_QS))
-    )
+    bucket = psi_bucket_expr("bs")
     counts = (
         batch.join(edges, "metric")
         .select("metric", bucket.alias("__b"))
@@ -84,10 +84,7 @@ def streaming_psi(
     """Per (event-time window, series): sample count and PSI vs the
     broadcast reference profile.  ``stream`` carries (ts, metric,
     value); ``profile`` is :func:`reference_profile`'s output."""
-    bucket = sum(
-        F.when(F.col("value") > F.col("bs")[i], 1).otherwise(0)
-        for i in range(len(PSI_QS))
-    )
+    bucket = psi_bucket_expr("bs")
     joined = stream.join(F.broadcast(profile), "metric").withColumn(
         "__b", bucket
     )

@@ -501,3 +501,46 @@ def test_bot_cadence_flags_metronome_not_poisson(spark, tmp_path):
            mining.q_events_bot_cadence(spark, str(tmp_path)).collect()}
     assert 1 in out and out[1] == 0.0  # perfectly regular
     assert 2 not in out                # human-ish stays unflagged
+
+
+# ---------------------------------------- ANSI degenerate-input guards
+
+def test_bot_cadence_survives_same_instant_burst(spark):
+    """>= 21 events at ONE instant: avg gap 0 would be 0/0 under ANSI;
+    the NULL cv must drop the row (DuckDB semantics), not crash."""
+    import datetime as dt
+
+    from prometheus_anomaly_detection_lstm_spark.plans.mining import bot_cadence
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, 0), 7, "click", 0.0, "{}")
+        for i in range(25)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    assert bot_cadence(ev).collect() == []  # dropped, not crashed
+
+
+def test_periodogram_no_inf_rows_on_sparse_spectrum(spark):
+    """A two-bin spectrum must yield at most 2 ranks — never an inf
+    period from the zeroed DC bin padding out the top-k."""
+    import datetime as dt
+    import math
+
+    from prometheus_anomaly_detection_lstm_spark.plans.mining import periodogram
+
+    rows = [
+        ("m", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i, float(i % 2))
+        for i in range(64)
+    ]
+    s = spark.createDataFrame(
+        rows, "metric string, ts timestamp_ntz, seq long, value double"
+    )
+    out = periodogram(s).collect()
+    assert out  # the alternating signal has a real peak
+    for r in out:
+        assert math.isfinite(r["period_samples"])
+        assert r["power_share"] > 0

@@ -119,3 +119,34 @@ def test_manifest_stats_skip_nonoverlapping_files(spark, tmp_path):
     allkept = V.read_version_skipping(spark, t2, "id", 0, 5)
     assert len(allkept.inputFiles()) == 2
     assert allkept.count() == 6
+
+
+def test_orphan_commit_dir_does_not_block_future_commits(spark, tmp_path):
+    """A writer crash between parquet write and manifest rename leaves
+    an unreachable orphan dir; the next commit must clear it and
+    succeed (previously mode('error') blocked the table forever)."""
+    import os
+
+    from prometheus_anomaly_detection_lstm_spark import io_versioned as V
+
+    table = str(tmp_path / "vt")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    V.commit_overwrite(df, table)
+    # simulate the crash: data dir for version 2 exists, no manifest
+    orphan = os.path.join(table, "data", "c00002")
+    df.limit(2).write.parquet(orphan)
+    assert V.latest_version(table) == 1
+    v = V.commit_append(df, table)
+    assert v == 2
+    assert V.read_version(spark, table, 2).count() == 10
+
+
+def test_vacuum_rejects_keep_last_zero(spark, tmp_path):
+    import pytest as _pytest
+
+    from prometheus_anomaly_detection_lstm_spark import io_versioned as V
+
+    table = str(tmp_path / "vt0")
+    V.commit_overwrite(spark.range(3).withColumnRenamed("id", "x"), table)
+    with _pytest.raises(ValueError):
+        V.vacuum(table, keep_last=0)
