@@ -40,6 +40,15 @@ def _as_double(col: str):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _norm_den(a: str, b: str):
+    """NULL-safe cosine denominator: a zero vector has no direction, so
+    its cosine is NULL (DuckDB's division-by-zero semantics) and
+    ranking/threshold comparisons drop it — under Spark 4's default
+    ANSI mode a bare division would instead abort the whole job with
+    DIVIDE_BY_ZERO."""
+    return F.nullif(F.col(a) * F.col(b), F.lit(0.0))
+
+
 def with_norm(df: DataFrame) -> DataFrame:
     """(vec_id, vec ARRAY<DOUBLE>, norm DOUBLE)."""
     vec = _as_double("embedding")
@@ -81,7 +90,8 @@ def cosine_pairs(queries: DataFrame, candidates: DataFrame) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", dot / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("cosine", dot / _norm_den("q_norm", "c_norm"))
+        .filter(F.col("cosine").isNotNull())  # zero vectors: no direction
         .select("q_id", "c_id", "cosine")
     )
 
@@ -168,18 +178,6 @@ def lsh_bucket_array(
         return pd.Series(list(b))
 
     return df.withColumn("buckets", _sig(F.col("vec")))
-
-
-def lsh_buckets(
-    df: DataFrame, planes: int = LSH_PLANES, seed: int = 0
-) -> DataFrame:
-    """Single-table sign-LSH bucket id per vector (compat shim over
-    :func:`lsh_bucket_array`)."""
-    return (
-        lsh_bucket_array(df, planes, tables=1, seed_base=seed)
-        .withColumn("bucket", F.col("buckets")[0])
-        .drop("buckets")
-    )
 
 
 LSH_TABLES = 8  # OR-amplification: candidate if ANY table's bucket matches
@@ -302,7 +300,7 @@ def cosine_topk_lsh(
     pairs = (
         cands.join(F.broadcast(q), "q_id")
         .join(c, "c_id")
-        .withColumn("cosine", dot / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("cosine", dot / _norm_den("q_norm", "c_norm"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("c_id").asc()
@@ -489,7 +487,8 @@ def _ivf_query(
     pairs = (
         c.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", pair_dot / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("cosine", pair_dot / _norm_den("q_norm", "c_norm"))
+        .filter(F.col("cosine").isNotNull())  # zero vectors: no direction
     )
     w2 = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("c_id").asc()
@@ -522,7 +521,12 @@ def _near_dup_candidates(
     verification stage."""
     normed = with_norm(emb)
     unit = normed.withColumn(
-        "uvec", F.transform(F.col("vec"), lambda x: x / F.col("norm"))
+        # nullif: a zero vector can't be unit-normalized; NULL elements
+        # propagate to NULL distances instead of an ANSI abort
+        "uvec",
+        F.transform(
+            F.col("vec"), lambda x: x / F.nullif(F.col("norm"), F.lit(0.0))
+        ),
     )
     cents = kmeans_centroids(
         unit.select("vec_id", F.col("uvec").alias("vec")), k=n_cells
@@ -642,7 +646,7 @@ def embedding_near_dup_pairs(
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cosine", dot / (F.col("a_norm") * F.col("b_norm")))
+        .withColumn("cosine", dot / _norm_den("a_norm", "b_norm"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -60,7 +60,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_stop = F.expr(f"size(filter(split(text, ' '), w -> w IN ({sw})))").cast(
         "double"
     )
-    punct_ratio = n_punct / n_chars
+    # nullif: an EMPTY document (routine in web scrapes) has 0 chars —
+    # ANSI Spark would abort the job on 0/0 where DuckDB's oracle
+    # yields NULL; NULL ratios/score mean "unscorable", and the quality
+    # filters drop such docs via the failed comparison.  (n_words needs
+    # no guard: split('', ' ') = [''] so size >= 1.)
+    punct_ratio = n_punct / F.nullif(n_chars, F.lit(0.0))
     stop_ratio = n_stop / n_words
     score = (
         F.least(n_words / 100.0, F.lit(1.0)) * 0.4
@@ -225,14 +230,16 @@ def tfidf_top_terms(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).crossJoin(
-        tf.select("term").distinct()
-    )
     df_counts = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
+    # the corpus doc count is ONE row — broadcast it onto the per-term
+    # frame (the old form cross-joined it against a distinct() of the
+    # whole vocabulary and re-joined: two extra vocabulary-wide
+    # exchanges for the same scalar)
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
     idf = (
-        n_docs.join(df_counts, "term")
+        df_counts.crossJoin(F.broadcast(n_docs))
         .select("term", F.log(F.col("n") / F.col("df")).alias("idf"))
     )
     if broadcast_idf is True:

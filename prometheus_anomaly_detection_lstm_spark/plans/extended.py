@@ -28,9 +28,6 @@ def q_nan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill.nan_counts(wide, P.METRICS)
 
 
-ORACLE_NAN_COUNTS = None  # set below (needs oracles import at module load)
-
-
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a >30-min silence starts a new session.
 
@@ -40,11 +37,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
+    from ..functions import ntz_epoch_seconds
+
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ -> DOUBLE is not a legal direct cast under ANSI (Spark 4.1);
-    # hop through TIMESTAMP (session TZ pinned UTC above) so the epoch
-    # seconds match DuckDB's epoch(ts) exactly, fractional part included.
-    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    # TZ-independent epoch seconds (calendar-field arithmetic): matches
+    # DuckDB's epoch(ts), fractional part included, under ANY session
+    # TZ — the cast-through-TIMESTAMP form silently depended on the
+    # UTC pin above (advisor finding class).
+    ts_sec = ntz_epoch_seconds("ts")
     gap = ts_sec - F.lag(ts_sec).over(w_user)
     new_sess = (
         F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
@@ -672,8 +672,10 @@ def q_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
+    from ..functions import ntz_epoch_seconds
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    ts_sec = ntz_epoch_seconds("ts")  # TZ-independent (advisor class)
     seq = ev.select(
         "user_id",
         F.col("event_type").alias("to_type"),
@@ -718,22 +720,19 @@ def q_metric_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulps).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..functions import ntz_epoch_seconds
+
     ev = load_table(spark, sf_dir, "events")
-    x = (
-        F.col("ts").cast("timestamp").cast("double")
-        - F.lit(1704067200.0)  # epoch of 2024-01-01 00:00:00 UTC
-    ) / 86400.0
+    # TZ-independent epoch (the cast chain is session-TZ-dependent)
+    x = (ntz_epoch_seconds("ts") - F.lit(1704067200.0)) / 86400.0
     d = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    # nullif: a single-event (or single-instant) series has var_pop 0 —
+    # ANSI Spark would abort on 0/0 where DuckDB yields NULL
+    slope = F.covar_pop("x", "y") / F.nullif(F.var_pop("x"), F.lit(0.0))
     return d.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(
-            F.covar_pop("x", "y") / F.var_pop("x"), 6
-        ).alias("slope_per_day"),
-        F.round(
-            F.avg("y")
-            - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x"),
-            6,
-        ).alias("intercept"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
     )
 
 
@@ -994,7 +993,11 @@ def q_scd2_user_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_seen"),
         F.count("*").cast("bigint").alias("n_events"),
     )
-    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    # island tiebreak: two bands can start at the SAME instant (ts
+    # tie) — without it lead() is nondeterministic and the two engines
+    # can legitimately disagree; island is derived from the event_id
+    # order, so it is deterministic on both sides
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from", "island")
     return iv.select(
         "user_id",
         "band",
@@ -1023,7 +1026,8 @@ ORACLE_SCD2_USER_BANDS = """WITH runs AS (
   FROM isl GROUP BY 1, 2, 3
 )
 SELECT user_id, band, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, island)
          AS valid_to,
        n_events
 FROM iv"""

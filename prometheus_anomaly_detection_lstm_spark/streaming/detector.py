@@ -22,6 +22,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
+import logging
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,7 +77,11 @@ def run_detection_cycle(
     Returns the cycle outcome dict, or None when skipped (guards).
     """
     present = set(window_long["metric"].unique())
-    if present != set(cfg.metrics):  # all-or-nothing (:176-193)
+    # SUBSET check, not equality: the reference guard requires every
+    # CONFIGURED metric present (realtime_detector.py:176-193); an
+    # extra series in the scrape (a newly-added gauge) must not
+    # permanently disable detection
+    if not set(cfg.metrics).issubset(present):
         return None
     wide = window_long.pivot_table(
         index="ts", columns="metric", values="value", aggfunc="first"
@@ -121,6 +127,12 @@ def run_detector_on_batch(
                 pdf[pdf["cycle_id"] == cycle_id], cfg, sinks
             )
         except Exception:
+            # logged-AND-continue (reference loop :392-398) — silently
+            # discarding made production failures indistinguishable
+            # from legitimate guard skips
+            logging.getLogger(__name__).exception(
+                "detection cycle %s failed", cycle_id
+            )
             out = None
         outcomes.append({"cycle_id": int(cycle_id), "outcome": out})
     return outcomes

@@ -407,3 +407,68 @@ def test_metric_ewma_hand_computed(spark):
     w3 = (20.0 * 0.7 + 0.3 * 30.0) * 0.7 + 0.3 * 40.0
     assert out[("a", 3)] == round(w3, 6)
     assert out[("b", 100)] == 99.0  # series isolation
+
+
+# ----------------------- ANSI degenerate-input guards (review pass 3)
+
+def test_quality_scores_survive_empty_document(spark):
+    """An empty doc (0 chars) must yield NULL ratios, not an ANSI
+    DIVIDE_BY_ZERO that aborts the whole corpus job."""
+    from prometheus_anomaly_detection_lstm_spark.operators.text import (
+        quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "a fine doc", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert out[1]["punct_ratio"] is None
+    assert out[1]["quality_score"] is None
+    assert out[2]["quality_score"] is not None
+
+
+def test_cosine_topk_survives_zero_vector(spark):
+    """A zero embedding has no direction: its pairs score NULL and drop
+    from the ranking instead of aborting under ANSI."""
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 0.0], 0),  # zero vector
+            (2, [0.5, 0.5], 0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = cosine_topk(emb, n_queries=1, k=5).collect()
+    ids = {r["c_id"] for r in rows}
+    assert 2 in ids
+    assert 1 not in ids  # NULL cosine dropped, job alive
+
+
+def test_trend_slopes_null_on_single_instant_series(spark):
+    """var_pop 0 (all samples at one instant) -> NULL slope, no crash."""
+    import datetime as dt
+
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table  # noqa: F401
+    from prometheus_anomaly_detection_lstm_spark.plans import extended
+    from pyspark.sql import functions as F
+
+    # drive the operator body through the registry callable on a temp
+    # parquet dir shaped like the events table
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "only", 5.0, "{}")
+            for i in range(3)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = extended.QUERIES["metric_trend_slopes"][0](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["slope_per_day"] is None
