@@ -102,10 +102,21 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
         files = []
     if not files:
         return df.rdd.getNumPartitions()
-    max_bytes = int(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        .removesuffix("b")
-    )
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    ).strip().lower()
+    # accept every documented form (134217728, 128m, 128mb, 1g...);
+    # an unparsable value falls back to the default instead of
+    # crashing every scan-producer that consults the gate
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    try:
+        body = raw.removesuffix("b")
+        if body and body[-1] in mult:
+            max_bytes = int(float(body[:-1]) * mult[body[-1]])
+        else:
+            max_bytes = int(body)
+    except ValueError:
+        max_bytes = 134217728
     total = 0
     for f in files:
         local = f.removeprefix("file:")
@@ -146,6 +157,26 @@ def read_day_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _count_local_files(path: str) -> int:
+    """Parquet file count under a LOCAL path; raises on URI schemes
+    other than file: (os.walk would silently yield 0 for s3:// etc.,
+    making the returned before/after stats garbage)."""
+    import os
+
+    local = path.removeprefix("file:")
+    if "://" in local:
+        raise ValueError(
+            f"compact stats need a local path, got {path!r} — run the "
+            "compaction and count files with the object store's API"
+        )
+    return sum(
+        1
+        for _, _, files in os.walk(local)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def compact_day_partitions(
     spark: SparkSession,
     path: str,
@@ -183,10 +214,7 @@ def compact_day_partitions(
     slot_map = F.create_map(
         *[x for d, k in slots.items() for x in (F.lit(str(d)), F.lit(k))]
     )
-    before = sum(
-        len([f for f in files if f.endswith(".parquet")])
-        for _, _, files in os.walk(path)
-    )
+    before = _count_local_files(path)
     total_slots = sum(slots.values())
     (
         df.withColumn(
@@ -202,10 +230,7 @@ def compact_day_partitions(
         .partitionBy("__day")
         .parquet(out_path)
     )
-    after = sum(
-        len([f for f in files if f.endswith(".parquet")])
-        for _, _, files in os.walk(out_path)
-    )
+    after = _count_local_files(out_path)
     return {"files_before": before, "files_after": after}
 
 

@@ -92,6 +92,16 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # exhausting the budget without a fixpoint would silently split
+        # one duplicate cluster into several labels — duplicates would
+        # survive dedup undetected; fail loudly instead (path halving
+        # converges in O(log diameter), so hitting this means a graph
+        # beyond anything max_iterations was sized for)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations"
+        )
     return labels
 
 

@@ -40,14 +40,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _md5_hex(col: str):
+    """md5 hex of an id column — THE hash every deterministic sampler
+    here keys on; must stay byte-identical to the oracles'
+    md5(CAST(id AS VARCHAR)) (string then binary cast)."""
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
 def hash_sample(
     docs: DataFrame, threshold_hex: str = SAMPLE_RATE_HEX, key: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic ~rate sample: md5-hex prefix below threshold."""
-    prefix = F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 6)
-    return docs.filter(prefix < F.lit(threshold_hex)).select(
-        "doc_id", "text"
-    )
+    """Deterministic ~rate sample: md5-hex prefix below threshold.
+    Columns pass through, so the sampler works on ANY keyed frame
+    (the old form hard-selected doc_id/text and broke on key=...)."""
+    prefix = F.substring(_md5_hex(key), 1, 6)
+    return docs.filter(prefix < F.lit(threshold_hex))
 
 
 def doc_chunks(
@@ -63,7 +70,9 @@ def doc_chunks(
     return (
         docs.withColumn("__toks", toks)
         .withColumn("__n", F.size("__toks"))
-        .filter(F.col("__n") > 0)
+        # text != '' as well: split('', ' ') is [''] with size 1, so the
+        # size guard alone let an empty doc emit a bogus 1-token chunk
+        .filter((F.col("__n") > 0) & (F.col("text") != ""))
         .select(
             "doc_id",
             "__toks",
@@ -244,7 +253,7 @@ def shuffle_shards(docs: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame
     exchange, no global sort.  (n_shards must divide 16 or be 16 here
     since the digit is the shard key; production uses more hex chars.)
     """
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    h = _md5_hex("doc_id")
     shard = (
         F.expr(
             "locate(substr(md5(cast(cast(doc_id as string) as binary)), 1, 1),"
@@ -281,7 +290,7 @@ def token_budget_sample(
     source bounds a partition; shard it with the salted-rank idiom of
     :func:`stratified_sample` when a single source dominates.
     """
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    h = _md5_hex("doc_id")
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
     w = Window.partitionBy("source").orderBy("__h", "doc_id")
     return (
@@ -303,7 +312,7 @@ ORACLE_DOC_CHUNKS = f"""WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n
   FROM documents
-  WHERE len(string_split(text, ' ')) > 0
+  WHERE len(string_split(text, ' ')) > 0 AND text != ''
 ),
 c AS (
   SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
@@ -398,7 +407,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hash_sample(_docs(spark, sf_dir))
+    return hash_sample(_docs(spark, sf_dir)).select("doc_id", "text")
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,9 +575,7 @@ def mixture_sample(
         [(lang, _rate_hex(r)) for lang, r in rates.items()],
         "lang string, __thr string",
     )
-    prefix = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    )
+    prefix = F.substring(_md5_hex("doc_id"), 1, 8)
     return (
         docs.join(F.broadcast(dim), "lang", "left")
         .withColumn(
@@ -580,9 +587,14 @@ def mixture_sample(
 
 
 def _rate_hex(rate: float) -> str:
-    """Acceptance rate -> 8-hex-char threshold (md5 prefix uniform on
-    [0, 16^8))."""
-    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+    """Acceptance rate -> threshold the 8-hex md5 prefix is compared
+    (strictly) against.  rate >= 1 returns 'g', which sorts above
+    every hex string, so a keep-all language truly keeps ALL docs —
+    capping at 'ffffffff' silently excluded the prefix == 'ffffffff'
+    tail (p = 2^-32 per doc)."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(0, int(rate * 16**8)), "08x")
 
 
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,7 +707,7 @@ def importance_sample(
     u = (
         F.conv(
             F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6
+                _md5_hex("doc_id"), 1, 6
             ),
             16,
             10,

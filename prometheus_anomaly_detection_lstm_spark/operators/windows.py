@@ -217,6 +217,13 @@ def sliding_mean(
     mean of the per-row error — see operators/score.py).  Global-order
     frame variant; day-partitioned overlap variant available via
     :func:`sequence_windows_scalable` composition at scale.
+
+    Input contract: ``value_col`` is NON-NULL (scoring feeds post-fill
+    frames).  The ``count(value) == length`` filter therefore checks
+    frame completeness AND doubles as a leaked-NULL tripwire — a
+    window containing a NULL is dropped, deliberately, rather than
+    averaged over fewer points (the reference's fixed-shape sequence
+    tensors have no missing-entry semantics to mimic).
     """
     w_frame = Window.orderBy(ts_col).rowsBetween(0, length - 1)
     w_rank = Window.orderBy(ts_col)

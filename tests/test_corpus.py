@@ -219,3 +219,48 @@ def test_upsert_latest_semantics_and_plan(spark):
     assert out.groupBy("k").count().filter(F.col("count") > 1).count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ----------------------------- review-pass regression pins (pass 4)
+
+def test_mixture_rate_one_keeps_every_doc(spark):
+    """rate >= 1.0 must keep ALL docs of that language — the old
+    'ffffffff' cap excluded the 2^-32 md5-prefix tail."""
+    from prometheus_anomaly_detection_lstm_spark.operators.corpus import (
+        _rate_hex, mixture_sample,
+    )
+
+    assert _rate_hex(1.0) == "g"  # sorts above every hex prefix
+    docs = spark.createDataFrame(
+        [(i, "text here", "xx", "s") for i in range(50)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = mixture_sample(docs, rates={"xx": 1.0})
+    assert out.count() == 50
+
+
+def test_doc_chunks_empty_doc_emits_no_chunk(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.corpus import (
+        doc_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = doc_chunks(docs).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_hash_sample_honors_custom_key_column(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.corpus import (
+        hash_sample,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [0.0]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    out = hash_sample(emb, threshold_hex="8", key="vec_id")
+    n = out.count()
+    assert 0 < n < 200           # ~half survive
+    assert out.columns == ["vec_id", "embedding"]  # pass-through
