@@ -921,3 +921,64 @@ QUERIES["events_props_key_profile"] = (
     q_props_key_profile,
     ORACLE_PROPS_PROFILE,
 )
+
+
+# ------------------------------------------------ DAU / WAU engagement
+
+def dau_wau(ev: DataFrame) -> DataFrame:
+    """Daily/weekly active users + stickiness (DAU/WAU) per day.
+
+    A rolling COUNT(DISTINCT) window is not expressible in either
+    engine, so the scalable shape is contribution fan-out: each
+    (user, active day) pair — already deduplicated, the small frame —
+    explodes to the <= 7 observation days it supports, and WAU is an
+    ordinary distinct count per observation day.  The fan-out is
+    bounded (x7) and happens AFTER the dedup, so the heavy stream is
+    never multiplied; both aggregates shuffle on bounded keys.
+    """
+    day_users = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = day_users.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    contrib = day_users.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("obs_day"),
+    ).distinct()
+    wau = contrib.groupBy("obs_day").agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.obs_day)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return dau_wau(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_DAU_WAU = """WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT user_id, CAST(u.d AS DATE) AS obs_day
+  FROM du, unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS u(d)
+),
+wau AS (SELECT obs_day, CAST(count(*) AS BIGINT) AS wau
+        FROM contrib GROUP BY 1)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+       round(dau * 1.0 / wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.obs_day"""
+
+QUERIES["events_dau_wau"] = (q_dau_wau, ORACLE_DAU_WAU)

@@ -331,6 +331,7 @@ PRIORITY: list[str] = [
     "events_pointintime_features", "orders_churn_labels",
     "text_related_docs_topk", "dedup_minhash_recall_eval",
     "promql_vector_match_ratio", "events_props_key_profile",
+    "events_dau_wau",
     # ---- changed in round 4: shingle/embedding producers now gate the
     # local-parallelism repartition (verdict tasks 2/4) — every consumer
     # re-rowed on the new plan ----

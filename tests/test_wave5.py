@@ -390,3 +390,29 @@ def test_props_key_profile_mixed_schema(spark):
     assert out["name"]["n"] == 2
     assert out["name"]["n_numeric"] == 0
     assert out["flag"]["n_distinct"] == 1
+
+
+# --------------------------------------------------------- DAU / WAU
+
+def test_dau_wau_rolling_distinct(spark):
+    rows = [
+        # day 1: users 1,2   day 3: user 1   day 10: user 3
+        (1, TS(2024, 1, 1, 10), 1, "click", 0.0, "{}"),
+        (2, TS(2024, 1, 1, 11), 2, "view", 0.0, "{}"),
+        (3, TS(2024, 1, 3, 10), 1, "click", 0.0, "{}"),
+        (4, TS(2024, 1, 10, 10), 3, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    from prometheus_anomaly_detection_lstm_spark.plans.wave5 import dau_wau
+
+    out = {r["day"]: r for r in dau_wau(ev).collect()}
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["wau"] == 2
+    # day 3: DAU 1 (user 1), WAU 2 (users 1,2 active within [Dec 28..Jan 3])
+    assert out["2024-01-03"]["dau"] == 1 and out["2024-01-03"]["wau"] == 2
+    assert out["2024-01-03"]["stickiness"] == 0.5
+    # day 10: days 1-3 are out of the 7-day lookback
+    assert out["2024-01-10"]["dau"] == 1 and out["2024-01-10"]["wau"] == 1
