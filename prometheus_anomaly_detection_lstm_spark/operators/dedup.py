@@ -966,18 +966,24 @@ def minhash_recall_eval(
     n_found = found_pairs.count()
     true_pairs.unpersist()
     found_pairs.unpersist()
-    from pyspark.sql import Row
-
     spark = docs.sparkSession
-    return spark.createDataFrame(
-        [
-            Row(
-                n_true=n_true,
-                n_found=n_found,
-                n_hit=hit,
-                recall=round(hit / n_true, 6) if n_true else None,
-            )
-        ]
+    # Explicit schema: with n_true == 0 every recall is NULL and type
+    # inference would fail; recall is rounded by Spark's SQL `round`
+    # (half-away-from-zero) so it matches the oracle digit-for-digit —
+    # Python's round() banker's-rounds and can disagree in the 6th
+    # decimal.
+    counts = spark.createDataFrame(
+        [(n_true, n_found, hit)],
+        schema="n_true long, n_found long, n_hit long",
+    )
+    return counts.select(
+        "n_true",
+        "n_found",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_hit") / F.col("n_true"), 6),
+        ).alias("recall"),
     )
 
 

@@ -181,8 +181,11 @@ def phash_codes(media: DataFrame) -> DataFrame:
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proj = np.random.RandomState(7).standard_normal((17, 64))
 
-        def _features(b: bytes) -> np.ndarray:
-            a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        def _features(b: bytes | None) -> np.ndarray:
+            # NULL payload → same code path as an empty one: a stable
+            # all-zero feature row, not a task-killing TypeError (the
+            # per-record isolation decode_png_batch already has).
+            a = np.frombuffer(b or b"", dtype=np.uint8).astype(np.float64)
             if a.size == 0:
                 return np.zeros(17)
             if a.size < 16:
@@ -195,6 +198,9 @@ def phash_codes(media: DataFrame) -> DataFrame:
             return np.concatenate([z, [np.log1p(a.size)]])
 
         for pdf in batches:
+            if pdf.empty:
+                # np.stack([]) raises on an empty Arrow batch
+                continue
             feats = np.stack([_features(b) for b in pdf["payload"]])
             bits = (feats @ proj) > 0.0  # (n, 64) sign bits
             weights = (1 << np.arange(64, dtype=np.uint64))

@@ -680,7 +680,11 @@ pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cosine
   FROM v q, v c
+  -- cosine IS NOT NULL: drop zero-vector candidates exactly like the
+  -- Spark side does, so a bucket with < k non-null candidates ranks
+  -- the same row set in both engines
   WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    AND list_dot_product(q.vec, c.vec) / (q.norm * c.norm) IS NOT NULL
 ),
 ranked AS (
   SELECT q_id, c_id, cosine,

@@ -282,15 +282,47 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-3 verdict task 1: the 6 queries that have NEVER had an
-    # official CORRECTNESS row (displaced past the 50-slot window three
-    # rounds running) plus dedup_clusters (last row predates the
-    # sliced-md5 minhash rebuild it shares a subtree with) — first 10
-    # slots, guaranteed graded ----
+    # ---- round-5 verdict task 1: the 21 queries that have NEVER had
+    # an official CORRECTNESS row (wave-5/6 additions parked past the
+    # window in round 4) — first in line, guaranteed graded.  After
+    # this round every registry query has an official driver row.
+    # Hash-graded entries first:
+    "metric_resample_interpolate", "text_log_odds_keywords",
+    "events_attribution", "corpus_bloom_decontaminate",
+    "events_frequent_paths", "orders_backlog_daily",
+    "table_quality_checks", "events_pointintime_features",
+    "orders_churn_labels", "text_related_docs_topk",
+    "dedup_minhash_recall_eval", "promql_vector_match_ratio",
+    "events_props_key_profile", "events_dau_wau", "events_bot_cadence",
+    "multimodal_phash_dedup", "embedding_whiten",
+    # ... then the rows-only-by-design entries (no SQL twin — numpy
+    # spectra / iterative BPE / d×d solve / approximate ANN; exactness
+    # or recall floors pinned in pytest):
+    "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
+    "ann_cosine_topk_pq",
+    # ---- changed in round 5: ann_cosine_topk oracle now drops
+    # NULL-cosine rows like the Spark side (advisor finding); the
+    # minhash family re-rows on the round-5 verify-side A/B outcome;
+    # recall-eval got an explicit schema + SQL-side rounding ----
+    "ann_cosine_topk", "dedup_minhash_lsh", "dedup_minhash_incremental",
+    "dedup_apply", "dedup_clusters",
+    # ---- fill the window tail with the queries whose latest official
+    # row is oldest (r1/r2): bench headliners first so the graded
+    # correctness record tracks the graded performance record ----
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
+    "text_quality_scores", "text_tfidf_top_terms", "text_frequent_tokens",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "anomaly_flags", "asof_join",
+    "rolling_features", "min_cost_supplier", "multires_rollup",
+    "rollup_agg", "topk_per_group", "semi_anti_join", "running_revenue",
+    "distinct_users", "vocab_stats", "funnel",
+    # ================= past the 50-slot window =================
+    # Everything below holds a green official row on unchanged code
+    # (r1-r4); the local sf0.01 parity sweep still covers all of them
+    # every session.
     "corpus_decontaminate", "corpus_shuffle_shards",
     "corpus_token_budget_sample", "embedding_quantize_int8",
-    "text_repetition_scores", "text_quality_filter", "dedup_clusters",
-    # ---- NEW in round 4 (added as built; each needs a first row) ----
+    "text_repetition_scores", "text_quality_filter",
     "metric_rolling_median", "metric_change_points",
     "event_graph_triangles", "corpus_quality_curriculum",
     "metric_autocorrelation", "metric_mad_outliers",
@@ -311,67 +343,25 @@ PRIORITY: list[str] = [
     "promql_holt_smoothing", "metric_seasonal_anomaly",
     "events_grouping_sets", "events_rank_functions", "event_pagerank",
     "scd2_user_bands",
-    # rows-only entries (periodogram/BPE/ridge have no SQL twin, so
-    # their driver row is the weaker rows-only check): parked just past
-    # the hash-graded queries above — pytest pins their exactness
-    # (numpy spectra, the from-scratch Python BPE, the numpy solve)
-    "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
-    # past the 50-slot window (the window is full with queries that
-    # still need their FIRST official row): verified by pytest + the
-    # local full-registry sweep; rotates in next round
-    "events_bot_cadence",
-    # wave-5/6 additions (fourth session): parked past the window so
-    # the never-graded backlog above gets its official rows first; ALL
-    # of these are swept by the local sf0.01 parity suite and the
-    # full-registry driver-sim, and rotate into the window next round
-    "metric_resample_interpolate", "text_log_odds_keywords",
-    "events_attribution", "corpus_bloom_decontaminate",
-    "events_frequent_paths", "orders_backlog_daily",
-    "table_quality_checks", "multimodal_phash_dedup", "embedding_whiten",
-    "events_pointintime_features", "orders_churn_labels",
-    "text_related_docs_topk", "dedup_minhash_recall_eval",
-    "promql_vector_match_ratio", "events_props_key_profile",
-    "events_dau_wau",
-    # ---- changed in round 4: shingle/embedding producers now gate the
-    # local-parallelism repartition (verdict tasks 2/4) — every consumer
-    # re-rowed on the new plan ----
-    "dedup_minhash_lsh", "dedup_minhash_incremental", "dedup_apply",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_exact", "dedup_embedding_cosine",
-    "ann_cosine_topk", "embedding_norms", "embedding_random_projection",
-    # (ann_cosine_topk_lsh / _ivf are rows-only for the driver — their
-    # recall floors and prebuilt-index equivalence are pinned by pytest)
-    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "ann_cosine_topk_pq",
-    # ---- changed in round 4: TZ-independent ntz_epoch_seconds in the
-    # PromQL delta/derive expressions (advisor finding) ----
+    "dedup_embedding_cosine",
+    "embedding_norms", "embedding_random_projection",
+    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
     "promql_counter_rate", "promql_gauge_over_time",
     "promql_histogram_quantile", "promql_topk_series",
     "promql_rate_by_labelset", "promql_rate_anomaly",
     "promql_deriv_predict", "promql_absent",
-    # metric_correlations: NaN->NULL canonicalization (advisor finding)
     "metric_correlations",
-    # corpus_clean_pipeline: shares rules with the newly-graded filters
     "corpus_clean_pipeline",
-    # ---- bench headliners + flagship family: re-rowed every round ----
     "minmax_scaled", "anomaly_mse", "threshold_split", "anomaly_mse_lstm",
-    "corpus_stratified_sample", "tpch_q1", "tpch_q3", "tpch_q5",
-    "tpch_q6", "windowed_events", "text_quality_scores",
-    "text_tfidf_top_terms", "text_frequent_tokens",
-    # ---- r1-only-green leaf queries: rotate a few through the tail of
-    # the window each round to refresh their official rows ----
-    "min_cost_supplier", "multires_rollup", "rollup_agg",
-    "topk_per_group", "semi_anti_join", "running_revenue",
-    "distinct_users", "vocab_stats",
-    # ---- past the driver's 50-query window: green official rows on
-    # unchanged code (r1-r3); local parity still sweeps all of them ----
+    "corpus_stratified_sample",
     "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
-    "user_set_ops", "funnel",
+    "user_set_ops",
     "approx_distinct_users", "approx_threshold_percentiles",
     "embedding_covariance", "cube_agg", "table_profile",
     "text_ngram_novelty", "text_dup_ngram_spans", "text_lm_trigram_scores",
     "sessionize", "events_json_extract", "retention_cohorts",
     "user_path_transitions", "metric_trend_slopes",
-    "range_join_interval_counts", "anomaly_flags",
+    "range_join_interval_counts",
     "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
@@ -388,7 +378,6 @@ PRIORITY: list[str] = [
     "text_pii_redact", "multimodal_binary_metadata",
     "multimodal_decode_stub", "multimodal_frame_sample",
     "corpus_hash_sample", "corpus_doc_chunks", "corpus_doc_packing",
-    "asof_join", "rolling_features",
 ]
 
 

@@ -61,12 +61,20 @@ def make_attribution_fn():
         # twin — NaN would poison downstream channel averages.
         lat_arr = pd.array(lat, dtype="Float64")
         lat_arr[np.isnan(lat)] = pd.NA
+        # value gets the same masked-Float64 treatment as latency_s: a
+        # purchase with NULL value must stay SQL NULL, not become NaN
+        # (astype('float64') maps None -> NaN, which poisons averages).
+        raw_value = pdf.loc[mask, "value"]
+        val_arr = pd.array(
+            raw_value.astype("float64").values, dtype="Float64"
+        )
+        val_arr[raw_value.isna().to_numpy()] = pd.NA
         out = pd.DataFrame(
             {
                 "user_id": pdf.loc[mask, "user_id"].astype("int64").values,
                 "event_id": pdf.loc[mask, "event_id"].astype("int64").values,
                 "channel": prev_type[mask].fillna("direct").values,
-                "value": pdf.loc[mask, "value"].astype("float64").values,
+                "value": val_arr,
                 "latency_s": lat_arr,
             }
         )
