@@ -185,15 +185,20 @@ def minhash_signatures(
     ``with_size=True`` adds the DISTINCT shingle count (``n_sh``).
     """
     sh = _shingles_raw(docs)
+    # One F.expr string per aggregate (1 py4j round-trip each) instead
+    # of a 6-deep Column chain (~6 round-trips each): measured ~1.8 ms
+    # per py4j call on this box, this is ~80 ms off every plan
+    # CONSTRUCTION — driver-side latency that re-occurs per query
+    # submission, independent of data size.
     aggs = []
     for i in range(1, k + 1):
         seed = (i - 1) // MINHASH_SLICES + 1
         j = (i - 1) % MINHASH_SLICES
-        digest = F.md5(
-            F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")
-        )
         aggs.append(
-            F.min(F.substring(digest, 8 * j + 1, 8)).alias(f"sig_{i}")
+            F.expr(
+                f"min(substring(md5(cast(concat('{seed}:', shingle)"
+                f" as binary)), {8 * j + 1}, 8)) AS sig_{i}"
+            )
         )
     if with_size:
         aggs.append(F.countDistinct("shingle").alias("n_sh"))
@@ -204,19 +209,21 @@ def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
     """Banded LSH: docs sharing ANY band bucket become a candidate pair."""
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows + r + 1}") for r in range(rows)]
-        # bucket key is the raw sig concat — already fixed-width hex,
-        # re-hashing it buys nothing and costs an md5 per row per band
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *parts).alias("bucket"),
-            )
+    # bucket key is the raw sig concat — already fixed-width hex,
+    # re-hashing it buys nothing and costs an md5 per row per band.
+    # The whole band array is ONE expr string (construction-latency
+    # discipline, see minhash_signatures).
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {parts}) AS bucket)".format(
+            b=b,
+            parts=", ".join(
+                f"sig_{b * rows + r + 1}" for r in range(rows)
+            ),
         )
+        for b in range(bands)
+    )
     buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -284,6 +291,37 @@ def minhash_lsh_dedup(
     """
     cands = lsh_candidate_pairs(minhash_signatures(docs))
     return _verify_jaccard(shingles(docs), cands, threshold)
+
+
+def minhash_lsh_dedup_restricted(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """A/B variant of ``minhash_lsh_dedup``: the verify stage shingles
+    ONLY docs that appear in at least one candidate pair (left-semi
+    against the pair ids) instead of the whole corpus.
+
+    Answer-identical to the unrestricted path (verification only ever
+    consults candidate docs' shingles; ``sizes`` joins into candidate
+    pairs, so non-candidate rows were dead weight).  The trade: the
+    verify subtree no longer shares the shingle scan subplan with the
+    signature subtree (ReuseExchange can merge only identical
+    subplans), but it skips the explode+distinct over every
+    non-candidate doc — a win when candidates are sparse, a loss when
+    most docs collide somewhere.  Benchmarked against the default in
+    BASELINE.md; the default stays whichever measures faster.
+    """
+    cands = lsh_candidate_pairs(minhash_signatures(docs)).persist()
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    out = _verify_jaccard(
+        shingles(docs.join(cand_ids, "doc_id", "left_semi")),
+        cands,
+        threshold,
+    )
+    return out
 
 
 def minhash_lsh_dedup_incremental(

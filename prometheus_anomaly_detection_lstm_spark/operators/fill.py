@@ -146,51 +146,39 @@ def ffill_bfill_scalable(
         *[F.min(c).alias(f"__dmin_{c}") for c in mm],
         *[F.max(c).alias(f"__dmax_{c}") for c in mm],
     )
-    # summary is metadata-scale (~#days rows): the constant partition
-    # key makes the deliberate single-partition window explicit and
-    # keeps WindowExec from warning about the big-table case
-    meta_key = single_partition_key("__day")
-    w_prev = (
-        Window.partitionBy(meta_key)
-        .orderBy("__day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_next = (
-        Window.partitionBy(meta_key)
-        .orderBy("__day")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    w_all = Window.partitionBy(meta_key).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # Window expressions as single parsed strings (one py4j round-trip
+    # each instead of ~4): this select alone was ~200 ms of plan
+    # construction with the Column-chain form.  The pmod(hash(...), 1)
+    # key is single_partition_key's non-foldable constant (metadata-
+    # scale frame, deliberate single partition — see functions/).
+    meta = "PARTITION BY pmod(hash(__day), 1)"
+    w_prev = f"OVER ({meta} ORDER BY __day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    w_next = f"OVER ({meta} ORDER BY __day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    w_all = f"OVER ({meta} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     carry = summary.select(
         "__day",
         *[
-            F.last(f"__last_{c}", ignorenulls=True).over(w_prev).alias(f"__carry_{c}")
+            F.expr(f"last(`__last_{c}`, true) {w_prev}").alias(f"__carry_{c}")
             for c in cols
         ],
         *[
-            F.first(f"__first_{c}", ignorenulls=True)
-            .over(w_next)
-            .alias(f"__lead_{c}")
+            F.expr(f"first(`__first_{c}`, true) {w_next}").alias(f"__lead_{c}")
             for c in cols
         ],
-        *[F.min(f"__dmin_{c}").over(w_all).alias(f"__lo_{c}") for c in mm],
-        *[F.max(f"__dmax_{c}").over(w_all).alias(f"__hi_{c}") for c in mm],
+        *[F.expr(f"min(`__dmin_{c}`) {w_all}").alias(f"__lo_{c}") for c in mm],
+        *[F.expr(f"max(`__dmax_{c}`) {w_all}").alias(f"__hi_{c}") for c in mm],
     )
 
     joined = with_day.join(F.broadcast(carry), "__day")
     # Running frames only (asc for ffill, desc for bfill): O(n) incremental
     # evaluation; an UNBOUNDED FOLLOWING first(ignorenulls) frame is O(n²).
     w_back = (
-        Window.partitionBy("__day")
-        .orderBy(F.col(ts_col).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+        f"OVER (PARTITION BY __day ORDER BY `{ts_col}` ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     w_rev = (
-        Window.partitionBy("__day")
-        .orderBy(F.col(ts_col).desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+        f"OVER (PARTITION BY __day ORDER BY `{ts_col}` DESC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     keep = [c for c in with_day.columns if c not in cols and c != "__day"]
     mm_cols = [f"__lo_{c}" for c in mm] + [f"__hi_{c}" for c in mm]
@@ -200,9 +188,8 @@ def ffill_bfill_scalable(
         *mm_cols,
         *[F.col(f"__lead_{c}") for c in cols],
         *[
-            F.coalesce(
-                F.last(c, ignorenulls=True).over(w_back),
-                F.col(f"__carry_{c}"),
+            F.expr(
+                f"coalesce(last(`{c}`, true) {w_back}, `__carry_{c}`)"
             ).alias(c)
             for c in cols
         ],
@@ -212,9 +199,8 @@ def ffill_bfill_scalable(
         "__day",
         *mm_cols,
         *[
-            F.coalesce(
-                F.last(c, ignorenulls=True).over(w_rev),
-                F.col(f"__lead_{c}"),
+            F.expr(
+                f"coalesce(last(`{c}`, true) {w_rev}, `__lead_{c}`)"
             ).alias(c)
             for c in cols
         ],

@@ -82,15 +82,24 @@ def minmax_project(df: DataFrame, cols: list[str]) -> DataFrame:
     separate fit aggregation.  Same sklearn semantics as
     :func:`minmax_transform` (constant column -> 0.0).
     """
-    out = df
-    for c in cols:
-        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
-        scaled = F.when(hi == lo, F.col(c) - lo).otherwise(
-            (F.col(c) - lo) / (hi - lo)
-        )
-        out = out.withColumn(c, scaled)
-    return out.drop(
-        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    # one select with one parsed expression per scaled column: the
+    # withColumn-per-column form re-analyzes the growing plan each
+    # iteration (~190 ms of construction latency for 7 features)
+    drop = {f"__lo_{c}" for c in cols} | {f"__hi_{c}" for c in cols}
+    scaled = {
+        c: F.expr(
+            f"CASE WHEN `__hi_{c}` = `__lo_{c}` THEN `{c}` - `__lo_{c}`"
+            f" ELSE (`{c}` - `__lo_{c}`) / (`__hi_{c}` - `__lo_{c}`)"
+            f" END"
+        ).alias(c)
+        for c in cols
+    }
+    return df.select(
+        *[
+            scaled.get(c, c)
+            for c in df.columns
+            if c not in drop
+        ]
     )
 
 

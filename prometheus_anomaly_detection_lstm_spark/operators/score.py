@@ -44,14 +44,17 @@ def row_error(
     exactly reproducible affine map so the oracle can recompute the MSE
     in pure SQL.
     """
-    sq_errs = [
-        F.pow(F.col(c) - clip01(F.col(c) * a + b), F.lit(2.0))
+    # whole scorer as ONE parsed expression: a per-feature Column chain
+    # is ~7 py4j round-trips per feature (~90 ms of plan-construction
+    # latency per query submission); the SQL string is one
+    terms = " + ".join(
+        f"power(`{c}` - least(greatest(`{c}` * {a!r}D + {b!r}D, 0.0D),"
+        f" 1.0D), 2.0D)"
         for c in feature_cols
-    ]
-    total = sq_errs[0]
-    for e in sq_errs[1:]:
-        total = total + e
-    return df.withColumn(err_col, total / F.lit(float(len(feature_cols))))
+    )
+    return df.withColumn(
+        err_col, F.expr(f"({terms}) / {float(len(feature_cols))!r}D")
+    )
 
 
 def window_mse(

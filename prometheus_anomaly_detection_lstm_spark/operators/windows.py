@@ -109,11 +109,17 @@ def bucket_assign(
     # CONTENT unchanged)
     tie = F.hash(*[F.col(c) for c in with_day.columns])
     w_in_day = Window.partitionBy("__day").orderBy(ts_col, tie)
+    base_cols = with_day.columns
+    # single select fuses rank -> global index -> column pruning: every
+    # extra withColumn/drop on the (potentially deep) input plan is a
+    # full re-analysis pass — construction latency, not execution
     ranked = (
         with_day.withColumn("__rk", F.row_number().over(w_in_day))
         .join(F.broadcast(summary), "__day")
-        .withColumn("__g", F.col("__offset") + F.col("__rk") - 1)
-        .drop("__rk", "__n", "__offset")
+        .select(
+            *base_cols,
+            (F.col("__offset") + F.col("__rk") - 1).alias("__g"),
+        )
     )
 
     # Coverage mapping built summary x summary (days x days, broadcast,
@@ -143,16 +149,19 @@ def bucket_assign(
         (F.col("__cov_hi") > F.col("__src_offset"))
         & (F.col("__cov_lo") < F.col("__src_end")),
     ).select("src_day", "__bucket", "__cov_lo", "__cov_hi")
-    return (
-        ranked.join(
-            F.broadcast(mapping), ranked["__day"] == mapping["src_day"]
-        )
-        .filter(
-            (F.col("__g") >= F.col("__cov_lo"))
-            & (F.col("__g") < F.col("__cov_hi"))
-        )
-        .withColumn("__is_native", F.col("__day") == F.col("__bucket"))
-        .drop("__cov_lo", "__cov_hi", "__day", "src_day")
+    # equi key + range bounds in ONE join condition: Catalyst still
+    # plans the broadcast HASH join on the day key and evaluates the
+    # range bounds as the join's post-condition (same physical plan as
+    # join->filter, two fewer plan-construction passes)
+    return ranked.join(
+        F.broadcast(mapping),
+        (ranked["__day"] == mapping["src_day"])
+        & (F.col("__g") >= F.col("__cov_lo"))
+        & (F.col("__g") < F.col("__cov_hi")),
+    ).select(
+        *[c for c in ranked.columns if c != "__day"],
+        "__bucket",
+        (F.col("__day") == F.col("__bucket")).alias("__is_native"),
     )
 
 
