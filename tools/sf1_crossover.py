@@ -40,15 +40,14 @@ KEYED = {
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
 OFF = 1_000_000_000
 
-#: headline queries timed on the DuckDB side (same basket as bench.py,
-#: minus pipeline_prep which has no standalone oracle — its work is
-#: inside the anomaly_mse/minmax_scaled oracle CTEs, so the DuckDB side
-#: pays the prep cost inside those timings; the Spark total for the
-#: comparison therefore folds pipeline_prep+anomaly_mse together).
+#: standalone headline queries timed on the DuckDB side from their
+#: registry oracles verbatim.  The four pipeline-derived entries are
+#: timed separately (see ``duck``) through a shared materialized prep
+#: table — the EXACT shape bench.py times on the Spark side (prep
+#: persists once; mse/minmax/split consume the cache), so every basket
+#: line is now apples-to-apples including pipeline_prep (round-4
+#: verdict task 5: prep and mse were previously conflated).
 DUCK_QUERIES = [
-    "anomaly_mse",
-    "minmax_scaled",
-    "threshold_split",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -94,32 +93,83 @@ def gen() -> None:
         print(f"{name}: x{MULT} written", flush=True)
 
 
-def duck() -> None:
+def duck(src: str = OUT_DIR, sf: float = 1.0) -> None:
     import duckdb
 
     import __spark_entry__ as E
+    from prometheus_anomaly_detection_lstm_spark import oracles as O
 
     oracles = E.oracle_sql()
     con = duckdb.connect()
     for t in COPY_AS_IS + list(KEYED):
+        glob = "/*.parquet" if os.path.isdir(f"{src}/{t}.parquet") else ""
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{OUT_DIR}/{t}.parquet/*.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{src}/{t}.parquet{glob}'"
         )
     timings: dict[str, float] = {}
-    for name in DUCK_QUERIES:
-        sql = oracles[name]
+
+    def best_of(name: str, run) -> None:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            run()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"{name}: {timings[name]}", flush=True)
+
+    # ---- shared pipeline, bench.py's exact shape: materialize the
+    # aligned->filled->scaled frame ONCE, then the three consumers
+    # read the materialization (Spark persists; DuckDB temp-tables)
+    prep_sql = O.pipeline_prefix("scaled") + "\nSELECT * FROM scaled"
+    mse_from_prep = (
+        "WITH "
+        + O.ERR_CTE.replace("FROM scaled", "FROM __prep")
+        + ",\n"
+        + O.WIN_CTE
+        + f"\nSELECT window_id, ts AS start_ts, round(mse, 8) AS mse"
+        f" FROM win WHERE cnt = {O.L}"
+    )
+    minmax_from_prep = (
+        "SELECT ts, "
+        + ", ".join(f"round({c}, 6) AS {c}" for c in O.FEATURES)
+        + " FROM __prep"
+    )
+    split_from_prep = (
+        "WITH "
+        + O.ERR_CTE.replace("FROM scaled", "FROM __prep")
+        + ",\n"
+        + O.WIN_CTE
+        + f""",
+flags AS (
+  SELECT CAST(mse > {O.ANOMALY_THRESHOLD} AS BIGINT) AS is_anomaly
+  FROM win WHERE cnt = {O.L}
+)
+SELECT is_anomaly, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct
+FROM flags GROUP BY 1"""
+    )
+
+    def make_prep():
+        con.execute("DROP TABLE IF EXISTS __prep")
+        con.execute(f"CREATE TEMP TABLE __prep AS {prep_sql}")
+
+    best_of("pipeline_prep", make_prep)
+    best_of("anomaly_mse", lambda: con.execute(mse_from_prep).fetchall())
+    best_of(
+        "minmax_scaled", lambda: con.execute(minmax_from_prep).fetchall()
+    )
+    best_of(
+        "threshold_split", lambda: con.execute(split_from_prep).fetchall()
+    )
+
+    for name in DUCK_QUERIES:
+        sql = oracles[name]
+        best_of(name, lambda sql=sql: con.execute(sql).fetchall())
     print(
         json.dumps(
             {
                 "engine": "duckdb",
-                "sf": 1.0,
+                "sf": sf,
                 "value": round(sum(timings.values()), 3),
                 "queries": timings,
             }
@@ -128,4 +178,14 @@ def duck() -> None:
 
 
 if __name__ == "__main__":
-    {"gen": gen, "duck": duck}[sys.argv[1]]()
+    cmd = sys.argv[1]
+    if cmd == "gen":
+        gen()
+    elif cmd == "duck":
+        duck()
+    elif cmd == "duck0.1":
+        # same basket against the sf0.1 source tables (single-file
+        # parquet) — the anchor row for the growth comparison
+        duck(src=SRC, sf=0.1)
+    else:
+        raise SystemExit(f"unknown command {cmd}")
