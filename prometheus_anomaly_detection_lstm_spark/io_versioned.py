@@ -78,7 +78,9 @@ def read_manifest(table: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _commit(table: str, df: DataFrame, op: str) -> int:
+def _commit(
+    table: str, df: DataFrame, op: str, meta: dict | None = None
+) -> int:
     versions = list_versions(table)
     version = (versions[-1] if versions else 0) + 1
     commit_dir = os.path.join(table, _DATA_DIR, f"c{version:05d}")
@@ -103,6 +105,7 @@ def _commit(table: str, df: DataFrame, op: str) -> int:
         "op": op,
         "committed_at": time.time(),
         "files": carried + new_files,
+        **(meta or {}),
     }
     final = _manifest_path(table, version)
     os.makedirs(os.path.dirname(final), exist_ok=True)
@@ -113,9 +116,13 @@ def _commit(table: str, df: DataFrame, op: str) -> int:
     return version
 
 
-def commit_append(df: DataFrame, table: str) -> int:
-    """New version = parent's files + this frame's files."""
-    return _commit(table, df, "append")
+def commit_append(
+    df: DataFrame, table: str, meta: dict | None = None
+) -> int:
+    """New version = parent's files + this frame's files.  ``meta``
+    key/values land in the manifest (e.g. the streaming ingest's
+    transactional (app, batch) idempotence token)."""
+    return _commit(table, df, "append", meta)
 
 
 def commit_overwrite(df: DataFrame, table: str) -> int:

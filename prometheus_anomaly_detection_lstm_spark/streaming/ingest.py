@@ -55,6 +55,66 @@ def start_lake_ingest(
     return writer.start()
 
 
+def committed_batches(table: str, app_id: str) -> set[int]:
+    """Epoch ids already durably committed to the versioned table by
+    ingest app ``app_id`` (scanned from the manifests — the manifests
+    ARE the transaction log)."""
+    from ..io_versioned import list_versions, read_manifest
+
+    out: set[int] = set()
+    for v in list_versions(table):
+        m = read_manifest(table, v)
+        if m.get("app") == app_id and m.get("batch") is not None:
+            out.add(int(m["batch"]))
+    return out
+
+
+def start_versioned_ingest(
+    source: DataFrame,
+    table: str,
+    checkpoint: str,
+    app_id: str,
+    trigger_available_now: bool = True,
+):
+    """Stream -> VERSIONED lake: each microbatch becomes one manifest
+    commit (`io_versioned.commit_append`), so live data gets the full
+    snapshot story — time travel to any batch boundary,
+    ``snapshot_diff`` as exact per-batch CDC, ``vacuum`` for retention.
+
+    Exactly-once is WRITER-side here (stronger than
+    :func:`start_lake_ingest`'s reader-side dedup): every commit's
+    manifest records the (``app``, ``batch``) transaction token, and a
+    replayed ``foreachBatch`` (crash between commit and checkpoint
+    advance, or a full re-run over the same source with the same
+    ``app_id``) finds its epoch already committed and SKIPS — the
+    Delta ``txnAppId``/``txnVersion`` idempotent-writer pattern on the
+    JSON-manifest lake.  ``app_id`` names the logical ingest pipeline;
+    epoch ids are only unique within one checkpoint lineage, so the
+    token must carry both.
+
+    At 100 TB: a commit appends only the microbatch's files to the
+    manifest (KBs of JSON); the replay check reads manifests, not
+    data.
+    """
+    from ..io_versioned import commit_append
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_batches(table, app_id):
+            return  # replayed batch: already durable, skip
+        commit_append(
+            df.withColumn("__batch", F.lit(epoch_id)),
+            table,
+            meta={"app": app_id, "batch": epoch_id},
+        )
+
+    writer = source.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_ingested(
     spark: SparkSession, path: str, key_cols: list[str] | None = None
 ) -> DataFrame:
