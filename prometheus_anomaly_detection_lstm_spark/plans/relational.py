@@ -62,15 +62,18 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
 
-def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: fact-fact join + broadcast dim filter + agg."""
-    cust = _t(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = _t(spark, sf_dir, "orders").filter(
+def tpch_q3_core(
+    li: DataFrame, orders: DataFrame, cust: DataFrame
+) -> DataFrame:
+    """Q3 logic over caller-provided frames: lets a bucketed/pre-
+    partitioned lake layout route through the IDENTICAL plan logic
+    (tests/test_bucketed_tpch.py pins that an orderkey-bucketed layout
+    drops both fact-side exchanges with the same answer)."""
+    cust = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = orders.filter(
         F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-03-15 00:00:00'")
     )
-    li = _t(spark, sf_dir, "lineitem").filter(
+    li = li.filter(
         F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-03-15 00:00:00'")
     )
     return (
@@ -88,6 +91,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-fact join + broadcast dim filter + agg."""
+    return tpch_q3_core(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
 ORACLE_TPCH_Q3 = """SELECT l_orderkey, o_orderdate, o_orderpriority,
        round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
 FROM lineitem
@@ -99,14 +111,15 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority"""
 
 
-def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join, dims broadcast, one fact shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
+def tpch_q5_core(
+    li: DataFrame,
+    orders: DataFrame,
+    cust: DataFrame,
+    supp: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Q5 logic over caller-provided frames (see :func:`tpch_q3_core`)."""
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         # supplier/customer are SF-proportional — unhinted (AQE gates
@@ -122,6 +135,18 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("revenue")
         )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, dims broadcast, one fact shuffle."""
+    return tpch_q5_core(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
     )
 
 
