@@ -849,3 +849,107 @@ QUERIES["embedding_random_projection"] = (
     q_random_projection,
     ORACLE_RANDOM_PROJECTION,
 )
+
+
+# ------------------------------------------------------------------
+# Matryoshka truncation eval (MRL-style dimension-ablation retrieval)
+
+MATRYOSHKA_DIM = 32  # keep the first half of the 64-dim embeddings
+
+
+def matryoshka_overlap_eval(
+    emb: DataFrame,
+    trunc_dim: int = MATRYOSHKA_DIM,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Retrieval-quality eval for PREFIX-truncated embeddings
+    (Matryoshka Representation Learning deployment question: how much
+    top-k overlap survives serving vectors at half the dimension?).
+
+    Runs exact cosine top-k twice — full vectors and ``slice(vec, 1,
+    trunc_dim)`` — then reports ONE row: (trunc_dim, n_queries, k,
+    mean_overlap) where overlap = |topk_full ∩ topk_trunc| / k per
+    query, averaged.  A left join from the full top-k counts hits so
+    queries with zero surviving neighbors still average in.
+
+    Scale shape: both top-k subtrees are the existing
+    :func:`cosine_topk` plan (broadcast query side, map-side dot
+    products, per-query window); the overlap join is top-k-scale
+    (n_queries × k rows).  No reference counterpart (no embedding
+    surface in the reference); eval design per Kusupati et al.,
+    "Matryoshka Representation Learning".
+    """
+    full = cosine_topk(emb, n_queries, k).select("q_id", "c_id")
+    trunc_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, trunc_dim).alias("embedding")
+    )
+    trunc = (
+        cosine_topk(trunc_emb, n_queries, k)
+        .select("q_id", "c_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    per_q = (
+        full.join(trunc, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg((F.sum(F.coalesce("__hit", F.lit(0))) / F.lit(float(k))).alias("overlap"))
+    )
+    return per_q.agg(
+        F.lit(trunc_dim).cast("bigint").alias("trunc_dim"),
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.round(F.avg("overlap"), 6).alias("mean_overlap"),
+    )
+
+
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_overlap_eval(_emb(spark, sf_dir))
+
+
+def _topk_cte(vec_expr: str, alias: str) -> str:
+    return f"""{alias}_v AS (
+  SELECT vec_id, {vec_expr} AS vec,
+         sqrt(list_dot_product({vec_expr}, {vec_expr})) AS norm
+  FROM embeddings
+),
+{alias}_pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cosine
+  FROM {alias}_v q, {alias}_v c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    AND list_dot_product(q.vec, c.vec) / (q.norm * c.norm) IS NOT NULL
+),
+{alias} AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, c_id ASC) AS rk
+    FROM {alias}_pairs
+  ) WHERE rk <= {TOP_K}
+)"""
+
+
+ORACLE_MATRYOSHKA = (
+    "WITH "
+    + _topk_cte("embedding::DOUBLE[]", "full_k")
+    + ",\n"
+    + _topk_cte(
+        f"list_slice(embedding::DOUBLE[], 1, {MATRYOSHKA_DIM})", "trunc_k"
+    )
+    + f""",
+per_q AS (
+  SELECT f.q_id,
+         sum(CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END) / {float(TOP_K)}
+           AS overlap
+  FROM full_k f
+  LEFT JOIN trunc_k t ON f.q_id = t.q_id AND f.c_id = t.c_id
+  GROUP BY f.q_id
+)
+SELECT CAST({MATRYOSHKA_DIM} AS BIGINT) AS trunc_dim,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({TOP_K} AS BIGINT) AS k,
+       round(avg(overlap), 6) AS mean_overlap
+FROM per_q"""
+)
+
+QUERIES["embedding_matryoshka_eval"] = (q_matryoshka_eval, ORACLE_MATRYOSHKA)

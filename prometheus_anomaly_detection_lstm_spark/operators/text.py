@@ -13,6 +13,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import single_partition_key
 from ..io_tables import load_table
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -878,3 +879,136 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_ngram_novelty"] = (q_ngram_novelty, ORACLE_NGRAM_NOVELTY)
+
+
+# ------------------------------------------------------------------
+# BM25 retrieval (Okapi BM25 top-k over an inverted-index shape)
+
+#: fixed benchmark query: one rare discriminative term + two common
+#: ones — exercises the idf spread of the synthetic vocabulary.
+BM25_QUERY_TERMS = ["dup", "hash", "scan"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a fixed term set.
+
+    score(D, Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene/Okapi
+    non-negative form).  Output (doc_id, score, rk), rk ≤ k,
+    deterministic tie-break by doc_id.
+
+    Scale shape — the inverted-index discipline end-to-end:
+    - the token stream is filtered to the QUERY TERMS before any
+      shuffle (an IN-list map filter — at 100 TB the posting lists for
+      a handful of terms are a vanishing fraction of the corpus);
+    - tf is one keyed agg over the filtered postings; df is a
+      term-count agg over tf (|terms| rows);
+    - N + avgdl come from ONE corpus-level agg (a single row,
+      broadcast);
+    - the final top-k is a window over scored docs ordered by score —
+      candidates are only docs containing ≥1 query term, never the
+      corpus.
+    No reference counterpart (the reference has no text surface);
+    standard Okapi BM25 per Robertson & Zaragoza.
+    """
+    terms = BM25_QUERY_TERMS if terms is None else terms
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    postings = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("dl"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    tf = postings.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_counts.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "avgdl",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(single_partition_key("doc_id")).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "score", "rk")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf_dir))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+ORACLE_BM25 = f"""WITH stats AS (
+  SELECT count(*) AS n_docs,
+         avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, dl, term FROM (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) WHERE term IN ({_BM25_TERMS_SQL})
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM postings GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+         avgdl
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats
+),
+scored AS (
+  SELECT doc_id,
+         round(sum(idf * (tf * ({BM25_K1} + 1.0)) /
+                   (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))), 6)
+           AS score
+  FROM tf JOIN idf USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+FROM scored QUALIFY rk <= {BM25_TOP_K}"""
+
+QUERIES["text_bm25_topk"] = (q_bm25_topk, ORACLE_BM25)

@@ -28,6 +28,8 @@ from .conftest import SF_SMALL
 BNLJ_SCALAR_BROADCASTS = {
     "ann_cosine_topk",          # query block vs corpus: bounded n_queries
     "ann_cosine_topk_ivf",      # centroid table (n_lists rows)
+    "embedding_matryoshka_eval",  # two cosine_topk query blocks (bounded)
+    "text_bm25_topk",           # one-row (n_docs, avgdl) corpus stats
     "anomaly_flags",            # scaler params + threshold scalars
     "anomaly_intervals",        # same flags subtree (episode rollup)
     "anomaly_mse",              # scaler params + window count scalar
