@@ -1049,3 +1049,71 @@ QUERIES["dedup_minhash_recall_eval"] = (
     q_minhash_recall_eval,
     ORACLE_MINHASH_RECALL,
 )
+
+
+# ------------------------------------------------------------------
+# Edit-distance near-dup (banded candidates + Levenshtein verify)
+
+EDIT_MAX_HAMMING = 7
+EDIT_MAX_DIST = 40
+
+
+def edit_distance_near_dups(
+    docs: DataFrame,
+    max_hamming: int = EDIT_MAX_HAMMING,
+    max_edit: int = EDIT_MAX_DIST,
+) -> DataFrame:
+    """Near-duplicate pairs by CHARACTER edit distance — the fuzzy-dup
+    family member for small in-place corruptions (OCR noise, diff-sized
+    boilerplate) that token-set Jaccard under-weights.
+
+    Candidates come from the existing 16-bit SimHash pigeonhole
+    banding at Hamming <= ``max_hamming`` (8 bands x 2 bits: COMPLETE
+    for that radius, never n²), then a length prefilter
+    (|len_a − len_b| > d ⇒ dist > d, a free metric bound) guards the
+    O(len²) Levenshtein DP so it only runs on plausible pairs.  Output
+    (doc_a, doc_b, edit_dist).
+
+    The SimHash gate bounds RECALL like every banded dedup here: a pair
+    within ``max_edit`` but beyond Hamming ``max_hamming`` on the
+    shingle fingerprint is not produced.  The oracle applies the SAME
+    two predicates on brute-forced fingerprints, so the result is
+    answer-identical across engines by construction.
+    """
+    pairs = simhash_near_pairs(docs, max_hamming).select("doc_a", "doc_b")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            F.abs(F.length("text_a") - F.length("text_b")) <= max_edit
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein("text_a", "text_b").cast("bigint")
+        )
+        .filter(F.col("edit_dist") <= max_edit)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+def q_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edit_distance_near_dups(_docs(spark, sf_dir))
+
+
+ORACLE_EDIT_DISTANCE = f"""WITH fp AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+FROM fp a
+JOIN fp b ON a.doc_id < b.doc_id
+JOIN documents da ON da.doc_id = a.doc_id
+JOIN documents db ON db.doc_id = b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {EDIT_MAX_HAMMING}
+  AND abs(len(da.text) - len(db.text)) <= {EDIT_MAX_DIST}
+  AND levenshtein(da.text, db.text) <= {EDIT_MAX_DIST}"""
+
+QUERIES["dedup_edit_distance"] = (q_edit_distance_dups, ORACLE_EDIT_DISTANCE)
