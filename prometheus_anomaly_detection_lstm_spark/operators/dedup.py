@@ -1054,49 +1054,74 @@ QUERIES["dedup_minhash_recall_eval"] = (
 # ------------------------------------------------------------------
 # Edit-distance near-dup (banded candidates + Levenshtein verify)
 
-EDIT_MAX_HAMMING = 7
 EDIT_MAX_DIST = 40
 
 
 def edit_distance_near_dups(
-    docs: DataFrame,
-    max_hamming: int = EDIT_MAX_HAMMING,
-    max_edit: int = EDIT_MAX_DIST,
+    docs: DataFrame, max_edit: int = EDIT_MAX_DIST
 ) -> DataFrame:
     """Near-duplicate pairs by CHARACTER edit distance — the fuzzy-dup
     family member for small in-place corruptions (OCR noise, diff-sized
     boilerplate) that token-set Jaccard under-weights.
 
-    Candidates come from the existing 16-bit SimHash pigeonhole
-    banding at Hamming <= ``max_hamming`` (8 bands x 2 bits: COMPLETE
-    for that radius, never n²), then a length prefilter
-    (|len_a − len_b| > d ⇒ dist > d, a free metric bound) guards the
-    O(len²) Levenshtein DP so it only runs on plausible pairs.  Output
-    (doc_a, doc_b, edit_dist).
+    Candidates come from the MINHASH banded-LSH generator (the same
+    signature machinery as ``dedup_minhash_lsh`` — growth-measured
+    ~2-3x wall for 10x docs): a small character edit budget implies
+    high shingle-set overlap (a ~{d}-char edit touches at most ~d/5
+    tokens, i.e. ~3·d/5 of ~n shingles), so band collisions capture
+    the same pairs a fingerprint gate would.  A length prefilter
+    (|len_a − len_b| > d ⇒ dist > d, a free metric bound) then guards
+    the O(len²) Levenshtein DP so it only runs on plausible pairs.
+    Output (doc_a, doc_b, edit_dist).
 
-    The SimHash gate bounds RECALL like every banded dedup here: a pair
-    within ``max_edit`` but beyond Hamming ``max_hamming`` on the
-    shingle fingerprint is not produced.  The oracle applies the SAME
-    two predicates on brute-forced fingerprints, so the result is
-    answer-identical across engines by construction.
+    TWO earlier candidate gates were built and KILLED by their own
+    growth/measurement runs: 16-bit SimHash at Hamming <= 7 (2-bit
+    bands -> 4 buckets/band -> quadratic candidate volume, the 10x
+    step ran past a 30-minute timeout) and Hamming <= 3 (4-bit bands
+    -> 22.6 s at 1x because millions of colliding NON-similar pairs
+    reach the DP).  The banded-minhash gate has bucket space that
+    grows with the corpus's shingle diversity, not a fixed 16-bit
+    space — the property that keeps candidates near-linear.
+
+    The LSH gate bounds RECALL like every banded dedup here (25 of 32
+    true pairs at sf0.01 — on par with the fingerprint gates).  The
+    oracle applies the IDENTICAL candidate predicate (same sliced-md5
+    signature family in SQL), so the result is answer-identical
+    across engines by construction.
     """
-    pairs = simhash_near_pairs(docs, max_hamming).select("doc_a", "doc_b")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    # The text sides carry `merge` hints: they are corpus-proportional
+    # (full document text), so at scale a broadcast is impossible and
+    # the sort-merge join is the ONLY plan — and locally, letting AQE
+    # broadcast them puts the whole DP stage onto the skinny candidate
+    # stream, which AQE's partition coalescing then collapses to a
+    # handful of tasks (measured 47.6 s vs 8.7 s at 4x growth scale:
+    # the Levenshtein work serialized).  The hint enforces the
+    # at-scale shape everywhere.
     a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
-    )
+    ).hint("merge")
     b = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
-    )
+    ).hint("merge")
     return (
-        pairs.join(a, "doc_a")
+        cands.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(
             F.abs(F.length("text_a") - F.length("text_b")) <= max_edit
         )
+        # THRESHOLDED levenshtein: the banded DP is O(d·n) instead of
+        # O(n²) per pair (~25x at d=40 on ~1 kB texts — measured: the
+        # DP stage dominated the growth run before this).  Returns -1
+        # past the threshold, so the filter keeps [0, max_edit] — the
+        # exact row set the oracle's unthresholded form retains.
         .withColumn(
-            "edit_dist", F.levenshtein("text_a", "text_b").cast("bigint")
+            "edit_dist",
+            F.levenshtein("text_a", "text_b", max_edit).cast("bigint"),
         )
-        .filter(F.col("edit_dist") <= max_edit)
+        .filter(
+            (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_edit)
+        )
         .select("doc_a", "doc_b", "edit_dist")
     )
 
@@ -1105,15 +1130,26 @@ def q_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_near_dups(_docs(spark, sf_dir))
 
 
-ORACLE_EDIT_DISTANCE = f"""WITH fp AS ({_simhash_sql()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+ORACLE_EDIT_DISTANCE = f"""WITH {_shingle_cte()},
+sigs AS (
+  SELECT doc_id, {_sig_cols()}
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+{_band_select()}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
        CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
-FROM fp a
-JOIN fp b ON a.doc_id < b.doc_id
-JOIN documents da ON da.doc_id = a.doc_id
-JOIN documents db ON db.doc_id = b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {EDIT_MAX_HAMMING}
-  AND abs(len(da.text) - len(db.text)) <= {EDIT_MAX_DIST}
+FROM cands c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+WHERE abs(len(da.text) - len(db.text)) <= {EDIT_MAX_DIST}
   AND levenshtein(da.text, db.text) <= {EDIT_MAX_DIST}"""
 
 QUERIES["dedup_edit_distance"] = (q_edit_distance_dups, ORACLE_EDIT_DISTANCE)
