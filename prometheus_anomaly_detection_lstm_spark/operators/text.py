@@ -1012,3 +1012,252 @@ SELECT doc_id, score,
 FROM scored QUALIFY rk <= {BM25_TOP_K}"""
 
 QUERIES["text_bm25_topk"] = (q_bm25_topk, ORACLE_BM25)
+
+
+# ------------------------------------------------------------------
+# Multinomial Naive Bayes classifier (train + score in one DAG)
+
+#: held-out fold: doc_id % NB_FOLD_MOD == 0 scores, the rest trains.
+NB_FOLD_MOD = 5
+NB_POS_LANG = "en"
+
+
+def nb_train_score(docs: DataFrame, pos_lang: str = NB_POS_LANG) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — the classic
+    fasttext-shaped quality/label classifier of LLM data pipelines
+    (CCNet, GPT-3 quality filtering), trained AND applied in one
+    Catalyst DAG.
+
+    Labels are intrinsic (``lang == pos_lang``); docs with
+    ``doc_id % NB_FOLD_MOD != 0`` train, the rest are scored held-out.
+    Laplace-smoothed per-token log-likelihood ratios; unseen tokens
+    contribute the smoothed-only ratio ln((tot_neg+V)/(tot_pos+V)).
+    Output (doc_id, nb_score, pred_pos, is_pos) for the held-out fold.
+
+    Scale shape — the model is VOCABULARY-scale, the data is not:
+    - one keyed agg over the train token stream builds per-term class
+      counts; totals and priors are single-row aggs (broadcast);
+    - the model table broadcasts into the held-out token stream
+      (at 100 TB the vocabulary is MBs while the corpus is TBs — the
+      same inverted-index discipline as BM25/TF-IDF here);
+    - scoring is one keyed agg per held-out doc.  No global sort, no
+      iteration, nothing corpus-scale ever sits on the driver.
+    No reference counterpart (the reference has no text surface).
+    """
+    is_pos = (F.col("lang") == pos_lang).cast("bigint")
+    toks = docs.select(
+        "doc_id",
+        is_pos.alias("is_pos"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    train_toks = toks.filter(F.col("doc_id") % NB_FOLD_MOD != 0)
+
+    counts = train_toks.groupBy("term").agg(
+        F.sum("is_pos").alias("n_pos"),
+        (F.count("*") - F.sum("is_pos")).alias("n_neg"),
+    )
+    stats = counts.agg(
+        F.sum("n_pos").alias("tot_pos"),
+        F.sum("n_neg").alias("tot_neg"),
+        F.count("*").alias("vocab"),
+    )
+    model = counts.crossJoin(F.broadcast(stats)).select(
+        "term",
+        (
+            F.log((F.col("n_pos") + 1.0) / (F.col("tot_pos") + F.col("vocab")))
+            - F.log((F.col("n_neg") + 1.0) / (F.col("tot_neg") + F.col("vocab")))
+        ).alias("llr"),
+    )
+
+    test_toks = toks.filter(F.col("doc_id") % NB_FOLD_MOD == 0)
+    tok_llr = (
+        test_toks.join(F.broadcast(model), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("llr"),
+                F.log(
+                    (F.col("tot_neg") + F.col("vocab"))
+                    / (F.col("tot_pos") + F.col("vocab"))
+                ),
+            ).alias("llr_eff"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("llr_eff").alias("tok_llr"))
+    )
+
+    train_docs = docs.filter(F.col("doc_id") % NB_FOLD_MOD != 0)
+    priors = train_docs.agg(
+        F.sum(is_pos).alias("d_pos"),
+        (F.count("*") - F.sum(is_pos)).alias("d_neg"),
+    )
+    test_docs = docs.filter(F.col("doc_id") % NB_FOLD_MOD == 0).select(
+        "doc_id", is_pos.alias("is_pos")
+    )
+    return (
+        test_docs.join(tok_llr, "doc_id", "left")
+        .crossJoin(F.broadcast(priors))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("d_pos") + 1.0) / (F.col("d_neg") + 1.0))
+                + F.coalesce(F.col("tok_llr"), F.lit(0.0)),
+                6,
+            ).alias("nb_score"),
+            "is_pos",
+        )
+        .withColumn(
+            "pred_pos", (F.col("nb_score") > 0).cast("bigint")
+        )
+        .select("doc_id", "nb_score", "pred_pos", "is_pos")
+    )
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_train_score(_docs(spark, sf_dir))
+
+
+_NB_CORE_SQL = f"""toks AS (
+  SELECT doc_id, is_pos, term FROM (
+    SELECT doc_id,
+           CAST(lang = '{NB_POS_LANG}' AS BIGINT) AS is_pos,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+counts AS (
+  SELECT term, sum(is_pos) AS n_pos, count(*) - sum(is_pos) AS n_neg
+  FROM toks WHERE doc_id % {NB_FOLD_MOD} <> 0 GROUP BY term
+),
+stats AS (
+  SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg,
+         count(*) AS vocab
+  FROM counts
+),
+model AS (
+  SELECT term,
+         ln((n_pos + 1.0) / (tot_pos + vocab))
+           - ln((n_neg + 1.0) / (tot_neg + vocab)) AS llr
+  FROM counts, stats
+),
+tok_llr AS (
+  SELECT doc_id,
+         sum(coalesce(llr,
+             ln((tot_neg + vocab) * 1.0 / (tot_pos + vocab)))) AS tok_llr
+  FROM (SELECT * FROM toks WHERE doc_id % {NB_FOLD_MOD} = 0) t
+  LEFT JOIN model USING (term)
+  CROSS JOIN stats
+  GROUP BY doc_id
+),
+priors AS (
+  SELECT sum(CAST(lang = '{NB_POS_LANG}' AS BIGINT)) AS d_pos,
+         count(*) - sum(CAST(lang = '{NB_POS_LANG}' AS BIGINT)) AS d_neg
+  FROM documents WHERE doc_id % {NB_FOLD_MOD} <> 0
+),
+scored AS (
+  SELECT d.doc_id,
+         round(ln((d_pos + 1.0) / (d_neg + 1.0))
+               + coalesce(tok_llr, 0.0), 6) AS nb_score,
+         CAST(d.lang = '{NB_POS_LANG}' AS BIGINT) AS is_pos
+  FROM documents d
+  LEFT JOIN tok_llr USING (doc_id)
+  CROSS JOIN priors
+  WHERE d.doc_id % {NB_FOLD_MOD} = 0
+)"""
+
+ORACLE_NB = f"""WITH {_NB_CORE_SQL}
+SELECT doc_id, nb_score,
+       CAST(nb_score > 0 AS BIGINT) AS pred_pos, is_pos
+FROM scored"""
+
+QUERIES["text_nb_classifier"] = (q_nb_classifier, ORACLE_NB)
+
+
+# ------------------------------------------------------------------
+# Binned ROC-AUC evaluation of a score column vs a binary label
+
+#: score quantization for the binned ROC: 2 decimal places.  Exact
+#: Mann-Whitney AUC needs a GLOBAL rank of every score — a global sort
+#: that serializes at corpus scale.  Binning makes the ranking frame
+#: BOUNDED (one row per distinct bin), the standard scale treatment;
+#: ties within a bin get the mid-rank credit, so the statistic is the
+#: exact tie-aware AUC of the quantized scores.
+AUC_BIN_DECIMALS = 2
+
+
+def score_auc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Tie-aware binned ROC-AUC: P(score_pos > score_neg) + ½·P(=).
+
+    AUC = Σ_bins n_pos(bin) · (cum_neg_below(bin) + n_neg(bin)/2) / (P·N)
+    over ascending score bins — the Mann-Whitney rank-sum with average
+    ranks, computed from per-bin counts.  Output one row
+    (auc, n_pos, n_neg).
+
+    Scale shape: one keyed agg corpus→bins, then a window over the
+    BOUNDED bin frame (metadata-scale single partition, same pattern
+    as ``mse_histogram``); never a global sort of the data.
+    """
+    from pyspark.sql import Window as W
+
+    bins = (
+        scored.select(
+            F.round(F.col(score_col), AUC_BIN_DECIMALS).alias("bin"),
+            F.col(label_col).alias("is_pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_pos").alias("n_pos"),
+            (F.count("*") - F.sum("is_pos")).alias("n_neg"),
+        )
+    )
+    w = (
+        W.partitionBy(single_partition_key("bin"))
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = bins.withColumn(
+        "cum_neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    return ranked.agg(
+        F.round(
+            F.sum(
+                F.col("n_pos")
+                * (F.col("cum_neg_below") + F.col("n_neg") / 2.0)
+            )
+            / F.nullif(
+                (F.sum("n_pos") * F.sum("n_neg")).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+    )
+
+
+def q_nb_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the held-out Naive-Bayes scores vs the true labels."""
+    return score_auc(nb_train_score(_docs(spark, sf_dir)), "nb_score", "is_pos")
+
+
+ORACLE_NB_AUC = f"""WITH {_NB_CORE_SQL},
+bins AS (
+  SELECT round(nb_score, {AUC_BIN_DECIMALS}) AS bin,
+         sum(is_pos) AS n_pos, count(*) - sum(is_pos) AS n_neg
+  FROM scored GROUP BY 1
+),
+ranked AS (
+  SELECT n_pos, n_neg,
+         coalesce(sum(n_neg) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_neg_below
+  FROM bins
+)
+SELECT round(sum(n_pos * (cum_neg_below + n_neg / 2.0))
+             / nullif(CAST(sum(n_pos) * sum(n_neg) AS DOUBLE), 0.0), 6)
+         AS auc,
+       CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg
+FROM ranked"""
+
+QUERIES["text_nb_classifier_auc"] = (q_nb_classifier_auc, ORACLE_NB_AUC)

@@ -308,6 +308,7 @@ PRIORITY: list[str] = [
     "dedup_apply", "dedup_clusters",
     # ---- NEW in round 5 (first official rows) ----
     "text_bm25_topk", "embedding_matryoshka_eval", "dedup_edit_distance",
+    "text_nb_classifier", "text_nb_classifier_auc",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----

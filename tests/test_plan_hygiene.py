@@ -30,6 +30,8 @@ BNLJ_SCALAR_BROADCASTS = {
     "ann_cosine_topk_ivf",      # centroid table (n_lists rows)
     "embedding_matryoshka_eval",  # two cosine_topk query blocks (bounded)
     "text_bm25_topk",           # one-row (n_docs, avgdl) corpus stats
+    "text_nb_classifier",       # one-row vocab-totals + priors broadcasts
+    "text_nb_classifier_auc",   # same NB subtree under the AUC rollup
     "anomaly_flags",            # scaler params + threshold scalars
     "anomaly_intervals",        # same flags subtree (episode rollup)
     "anomaly_mse",              # scaler params + window count scalar
