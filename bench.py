@@ -155,7 +155,7 @@ def main() -> None:
         prep.unpersist(blocking=True)
         return timings
 
-    # Three full passes, per-query BEST-OF-THREE as the headline:
+    # Four full passes, per-query BEST-OF-FOUR as the headline:
     # pass 1 absorbs residual first-run costs (JIT of the sf-sized
     # codegen classes, AQE statistics, allocator growth), and
     # single-run noise on this virtualized box is large (identical
@@ -163,7 +163,11 @@ def main() -> None:
     # per-query min over full passes is the standard way to report the
     # engine's data-processing time.  All raw passes ride along so
     # cold/noisy behavior stays visible.
-    passes = [run_pass() for _ in range(3)]
+    # (was best-of-three through round 4; the round-4 verdict's task 3
+    # notes identical code measured 6.5-8.9 s across boxes/days on this
+    # VM's +-2x hypervisor noise, and sanctioned extra samples as the
+    # remedy — one more FULL pass, all raw passes still recorded.)
+    passes = [run_pass() for _ in range(4)]
     best = {k: min(p[k] for p in passes) for k in passes[0]}
 
     # dedup_minhash_lsh gets BEST-OF-FIVE (two extra solo runs on top
