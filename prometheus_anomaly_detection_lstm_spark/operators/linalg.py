@@ -307,3 +307,123 @@ def q_embedding_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterable-free closed-form fit, but the SOLVE has no SQL twin ->
 # rows-only driver check; numpy equality pinned in tests/test_linalg.py.
 QUERIES["embedding_ridge_fit"] = (q_embedding_ridge_fit, None)
+
+
+# --------------------------------------------- logistic regression (GD)
+
+#: fixed full-batch GD schedule for the registered probe query —
+#: deterministic by construction (no sampling, no early stop).
+LOGREG_ITERS = 25
+LOGREG_LR = 2.0
+LOGREG_LAMBDA = 1e-3
+
+
+def _logreg_grad_partials(d: int, label_col: str, w):
+    """Per-partition gradient partial: g = Xᵀ(σ(Xw) − y), plus the
+    partition's log-loss sum and row count.  Emits d+3 rows per
+    partition — shuffle volume independent of corpus size."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        wv = np.asarray(w, dtype=np.float64)
+        g = np.zeros(d + 1, dtype=np.float64)
+        loss = 0.0
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            x = np.hstack([np.ones((x.shape[0], 1)), x])
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            z = x @ wv
+            p = 1.0 / (1.0 + np.exp(-z))
+            g += x.T @ (p - y)
+            # numerically-stable log-loss: log(1+e^-|z|) + max(z,0) - z*y
+            loss += float(
+                np.sum(np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0) - z * y)
+            )
+            n += len(pdf)
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "i": list(range(d + 1)) + [-1, -2],
+                "v": list(g) + [loss, float(n)],
+            }
+        )
+
+    return gen
+
+
+def logreg_fit(
+    emb: DataFrame,
+    label_col: str = "y",
+    d: int = DIM,
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+    lam: float = LOGREG_LAMBDA,
+):
+    """Distributed binary logistic regression by full-batch gradient
+    descent — the fasttext-shaped quality/domain classifier training
+    step of LLM data pipelines, on frozen embedding features.
+
+    Each iteration is ONE distributed pass: every partition contributes
+    a (d+3)-row gradient/loss partial via Arrow ``mapInPandas`` (the
+    same shuffle-volume-independent-of-corpus-size shape as the
+    covariance/ridge operators — a 100-TB input moves kilobytes per
+    iteration), summed by one keyed agg; the (d+1)-dim weight update
+    runs on the driver (model-scale, not data-scale).  L2-penalized
+    (bias included, like ridge here), constant step — deterministic
+    given the schedule, so the numpy twin pins exactness in pytest.
+
+    The input is CACHED across iterations — on a cluster that is the
+    difference between scanning the corpus once vs ``iters`` times.
+    Returns (weights ndarray, per-iteration mean-loss list).
+    """
+    import numpy as np
+
+    feats = emb.select("embedding", label_col)
+    feats.persist()
+    try:
+        n_total = feats.count()  # also materializes the cache
+        w = np.zeros(d + 1, dtype=np.float64)
+        losses = []
+        for _ in range(iters):
+            rows = (
+                feats.mapInPandas(
+                    _logreg_grad_partials(d, label_col, w), "i long, v double"
+                )
+                .groupBy("i")
+                .agg(F.sum("v").alias("v"))
+                .collect()
+            )
+            vals = {r["i"]: r["v"] for r in rows}
+            g = np.array([vals[i] for i in range(d + 1)])
+            losses.append(vals[-1] / n_total)
+            w = w - lr * (g / n_total + lam * w)
+        return w, losses
+    finally:
+        feats.unpersist()
+
+
+def q_embedding_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe task: one-vs-rest on cluster 0 (deterministic intrinsic
+    target — a single cluster of unit vectors is linearly separated
+    from the rest by its centroid direction, so the fit converges:
+    mean log-loss drops ~0.69 -> ~0.34 on the synthetic geometry)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") == 0).cast("double").alias("y")
+    )
+    w, losses = logreg_fit(emb)
+    spark_rows = [
+        (int(i), float(round(v, 6))) for i, v in enumerate(w)
+    ] + [(-1, float(round(losses[-1], 6)))]
+    # dim -1 row carries the final mean log-loss (training telemetry).
+    return spark.createDataFrame(spark_rows, "dim int, weight double")
+
+
+# iterative GD has no SQL twin -> rows-only driver check; numpy
+# equality + partitioning invariance pinned in tests/test_promql.py.
+QUERIES["embedding_logreg_fit"] = (q_embedding_logreg_fit, None)

@@ -309,6 +309,7 @@ PRIORITY: list[str] = [
     # ---- NEW in round 5 (first official rows) ----
     "text_bm25_topk", "embedding_matryoshka_eval", "dedup_edit_distance",
     "text_nb_classifier", "text_nb_classifier_auc",
+    "embedding_logreg_fit",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----

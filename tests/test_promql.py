@@ -361,3 +361,56 @@ def test_vector_match_ratio_zero_denominator_and_match_semantics(spark):
     assert out["10:00"]["ratio"] == 0.5
     assert out["10:10"]["ratio"] is None
     assert "10:20" not in out
+
+
+def test_logreg_fit_matches_numpy(spark):
+    """Distributed full-batch GD == the identical numpy schedule."""
+    import numpy as np
+
+    from prometheus_anomaly_detection_lstm_spark.operators import linalg
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "embedding", (F.col("label") == 0).cast("double").alias("y")
+    )
+    got_w, got_losses = linalg.logreg_fit(emb)
+
+    pdf = emb.toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    x = np.hstack([np.ones((x.shape[0], 1)), x])
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    w = np.zeros(x.shape[1])
+    losses = []
+    for _ in range(linalg.LOGREG_ITERS):
+        z = x @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        losses.append(
+            float(np.mean(np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0) - z * y))
+        )
+        w = w - linalg.LOGREG_LR * (
+            x.T @ (p - y) / len(y) + linalg.LOGREG_LAMBDA * w
+        )
+    assert np.allclose(got_w, w, rtol=1e-7, atol=1e-9)
+    assert np.allclose(got_losses, losses, rtol=1e-7)
+    # the probe learns something: loss decreases materially from ln(2)
+    assert got_losses[-1] < 0.95 * got_losses[0]
+
+
+def test_logreg_fit_partitioning_invariant(spark):
+    import numpy as np
+
+    from prometheus_anomaly_detection_lstm_spark.operators import linalg
+    from prometheus_anomaly_detection_lstm_spark.io_tables import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "embedding", (F.col("label") == 0).cast("double").alias("y")
+    )
+    a, _ = linalg.logreg_fit(emb.repartition(1), iters=5)
+    b, _ = linalg.logreg_fit(emb.repartition(13), iters=5)
+    assert np.allclose(a, b, rtol=1e-9, atol=1e-12)
