@@ -39,6 +39,11 @@ def main() -> None:
     )
     from prometheus_anomaly_detection_lstm_spark.operators.text import (
         bm25_topk,
+        nb_train_score,
+        score_auc,
+    )
+    from prometheus_anomaly_detection_lstm_spark.operators.linalg import (
+        logreg_fit,
     )
     from prometheus_anomaly_detection_lstm_spark.session import get_spark
 
@@ -83,6 +88,10 @@ def main() -> None:
             "bm25": lambda: bm25_topk(docs),
             "matryoshka": lambda: matryoshka_overlap_eval(emb),
             "edit_distance": lambda: edit_distance_near_dups(docs),
+            "nb_classifier": lambda: nb_train_score(docs),
+            "nb_auc": lambda: score_auc(
+                nb_train_score(docs), "nb_score", "is_pos"
+            ),
         }
         timings = {}
         for name, build in shapes.items():
@@ -94,6 +103,15 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+        # logreg is driver-looped (one distributed pass per iteration),
+        # so time the call itself, not a noop write of its output
+        lr_emb = emb.select(
+            "embedding", (F.col("label") == 0).cast("double").alias("y")
+        )
+        logreg_fit(lr_emb, iters=5)  # warm
+        t0 = time.perf_counter()
+        logreg_fit(lr_emb, iters=5)
+        timings["logreg_5iter"] = round(time.perf_counter() - t0, 3)
         print(
             json.dumps(
                 {"mult": mult, "docs": docs.count(), "queries": timings}
