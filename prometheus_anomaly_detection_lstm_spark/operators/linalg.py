@@ -387,7 +387,6 @@ def logreg_fit(
     feats = emb.select("embedding", label_col)
     feats.persist()
     try:
-        n_total = feats.count()  # also materializes the cache
         w = np.zeros(d + 1, dtype=np.float64)
         losses = []
         for _ in range(iters):
@@ -401,6 +400,9 @@ def logreg_fit(
             )
             vals = {r["i"]: r["v"] for r in rows}
             g = np.array([vals[i] for i in range(d + 1)])
+            # row count rides in the same partials (i = -2): no separate
+            # count() pass over the corpus just to get the denominator
+            n_total = vals[-2]
             losses.append(vals[-1] / n_total)
             w = w - lr * (g / n_total + lam * w)
         return w, losses
