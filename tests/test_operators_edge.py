@@ -472,3 +472,23 @@ def test_trend_slopes_null_on_single_instant_series(spark):
         out = extended.QUERIES["metric_trend_slopes"][0](spark, d).collect()
     assert len(out) == 1
     assert out[0]["slope_per_day"] is None
+
+
+def test_nb_classifier_single_class_corpus(spark):
+    """All-positive corpus: the classifier still scores the held-out
+    fold (priors lopsided, every llr from one class) and the AUC is
+    SQL NULL (no negative to rank against) rather than an ANSI
+    divide-by-zero abort."""
+    from prometheus_anomaly_detection_lstm_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} shared words here", "en", "s", 20) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    scored = text.nb_train_score(docs).collect()
+    assert len(scored) == 2  # doc_ids 0 and 5 are the held-out fold
+    assert all(r.is_pos == 1 for r in scored)
+    auc = text.score_auc(
+        text.nb_train_score(docs), "nb_score", "is_pos"
+    ).collect()[0]
+    assert auc.auc is None and auc.n_neg == 0 and auc.n_pos == 2
