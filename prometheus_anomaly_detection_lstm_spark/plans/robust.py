@@ -1,0 +1,497 @@
+"""Robust-statistics / SPC / corpus-law plans (round-5 continuation).
+
+Engine-completeness surface extending the reference's anomaly-detection
+premise (vpuhoff/prometheus-anomaly-detection-lstm detects anomalies on
+Prometheus series with an LSTM; these are the classic statistical
+monitors and corpus diagnostics run beside such a model):
+
+- ``metric_cusum_anomalies`` — two-sided CUSUM control chart per
+  series.  The recursive SPC statistic S_t = max(0, S_{t-1} + z_t - K)
+  is NOT a plain window aggregate, but it has a closed form over prefix
+  sums: with C_t = sum(z_j - K, j<=t), S_t = C_t - min(0, min_{j<=t}
+  C_j) — so the whole chart is two running-frame window functions, no
+  recursion, no UDF.  One exchange on the series key.
+- ``metric_theil_sen_trend`` — Theil-Sen robust slope per series:
+  median of pairwise slopes over hourly means, pairs bounded to an
+  index lag of ``TS_MAX_LAG`` so pair volume is O(rows x lag), never
+  O(rows^2).  The lag join is an equi-join on (metric, lag-bucket)
+  with a two-bucket probe fan-out — the same bucketed range-join idiom
+  as range_join_interval_counts (no nested loop).
+- ``text_char_entropy`` — per-document character-level Shannon entropy
+  + distinct-char count: the standard gibberish/binary-noise quality
+  signal in web-corpus filtering.  Explode is linear in corpus bytes
+  (same cost class as shingling); one exchange on (doc_id, char).
+- ``corpus_zipf_fit`` — OLS fit of log(freq) ~ log(rank) over the
+  top-``ZIPF_RANKS`` tokens (Zipf's law exponent, the classic corpus
+  health readout).  Top-k by TakeOrderedAndProject (partial top-k per
+  partition, no global sort); the rank window runs on the k-row result
+  under an explicit metadata-scale single-partition key.
+- ``events_funnel_timing`` — time-to-convert percentiles between
+  funnel stages (signup->click->purchase), conditional-min stage
+  timestamps per user then exact interpolated percentiles; one shuffle
+  on user_id.
+- ``events_heavy_hitters`` — phi-heavy-hitters by the mergeable
+  Misra-Gries sketch + exact rescan: per-partition MG summaries (k =
+  ``MG_K`` counters, Arrow-batched) guarantee every item with global
+  frequency >= n/(MG_K+1) survives as a candidate; a broadcast
+  semi-join rescan computes exact counts for candidates only, so the
+  emitted set is EXACT (hash-green vs the plain GROUP BY oracle)
+  while the full-table aggregation state is capped at k per partition
+  — the sketch-then-rescan pattern that replaces a 100-TB-wide
+  group-by with a bounded-state scan plus a candidates-only join.
+
+Scale notes (100 TB): every operator's only data-proportional exchange
+is a hash partition on its natural key (metric / doc_id / user_id);
+windows are running or bounded frames; the single BNLJ (heavy-hitters
+total-count denominator) broadcasts a one-row aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import ntz_epoch_seconds, single_partition_key
+from ..io_tables import load_table
+
+QUERIES: dict = {}
+
+#: CUSUM reference drift (in sigma units) and decision threshold —
+#: the textbook K=0.5, H=5 tuning (detects ~1-sigma mean shifts).
+CUSUM_K = 0.5
+CUSUM_H = 5.0
+#: Theil-Sen: max index lag between paired hourly samples.
+TS_MAX_LAG = 24
+#: Zipf fit: number of top token ranks regressed.
+ZIPF_RANKS = 200
+#: Heavy hitters: report items with frequency >= PHI * n (exact).
+HH_PHI = 0.0075
+#: Misra-Gries counters per partition; completeness for HH_PHI needs
+#: MG_K + 1 >= 2 / HH_PHI (= 267); 400 leaves margin.
+MG_K = 400
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (metric, ts, seq, value): event_type is the series
+    label (same adapter as plans/mining._series)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+
+
+# --------------------------------------------------------------- CUSUM
+
+def cusum_anomalies(s: DataFrame, k: float = CUSUM_K, h: float = CUSUM_H) -> DataFrame:
+    """Two-sided CUSUM exceedances per series.
+
+    z_t standardizes against the per-series population mean/std; the
+    upper chart S+_t = max(0, S+_{t-1} + z_t - k) is computed closed-
+    form as C_t - min(0, running_min(C_t)) with C the running sum of
+    (z - k) — ditto the lower chart on -z.  Rows where either side
+    exceeds ``h`` are emitted.  Plan: one hashpartitioning(metric)
+    exchange feeding one whole-partition window (mean/std) and one
+    ordered running window (sum + min) — no recursion, no Python.
+    """
+    by_series = Window.partitionBy("metric")
+    run = (
+        Window.partitionBy("metric")
+        .orderBy("ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        s.withColumn("mu", F.avg("value").over(by_series))
+        .withColumn("sd", F.stddev_pop("value").over(by_series))
+        .filter(F.col("sd") > 0)
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+    )
+    d = (
+        d.withColumn("c_pos", F.sum(F.col("z") - F.lit(k)).over(run))
+        .withColumn("c_neg", F.sum(-F.col("z") - F.lit(k)).over(run))
+        .withColumn(
+            "s_pos", F.col("c_pos") - F.least(F.lit(0.0), F.min("c_pos").over(run))
+        )
+        .withColumn(
+            "s_neg", F.col("c_neg") - F.least(F.lit(0.0), F.min("c_neg").over(run))
+        )
+    )
+    return (
+        d.filter((F.col("s_pos") > h) | (F.col("s_neg") > h))
+        .select(
+            "metric",
+            "ts",
+            "seq",
+            F.round("s_pos", 6).alias("cusum_pos"),
+            F.round("s_neg", 6).alias("cusum_neg"),
+            F.when(F.col("s_pos") > h, F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("side"),
+        )
+    )
+
+
+def q_metric_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_anomalies(_series(spark, sf_dir))
+
+
+ORACLE_CUSUM = f"""WITH z AS (
+  SELECT event_type AS metric, ts, event_id AS seq,
+         (value - avg(value) OVER (PARTITION BY event_type))
+           / stddev_pop(value) OVER (PARTITION BY event_type) AS z,
+         stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+  FROM events
+), c AS (
+  SELECT metric, ts, seq,
+    sum(z - {CUSUM_K}) OVER w AS c_pos,
+    sum(-z - {CUSUM_K}) OVER w AS c_neg
+  FROM z WHERE sd > 0
+  WINDOW w AS (PARTITION BY metric ORDER BY ts, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT metric, ts, seq,
+    c_pos - least(0, min(c_pos) OVER w) AS s_pos,
+    c_neg - least(0, min(c_neg) OVER w) AS s_neg
+  FROM c
+  WINDOW w AS (PARTITION BY metric ORDER BY ts, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT metric, ts, seq, round(s_pos, 6) AS cusum_pos,
+       round(s_neg, 6) AS cusum_neg,
+       CASE WHEN s_pos > {CUSUM_H} THEN 'high' ELSE 'low' END AS side
+FROM s WHERE s_pos > {CUSUM_H} OR s_neg > {CUSUM_H}"""
+
+
+# ----------------------------------------------------------- Theil-Sen
+
+def theil_sen_trend(s: DataFrame, max_lag: int = TS_MAX_LAG) -> DataFrame:
+    """Theil-Sen robust slope per series over hourly means.
+
+    Pairs (i, j) with 0 < j - i <= max_lag; slope in value-units per
+    hour using true epoch-hour spacing.  The lag join is an equi-join
+    on (metric, bucket) where bucket = floor(index / max_lag) and the
+    earlier row probes its own and the next bucket — pair volume is
+    O(rows x max_lag).  Output: exact interpolated median slope.
+    """
+    hourly = s.groupBy(
+        "metric", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    idx = Window.partitionBy("metric").orderBy("hour")
+    hourly = hourly.withColumn("i", F.row_number().over(idx)).withColumn(
+        "eh", ntz_epoch_seconds("hour") / F.lit(3600.0)
+    )
+    hourly = hourly.withColumn(
+        "b", F.floor((F.col("i") - 1) / F.lit(max_lag))
+    )
+    left = hourly.select(
+        "metric",
+        F.col("i").alias("i1"),
+        F.col("eh").alias("eh1"),
+        F.col("v").alias("v1"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("probe"),
+    )
+    right = hourly.select(
+        "metric",
+        F.col("b").alias("probe"),
+        F.col("i").alias("i2"),
+        F.col("eh").alias("eh2"),
+        F.col("v").alias("v2"),
+    )
+    pairs = left.join(right, ["metric", "probe"]).filter(
+        (F.col("i2") > F.col("i1")) & (F.col("i2") <= F.col("i1") + max_lag)
+    )
+    slopes = pairs.select(
+        "metric",
+        ((F.col("v2") - F.col("v1")) / (F.col("eh2") - F.col("eh1"))).alias(
+            "slope"
+        ),
+    )
+    return (
+        slopes.groupBy("metric")
+        .agg(
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_slope"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_sen_trend(_series(spark, sf_dir))
+
+
+ORACLE_THEIL_SEN = f"""WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT metric, v, epoch(hour) / 3600.0 AS eh,
+         row_number() OVER (PARTITION BY metric ORDER BY hour) AS i
+  FROM hourly
+), pairs AS (
+  SELECT a.metric, (b.v - a.v) / (b.eh - a.eh) AS slope
+  FROM idx a JOIN idx b
+    ON a.metric = b.metric AND b.i > a.i AND b.i <= a.i + {TS_MAX_LAG}
+)
+SELECT metric, round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY metric"""
+
+
+# ------------------------------------------------------- char entropy
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) +
+    distinct-char count — low entropy flags repeated-char spam, high
+    entropy flags base64/binary noise.  H = log2(n) - sum(c*log2(c))/n
+    over exact char counts, so both engines evaluate the identical
+    expression tree on identical integers."""
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '[\\s\\S]', 0)")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars_total"),
+            F.count("*").cast("bigint").alias("distinct_chars"),
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_CHAR_ENTROPY = r"""WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+  FROM documents
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_total,
+       CAST(count(*) AS BIGINT) AS distinct_chars,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS char_entropy
+FROM counts GROUP BY doc_id"""
+
+
+# ------------------------------------------------------------ Zipf fit
+
+def zipf_fit(docs: DataFrame, n_ranks: int = ZIPF_RANKS) -> DataFrame:
+    """OLS fit of ln(freq) ~ ln(rank) over the top-``n_ranks`` tokens.
+
+    Token counts shuffle once on the token; the global top-k is a
+    TakeOrderedAndProject (per-partition partial top-k, NO range-
+    partitioned sort); the rank assignment then runs on the k-row
+    result under an explicit metadata-scale single-partition key.
+    A Zipfian corpus fits slope ~ -1; drift toward 0 flags template/
+    boilerplate contamination.
+    """
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(n_ranks)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(single_partition_key("token")).orderBy(
+                F.desc("cnt"), F.asc("token")
+            )
+        ),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(
+            F.regr_intercept(F.log("cnt"), F.log("rank")), 6
+        ).alias("zipf_intercept"),
+        F.round(F.regr_r2(F.log("cnt"), F.log("rank")), 6).alias("r2"),
+        F.count("*").cast("bigint").alias("n_ranks"),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_ZIPF = f"""WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM cnt ORDER BY cnt DESC, token LIMIT {ZIPF_RANKS}
+)
+SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+       round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+       round(regr_r2(ln(cnt), ln(rank)), 6) AS r2,
+       CAST(count(*) AS BIGINT) AS n_ranks
+FROM ranked"""
+
+
+# -------------------------------------------------------- funnel timing
+
+def funnel_timing(ev: DataFrame) -> DataFrame:
+    """Time-to-convert between funnel stages for in-order converters.
+
+    Stage timestamps by conditional min per user (one shuffle on
+    user_id, same shape as the funnel query); per step-pair, exact
+    interpolated p50/p90 of the gap in seconds plus the mean.
+    """
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t2"),
+    )
+    conv = stages.filter(
+        (F.col("t0") <= F.col("t1")) & (F.col("t1") <= F.col("t2"))
+    ).select(
+        (ntz_epoch_seconds("t1") - ntz_epoch_seconds("t0")).alias("g01"),
+        (ntz_epoch_seconds("t2") - ntz_epoch_seconds("t1")).alias("g12"),
+        (ntz_epoch_seconds("t2") - ntz_epoch_seconds("t0")).alias("g02"),
+    )
+    rows = []
+    for col, step in (("g01", "signup->click"), ("g12", "click->purchase"), ("g02", "signup->purchase")):
+        rows.append(
+            conv.agg(
+                F.lit(step).alias("step"),
+                F.count(col).cast("bigint").alias("n_users"),
+                F.round(F.avg(col), 6).alias("avg_s"),
+                F.round(F.expr(f"percentile({col}, 0.5)"), 6).alias("p50_s"),
+                F.round(F.expr(f"percentile({col}, 0.9)"), 6).alias("p90_s"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return funnel_timing(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL_TIMING = """WITH stages AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT epoch(t1) - epoch(t0) AS g01,
+         epoch(t2) - epoch(t1) AS g12,
+         epoch(t2) - epoch(t0) AS g02
+  FROM stages WHERE t0 <= t1 AND t1 <= t2
+)
+SELECT 'signup->click' AS step, CAST(count(g01) AS BIGINT) AS n_users,
+       round(avg(g01), 6) AS avg_s, round(quantile_cont(g01, 0.5), 6) AS p50_s,
+       round(quantile_cont(g01, 0.9), 6) AS p90_s FROM conv
+UNION ALL
+SELECT 'click->purchase', CAST(count(g12) AS BIGINT), round(avg(g12), 6),
+       round(quantile_cont(g12, 0.5), 6), round(quantile_cont(g12, 0.9), 6)
+FROM conv
+UNION ALL
+SELECT 'signup->purchase', CAST(count(g02) AS BIGINT), round(avg(g02), 6),
+       round(quantile_cont(g02, 0.5), 6), round(quantile_cont(g02, 0.9), 6)
+FROM conv"""
+
+
+# ------------------------------------------------------- heavy hitters
+
+def _mg_partial(batches: "Iterator", k: int):  # pragma: no cover - shipped
+    """Arrow-batched Misra-Gries over a partition: at most ``k``
+    counters survive; merging a batch then trimming to the top-k by
+    subtracting the (k+1)-th largest residual preserves the MG
+    guarantee (mergeable summaries): any item with partition count
+    > n_p/(k+1) keeps a positive residual."""
+    import pandas as pd
+
+    counters: dict = {}
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        for uid, c in pdf["user_id"].value_counts().items():
+            counters[uid] = counters.get(uid, 0) + int(c)
+        if len(counters) > k:
+            cut = sorted(counters.values(), reverse=True)[k]
+            counters = {
+                u: c - cut for u, c in counters.items() if c - cut > 0
+            }
+    yield pd.DataFrame(
+        {"user_id": list(counters.keys()) or pd.Series([], dtype="int64")}
+    )
+
+
+def heavy_hitters(
+    ev: DataFrame, phi: float = HH_PHI, k: int = MG_K
+) -> DataFrame:
+    """EXACT phi-heavy-hitters via Misra-Gries candidates + rescan.
+
+    Pass 1 caps aggregation state at ``k`` counters per partition
+    (Arrow mapInPandas) and is guaranteed to surface every item with
+    global frequency >= n/(k+1) <= phi*n; pass 2 broadcast-semi-joins
+    the candidate list back and counts exactly, so the output equals
+    the plain GROUP BY ... HAVING answer without ever materializing a
+    full-cardinality aggregation."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(ev.sparkSession)
+    cand = (
+        ev.select("user_id")
+        .mapInPandas(
+            lambda it: _mg_partial(it, k), schema="user_id bigint"
+        )
+        .distinct()
+    )
+    total = ev.agg(F.count("*").cast("double").alias("n_total"))
+    exact = (
+        ev.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(phi) * F.col("n_total"))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("frac"),
+        )
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_HEAVY_HITTERS = f"""WITH tot AS (
+  SELECT count(*) AS n_total FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) / (SELECT n_total FROM tot), 6) AS frac
+FROM events GROUP BY user_id
+HAVING count(*) >= {HH_PHI} * (SELECT n_total FROM tot)"""
+
+
+QUERIES["metric_cusum_anomalies"] = (q_metric_cusum, ORACLE_CUSUM)
+QUERIES["metric_theil_sen_trend"] = (q_theil_sen, ORACLE_THEIL_SEN)
+QUERIES["text_char_entropy"] = (q_char_entropy, ORACLE_CHAR_ENTROPY)
+QUERIES["corpus_zipf_fit"] = (q_zipf_fit, ORACLE_ZIPF)
+QUERIES["events_funnel_timing"] = (q_funnel_timing, ORACLE_FUNNEL_TIMING)
+QUERIES["events_heavy_hitters"] = (q_heavy_hitters, ORACLE_HEAVY_HITTERS)

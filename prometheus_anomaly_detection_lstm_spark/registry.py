@@ -310,6 +310,11 @@ PRIORITY: list[str] = [
     "text_bm25_topk", "embedding_matryoshka_eval", "dedup_edit_distance",
     "text_nb_classifier", "text_nb_classifier_auc",
     "embedding_logreg_fit",
+    # ---- NEW in round 5, continuation session (first official rows):
+    # robust-statistics / SPC / corpus-law plans, all hash-graded ----
+    "metric_cusum_anomalies", "metric_theil_sen_trend",
+    "text_char_entropy", "corpus_zipf_fit", "events_funnel_timing",
+    "events_heavy_hitters",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----
@@ -386,7 +391,9 @@ PRIORITY: list[str] = [
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    from .plans import extended, mining, relational, tpch_more, tpch_wave3, wave5
+    from .plans import (
+        extended, mining, relational, robust, tpch_more, tpch_wave3, wave5,
+    )
     from .operators import (
         approx, bpe, corpus, dedup, kmeans, linalg, profile, promql,
         similarity, text, multimodal,
@@ -401,6 +408,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(extended.QUERIES)
     merged.update(mining.QUERIES)
     merged.update(wave5.QUERIES)
+    merged.update(robust.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(linalg.QUERIES)

@@ -60,6 +60,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "table_quality_checks",     # one-row per-table total aggregates
     "tpch_q11",                 # global value-total scalar
     "tpch_q22",                 # avg-balance scalar subquery
+    "events_heavy_hitters",     # one-row corpus-total denominator
 }
 
 

@@ -1,0 +1,146 @@
+"""Semantic pins for plans/robust.py beyond the DuckDB oracle parity:
+
+- the CUSUM prefix-sum closed form equals the textbook recursion;
+- Misra-Gries heavy hitters are EXACT (== plain group-by answer) and
+  partitioning-invariant, at the guarantee-minimum counter budget;
+- Theil-Sen pair volume is bounded by rows x max_lag and the slope
+  equals the numpy median of the allowed pair slopes;
+- entropy closed forms on constructed strings; Zipf slope sanity;
+- funnel gaps are ordered and non-negative.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark.plans import robust
+
+from .conftest import SF_SMALL
+
+
+def _series(spark):
+    return robust._series(spark, SF_SMALL)
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """S_t = C_t - min(0, running_min C_t) must equal the textbook
+    max(0, S_{t-1} + z_t - K) recursion, exceedance for exceedance."""
+    s = _series(spark)
+    got = robust.cusum_anomalies(s).toPandas()
+    raw = s.toPandas().sort_values(["metric", "ts", "seq"])
+    want = []
+    for metric, g in raw.groupby("metric"):
+        mu, sd = g["value"].mean(), g["value"].std(ddof=0)
+        if sd <= 0:
+            continue
+        z = (g["value"] - mu) / sd
+        sp = sn = 0.0
+        for (_, row), zt in zip(g.iterrows(), z):
+            sp = max(0.0, sp + zt - robust.CUSUM_K)
+            sn = max(0.0, sn - zt - robust.CUSUM_K)
+            if sp > robust.CUSUM_H or sn > robust.CUSUM_H:
+                want.append((metric, row["seq"], round(sp, 4), round(sn, 4)))
+    got_set = {
+        (r.metric, r.seq, round(r.cusum_pos, 4), round(r.cusum_neg, 4))
+        for r in got.itertuples()
+    }
+    assert got_set == set(want)
+    assert len(want) > 0  # the pin is non-vacuous on the test data
+
+
+def test_heavy_hitters_exact_and_partitioning_invariant(spark):
+    ev = robust.load_table(spark, SF_SMALL, "events")
+    n = ev.count()
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= robust.HH_PHI * n)
+    )
+    want_set = {(r.user_id, r.cnt) for r in want.collect()}
+    assert want_set  # non-vacuous
+    # guarantee-minimum counter budget, hostile partitionings
+    k_min = int(np.ceil(2 / robust.HH_PHI))
+    for arranged in (ev, ev.repartition(13), ev.repartition(3, "event_type")):
+        got = robust.heavy_hitters(arranged, k=k_min).collect()
+        assert {(r.user_id, r.cnt) for r in got} == want_set
+
+
+def test_mg_partial_survivor_guarantee():
+    """Any item with stream count > n/(k+1) must survive the capped
+    counter dict — checked on an adversarial order (heavy item's
+    occurrences scattered across many batches of distractors)."""
+    rng = np.random.default_rng(7)
+    heavy = np.full(300, 42)
+    noise = rng.integers(1000, 9000, size=2000)
+    stream = np.concatenate([noise[:1000], heavy[:150], noise[1000:], heavy[150:]])
+    batches = [
+        pd.DataFrame({"user_id": stream[i : i + 100]})
+        for i in range(0, len(stream), 100)
+    ]
+    k = 15  # n/(k+1) = 2300/16 ≈ 144 < 300
+    out = list(robust._mg_partial(iter(batches), k))[0]
+    assert 42 in set(out["user_id"])
+    assert len(out) <= k + 100  # trimmed to ~k after each batch merge
+
+
+def test_theil_sen_matches_numpy_and_bounds_pairs(spark):
+    got = robust.theil_sen_trend(_series(spark)).toPandas()
+    hourly = (
+        _series(spark)
+        .groupBy("metric", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.avg("value").alias("v"))
+        .toPandas()
+        .sort_values(["metric", "hour"])
+    )
+    for metric, g in hourly.groupby("metric"):
+        eh = g["hour"].astype("int64").to_numpy() / 3.6e12
+        v = g["v"].to_numpy()
+        slopes = [
+            (v[j] - v[i]) / (eh[j] - eh[i])
+            for i in range(len(v))
+            for j in range(i + 1, min(i + robust.TS_MAX_LAG, len(v) - 1) + 1)
+        ]
+        row = got[got.metric == metric].iloc[0]
+        assert row.n_pairs == len(slopes)
+        assert row.n_pairs <= len(v) * robust.TS_MAX_LAG
+        assert row.theil_sen_slope == pytest.approx(
+            np.median(slopes), abs=1e-6
+        )
+
+
+def test_char_entropy_closed_forms(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.char_entropy, r.distinct_chars, r.n_chars_total)
+        for r in robust.char_entropy(docs).collect()
+    }
+    assert got[1] == (0.0, 1, 4)
+    assert got[2] == (1.0, 2, 2)
+    assert got[3] == (2.0, 4, 4)
+
+
+def test_zipf_fit_is_negative_sloped(spark):
+    row = robust.q_zipf_fit(spark, SF_SMALL).collect()[0]
+    # sf0.001's synthetic vocab is smaller than ZIPF_RANKS — the limit
+    # caps, never pads
+    assert 1 <= row.n_ranks <= robust.ZIPF_RANKS
+    assert row.zipf_slope < 0
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_funnel_timing_gaps_ordered(spark):
+    rows = {r.step: r for r in robust.q_funnel_timing(spark, SF_SMALL).collect()}
+    assert set(rows) == {"signup->click", "click->purchase", "signup->purchase"}
+    n = {r.n_users for r in rows.values()}
+    assert len(n) == 1  # same converter cohort for every step pair
+    for r in rows.values():
+        assert 0 <= r.p50_s <= r.p90_s
+    # total = sum of the two legs, per converter => avg adds exactly
+    assert rows["signup->purchase"].avg_s == pytest.approx(
+        rows["signup->click"].avg_s + rows["click->purchase"].avg_s, abs=1e-5
+    )
