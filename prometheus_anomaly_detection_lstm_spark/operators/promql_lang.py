@@ -1,0 +1,530 @@
+"""PromQL query-string compiler: parse a PromQL subset, lower to plans.
+
+The reference configures its pipelines as PromQL STRINGS
+(config.yaml:17-25) and ships them to a Prometheus server
+(data_collector.py:41-48).  operators/promql.py re-implements the
+function families as batch operators; this module closes the remaining
+surface gap — the STRING interface itself — so a reference user can
+paste their config queries and run them against samples stored in the
+lake:
+
+    from prometheus_anomaly_detection_lstm_spark.operators import promql_lang
+    df = promql_lang.eval_promql(
+        'sum by (label) (rate(events_total{label=~"[0-3]"}[10m]))',
+        samples,            # (ts, value, seq, metric, *label columns)
+    )
+
+Supported grammar (documented subset, recursive descent):
+
+    expr      := or_expr binop scalar | scalar binop or_expr | or_expr
+    or_expr   := agg | func | selector | '(' expr ')'
+    agg       := AGGOP [by-clause] '(' expr ')' [by-clause]
+               | 'topk' '(' INT ',' expr ')'
+    AGGOP     := sum | avg | min | max | count
+    func      := FUNC '(' selector-with-range ')'
+    FUNC      := rate | irate | increase | resets | delta
+               | avg_over_time | min_over_time | max_over_time
+               | sum_over_time | count_over_time | last_over_time
+    selector  := NAME ['{' matcher (',' matcher)* '}'] ['[' DURATION ']']
+                 ['offset' DURATION]
+    matcher   := LABEL ('=' | '!=' | '=~' | '!~') STRING
+    binop     := + - * / > >= < <=  (comparisons FILTER, PromQL-style)
+
+Batch semantics: a range selector evaluates per (series, tumbling
+bucket of the range duration) — the module's exact-bucket convention
+(see operators/promql.py header: exact increase, PromQL reset
+handling, no edge extrapolation).  A bare instant selector evaluates
+to the LAST sample per (series, DEFAULT_STEP_S bucket) — the batch
+twin of PromQL's staleness lookback at step resolution.  ``offset d``
+shifts samples forward by ``d`` so the value reported at t is the
+series' value at t - d, exactly PromQL's offset.
+
+Scale notes (100 TB): lowering targets the existing operators — the
+only data-proportional exchanges are the per-series lag window inside
+``counter_rate`` and one hash aggregation per grouping; ``topk`` ranks
+inside each time bucket (hashpartitioning(w_start), never a global
+sort).  Matcher pushdown: selector filters are plain Catalyst
+predicates on the samples scan, so metric/label pruning reaches the
+parquet reader.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .promql import counter_rate
+
+#: instant-vector resolution (PromQL "step") for bare selectors.
+DEFAULT_STEP_S = 600
+
+_DURATION_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>\d+(?:\.\d+)?)(?P<unit>[smhd])?
+    | (?P<name>[A-Za-z_:][A-Za-z0-9_:]*)
+    | (?P<str>"(?:[^"\\]|\\.)*")
+    | (?P<op><=|>=|!=|=~|!~|[-+*/<>=(){}\[\],])
+    )""",
+    re.X,
+)
+
+AGG_OPS = {"sum", "avg", "min", "max", "count"}
+RANGE_FUNCS = {
+    "rate", "irate", "increase", "resets", "delta",
+    "avg_over_time", "min_over_time", "max_over_time",
+    "sum_over_time", "count_over_time", "last_over_time",
+}
+
+
+@dataclass
+class Selector:
+    metric: str
+    matchers: list[tuple[str, str, str]] = field(default_factory=list)
+    range_s: int | None = None
+    offset_s: int = 0
+
+
+@dataclass
+class Func:
+    name: str
+    arg: Selector
+
+
+@dataclass
+class Agg:
+    op: str
+    by: list[str]
+    arg: object
+    k: int | None = None
+
+
+@dataclass
+class BinOp:
+    op: str
+    expr: object
+    scalar: float
+    scalar_left: bool = False
+
+
+def tokenize(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"PromQL tokenize error at: {s[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.group("num") is not None:
+            if m.group("unit"):
+                out.append(("dur", m.group("num") + m.group("unit")))
+            else:
+                out.append(("num", m.group("num")))
+        elif m.group("name") is not None:
+            out.append(("name", m.group("name")))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1].replace('\\"', '"')))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+def _duration_s(tok: tuple[str, str]) -> int:
+    kind, text = tok
+    if kind == "dur":
+        return int(float(text[:-1]) * _DURATION_UNITS[text[-1]])
+    if kind == "num":
+        return int(float(text))
+    raise ValueError(f"expected duration, got {text!r}")
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of PromQL expression")
+        self.i += 1
+        return tok
+
+    def expect(self, text: str) -> None:
+        tok = self.next()
+        if tok[1] != text:
+            raise ValueError(f"expected {text!r}, got {tok[1]!r}")
+
+    # ------------------------------------------------------ grammar
+
+    def parse(self):
+        node = self._maybe_binop_left()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def _maybe_binop_left(self):
+        tok = self.peek()
+        if tok and tok[0] == "num":  # scalar on the left: 2 * expr
+            scalar = float(self.next()[1])
+            op = self.next()[1]
+            expr = self._primary()
+            return BinOp(op, expr, scalar, scalar_left=True)
+        expr = self._primary()
+        tok = self.peek()
+        if tok and tok[0] == "op" and tok[1] in {"+", "-", "*", "/", ">", ">=", "<", "<="}:
+            op = self.next()[1]
+            scalar_tok = self.next()
+            if scalar_tok[0] != "num":
+                raise ValueError("only scalar right operands are supported")
+            return BinOp(op, expr, float(scalar_tok[1]))
+        return expr
+
+    def _primary(self):
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of PromQL expression")
+        if tok[1] == "(":
+            self.next()
+            node = self._maybe_binop_left()
+            self.expect(")")
+            return node
+        if tok[0] == "name" and tok[1] == "topk":
+            self.next()
+            self.expect("(")
+            k_tok = self.next()
+            self.expect(",")
+            arg = self._maybe_binop_left()
+            self.expect(")")
+            return Agg("topk", [], arg, k=int(k_tok[1]))
+        if tok[0] == "name" and tok[1] in AGG_OPS:
+            op = self.next()[1]
+            by = self._by_clause()
+            self.expect("(")
+            arg = self._maybe_binop_left()
+            self.expect(")")
+            by = by or self._by_clause()
+            return Agg(op, by, arg)
+        if tok[0] == "name" and tok[1] in RANGE_FUNCS:
+            name = self.next()[1]
+            self.expect("(")
+            sel = self._selector()
+            self.expect(")")
+            if sel.range_s is None:
+                raise ValueError(f"{name}() requires a range selector [d]")
+            return Func(name, sel)
+        return self._selector()
+
+    def _by_clause(self) -> list[str]:
+        tok = self.peek()
+        if tok and tok[0] == "name" and tok[1] == "by":
+            self.next()
+            self.expect("(")
+            labels = []
+            while True:
+                labels.append(self.next()[1])
+                if self.peek() and self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+            return labels
+        return []
+
+    def _selector(self) -> Selector:
+        name_tok = self.next()
+        if name_tok[0] != "name":
+            raise ValueError(f"expected metric name, got {name_tok[1]!r}")
+        sel = Selector(metric=name_tok[1])
+        if self.peek() and self.peek()[1] == "{":
+            self.next()
+            while self.peek() and self.peek()[1] != "}":
+                label = self.next()[1]
+                op = self.next()[1]
+                if op not in {"=", "!=", "=~", "!~"}:
+                    raise ValueError(f"bad matcher op {op!r}")
+                val = self.next()
+                if val[0] != "str":
+                    raise ValueError("matcher value must be a string")
+                sel.matchers.append((label, op, val[1]))
+                if self.peek() and self.peek()[1] == ",":
+                    self.next()
+            self.expect("}")
+        if self.peek() and self.peek()[1] == "[":
+            self.next()
+            sel.range_s = _duration_s(self.next())
+            self.expect("]")
+        if self.peek() and self.peek()[1] == "offset":
+            self.next()
+            sel.offset_s = _duration_s(self.next())
+        return sel
+
+
+def parse(query: str):
+    """PromQL string -> AST."""
+    return _Parser(tokenize(query)).parse()
+
+
+# ------------------------------------------------------------ evaluator
+
+def _series_cols(samples: DataFrame) -> list[str]:
+    return [
+        c for c in samples.columns if c not in {"ts", "value", "seq"}
+    ]
+
+
+def _apply_selector(samples: DataFrame, sel: Selector) -> DataFrame:
+    """Matcher predicates + offset shift — plain Catalyst filters, so
+    metric/label pruning pushes to the scan."""
+    df = samples.filter(F.col("metric") == sel.metric)
+    for label, op, val in sel.matchers:
+        col = F.col(label).cast("string")
+        if op == "=":
+            df = df.filter(col == val)
+        elif op == "!=":
+            df = df.filter(col != val)
+        elif op == "=~":
+            df = df.filter(col.rlike(f"^(?:{val})$"))
+        else:
+            df = df.filter(~col.rlike(f"^(?:{val})$"))
+    if sel.offset_s:
+        df = df.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {sel.offset_s} SECONDS")
+        )
+    return df
+
+
+_OVER_TIME = {
+    "avg_over_time": lambda: F.avg("value"),
+    "min_over_time": lambda: F.min("value"),
+    "max_over_time": lambda: F.max("value"),
+    "sum_over_time": lambda: F.sum("value"),
+    "count_over_time": lambda: F.count("value").cast("double"),
+    "last_over_time": lambda: F.expr(
+        "max_by(value, named_struct('t', ts, 's', seq))"
+    ),
+}
+
+
+def _eval(node, samples: DataFrame) -> DataFrame:
+    """AST -> DataFrame with columns (*series/group cols, w_start, value)."""
+    series = _series_cols(samples)
+    if isinstance(node, Selector):
+        df = _apply_selector(samples, node)
+        step = node.range_s or DEFAULT_STEP_S
+        return df.groupBy(
+            *series, F.window("ts", f"{step} seconds").start.alias("w_start")
+        ).agg(_OVER_TIME["last_over_time"]().alias("value"))
+    if isinstance(node, Func):
+        df = _apply_selector(samples, node.arg)
+        if node.name in {"rate", "irate", "increase", "resets"}:
+            rates = counter_rate(
+                df, bucket_s=node.arg.range_s, series_cols=tuple(series)
+            )
+            value = {
+                "rate": F.col("rate_per_s"),
+                "irate": F.col("irate_per_s"),
+                "increase": F.col("increase"),
+                "resets": F.col("n_resets").cast("double"),
+            }[node.name]
+            return rates.select(*series, "w_start", value.alias("value"))
+        grouped = df.groupBy(
+            *series,
+            F.window("ts", f"{node.arg.range_s} seconds").start.alias(
+                "w_start"
+            ),
+        )
+        if node.name == "delta":
+            first_v = F.expr("min_by(value, named_struct('t', ts, 's', seq))")
+            last_v = F.expr("max_by(value, named_struct('t', ts, 's', seq))")
+            return grouped.agg((last_v - first_v).alias("value"))
+        return grouped.agg(_OVER_TIME[node.name]().alias("value"))
+    if isinstance(node, Agg):
+        inner = _eval(node.arg, samples)
+        if node.op == "topk":
+            keys = [c for c in inner.columns if c not in {"w_start", "value"}]
+            rank = F.row_number().over(
+                Window.partitionBy("w_start").orderBy(
+                    F.desc("value"), *[F.asc(k) for k in keys]
+                )
+            )
+            return inner.withColumn("__rk", rank).filter(
+                F.col("__rk") <= node.k
+            ).drop("__rk")
+        agg_col: Column = {
+            "sum": F.sum("value"),
+            "avg": F.avg("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count("value").cast("double"),
+        }[node.op]
+        return inner.groupBy(*node.by, "w_start").agg(agg_col.alias("value"))
+    if isinstance(node, BinOp):
+        inner = _eval(node.expr, samples)
+        v = F.col("value")
+        if node.op in {">", ">=", "<", "<="}:
+            pred = {
+                ">": v > node.scalar,
+                ">=": v >= node.scalar,
+                "<": v < node.scalar,
+                "<=": v <= node.scalar,
+            }[node.op]
+            return inner.filter(pred)  # comparisons FILTER the vector
+        s = F.lit(node.scalar)
+        left, right = (s, v) if node.scalar_left else (v, s)
+        out = {
+            "+": left + right,
+            "-": left - right,
+            "*": left * right,
+            "/": left / right,
+        }[node.op]
+        return inner.withColumn("value", out)
+    raise TypeError(f"unknown AST node {node!r}")
+
+
+def eval_promql(query: str, samples: DataFrame) -> DataFrame:
+    """Compile + run ``query`` against ``samples``
+    (ts, value, seq, metric, *labels); value rounded to 6dp."""
+    out = _eval(parse(query), samples)
+    return out.withColumn("value", F.round("value", 6))
+
+
+# ------------------------------------------------- registry queries
+
+QUERIES: dict = {}
+
+#: bucket width used by the registered query strings (10m).
+_W = 600
+
+
+def _labeled(spark, sf_dir: str) -> DataFrame:
+    """events -> labeled sample stream (ts, value, seq, metric, label):
+    the same labelset adapter as promql.q_rate_by_labelset (label from
+    the props JSON, JVM-side)."""
+    from ..io_tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "ts",
+        "value",
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("metric"),
+        (F.get_json_object(F.col("props"), "$.k").cast("bigint") % 10)
+        .cast("bigint")
+        .alias("label"),
+    )
+
+
+def q_lang_rate_sum(spark, sf_dir: str) -> DataFrame:
+    """A reference-style config string, compiled and run in-engine:
+    label-filtered per-series rate, re-aggregated by label."""
+    return eval_promql(
+        'sum by (label) (rate(click{label=~"[0-3]"}[10m]))',
+        _labeled(spark, sf_dir),
+    ).select("label", "w_start", F.col("value").alias("rate_sum"))
+
+
+ORACLE_LANG_RATE_SUM = f"""WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         ts, value, event_id AS seq
+  FROM events
+  WHERE event_type = 'click'
+    AND regexp_matches(CAST(CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+          % 10 AS BIGINT) AS VARCHAR), '^(?:[0-3])$')
+), l AS (
+  SELECT metric, label, ts, seq, lag(value) OVER w AS pv, value
+  FROM s
+  WINDOW w AS (PARTITION BY metric, label ORDER BY ts, seq)
+), e AS (
+  SELECT metric, label,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '{_W} seconds', ts) AS w_start
+  FROM l
+), r AS (
+  SELECT metric, label, w_start, round(sum(inc) / {_W}.0, 6) AS rate
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT label, w_start, round(sum(rate), 6) AS rate_sum
+FROM r GROUP BY 1, 2"""
+
+
+def q_lang_topk_gauge(spark, sf_dir: str) -> DataFrame:
+    """topk over an *_over_time gauge read: the 3 hottest label series
+    per bucket by windowed average."""
+    return eval_promql(
+        "topk(3, avg_over_time(view[10m]))", _labeled(spark, sf_dir)
+    ).select("metric", "label", "w_start", F.col("value").alias("avg_v"))
+
+
+ORACLE_LANG_TOPK_GAUGE = f"""WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         time_bucket(INTERVAL '{_W} seconds', ts) AS w_start, value
+  FROM events WHERE event_type = 'view'
+), a AS (
+  SELECT metric, label, w_start, avg(value) AS v FROM s GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY w_start ORDER BY v DESC, metric, label) AS rk
+  FROM a
+)
+SELECT metric, label, w_start, round(v, 6) AS avg_v
+FROM r WHERE rk <= 3"""
+
+
+def q_lang_increase_filter(spark, sf_dir: str) -> DataFrame:
+    """Scalar comparison filters the vector (PromQL semantics): buckets
+    whose 30m purchase increase exceeds the threshold."""
+    from ..io_tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    samples = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "value",
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("metric"),
+    )
+    return eval_promql("increase(purchase[30m]) > 50", samples).select(
+        "metric", "w_start", F.col("value").alias("increase")
+    )
+
+
+ORACLE_LANG_INCREASE = """WITH l AS (
+  SELECT event_type AS metric, ts, event_id AS seq,
+         lag(value) OVER w AS pv, value
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), e AS (
+  SELECT metric,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '1800 seconds', ts) AS w_start
+  FROM l
+), r AS (
+  SELECT metric, w_start, round(round(sum(inc), 6), 6) AS increase
+  FROM e GROUP BY 1, 2
+)
+SELECT metric, w_start, increase FROM r WHERE increase > 50"""
+
+
+QUERIES["promql_lang_rate_sum"] = (q_lang_rate_sum, ORACLE_LANG_RATE_SUM)
+QUERIES["promql_lang_topk_gauge"] = (q_lang_topk_gauge, ORACLE_LANG_TOPK_GAUGE)
+QUERIES["promql_lang_increase_filter"] = (
+    q_lang_increase_filter,
+    ORACLE_LANG_INCREASE,
+)

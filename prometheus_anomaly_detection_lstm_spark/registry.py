@@ -315,6 +315,10 @@ PRIORITY: list[str] = [
     "metric_cusum_anomalies", "metric_theil_sen_trend",
     "text_char_entropy", "corpus_zipf_fit", "events_funnel_timing",
     "events_heavy_hitters",
+    # PromQL STRING compiler (parse -> lower onto counter_rate /
+    # window aggregates): reference config strings run in-engine
+    "promql_lang_rate_sum", "promql_lang_topk_gauge",
+    "promql_lang_increase_filter",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----
@@ -396,7 +400,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     )
     from .operators import (
         approx, bpe, corpus, dedup, kmeans, linalg, profile, promql,
-        similarity, text, multimodal,
+        promql_lang, similarity, text, multimodal,
     )
     from .ml import lstm_query
 
@@ -411,6 +415,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(robust.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
+    merged.update(promql_lang.QUERIES)
     merged.update(linalg.QUERIES)
     merged.update(kmeans.QUERIES)
     merged.update(profile.QUERIES)

@@ -1,0 +1,140 @@
+"""PromQL compiler pins: parser shape, lowering equivalence against
+the direct operator calls, offset/scalar/filter semantics, and the
+grammar's error surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark.operators import promql_lang as L
+from prometheus_anomaly_detection_lstm_spark.operators.promql import counter_rate
+
+from .conftest import SF_SMALL
+
+
+def _samples(spark):
+    return L._labeled(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parse_full_expression_shape():
+    ast = L.parse('sum by (label) (rate(m_total{job="api",l=~"a.*"}[5m] offset 1h))')
+    assert isinstance(ast, L.Agg) and ast.op == "sum" and ast.by == ["label"]
+    f = ast.arg
+    assert isinstance(f, L.Func) and f.name == "rate"
+    assert f.arg.metric == "m_total"
+    assert f.arg.matchers == [("job", "=", "api"), ("l", "=~", "a.*")]
+    assert f.arg.range_s == 300 and f.arg.offset_s == 3600
+
+
+def test_parse_trailing_by_and_topk_and_scalar():
+    ast = L.parse("avg (rate(m[2m])) by (l)")
+    assert isinstance(ast, L.Agg) and ast.by == ["l"]
+    ast = L.parse("topk(5, sum(increase(m[1m])))")
+    assert ast.op == "topk" and ast.k == 5
+    ast = L.parse("2 * rate(m[1m])")
+    assert isinstance(ast, L.BinOp) and ast.scalar_left and ast.scalar == 2.0
+    ast = L.parse("rate(m[1m]) > 0.5")
+    assert isinstance(ast, L.BinOp) and ast.op == ">" and not ast.scalar_left
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "rate(m)",                       # range function without [d]
+        "sum by (l) (rate(m[5m])",       # unbalanced paren
+        "m{label~\"x\"}",                # bad matcher op
+        "rate(m[5m]) > rate(n[5m])",     # vector-vector binop unsupported
+        "m [5m] extra",                  # trailing tokens
+    ],
+)
+def test_parse_rejects(bad):
+    with pytest.raises(ValueError):
+        L.parse(bad)
+
+
+# ------------------------------------------------------------- lowering
+
+def test_rate_lowering_matches_direct_operator(spark):
+    s = _samples(spark)
+    via_lang = (
+        L.eval_promql("rate(click[10m])", s)
+        .select("metric", "label", "w_start", "value")
+    )
+    direct = counter_rate(
+        s.filter(F.col("metric") == "click"),
+        bucket_s=600,
+        series_cols=("metric", "label"),
+    ).select("metric", "label", "w_start", F.col("rate_per_s").alias("value"))
+    assert via_lang.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_lang).count() == 0
+    assert via_lang.count() > 0
+
+
+def test_offset_shifts_buckets_exactly(spark):
+    s = _samples(spark)
+    base = L.eval_promql("increase(error[10m])", s)
+    off = L.eval_promql("increase(error[10m] offset 10m)", s)
+    shifted = base.select(
+        "metric",
+        "label",
+        (F.col("w_start") + F.expr("INTERVAL 600 SECONDS")).alias("w_start"),
+        "value",
+    )
+    assert off.exceptAll(shifted).count() == 0
+    assert shifted.exceptAll(off).count() == 0
+
+
+def test_scalar_arithmetic_and_comparison_filter(spark):
+    s = _samples(spark)
+    doubled = L.eval_promql("2 * sum(increase(view[10m]))", s).toPandas()
+    plain = L.eval_promql("sum(increase(view[10m]))", s).toPandas()
+    m = plain.merge(doubled, on="w_start", suffixes=("_1", "_2"))
+    assert len(m) == len(plain)
+    # buckets whose only delta is the series' first sample sum to NULL
+    # in BOTH variants (PromQL increase is undefined there)
+    assert (m.value_2.isna() == m.value_1.isna()).all()
+    m = m.dropna()
+    assert len(m) > 0
+    # 2*round(x,6) vs round(2x,6) differ by at most one ulp of the 6th dp
+    assert (abs(m.value_2 - 2 * m.value_1) <= 1.0e-6).all()
+    thresh = L.eval_promql("sum(increase(view[10m])) > 100", s).toPandas()
+    assert (thresh.value > 100).all()
+    assert len(thresh) < len(plain)  # the filter actually filters
+
+
+def test_instant_selector_is_last_sample_per_step(spark):
+    s = _samples(spark)
+    got = L.eval_promql('signup{label="3"}', s).toPandas()
+    want = (
+        s.filter((F.col("metric") == "signup") & (F.col("label") == 3))
+        .groupBy(F.window("ts", "600 seconds").start.alias("w_start"))
+        .agg(
+            F.round(
+                F.expr("max_by(value, named_struct('t', ts, 's', seq))"), 6
+            ).alias("value")
+        )
+        .toPandas()
+    )
+    m = got.merge(want, on="w_start", suffixes=("_g", "_w"))
+    assert len(m) == len(want) == len(got) > 0
+    assert (abs(m.value_g - m.value_w) < 1e-9).all()
+
+
+def test_matcher_negation_and_count(spark):
+    s = _samples(spark)
+    neg = L.eval_promql('count(count_over_time(click{label!="0"}[1h]))', s)
+    rows = neg.toPandas()
+    # 10 labels minus the excluded one, where present in the hour
+    assert rows.value.max() <= 9
+    assert rows.value.min() >= 1
+
+
+def test_topk_bounds_rows_per_bucket(spark):
+    s = _samples(spark)
+    got = L.eval_promql("topk(2, avg_over_time(view[30m]))", s).toPandas()
+    per_bucket = got.groupby("w_start").size()
+    assert (per_bucket <= 2).all()
+    assert (per_bucket > 0).any()
