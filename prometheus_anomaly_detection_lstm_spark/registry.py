@@ -319,6 +319,9 @@ PRIORITY: list[str] = [
     # window aggregates): reference config strings run in-engine
     "promql_lang_rate_sum", "promql_lang_topk_gauge",
     "promql_lang_increase_filter",
+    # matrix-profile discords (quadratic NN scan — no SQL twin;
+    # exactness pinned vs brute-force numpy): rows-only
+    "metric_matrix_profile",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----
@@ -399,8 +402,8 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         extended, mining, relational, robust, tpch_more, tpch_wave3, wave5,
     )
     from .operators import (
-        approx, bpe, corpus, dedup, kmeans, linalg, profile, promql,
-        promql_lang, similarity, text, multimodal,
+        approx, bpe, corpus, dedup, kmeans, linalg, matrixprofile,
+        profile, promql, promql_lang, similarity, text, multimodal,
     )
     from .ml import lstm_query
 
@@ -416,6 +419,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(promql_lang.QUERIES)
+    merged.update(matrixprofile.QUERIES)
     merged.update(linalg.QUERIES)
     merged.update(kmeans.QUERIES)
     merged.update(profile.QUERIES)
