@@ -29,6 +29,11 @@ Supported grammar (documented subset, recursive descent):
                  ['offset' DURATION]
     matcher   := LABEL ('=' | '!=' | '=~' | '!~') STRING
     binop     := + - * / > >= < <=  (comparisons FILTER, PromQL-style)
+                 vector binop scalar | scalar binop vector
+               | vector binop ['on' '(' labels ')' |
+                               'ignoring' '(' labels ')'] vector
+                 (1:1 matching; __name__ dropped before matching;
+                  x/0 -> SQL NULL)
 
 Batch semantics: a range selector evaluates per (series, tumbling
 bucket of the range duration) — the module's exact-bucket convention
@@ -111,6 +116,25 @@ class BinOp:
     scalar_left: bool = False
 
 
+@dataclass
+class VecBinOp:
+    """Vector-vector binary op with 1:1 label matching.
+
+    ``on`` is None (match on ALL shared label columns, metric name
+    dropped first — PromQL drops __name__ before matching) or a tuple
+    ("on" | "ignoring", labels).  Arithmetic joins the two vectors
+    inner on (match labels, w_start); comparisons keep the LEFT
+    vector's rows where the comparison holds (PromQL filter
+    semantics).  Division yields SQL NULL on zero denominators (the
+    SQL-friendly stand-in for PromQL's NaN/Inf).  Matching is strict
+    1:1 per (labelset, bucket) — group modifiers are out of scope."""
+
+    op: str
+    left: object
+    right: object
+    on: tuple[str, list[str]] | None = None
+
+
 def tokenize(s: str) -> list[tuple[str, str]]:
     out, pos = [], 0
     while pos < len(s):
@@ -182,10 +206,26 @@ class _Parser:
         tok = self.peek()
         if tok and tok[0] == "op" and tok[1] in {"+", "-", "*", "/", ">", ">=", "<", "<="}:
             op = self.next()[1]
-            scalar_tok = self.next()
-            if scalar_tok[0] != "num":
-                raise ValueError("only scalar right operands are supported")
-            return BinOp(op, expr, float(scalar_tok[1]))
+            on = None
+            nxt = self.peek()
+            if nxt and nxt[0] == "name" and nxt[1] in {"on", "ignoring"}:
+                kind = self.next()[1]
+                self.expect("(")
+                labels = []
+                while self.peek() and self.peek()[1] != ")":
+                    labels.append(self.next()[1])
+                    if self.peek() and self.peek()[1] == ",":
+                        self.next()
+                self.expect(")")
+                if kind == "ignoring":
+                    on = ("ignoring", labels)
+                else:
+                    on = ("on", labels)
+            nxt = self.peek()
+            if nxt and nxt[0] == "num" and on is None:
+                return BinOp(op, expr, float(self.next()[1]))
+            rhs = self._primary()
+            return VecBinOp(op, expr, rhs, on=on)
         return expr
 
     def _primary(self):
@@ -367,6 +407,44 @@ def _eval(node, samples: DataFrame) -> DataFrame:
             "count": F.count("value").cast("double"),
         }[node.op]
         return inner.groupBy(*node.by, "w_start").agg(agg_col.alias("value"))
+    if isinstance(node, VecBinOp):
+        lhs = _eval(node.left, samples)
+        rhs = _eval(node.right, samples)
+        l_labels = [c for c in lhs.columns if c not in {"w_start", "value"}]
+        r_labels = [c for c in rhs.columns if c not in {"w_start", "value"}]
+        # PromQL drops __name__ before matching — two different metrics
+        # with the same labelset DO match (rate(err)/rate(total))
+        shared = [c for c in l_labels if c in r_labels and c != "metric"]
+        if node.on is None:
+            match = shared
+        elif node.on[0] == "on":
+            match = [c for c in node.on[1] if c in shared]
+            if len(match) != len(node.on[1]):
+                raise ValueError(
+                    f"on(...) labels {node.on[1]} not present on both sides"
+                )
+        else:  # ignoring
+            match = [c for c in shared if c not in node.on[1]]
+        keys = [*match, "w_start"]
+        joined = lhs.withColumnRenamed("value", "__l").join(
+            rhs.select(*keys, F.col("value").alias("__r")), keys
+        )
+        lv, rv = F.col("__l"), F.col("__r")
+        if node.op in {">", ">=", "<", "<="}:
+            pred = {
+                ">": lv > rv, ">=": lv >= rv, "<": lv < rv, "<=": lv <= rv,
+            }[node.op]
+            # PromQL filter semantics: keep the LEFT vector's sample
+            return joined.filter(pred).select(
+                *l_labels, "w_start", lv.alias("value")
+            )
+        out = {
+            "+": lv + rv,
+            "-": lv - rv,
+            "*": lv * rv,
+            "/": lv / F.expr("nullif(__r, 0D)"),
+        }[node.op]
+        return joined.select(*match, "w_start", out.alias("value"))
     if isinstance(node, BinOp):
         inner = _eval(node.expr, samples)
         v = F.col("value")
@@ -527,4 +605,47 @@ QUERIES["promql_lang_topk_gauge"] = (q_lang_topk_gauge, ORACLE_LANG_TOPK_GAUGE)
 QUERIES["promql_lang_increase_filter"] = (
     q_lang_increase_filter,
     ORACLE_LANG_INCREASE,
+)
+
+
+def q_lang_error_ratio(spark, sf_dir: str) -> DataFrame:
+    """THE canonical production PromQL pattern — an error-rate ratio:
+    two independently aggregated vectors matched 1:1 on (label,
+    bucket), divided (NULL on zero denominators)."""
+    return eval_promql(
+        "sum by (label) (increase(error[1h]))"
+        " / sum by (label) (increase(click[1h]))",
+        _labeled(spark, sf_dir),
+    ).select("label", "w_start", F.col("value").alias("error_ratio"))
+
+
+ORACLE_LANG_ERROR_RATIO = f"""WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         ts, value, event_id AS seq
+  FROM events WHERE event_type IN ('error', 'click')
+), l AS (
+  SELECT metric, label, ts, seq, lag(value) OVER w AS pv, value
+  FROM s
+  WINDOW w AS (PARTITION BY metric, label ORDER BY ts, seq)
+), e AS (
+  SELECT metric, label,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         time_bucket(INTERVAL '3600 seconds', ts) AS w_start
+  FROM l
+), inc AS (
+  SELECT metric, label, w_start, sum(round(inc, 6)) AS v
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT a.label, a.w_start, round(a.v / nullif(b.v, 0), 6) AS error_ratio
+FROM inc a JOIN inc b ON a.label = b.label AND a.w_start = b.w_start
+WHERE a.metric = 'error' AND b.metric = 'click'"""
+
+
+QUERIES["promql_lang_error_ratio"] = (
+    q_lang_error_ratio,
+    ORACLE_LANG_ERROR_RATIO,
 )

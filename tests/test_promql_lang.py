@@ -46,7 +46,7 @@ def test_parse_trailing_by_and_topk_and_scalar():
         "rate(m)",                       # range function without [d]
         "sum by (l) (rate(m[5m])",       # unbalanced paren
         "m{label~\"x\"}",                # bad matcher op
-        "rate(m[5m]) > rate(n[5m])",     # vector-vector binop unsupported
+        "a / on (job) b / on (x) c",     # chained vector binops
         "m [5m] extra",                  # trailing tokens
     ],
 )
@@ -130,6 +130,63 @@ def test_matcher_negation_and_count(spark):
     # 10 labels minus the excluded one, where present in the hour
     assert rows.value.max() <= 9
     assert rows.value.min() >= 1
+
+
+def test_vector_ratio_matches_manual_join(spark):
+    """err/total ratio: 1:1 matched on (label, bucket), __name__
+    dropped before matching, NULL on zero denominators."""
+    s = _samples(spark)
+    expr = (
+        "sum by (label) (increase(error[6h]))"
+        " / sum by (label) (increase(click[6h]))"
+    )
+    got = L.eval_promql(expr, s).toPandas()
+    num = L.eval_promql("sum by (label) (increase(error[6h]))", s).toPandas()
+    den = L.eval_promql("sum by (label) (increase(click[6h]))", s).toPandas()
+    man = num.merge(den, on=["label", "w_start"], suffixes=("_n", "_d"))
+    man["want"] = man.value_n / man.value_d.where(man.value_d != 0)
+    m = got.merge(man, on=["label", "w_start"])
+    assert len(m) == len(got) == len(man) > 0
+    both = m.dropna(subset=["value", "want"])
+    # inner values are rounded to 6dp, the ratio once more — one ulp
+    assert (abs(both.value - both.want.round(6)) <= 1e-6).all()
+    assert (m.value.isna() == m.want.isna()).all()
+
+
+def test_vector_comparison_filters_left(spark):
+    s = _samples(spark)
+    base = L.eval_promql("sum by (label) (increase(error[6h]))", s).toPandas()
+    kept = L.eval_promql(
+        "sum by (label) (increase(error[6h]))"
+        " > sum by (label) (increase(click[6h]))",
+        s,
+    ).toPandas()
+    assert 0 < len(kept) < len(base)
+    # every kept row carries the LEFT vector's value
+    m = kept.merge(base, on=["label", "w_start"], suffixes=("_k", "_b"))
+    assert len(m) == len(kept)
+    assert (abs(m.value_k - m.value_b) < 1e-9).all()
+
+
+def test_vector_on_clause_restricts_match_keys(spark):
+    s = _samples(spark)
+    a = L.eval_promql(
+        "sum by (label) (increase(error[6h]))"
+        " / on (label) sum by (label) (increase(click[6h]))",
+        s,
+    )
+    b = L.eval_promql(
+        "sum by (label) (increase(error[6h]))"
+        " / sum by (label) (increase(click[6h]))",
+        s,
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError):
+        L.eval_promql(
+            "sum by (label) (increase(error[10m]))"
+            " / on (job) sum by (label) (increase(click[6h]))",
+            s,
+        )
 
 
 def test_topk_bounds_rows_per_bucket(spark):
