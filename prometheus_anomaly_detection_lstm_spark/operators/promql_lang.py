@@ -20,6 +20,8 @@ Supported grammar (documented subset, recursive descent):
     or_expr   := agg | func | selector | '(' expr ')'
     agg       := AGGOP [by-clause] '(' expr ')' [by-clause]
                | 'topk' '(' INT ',' expr ')'
+               | 'histogram_quantile' '(' NUM ',' 'rate' '('
+                   selector-with-range ')' ')'
     AGGOP     := sum | avg | min | max | count
     func      := FUNC '(' selector-with-range ')'
     FUNC      := rate | irate | increase | resets | delta
@@ -114,6 +116,19 @@ class BinOp:
     expr: object
     scalar: float
     scalar_left: bool = False
+
+
+@dataclass
+class HistQ:
+    """``histogram_quantile(q, rate(sel[d]))`` — lowered onto the batch
+    operator (operators/promql.histogram_quantile): samples bucket into
+    the cumulative ``le`` slots and the crossing slot interpolates
+    linearly, PromQL's estimator including both edge rules.  Non-le
+    labels collapse per metric (PromQL's sum-without-by convention for
+    the canonical usage)."""
+
+    q: float
+    sel: Selector
 
 
 @dataclass
@@ -237,6 +252,21 @@ class _Parser:
             node = self._maybe_binop_left()
             self.expect(")")
             return node
+        if tok[0] == "name" and tok[1] == "histogram_quantile":
+            self.next()
+            self.expect("(")
+            q_tok = self.next()
+            if q_tok[0] != "num":
+                raise ValueError("histogram_quantile needs a scalar q")
+            self.expect(",")
+            self.expect("rate")
+            self.expect("(")
+            sel = self._selector()
+            self.expect(")")
+            self.expect(")")
+            if sel.range_s is None:
+                raise ValueError("histogram_quantile needs a range selector")
+            return HistQ(float(q_tok[1]), sel)
         if tok[0] == "name" and tok[1] == "topk":
             self.next()
             self.expect("(")
@@ -407,6 +437,16 @@ def _eval(node, samples: DataFrame) -> DataFrame:
             "count": F.count("value").cast("double"),
         }[node.op]
         return inner.groupBy(*node.by, "w_start").agg(agg_col.alias("value"))
+    if isinstance(node, HistQ):
+        from .promql import histogram_quantile as _hq
+
+        df = _apply_selector(samples, node.sel).select("metric", "ts", "value")
+        out = _hq(df, q=node.q, bucket_s=node.sel.range_s)
+        return out.select(
+            "metric",
+            "w_start",
+            F.col(f"p{int(node.q * 100)}_est").alias("value"),
+        )
     if isinstance(node, VecBinOp):
         lhs = _eval(node.left, samples)
         rhs = _eval(node.right, samples)
@@ -648,4 +688,61 @@ WHERE a.metric = 'error' AND b.metric = 'click'"""
 QUERIES["promql_lang_error_ratio"] = (
     q_lang_error_ratio,
     ORACLE_LANG_ERROR_RATIO,
+)
+
+
+def q_lang_histogram_quantile(spark, sf_dir: str) -> DataFrame:
+    """histogram_quantile from the string surface: median estimate per
+    10m bucket over the error series' synthesized le slots."""
+    from ..io_tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    samples = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "value",
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("metric"),
+    )
+    return eval_promql("histogram_quantile(0.5, rate(error[10m]))", samples).select(
+        "metric", "w_start", F.col("value").alias("p50_est")
+    )
+
+
+def _lang_histq_oracle() -> str:
+    from .promql import LE
+
+    q = 0.5
+    le_list = "[" + ", ".join(str(v) for v in LE) + "]"
+    case = " ".join(f"WHEN value <= {v} THEN {i}" for i, v in enumerate(LE))
+    return f"""WITH e AS (
+  SELECT event_type AS metric,
+         time_bucket(INTERVAL '{_W} seconds', ts) AS w_start,
+         CASE {case} ELSE {len(LE)} END AS idx
+  FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT metric, w_start, idx, count(*) AS cnt FROM e GROUP BY 1, 2, 3
+), r AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY metric, w_start ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY metric, w_start) AS total
+  FROM c
+)
+SELECT metric, w_start,
+       round(round(CASE WHEN idx >= {len(LE)} THEN {LE[-1]}
+             ELSE (CASE WHEN idx = 0 THEN 0.0
+                        ELSE ({le_list})[idx] END)
+                  + (({le_list})[idx + 1]
+                     - CASE WHEN idx = 0 THEN 0.0
+                            ELSE ({le_list})[idx] END)
+                    * ({q} * total - (cum - cnt)) / cnt
+             END, 6), 6) AS p50_est
+FROM r
+WHERE cum >= {q} * total
+QUALIFY row_number() OVER (PARTITION BY metric, w_start ORDER BY idx) = 1"""
+
+
+QUERIES["promql_lang_histogram_quantile"] = (
+    q_lang_histogram_quantile,
+    _lang_histq_oracle(),
 )

@@ -189,6 +189,27 @@ def test_vector_on_clause_restricts_match_keys(spark):
         )
 
 
+def test_histogram_quantile_lowering_matches_operator(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.promql import (
+        histogram_quantile,
+    )
+
+    s = _samples(spark)
+    via_lang = L.eval_promql(
+        "histogram_quantile(0.9, rate(view[30m]))", s
+    )
+    direct = histogram_quantile(
+        s.filter(F.col("metric") == "view").select("metric", "ts", "value"),
+        q=0.9,
+        bucket_s=1800,
+    ).select("metric", "w_start", F.col("p90_est").alias("value"))
+    assert via_lang.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_lang).count() == 0
+    assert via_lang.count() > 0
+    with pytest.raises(ValueError):
+        L.parse("histogram_quantile(0.9, view)")  # needs rate(sel[d])
+
+
 def test_topk_bounds_rows_per_bucket(spark):
     s = _samples(spark)
     got = L.eval_promql("topk(2, avg_over_time(view[30m]))", s).toPandas()
