@@ -205,15 +205,43 @@ def cmd_detect(cfg: EngineConfig) -> None:  # pragma: no cover - needs live prom
     )
 
 
+def cmd_query(
+    expr: str, samples_dir: str, output: str | None = None
+) -> None:
+    """Run a PromQL string (the reference's config.yaml query format)
+    against a parquet sample table (ts, value, seq, metric[, labels])
+    — the in-engine replacement for shipping the string to a live
+    Prometheus (data_collector.py:41-48)."""
+    from .operators.promql_lang import eval_promql
+    from .session import get_spark
+
+    spark = get_spark("promql-query")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = eval_promql(expr, spark.read.parquet(samples_dir))
+    if output:
+        out.write.mode("overwrite").parquet(output)
+    else:
+        out.orderBy(*[c for c in out.columns if c != "value"]).show(
+            50, truncate=False
+        )
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="prometheus-ad-spark")
     ap.add_argument(
         "command",
-        choices=["collect", "preprocess", "train", "filter", "detect"],
+        choices=["collect", "preprocess", "train", "filter", "detect", "query"],
     )
     ap.add_argument("--config", default=None)
     ap.add_argument("--input", default=None)
+    ap.add_argument("--expr", default=None, help="PromQL string for `query`")
+    ap.add_argument("--output", default=None, help="parquet sink for `query`")
     args = ap.parse_args(argv)
+    if args.command == "query":
+        if not args.expr or not args.input:
+            raise SystemExit("query requires --expr and --input <samples dir>")
+        cmd_query(args.expr, args.input, args.output)
+        return
     cfg = load_config(args.config)
     if args.command == "collect":
         cmd_collect(cfg)

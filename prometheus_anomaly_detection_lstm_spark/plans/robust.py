@@ -489,6 +489,88 @@ FROM events GROUP BY user_id
 HAVING count(*) >= {HH_PHI} * (SELECT n_total FROM tot)"""
 
 
+# ------------------------------------------------- source token drift
+
+def source_token_drift(docs: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution vs
+    the GLOBAL corpus distribution — the shard-drift health report of a
+    training-data pipeline (which ingest source went off-distribution).
+
+    Key identity that keeps this join-light: tokens ABSENT from a
+    source contribute 0.5 * p_global each to the JSD (their p_source
+    is 0, so both KL terms collapse), and their total mass is
+    1 - sum(p_global over the source's PRESENT tokens) — so the whole
+    divergence needs only an INNER join on the present tokens plus a
+    closed-form correction, never a full outer join against the vocab.
+    One hash exchange on token, one on source.
+    """
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token"),
+    )
+    per_src = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n_src"))
+    glob = per_src.groupBy("token").agg(F.sum("c").alias("g"))
+    glob_tot = glob.agg(F.sum("g").alias("n_glob"))
+    d = (
+        per_src.join(src_tot, "source")
+        .join(glob, "token")
+        .crossJoin(F.broadcast(glob_tot))
+        .select(
+            "source",
+            (F.col("c") / F.col("n_src")).alias("ps"),
+            (F.col("g") / F.col("n_glob")).alias("pg"),
+        )
+    )
+    m = (F.col("ps") + F.col("pg")) / 2
+    term = F.lit(0.5) * F.col("ps") * F.log2(F.col("ps") / m) + F.lit(
+        0.5
+    ) * F.col("pg") * F.log2(F.col("pg") / m)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_tokens"),
+            F.round(
+                F.sum(term) + F.lit(0.5) * (F.lit(1.0) - F.sum("pg")), 6
+            ).alias("js_divergence"),
+        )
+    )
+
+
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_token_drift(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SOURCE_DRIFT = """WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+), per_src AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+), src_tot AS (
+  SELECT source, sum(c) AS n_src FROM per_src GROUP BY 1
+), gl AS (
+  SELECT token, sum(c) AS g FROM per_src GROUP BY 1
+), gl_tot AS (
+  SELECT sum(g) AS n_glob FROM gl
+), d AS (
+  SELECT p.source, p.c / s.n_src AS ps, g.g / (SELECT n_glob FROM gl_tot) AS pg
+  FROM per_src p JOIN src_tot s ON p.source = s.source
+  JOIN gl g ON p.token = g.token
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_shared_tokens,
+       round(sum(0.5 * ps * log2(ps / ((ps + pg) / 2))
+               + 0.5 * pg * log2(pg / ((ps + pg) / 2)))
+             + 0.5 * (1.0 - sum(pg)), 6) AS js_divergence
+FROM d GROUP BY source"""
+
+
+QUERIES["corpus_source_token_drift"] = (
+    q_source_token_drift,
+    ORACLE_SOURCE_DRIFT,
+)
+
 QUERIES["metric_cusum_anomalies"] = (q_metric_cusum, ORACLE_CUSUM)
 QUERIES["metric_theil_sen_trend"] = (q_theil_sen, ORACLE_THEIL_SEN)
 QUERIES["text_char_entropy"] = (q_char_entropy, ORACLE_CHAR_ENTROPY)

@@ -314,7 +314,7 @@ PRIORITY: list[str] = [
     # robust-statistics / SPC / corpus-law plans, all hash-graded ----
     "metric_cusum_anomalies", "metric_theil_sen_trend",
     "text_char_entropy", "corpus_zipf_fit", "events_funnel_timing",
-    "events_heavy_hitters",
+    "events_heavy_hitters", "corpus_source_token_drift",
     # PromQL STRING compiler (parse -> lower onto counter_rate /
     # window aggregates): reference config strings run in-engine
     "promql_lang_rate_sum", "promql_lang_topk_gauge",

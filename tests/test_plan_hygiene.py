@@ -61,6 +61,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "tpch_q11",                 # global value-total scalar
     "tpch_q22",                 # avg-balance scalar subquery
     "events_heavy_hitters",     # one-row corpus-total denominator
+    "corpus_source_token_drift",  # one-row global-token-total broadcast
 }
 
 

@@ -216,3 +216,33 @@ def test_topk_bounds_rows_per_bucket(spark):
     per_bucket = got.groupby("w_start").size()
     assert (per_bucket <= 2).all()
     assert (per_bucket > 0).any()
+
+
+def test_cli_query_subcommand(spark, tmp_path):
+    """`prometheus-ad-spark query --expr ... --input <samples parquet>`
+    writes the compiled result — the config-string-to-lake path."""
+    from prometheus_anomaly_detection_lstm_spark.cli import main
+
+    src = str(tmp_path / "samples")
+    out = str(tmp_path / "out")
+    _samples(spark).write.parquet(src)
+    main(
+        [
+            "query",
+            "--expr",
+            "sum by (label) (increase(click[1h]))",
+            "--input",
+            src,
+            "--output",
+            out,
+        ]
+    )
+    got = spark.read.parquet(out)
+    want = L.eval_promql(
+        "sum by (label) (increase(click[1h]))", _samples(spark)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+    with pytest.raises(SystemExit):
+        main(["query", "--expr", "rate(m[5m])"])  # missing --input

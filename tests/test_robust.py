@@ -133,6 +133,50 @@ def test_zipf_fit_is_negative_sloped(spark):
     assert 0.0 <= row.r2 <= 1.0
 
 
+def test_source_token_drift_properties(spark):
+    """JSD is bounded [0, 1] (log2 base), zero for a shard whose token
+    distribution IS the global one, and the absent-mass closed form
+    matches an explicit full-outer computation."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "a b c d", "s2"),
+            (3, "x y", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r.js_divergence
+        for r in robust.source_token_drift(docs).collect()
+    }
+    # explicit reference: full outer over the union vocabulary
+    import collections
+
+    per = {
+        "s1": collections.Counter("abcd"),
+        "s2": collections.Counter("abcd"),
+        "s3": collections.Counter("xy"),
+    }
+    glob = collections.Counter()
+    for c in per.values():
+        glob.update(c)
+    ng = sum(glob.values())
+    for src, cnt in per.items():
+        ns = sum(cnt.values())
+        jsd = 0.0
+        for t, g in glob.items():
+            ps, pg = cnt.get(t, 0) / ns, g / ng
+            m = (ps + pg) / 2
+            if ps > 0:
+                jsd += 0.5 * ps * np.log2(ps / m)
+            if pg > 0:
+                jsd += 0.5 * pg * np.log2(pg / m)
+        assert got[src] == pytest.approx(jsd, abs=1e-6), src
+        assert 0.0 <= got[src] <= 1.0
+    # s3 (disjoint vocab) must be the most drifted shard
+    assert got["s3"] == max(got.values())
+
+
 def test_funnel_timing_gaps_ordered(spark):
     rows = {r.step: r for r in robust.q_funnel_timing(spark, SF_SMALL).collect()}
     assert set(rows) == {"signup->click", "click->purchase", "signup->purchase"}
