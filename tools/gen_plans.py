@@ -140,6 +140,29 @@ SHOWCASE = [
      "membership is two JVM hashes + bit tests inside whole-stage "
      "codegen, so only the ~fpp candidate fraction of the corpus gram "
      "stream enters the exact join that removes false positives."),
+    ("metric_cusum_anomalies", "CUSUM recursion as two running windows",
+     "The SPC recursion max(0, S+z-K) is computed closed-form over "
+     "prefix sums: one hashpartitioning(metric) exchange feeds a "
+     "whole-partition window (mean/std) and a running-frame window "
+     "(sum + min) — no recursion, no Python, no extra exchange."),
+    ("metric_theil_sen_trend", "Theil-Sen pairs via lag-bucket equi-join",
+     "Pairwise slopes bound to index lag 24: the self-join is a hash "
+     "equi-join on (metric, bucket) with a two-bucket probe fan-out, "
+     "so pair volume is rows x 24, never rows squared."),
+    ("events_heavy_hitters", "Misra-Gries sketch + exact rescan",
+     "Pass 1 caps aggregation state at k counters per partition (Arrow "
+     "mapInPandas) and provably surfaces every >= n/(k+1) item; pass 2 "
+     "broadcast-joins the candidate list and counts exactly — a "
+     "full-cardinality group-by replaced by bounded state + a "
+     "candidates-only join."),
+    ("promql_lang_error_ratio", "compiled PromQL ratio, 1:1 label match",
+     "Two independently aggregated vectors (each one series exchange + "
+     "one agg exchange) join 1:1 on (label, bucket); the compiler emits "
+     "the same plan a hand-written ratio would."),
+    ("corpus_source_token_drift", "JSD drift without a full-outer join",
+     "Absent-token mass folds into a closed-form correction, so the "
+     "per-shard divergence needs only an inner join on present tokens "
+     "plus a one-row global-total broadcast."),
     ("orders_backlog_daily", "interval counting without an interval join",
      "Intervals become +1/-1 boundary events; the only shuffles are "
      "the close-date rollup on the order key and the bounded day "
