@@ -323,6 +323,9 @@ PRIORITY: list[str] = [
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",
+    # framed PCM16 RMS/ZCR (int16 decode has no SQL twin; closed-form
+    # pins on synthesized sine/square/silence): rows-only
+    "multimodal_audio_features",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----
