@@ -18,7 +18,8 @@ Supported grammar (documented subset, recursive descent):
 
     expr      := or_expr binop scalar | scalar binop or_expr | or_expr
     or_expr   := agg | func | selector | '(' expr ')'
-    agg       := AGGOP [by-clause] '(' expr ')' [by-clause]
+    agg       := AGGOP [group-clause] '(' expr ')' [group-clause]
+                 (group-clause := ('by' | 'without') '(' labels ')')
                | 'topk' '(' INT ',' expr ')'
                | 'histogram_quantile' '(' NUM ',' 'rate' '('
                    selector-with-range ')' ')'
@@ -108,6 +109,9 @@ class Agg:
     by: list[str]
     arg: object
     k: int | None = None
+    #: PromQL ``without (labels)``: group by every label EXCEPT these
+    #: (and __name__, which without always drops).
+    without: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -277,12 +281,13 @@ class _Parser:
             return Agg("topk", [], arg, k=int(k_tok[1]))
         if tok[0] == "name" and tok[1] in AGG_OPS:
             op = self.next()[1]
-            by = self._by_clause()
+            by, without = self._grouping_clause()
             self.expect("(")
             arg = self._maybe_binop_left()
             self.expect(")")
-            by = by or self._by_clause()
-            return Agg(op, by, arg)
+            if not by and not without:
+                by, without = self._grouping_clause()
+            return Agg(op, by, arg, without=without)
         if tok[0] == "name" and tok[1] in RANGE_FUNCS:
             name = self.next()[1]
             self.expect("(")
@@ -293,10 +298,11 @@ class _Parser:
             return Func(name, sel)
         return self._selector()
 
-    def _by_clause(self) -> list[str]:
+    def _grouping_clause(self) -> tuple[list[str], list[str]]:
+        """(by_labels, without_labels) — at most one side non-empty."""
         tok = self.peek()
-        if tok and tok[0] == "name" and tok[1] == "by":
-            self.next()
+        if tok and tok[0] == "name" and tok[1] in {"by", "without"}:
+            kind = self.next()[1]
             self.expect("(")
             labels = []
             while True:
@@ -306,8 +312,8 @@ class _Parser:
                     continue
                 break
             self.expect(")")
-            return labels
-        return []
+            return ([], labels) if kind == "without" else (labels, [])
+        return [], []
 
     def _selector(self) -> Selector:
         name_tok = self.next()
@@ -436,7 +442,15 @@ def _eval(node, samples: DataFrame) -> DataFrame:
             "max": F.max("value"),
             "count": F.count("value").cast("double"),
         }[node.op]
-        return inner.groupBy(*node.by, "w_start").agg(agg_col.alias("value"))
+        group = node.by
+        if node.without:
+            group = [
+                c
+                for c in inner.columns
+                if c not in {"w_start", "value", "metric"}
+                and c not in node.without
+            ]
+        return inner.groupBy(*group, "w_start").agg(agg_col.alias("value"))
     if isinstance(node, HistQ):
         from .promql import histogram_quantile as _hq
 

@@ -246,3 +246,18 @@ def test_cli_query_subcommand(spark, tmp_path):
     assert got.count() > 0
     with pytest.raises(SystemExit):
         main(["query", "--expr", "rate(m[5m])"])  # missing --input
+
+
+def test_without_clause_complements_by(spark):
+    """`sum without (x)` groups by every label except x and __name__ —
+    with a single extra label, equivalent to the bare `sum(...)`; with
+    none excluded, equivalent to grouping by that label."""
+    s = _samples(spark)
+    a = L.eval_promql("sum without (label) (increase(view[1h]))", s)
+    b = L.eval_promql("sum(increase(view[1h]))", s)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = L.eval_promql("sum without (nosuch) (increase(view[1h]))", s)
+    d = L.eval_promql("sum by (label) (increase(view[1h]))", s)
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
+    ast = L.parse("avg without (l1, l2) (rate(m[5m]))")
+    assert ast.without == ["l1", "l2"] and ast.by == []
