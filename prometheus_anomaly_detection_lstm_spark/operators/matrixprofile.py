@@ -63,6 +63,9 @@ def _profile_chunk(pdf, m: int, topk: int, excl: int):
     import numpy as np
     import pandas as pd
 
+    # NULL samples would poison every distance through the chunk (NaN
+    # min/argmin); drop them — the profile is over observed values
+    pdf = pdf.dropna(subset=["value"])
     pdf = pdf.sort_values(["ts", "seq"], ignore_index=True)
     x = pdf["value"].to_numpy()
     n = len(x)

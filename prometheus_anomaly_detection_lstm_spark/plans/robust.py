@@ -452,6 +452,11 @@ def heavy_hitters(
     from ..shipping import ensure_shipped
 
     ensure_shipped(ev.sparkSession)
+    # NULL actors are meaningless as heavy hitters and pandas
+    # value_counts drops NaN anyway — exclude them explicitly on BOTH
+    # engines (the oracle filters identically) so the contract doesn't
+    # depend on testdata never containing NULL user_ids
+    ev = ev.filter(F.col("user_id").isNotNull())
     cand = (
         ev.select("user_id")
         .mapInPandas(
@@ -480,12 +485,14 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
-ORACLE_HEAVY_HITTERS = f"""WITH tot AS (
-  SELECT count(*) AS n_total FROM events
+ORACLE_HEAVY_HITTERS = f"""WITH ev AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+), tot AS (
+  SELECT count(*) AS n_total FROM ev
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
        round(count(*) / (SELECT n_total FROM tot), 6) AS frac
-FROM events GROUP BY user_id
+FROM ev GROUP BY user_id
 HAVING count(*) >= {HH_PHI} * (SELECT n_total FROM tot)"""
 
 

@@ -114,3 +114,23 @@ def test_distributed_profile_is_partitioning_invariant(spark):
     assert len(a) > 0
     # every (metric, day) chunk reports at most MP_TOPK discords
     assert a.groupby(["metric", "day"]).size().max() <= MP.MP_TOPK
+
+
+def test_null_values_are_dropped_not_poisoning():
+    n = 100
+    x = np.sin(np.arange(n) / 5.0)
+    vals = x.copy().astype(object)
+    vals[10] = None
+    vals[50] = None
+    pdf = pd.DataFrame(
+        {
+            "metric": "m",
+            "day": pd.Timestamp("2024-01-01").date(),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+            "seq": np.arange(n),
+            "value": pd.array([None if v is None else float(v) for v in vals], dtype="Float64"),
+        }
+    )
+    got = MP._profile_chunk(pdf, MP.MP_M, topk=3, excl=MP.MP_EXCL)
+    assert len(got) == 3
+    assert np.isfinite(got.profile_dist).all()

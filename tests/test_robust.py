@@ -188,3 +188,15 @@ def test_funnel_timing_gaps_ordered(spark):
     assert rows["signup->purchase"].avg_s == pytest.approx(
         rows["signup->click"].avg_s + rows["click->purchase"].avg_s, abs=1e-5
     )
+
+
+def test_heavy_hitters_null_user_ids_excluded(spark):
+    """NULL actors never surface, and their events don't count toward
+    the denominator — on either engine."""
+    rows = [(None if i % 3 == 0 else i % 5, float(i)) for i in range(300)]
+    ev = spark.createDataFrame(rows, "user_id long, value double")
+    got = robust.heavy_hitters(ev, phi=0.1, k=50).collect()
+    assert got and all(r.user_id is not None for r in got)
+    n_valid = 200  # 100 of 300 rows are NULL
+    for r in got:
+        assert r.frac == pytest.approx(r.cnt / n_valid, abs=1e-6)
