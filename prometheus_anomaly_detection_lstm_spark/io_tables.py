@@ -68,6 +68,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (metric, ts, seq, value): THE shared sample-stream
+    adapter (event_type is the series label) used by the promql/
+    mining/robust/matrix-profile families — one definition so a schema
+    change can't silently diverge across plans.  Pins the session TZ to
+    UTC like every metric-family query wrapper."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+
+
 def parallelize_if_underpartitioned(
     df: DataFrame,
     *key_cols: str,

@@ -124,14 +124,9 @@ def matrix_profile_discords(
 
 
 def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    s = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("metric"),
-        "ts",
-        F.col("event_id").alias("seq"),
-        "value",
-    )
-    return matrix_profile_discords(s)
+    from ..io_tables import events_series
+
+    return matrix_profile_discords(events_series(spark, sf_dir))
 
 
 QUERIES: dict = {"metric_matrix_profile": (q_matrix_profile, None)}

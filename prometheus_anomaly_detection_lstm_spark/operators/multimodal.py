@@ -420,13 +420,15 @@ def audio_features(
     ensure_shipped(media.sparkSession)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = {
-            "media_id": [], "n_samples": [], "n_frames": [],
-            "mean_rms": [], "max_rms": [], "mean_zcr": [],
-        }
         for pdf in batches:
             if pdf.empty:
                 continue
+            # one output frame PER Arrow batch (decode_png_batch's
+            # discipline) — never accumulate the whole partition
+            out = {
+                "media_id": [], "n_samples": [], "n_frames": [],
+                "mean_rms": [], "max_rms": [], "mean_zcr": [],
+            }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None or len(payload) < 2:
                     row = (mid, 0, 0, None, None, None)
@@ -449,21 +451,27 @@ def audio_features(
                         row = (mid, n, 0, None, None, None)
                     else:
                         rms = np.sqrt((frames**2).mean(axis=1))
-                        zcr = (
-                            np.abs(np.diff(np.signbit(frames), axis=1))
-                            .mean(axis=1)
-                        )
+                        if frames.shape[1] >= 2:
+                            zcr = float(
+                                np.abs(np.diff(np.signbit(frames), axis=1))
+                                .mean(axis=1)
+                                .mean()
+                            )
+                        else:
+                            # a 1-sample frame has no adjacent pair —
+                            # zero crossings, not NaN-of-empty-slice
+                            zcr = 0.0
                         row = (
                             mid,
                             n,
                             frames.shape[0],
                             round(float(rms.mean()), 6),
                             round(float(rms.max()), 6),
-                            round(float(zcr.mean()), 6),
+                            round(zcr, 6),
                         )
                 for c, v in zip(out, row):
                     out[c].append(v)
-        yield pd.DataFrame(out)
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, AUDIO_SCHEMA)
 

@@ -502,16 +502,18 @@ def _eval(node, samples: DataFrame) -> DataFrame:
     if isinstance(node, BinOp):
         inner = _eval(node.expr, samples)
         v = F.col("value")
+        s = F.lit(node.scalar)
+        # operand order matters for BOTH families: `100 > m` keeps
+        # samples where 100 > value, i.e. value < 100 — not value > 100
+        left, right = (s, v) if node.scalar_left else (v, s)
         if node.op in {">", ">=", "<", "<="}:
             pred = {
-                ">": v > node.scalar,
-                ">=": v >= node.scalar,
-                "<": v < node.scalar,
-                "<=": v <= node.scalar,
+                ">": left > right,
+                ">=": left >= right,
+                "<": left < right,
+                "<=": left <= right,
             }[node.op]
             return inner.filter(pred)  # comparisons FILTER the vector
-        s = F.lit(node.scalar)
-        left, right = (s, v) if node.scalar_left else (v, s)
         out = {
             "+": left + right,
             "-": left - right,
@@ -691,7 +693,10 @@ ORACLE_LANG_ERROR_RATIO = f"""WITH s AS (
          time_bucket(INTERVAL '3600 seconds', ts) AS w_start
   FROM l
 ), inc AS (
-  SELECT metric, label, w_start, sum(round(inc, 6)) AS v
+  -- mirror counter_rate exactly: increase = round(SUM(inc), 6) per
+  -- (series, bucket); the outer sum-by-label then adds those rounded
+  -- per-series values (here one series per label, so it's an identity)
+  SELECT metric, label, w_start, round(sum(inc), 6) AS v
   FROM e GROUP BY 1, 2, 3
 )
 SELECT a.label, a.w_start, round(a.v / nullif(b.v, 0), 6) AS error_ratio

@@ -61,15 +61,10 @@ CURRICULUM_QS = (0.25, 0.5, 0.75, 0.9)
 
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> (metric, ts, seq, value) sample stream (same adapter as
-    operators/promql._samples: event_type is the series label)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("metric"),
-        "ts",
-        F.col("event_id").alias("seq"),
-        "value",
-    )
+    """Shared sample-stream adapter (io_tables.events_series)."""
+    from ..io_tables import events_series
+
+    return events_series(spark, sf_dir)
 
 
 # ------------------------------------------------------- rolling median

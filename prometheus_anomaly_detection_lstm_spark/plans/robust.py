@@ -75,15 +75,10 @@ MG_K = 400
 
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> (metric, ts, seq, value): event_type is the series
-    label (same adapter as plans/mining._series)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("metric"),
-        "ts",
-        F.col("event_id").alias("seq"),
-        "value",
-    )
+    """Shared sample-stream adapter (io_tables.events_series)."""
+    from ..io_tables import events_series
+
+    return events_series(spark, sf_dir)
 
 
 # --------------------------------------------------------------- CUSUM

@@ -261,3 +261,16 @@ def test_without_clause_complements_by(spark):
     assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
     ast = L.parse("avg without (l1, l2) (rate(m[5m]))")
     assert ast.without == ["l1", "l2"] and ast.by == []
+
+
+def test_scalar_left_comparison_keeps_correct_side(spark):
+    """`100 > v` must keep samples where value < 100 — the review
+    found the operands inverted; this pins the fix (and its dual)."""
+    s = _samples(spark)
+    below = L.eval_promql("100 > sum(increase(view[6h]))", s).toPandas()
+    above = L.eval_promql("sum(increase(view[6h])) > 100", s).toPandas()
+    total = L.eval_promql("sum(increase(view[6h]))", s).toPandas().dropna()
+    assert (below.value < 100).all()
+    assert (above.value > 100).all()
+    assert len(below) + len(above) == len(total[total.value != 100])
+    assert len(below) > 0 and len(above) > 0
