@@ -23,11 +23,14 @@ Supported grammar (documented subset, recursive descent):
                | 'topk' '(' INT ',' expr ')'
                | 'histogram_quantile' '(' NUM ',' 'rate' '('
                    selector-with-range ')' ')'
-    AGGOP     := sum | avg | min | max | count
+               | 'quantile_over_time' '(' NUM ','
+                   selector-with-range ')'
+    AGGOP     := sum | avg | min | max | count | stddev | stdvar
     func      := FUNC '(' selector-with-range ')'
     FUNC      := rate | irate | increase | resets | delta
                | avg_over_time | min_over_time | max_over_time
                | sum_over_time | count_over_time | last_over_time
+               | stddev_over_time | stdvar_over_time
     selector  := NAME ['{' matcher (',' matcher)* '}'] ['[' DURATION ']']
                  ['offset' DURATION]
     matcher   := LABEL ('=' | '!=' | '=~' | '!~') STRING
@@ -81,11 +84,12 @@ _TOKEN_RE = re.compile(
     re.X,
 )
 
-AGG_OPS = {"sum", "avg", "min", "max", "count"}
+AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar"}
 RANGE_FUNCS = {
     "rate", "irate", "increase", "resets", "delta",
     "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time",
+    "stddev_over_time", "stdvar_over_time",
 }
 
 
@@ -120,6 +124,16 @@ class BinOp:
     expr: object
     scalar: float
     scalar_left: bool = False
+
+
+@dataclass
+class QuantOT:
+    """``quantile_over_time(q, sel[d])`` — exact interpolated
+    phi-quantile per (series, bucket), PromQL's estimator (percentile()
+    and DuckDB quantile_cont are bit-identical to it)."""
+
+    q: float
+    sel: Selector
 
 
 @dataclass
@@ -256,6 +270,18 @@ class _Parser:
             node = self._maybe_binop_left()
             self.expect(")")
             return node
+        if tok[0] == "name" and tok[1] == "quantile_over_time":
+            self.next()
+            self.expect("(")
+            q_tok = self.next()
+            if q_tok[0] != "num":
+                raise ValueError("quantile_over_time needs a scalar q")
+            self.expect(",")
+            sel = self._selector()
+            self.expect(")")
+            if sel.range_s is None:
+                raise ValueError("quantile_over_time needs a range selector")
+            return QuantOT(float(q_tok[1]), sel)
         if tok[0] == "name" and tok[1] == "histogram_quantile":
             self.next()
             self.expect("(")
@@ -387,6 +413,9 @@ _OVER_TIME = {
     "last_over_time": lambda: F.expr(
         "max_by(value, named_struct('t', ts, 's', seq))"
     ),
+    # PromQL stddev/stdvar are POPULATION moments
+    "stddev_over_time": lambda: F.stddev_pop("value"),
+    "stdvar_over_time": lambda: F.var_pop("value"),
 }
 
 
@@ -441,6 +470,8 @@ def _eval(node, samples: DataFrame) -> DataFrame:
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count("value").cast("double"),
+            "stddev": F.stddev_pop("value"),
+            "stdvar": F.var_pop("value"),
         }[node.op]
         group = node.by
         if node.without:
@@ -451,6 +482,14 @@ def _eval(node, samples: DataFrame) -> DataFrame:
                 and c not in node.without
             ]
         return inner.groupBy(*group, "w_start").agg(agg_col.alias("value"))
+    if isinstance(node, QuantOT):
+        df = _apply_selector(samples, node.sel)
+        return df.groupBy(
+            *series,
+            F.window("ts", f"{node.sel.range_s} seconds").start.alias(
+                "w_start"
+            ),
+        ).agg(F.expr(f"percentile(value, {node.q!r}D)").alias("value"))
     if isinstance(node, HistQ):
         from .promql import histogram_quantile as _hq
 
@@ -764,4 +803,30 @@ QUALIFY row_number() OVER (PARTITION BY metric, w_start ORDER BY idx) = 1"""
 QUERIES["promql_lang_histogram_quantile"] = (
     q_lang_histogram_quantile,
     _lang_histq_oracle(),
+)
+
+
+def q_lang_quantile_over_time(spark, sf_dir: str) -> DataFrame:
+    """Exact interpolated p95 per (label series, 1h bucket) from the
+    string surface — the gauge-latency SLO readout."""
+    return eval_promql(
+        "quantile_over_time(0.95, view[1h])", _labeled(spark, sf_dir)
+    ).select("metric", "label", "w_start", F.col("value").alias("p95_v"))
+
+
+ORACLE_LANG_QUANTILE_OT = """WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         time_bucket(INTERVAL '3600 seconds', ts) AS w_start, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT metric, label, w_start,
+       round(quantile_cont(value, 0.95), 6) AS p95_v
+FROM s GROUP BY 1, 2, 3"""
+
+
+QUERIES["promql_lang_quantile_over_time"] = (
+    q_lang_quantile_over_time,
+    ORACLE_LANG_QUANTILE_OT,
 )

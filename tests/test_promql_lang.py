@@ -274,3 +274,19 @@ def test_scalar_left_comparison_keeps_correct_side(spark):
     assert (above.value > 100).all()
     assert len(below) + len(above) == len(total[total.value != 100])
     assert len(below) > 0 and len(above) > 0
+
+
+def test_quantile_and_stddev_over_time(spark):
+    s = _samples(spark)
+    p95 = L.eval_promql("quantile_over_time(0.95, view[1h])", s).toPandas()
+    mx = L.eval_promql("max_over_time(view[1h])", s).toPandas()
+    m = p95.merge(mx, on=["metric", "label", "w_start"], suffixes=("_q", "_m"))
+    assert len(m) == len(p95) > 0
+    assert (m.value_q <= m.value_m + 1e-9).all()
+    sd = L.eval_promql("stddev_over_time(view[1h])", s).toPandas()
+    var = L.eval_promql("stdvar_over_time(view[1h])", s).toPandas()
+    m2 = sd.merge(var, on=["metric", "label", "w_start"], suffixes=("_s", "_v"))
+    # population stddev^2 == stdvar (both rounded to 6dp -> 1e-5 slack)
+    assert (abs(m2.value_s**2 - m2.value_v) < 1e-4).all()
+    agg = L.eval_promql("stddev(last_over_time(view[1h]))", s).toPandas()
+    assert (agg.value >= 0).all() and len(agg) > 0
