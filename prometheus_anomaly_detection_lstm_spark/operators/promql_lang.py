@@ -25,6 +25,9 @@ Supported grammar (documented subset, recursive descent):
                    selector-with-range ')' ')'
                | 'quantile_over_time' '(' NUM ','
                    selector-with-range ')'
+               | MATHFN '(' expr [',' NUM] ')'
+                 (MATHFN := abs|ceil|floor|sqrt|exp|ln|log2
+                          | clamp_min|clamp_max — elementwise)
     AGGOP     := sum | avg | min | max | count | stddev | stdvar
     func      := FUNC '(' selector-with-range ')'
     FUNC      := rate | irate | increase | resets | delta
@@ -124,6 +127,32 @@ class BinOp:
     expr: object
     scalar: float
     scalar_left: bool = False
+
+
+#: elementwise vector math: name -> value-column transform
+MATH_FUNCS = {
+    "abs": lambda v, _: F.abs(v),
+    "ceil": lambda v, _: F.ceil(v).cast("double"),
+    "floor": lambda v, _: F.floor(v).cast("double"),
+    "sqrt": lambda v, _: F.sqrt(v),
+    "exp": lambda v, _: F.exp(v),
+    "ln": lambda v, _: F.log(v),
+    "log2": lambda v, _: F.log2(v),
+    "clamp_min": lambda v, s: F.greatest(v, F.lit(s)),
+    "clamp_max": lambda v, s: F.least(v, F.lit(s)),
+}
+
+
+@dataclass
+class MathFn:
+    """Elementwise math over a vector expression; ``scalar`` only for
+    clamp_min/clamp_max.  ln/log2/sqrt of out-of-domain values yield
+    SQL NULL (Spark semantics) rather than PromQL's NaN — the engine's
+    NULL convention, applied consistently."""
+
+    name: str
+    arg: object
+    scalar: float | None = None
 
 
 @dataclass
@@ -270,6 +299,19 @@ class _Parser:
             node = self._maybe_binop_left()
             self.expect(")")
             return node
+        if tok[0] == "name" and tok[1] in MATH_FUNCS:
+            name = self.next()[1]
+            self.expect("(")
+            arg = self._maybe_binop_left()
+            scalar = None
+            if name in {"clamp_min", "clamp_max"}:
+                self.expect(",")
+                s_tok = self.next()
+                if s_tok[0] != "num":
+                    raise ValueError(f"{name} needs a scalar bound")
+                scalar = float(s_tok[1])
+            self.expect(")")
+            return MathFn(name, arg, scalar)
         if tok[0] == "name" and tok[1] == "quantile_over_time":
             self.next()
             self.expect("(")
@@ -482,6 +524,11 @@ def _eval(node, samples: DataFrame) -> DataFrame:
                 and c not in node.without
             ]
         return inner.groupBy(*group, "w_start").agg(agg_col.alias("value"))
+    if isinstance(node, MathFn):
+        inner = _eval(node.arg, samples)
+        return inner.withColumn(
+            "value", MATH_FUNCS[node.name](F.col("value"), node.scalar)
+        )
     if isinstance(node, QuantOT):
         df = _apply_selector(samples, node.sel)
         return df.groupBy(

@@ -290,3 +290,22 @@ def test_quantile_and_stddev_over_time(spark):
     assert (abs(m2.value_s**2 - m2.value_v) < 1e-4).all()
     agg = L.eval_promql("stddev(last_over_time(view[1h]))", s).toPandas()
     assert (agg.value >= 0).all() and len(agg) > 0
+
+
+def test_math_functions_elementwise(spark):
+    s = _samples(spark)
+    base = L.eval_promql("sum by (label) (increase(view[6h]))", s).toPandas()
+    clamped = L.eval_promql(
+        "clamp_max(sum by (label) (increase(view[6h])), 50)", s
+    ).toPandas()
+    m = base.merge(clamped, on=["label", "w_start"], suffixes=("_b", "_c"))
+    assert len(m) == len(base) > 0
+    both = m.dropna()
+    assert (both.value_c == both.value_b.clip(upper=50.0)).all()
+    sq = L.eval_promql("sqrt(sum by (label) (increase(view[6h])))", s).toPandas()
+    m2 = base.merge(sq, on=["label", "w_start"], suffixes=("_b", "_s")).dropna()
+    assert (abs(m2.value_s - m2.value_b.pow(0.5).round(6)) <= 1e-6).all()
+    ast = L.parse("clamp_min(abs(rate(m[5m])), 0.5)")
+    assert ast.name == "clamp_min" and ast.arg.name == "abs"
+    with pytest.raises(ValueError):
+        L.parse("clamp_min(rate(m[5m]))")  # missing bound
