@@ -28,6 +28,9 @@ Supported grammar (documented subset, recursive descent):
                | MATHFN '(' expr [',' NUM] ')'
                  (MATHFN := abs|ceil|floor|sqrt|exp|ln|log2
                           | clamp_min|clamp_max — elementwise)
+               | 'label_replace' '(' expr ',' STR ',' STR ',' STR ','
+                   STR ')'
+               | 'label_join' '(' expr ',' STR ',' STR ',' STR... ')'
     AGGOP     := sum | avg | min | max | count | stddev | stdvar
     func      := FUNC '(' selector-with-range ')'
     FUNC      := rate | irate | increase | resets | delta
@@ -153,6 +156,19 @@ class MathFn:
     name: str
     arg: object
     scalar: float | None = None
+
+
+@dataclass
+class LabelFn:
+    """``label_replace(v, dst, repl, src, regex)`` / ``label_join(v,
+    dst, sep, l1, ...)``.  label_replace follows PromQL exactly: the
+    regex must match the src label's WHOLE value; on match dst becomes
+    the replacement with $1..$n capture substitution, otherwise dst is
+    left as-is (empty string when dst doesn't exist yet)."""
+
+    name: str
+    arg: object
+    args: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -299,6 +315,22 @@ class _Parser:
             node = self._maybe_binop_left()
             self.expect(")")
             return node
+        if tok[0] == "name" and tok[1] in {"label_replace", "label_join"}:
+            name = self.next()[1]
+            self.expect("(")
+            arg = self._maybe_binop_left()
+            strs = []
+            while self.peek() and self.peek()[1] == ",":
+                self.next()
+                s_tok = self.next()
+                if s_tok[0] != "str":
+                    raise ValueError(f"{name} args after the vector are strings")
+                strs.append(s_tok[1])
+            self.expect(")")
+            need = 4 if name == "label_replace" else 3
+            if len(strs) < need:
+                raise ValueError(f"{name} needs {need}+ string args")
+            return LabelFn(name, arg, strs)
         if tok[0] == "name" and tok[1] in MATH_FUNCS:
             name = self.next()[1]
             self.expect("(")
@@ -524,6 +556,38 @@ def _eval(node, samples: DataFrame) -> DataFrame:
                 and c not in node.without
             ]
         return inner.groupBy(*group, "w_start").agg(agg_col.alias("value"))
+    if isinstance(node, LabelFn):
+        inner = _eval(node.arg, samples)
+        if node.name == "label_replace":
+            dst, repl, src, regex = node.args[:4]
+            full = f"^(?:{regex})$"
+            src_col = (
+                F.col(src).cast("string")
+                if src in inner.columns
+                else F.lit("")
+            )
+            old_dst = (
+                F.col(dst).cast("string")
+                if dst in inner.columns
+                else F.lit("")
+            )
+            new_dst = F.when(
+                src_col.rlike(full), F.regexp_replace(src_col, full, repl)
+            ).otherwise(old_dst)
+            return inner.withColumn(dst, new_dst)
+        dst, sep, *labels = node.args
+        return inner.withColumn(
+            dst,
+            F.concat_ws(
+                sep,
+                *[
+                    F.col(l).cast("string")
+                    if l in inner.columns
+                    else F.lit("")
+                    for l in labels
+                ],
+            ),
+        )
     if isinstance(node, MathFn):
         inner = _eval(node.arg, samples)
         return inner.withColumn(
@@ -876,4 +940,44 @@ FROM s GROUP BY 1, 2, 3"""
 QUERIES["promql_lang_quantile_over_time"] = (
     q_lang_quantile_over_time,
     ORACLE_LANG_QUANTILE_OT,
+)
+
+
+def q_lang_label_replace(spark, sf_dir: str) -> DataFrame:
+    """Recording-rule relabel from the string surface: bucketize the
+    label via regex capture, aggregate on the NEW identity."""
+    return eval_promql(
+        'sum by (bucket) (label_replace('
+        'last_over_time(click[1h]), "bucket", "lo$1", "label", "([0-4])"))',
+        _labeled(spark, sf_dir),
+    ).select("bucket", "w_start", F.col("value").alias("sum_last"))
+
+
+ORACLE_LANG_LABEL_REPLACE = """WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         time_bucket(INTERVAL '3600 seconds', ts) AS w_start,
+         ts, event_id AS seq, value
+  FROM events WHERE event_type = 'click'
+), last AS (
+  SELECT metric, label, w_start, value AS v
+  FROM s
+  QUALIFY row_number() OVER (PARTITION BY metric, label, w_start
+                             ORDER BY ts DESC, seq DESC) = 1
+), rl AS (
+  SELECT CASE WHEN regexp_matches(CAST(label AS VARCHAR), '^(?:([0-4]))$')
+              THEN 'lo' || regexp_replace(CAST(label AS VARCHAR),
+                                          '^(?:([0-4]))$', '\\1')
+              ELSE '' END AS bucket,
+         w_start, round(v, 6) AS v
+  FROM last
+)
+SELECT bucket, w_start, round(sum(v), 6) AS sum_last
+FROM rl GROUP BY 1, 2"""
+
+
+QUERIES["promql_lang_label_replace"] = (
+    q_lang_label_replace,
+    ORACLE_LANG_LABEL_REPLACE,
 )

@@ -309,3 +309,26 @@ def test_math_functions_elementwise(spark):
     assert ast.name == "clamp_min" and ast.arg.name == "abs"
     with pytest.raises(ValueError):
         L.parse("clamp_min(rate(m[5m]))")  # missing bound
+
+
+def test_label_replace_and_join_semantics(spark):
+    s = _samples(spark)
+    rep = L.eval_promql(
+        'label_replace(last_over_time(click[6h]),'
+        ' "bucket", "lo$1", "label", "([0-4])")',
+        s,
+    ).toPandas()
+    # matched labels get the captured substitution, others keep "" (no
+    # pre-existing dst column)
+    matched = rep[rep.label.isin([0, 1, 2, 3, 4])]
+    assert (matched.bucket == "lo" + matched.label.astype(int).astype(str)).all()
+    assert (rep[~rep.label.isin([0, 1, 2, 3, 4])].bucket == "").all()
+    joined = L.eval_promql(
+        'label_join(last_over_time(click[6h]),'
+        ' "series_id", ":", "metric", "label")',
+        s,
+    ).toPandas()
+    want = joined.metric + ":" + joined.label.astype("Int64").astype(str)
+    assert (joined.series_id == want).all()
+    with pytest.raises(ValueError):
+        L.parse('label_replace(m, "d", "r", "s")')  # missing regex arg
