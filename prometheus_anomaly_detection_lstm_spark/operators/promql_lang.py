@@ -20,7 +20,7 @@ Supported grammar (documented subset, recursive descent):
     or_expr   := agg | func | selector | '(' expr ')'
     agg       := AGGOP [group-clause] '(' expr ')' [group-clause]
                  (group-clause := ('by' | 'without') '(' labels ')')
-               | 'topk' '(' INT ',' expr ')'
+               | ('topk' | 'bottomk') '(' INT ',' expr ')'
                | 'histogram_quantile' '(' NUM ',' 'rate' '('
                    selector-with-range ')' ')'
                | 'quantile_over_time' '(' NUM ','
@@ -371,14 +371,14 @@ class _Parser:
             if sel.range_s is None:
                 raise ValueError("histogram_quantile needs a range selector")
             return HistQ(float(q_tok[1]), sel)
-        if tok[0] == "name" and tok[1] == "topk":
-            self.next()
+        if tok[0] == "name" and tok[1] in {"topk", "bottomk"}:
+            op = self.next()[1]
             self.expect("(")
             k_tok = self.next()
             self.expect(",")
             arg = self._maybe_binop_left()
             self.expect(")")
-            return Agg("topk", [], arg, k=int(k_tok[1]))
+            return Agg(op, [], arg, k=int(k_tok[1]))
         if tok[0] == "name" and tok[1] in AGG_OPS:
             op = self.next()[1]
             by, without = self._grouping_clause()
@@ -528,11 +528,12 @@ def _eval(node, samples: DataFrame) -> DataFrame:
         return grouped.agg(_OVER_TIME[node.name]().alias("value"))
     if isinstance(node, Agg):
         inner = _eval(node.arg, samples)
-        if node.op == "topk":
+        if node.op in {"topk", "bottomk"}:
             keys = [c for c in inner.columns if c not in {"w_start", "value"}]
+            head = F.desc("value") if node.op == "topk" else F.asc("value")
             rank = F.row_number().over(
                 Window.partitionBy("w_start").orderBy(
-                    F.desc("value"), *[F.asc(k) for k in keys]
+                    head, *[F.asc(k) for k in keys]
                 )
             )
             return inner.withColumn("__rk", rank).filter(

@@ -332,3 +332,19 @@ def test_label_replace_and_join_semantics(spark):
     assert (joined.series_id == want).all()
     with pytest.raises(ValueError):
         L.parse('label_replace(m, "d", "r", "s")')  # missing regex arg
+
+
+def test_bottomk_is_topk_dual(spark):
+    s = _samples(spark)
+    top = L.eval_promql("topk(2, avg_over_time(view[6h]))", s).toPandas()
+    bot = L.eval_promql("bottomk(2, avg_over_time(view[6h]))", s).toPandas()
+    per = bot.groupby("w_start").size()
+    assert (per <= 2).all()
+    full = L.eval_promql("avg_over_time(view[6h])", s).toPandas()
+    for w, grp in full.groupby("w_start"):
+        want_bot = sorted(grp.value)[:2]
+        got_bot = sorted(bot[bot.w_start == w].value)
+        assert got_bot == pytest.approx(want_bot), w
+        want_top = sorted(grp.value, reverse=True)[:2]
+        got_top = sorted(top[top.w_start == w].value, reverse=True)
+        assert got_top == pytest.approx(want_top), w
