@@ -37,6 +37,8 @@ Supported grammar (documented subset, recursive descent):
                | avg_over_time | min_over_time | max_over_time
                | sum_over_time | count_over_time | last_over_time
                | stddev_over_time | stdvar_over_time
+               | absent  (value=1 for selector-empty buckets over
+                          the corpus' observed range)
     selector  := NAME ['{' matcher (',' matcher)* '}'] ['[' DURATION ']']
                  ['offset' DURATION]
     matcher   := LABEL ('=' | '!=' | '=~' | '!~') STRING
@@ -95,7 +97,7 @@ RANGE_FUNCS = {
     "rate", "irate", "increase", "resets", "delta",
     "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time",
-    "stddev_over_time", "stdvar_over_time",
+    "stddev_over_time", "stdvar_over_time", "absent",
 }
 
 
@@ -502,6 +504,29 @@ def _eval(node, samples: DataFrame) -> DataFrame:
         return df.groupBy(
             *series, F.window("ts", f"{step} seconds").start.alias("w_start")
         ).agg(_OVER_TIME["last_over_time"]().alias("value"))
+    if isinstance(node, Func) and node.name == "absent":
+        # value=1 for every bucket in the CORPUS' observed range where
+        # the selector matches nothing — the dead-exporter alert.
+        # Bounds come from the unfiltered samples (a fully dead series
+        # must still be reported over the live corpus' clock).
+        bucket = node.arg.range_s
+        filtered = _apply_selector(samples, node.arg)
+        observed = filtered.select(
+            F.window("ts", f"{bucket} seconds").start.alias("w_start")
+        ).distinct()
+        bounds = samples.select(
+            F.window("ts", f"{bucket} seconds").start.alias("__w")
+        ).agg(F.min("__w").alias("__lo"), F.max("__w").alias("__hi"))
+        grid = bounds.select(
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval {bucket} seconds)")
+            ).alias("w_start")
+        )
+        return grid.join(observed, "w_start", "left_anti").select(
+            F.lit(node.arg.metric).alias("metric"),
+            "w_start",
+            F.lit(1.0).alias("value"),
+        )
     if isinstance(node, Func):
         df = _apply_selector(samples, node.arg)
         if node.name in {"rate", "irate", "increase", "resets"}:

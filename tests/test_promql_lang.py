@@ -348,3 +348,20 @@ def test_bottomk_is_topk_dual(spark):
         want_top = sorted(grp.value, reverse=True)[:2]
         got_top = sorted(top[top.w_start == w].value, reverse=True)
         assert got_top == pytest.approx(want_top), w
+
+
+def test_absent_flags_only_empty_buckets(spark):
+    s = _samples(spark)
+    gaps = L.eval_promql('absent(click{label="3"}[1d])', s).toPandas()
+    present = L.eval_promql(
+        'count(count_over_time(click{label="3"}[1d]))', s
+    ).toPandas()
+    # absent days and present days partition the corpus' day grid
+    overlap = set(gaps.w_start) & set(present.w_start)
+    assert not overlap
+    full = L.eval_promql("count(count_over_time(click[1d]))", s).toPandas()
+    assert len(gaps) + len(present) >= len(full)  # grid spans the corpus
+    assert (gaps.value == 1.0).all()
+    # a selector matching nothing is absent EVERYWHERE on the grid
+    all_gone = L.eval_promql('absent(click{label="99"}[1d])', s).toPandas()
+    assert len(all_gone) >= len(full)
