@@ -1,0 +1,126 @@
+"""Property-based parser pins: render a random valid AST to a PromQL
+string, re-parse, and require structural equality — catching
+tokenizer/precedence regressions across the whole grammar, not just
+the handwritten examples."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from prometheus_anomaly_detection_lstm_spark.operators import promql_lang as L
+
+NAMES = st.sampled_from(["m_total", "click", "http_requests", "a1:b"])
+LABELS = st.sampled_from(["label", "job", "instance"])
+DURS = st.sampled_from([("30s", 30), ("5m", 300), ("1h", 3600)])
+MATCH_OPS = st.sampled_from(["=", "!=", "=~", "!~"])
+# regex-safe matcher values (no quotes/backslashes)
+VALS = st.text(
+    alphabet="abcdef0123456789.*|[]()^$", min_size=1, max_size=8
+).filter(lambda s: "()" not in s)
+
+
+@st.composite
+def selectors(draw, with_range=True):
+    sel = L.Selector(metric=draw(NAMES))
+    for _ in range(draw(st.integers(0, 2))):
+        sel.matchers.append(
+            (draw(LABELS), draw(MATCH_OPS), draw(VALS))
+        )
+    if with_range:
+        text, secs = draw(DURS)
+        sel.range_s = secs
+        sel._dur_text = text  # noqa: SLF001 - render hint only
+    if draw(st.booleans()):
+        otext, osecs = draw(DURS)
+        sel.offset_s = osecs
+        sel._off_text = otext  # noqa: SLF001
+    return sel
+
+
+@st.composite
+def funcs(draw):
+    name = draw(
+        st.sampled_from(sorted(L.RANGE_FUNCS - {"absent"}))
+    )
+    return L.Func(name, draw(selectors()))
+
+
+@st.composite
+def aggs(draw):
+    op = draw(st.sampled_from(sorted(L.AGG_OPS)))
+    by = draw(st.lists(LABELS, max_size=2, unique=True))
+    without = [] if by else draw(st.lists(LABELS, max_size=1, unique=True))
+    return L.Agg(op, by, draw(funcs()), without=without)
+
+
+@st.composite
+def exprs(draw):
+    inner = draw(st.one_of(funcs(), aggs()))
+    if draw(st.booleans()):
+        op = draw(st.sampled_from(["+", "-", "*", "/", ">", "<", ">=", "<="]))
+        scalar = float(draw(st.integers(0, 99)))
+        return L.BinOp(op, inner, scalar, scalar_left=False)
+    return inner
+
+
+def _render_sel(sel: L.Selector) -> str:
+    s = sel.metric
+    if sel.matchers:
+        s += "{" + ",".join(f'{l}{op}"{v}"' for l, op, v in sel.matchers) + "}"
+    if sel.range_s is not None:
+        s += f"[{getattr(sel, '_dur_text', str(sel.range_s) + 's')}]"
+    if sel.offset_s:
+        s += f" offset {getattr(sel, '_off_text', str(sel.offset_s) + 's')}"
+    return s
+
+
+def _render(node) -> str:
+    if isinstance(node, L.Selector):
+        return _render_sel(node)
+    if isinstance(node, L.Func):
+        return f"{node.name}({_render_sel(node.arg)})"
+    if isinstance(node, L.Agg):
+        clause = ""
+        if node.by:
+            clause = f" by ({', '.join(node.by)}) "
+        elif node.without:
+            clause = f" without ({', '.join(node.without)}) "
+        return f"{node.op}{clause}({_render(node.arg)})"
+    if isinstance(node, L.BinOp):
+        body = _render(node.expr)
+        if node.scalar_left:
+            return f"{node.scalar:g} {node.op} {body}"
+        return f"{body} {node.op} {node.scalar:g}"
+    raise TypeError(node)
+
+
+def _strip(node):
+    """Drop the render-only duration-text hints before comparison."""
+    if isinstance(node, L.Selector):
+        node.__dict__.pop("_dur_text", None)
+        node.__dict__.pop("_off_text", None)
+    for attr in ("arg", "expr"):
+        child = getattr(node, attr, None)
+        if child is not None and not isinstance(child, (str, float, int, list)):
+            _strip(child)
+    return node
+
+
+@given(exprs())
+@settings(max_examples=200, deadline=None)
+def test_parse_render_roundtrip(ast):
+    rendered = _render(ast)
+    reparsed = L.parse(rendered)
+    assert reparsed == _strip(ast), rendered
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes_unexpectedly(garbage):
+    """Arbitrary input either parses or raises ValueError — no other
+    exception type escapes the parser."""
+    try:
+        L.parse(garbage)
+    except ValueError:
+        pass
