@@ -594,6 +594,22 @@ FROM r JOIN m ON r.metric = m.metric"""
 QUERIES["promql_rate_anomaly"] = (q_rate_anomaly_flags, ORACLE_RATE_ANOMALY)
 
 
+def bucket_span(samples: DataFrame, bucket_s: int) -> DataFrame:
+    """One-column frame of EVERY ``bucket_s`` window start between the
+    first and last observed sample — the expected-time spine shared by
+    the absent()-family operators.  A one-row bounds aggregate exploded
+    through sequence(); cost is the bucket count, not the sample
+    volume."""
+    bounds = samples.select(
+        F.window("ts", f"{bucket_s} seconds").start.alias("__w")
+    ).agg(F.min("__w").alias("__lo"), F.max("__w").alias("__hi"))
+    return bounds.select(
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {bucket_s} seconds)")
+        ).alias("w_start")
+    )
+
+
 def absent_buckets(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
     """PromQL ``absent()`` for batch: every (series, bucket) slot inside
     the corpus' observed time range with NO sample — the missing-data
@@ -613,19 +629,8 @@ def absent_buckets(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
         )
         .distinct()
     )
-    bounds = observed.agg(
-        F.min("w_start").alias("__lo"), F.max("w_start").alias("__hi")
-    )
     series = samples.select("metric").distinct()
-    grid = (
-        series.crossJoin(F.broadcast(bounds))
-        .select(
-            "metric",
-            F.explode(
-                F.expr(f"sequence(__lo, __hi, interval {bucket_s} seconds)")
-            ).alias("w_start"),
-        )
-    )
+    grid = series.crossJoin(F.broadcast(bucket_span(samples, bucket_s)))
     return grid.join(observed, ["metric", "w_start"], "left_anti")
 
 

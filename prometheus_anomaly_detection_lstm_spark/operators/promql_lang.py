@@ -267,6 +267,18 @@ class _Parser:
         if tok[1] != text:
             raise ValueError(f"expected {text!r}, got {tok[1]!r}")
 
+    def scalar(self, what: str) -> float:
+        """A numeric literal with optional leading minus ('-' tokenizes
+        as an operator, so negative bounds need this)."""
+        sign = 1.0
+        tok = self.next()
+        if tok == ("op", "-"):
+            sign = -1.0
+            tok = self.next()
+        if tok[0] != "num":
+            raise ValueError(f"{what} needs a scalar, got {tok[1]!r}")
+        return sign * float(tok[1])
+
     # ------------------------------------------------------ grammar
 
     def parse(self):
@@ -302,8 +314,10 @@ class _Parser:
                 else:
                     on = ("on", labels)
             nxt = self.peek()
-            if nxt and nxt[0] == "num" and on is None:
-                return BinOp(op, expr, float(self.next()[1]))
+            if on is None and nxt and (
+                nxt[0] == "num" or nxt == ("op", "-")
+            ):
+                return BinOp(op, expr, self.scalar("right operand"))
             rhs = self._primary()
             return VecBinOp(op, expr, rhs, on=on)
         return expr
@@ -329,9 +343,15 @@ class _Parser:
                     raise ValueError(f"{name} args after the vector are strings")
                 strs.append(s_tok[1])
             self.expect(")")
-            need = 4 if name == "label_replace" else 3
-            if len(strs) < need:
-                raise ValueError(f"{name} needs {need}+ string args")
+            if name == "label_replace" and len(strs) != 4:
+                raise ValueError(
+                    "label_replace needs exactly 4 string args "
+                    f"(dst, replacement, src, regex), got {len(strs)}"
+                )
+            if name == "label_join" and len(strs) < 3:
+                raise ValueError(
+                    "label_join needs at least 3 string args (dst, sep, l1...)"
+                )
             return LabelFn(name, arg, strs)
         if tok[0] == "name" and tok[1] in MATH_FUNCS:
             name = self.next()[1]
@@ -340,10 +360,7 @@ class _Parser:
             scalar = None
             if name in {"clamp_min", "clamp_max"}:
                 self.expect(",")
-                s_tok = self.next()
-                if s_tok[0] != "num":
-                    raise ValueError(f"{name} needs a scalar bound")
-                scalar = float(s_tok[1])
+                scalar = self.scalar(f"{name} bound")
             self.expect(")")
             return MathFn(name, arg, scalar)
         if tok[0] == "name" and tok[1] == "quantile_over_time":
@@ -357,7 +374,10 @@ class _Parser:
             self.expect(")")
             if sel.range_s is None:
                 raise ValueError("quantile_over_time needs a range selector")
-            return QuantOT(float(q_tok[1]), sel)
+            q = float(q_tok[1])
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile_over_time q must be in [0, 1], got {q}")
+            return QuantOT(q, sel)
         if tok[0] == "name" and tok[1] == "histogram_quantile":
             self.next()
             self.expect("(")
@@ -372,7 +392,10 @@ class _Parser:
             self.expect(")")
             if sel.range_s is None:
                 raise ValueError("histogram_quantile needs a range selector")
-            return HistQ(float(q_tok[1]), sel)
+            q = float(q_tok[1])
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"histogram_quantile q must be in [0, 1], got {q}")
+            return HistQ(q, sel)
         if tok[0] == "name" and tok[1] in {"topk", "bottomk"}:
             op = self.next()[1]
             self.expect("(")
@@ -509,19 +532,14 @@ def _eval(node, samples: DataFrame) -> DataFrame:
         # the selector matches nothing — the dead-exporter alert.
         # Bounds come from the unfiltered samples (a fully dead series
         # must still be reported over the live corpus' clock).
+        from .promql import bucket_span
+
         bucket = node.arg.range_s
         filtered = _apply_selector(samples, node.arg)
         observed = filtered.select(
             F.window("ts", f"{bucket} seconds").start.alias("w_start")
         ).distinct()
-        bounds = samples.select(
-            F.window("ts", f"{bucket} seconds").start.alias("__w")
-        ).agg(F.min("__w").alias("__lo"), F.max("__w").alias("__hi"))
-        grid = bounds.select(
-            F.explode(
-                F.expr(f"sequence(__lo, __hi, interval {bucket} seconds)")
-            ).alias("w_start")
-        )
+        grid = bucket_span(samples, bucket)
         return grid.join(observed, "w_start", "left_anti").select(
             F.lit(node.arg.metric).alias("metric"),
             "w_start",
@@ -555,7 +573,14 @@ def _eval(node, samples: DataFrame) -> DataFrame:
         inner = _eval(node.arg, samples)
         if node.op in {"topk", "bottomk"}:
             keys = [c for c in inner.columns if c not in {"w_start", "value"}]
-            head = F.desc("value") if node.op == "topk" else F.asc("value")
+            # NULL samples (undefined increase/out-of-domain math) are
+            # not in the vector at all — PromQL has no missing samples
+            inner = inner.filter(F.col("value").isNotNull())
+            head = (
+                F.desc_nulls_last("value")
+                if node.op == "topk"
+                else F.asc_nulls_last("value")
+            )
             rank = F.row_number().over(
                 Window.partitionBy("w_start").orderBy(
                     head, *[F.asc(k) for k in keys]
@@ -586,6 +611,10 @@ def _eval(node, samples: DataFrame) -> DataFrame:
         inner = _eval(node.arg, samples)
         if node.name == "label_replace":
             dst, repl, src, regex = node.args[:4]
+            # PromQL's regexp.Expand tolerates a literal '$' (only
+            # $<digit> is a capture ref); Java's appendReplacement
+            # throws mid-job on it — escape the non-ref dollars
+            repl = re.sub(r"\$(?!\d)", r"\\$", repl)
             full = f"^(?:{regex})$"
             src_col = (
                 F.col(src).cast("string")
@@ -992,11 +1021,13 @@ ORACLE_LANG_LABEL_REPLACE = """WITH s AS (
   QUALIFY row_number() OVER (PARTITION BY metric, label, w_start
                              ORDER BY ts DESC, seq DESC) = 1
 ), rl AS (
+  -- sum the UNROUNDED last values (the engine rounds once, at the
+  -- end) — an inner round would diverge on >6dp sample values
   SELECT CASE WHEN regexp_matches(CAST(label AS VARCHAR), '^(?:([0-4]))$')
               THEN 'lo' || regexp_replace(CAST(label AS VARCHAR),
                                           '^(?:([0-4]))$', '\\1')
               ELSE '' END AS bucket,
-         w_start, round(v, 6) AS v
+         w_start, v
   FROM last
 )
 SELECT bucket, w_start, round(sum(v), 6) AS sum_last

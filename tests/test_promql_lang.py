@@ -365,3 +365,30 @@ def test_absent_flags_only_empty_buckets(spark):
     # a selector matching nothing is absent EVERYWHERE on the grid
     all_gone = L.eval_promql('absent(click{label="99"}[1d])', s).toPandas()
     assert len(all_gone) >= len(full)
+
+
+def test_review_fixes_negative_bounds_nulls_arity_dollars(spark):
+    s = _samples(spark)
+    # negative clamp bound and negative comparison scalar now parse
+    neg = L.eval_promql("clamp_min(delta(view[6h]), -5)", s).toPandas()
+    assert (neg.value.dropna() >= -5).all()
+    kept = L.eval_promql("delta(view[6h]) > -1000", s)
+    assert kept.count() > 0
+    # bottomk never surfaces NULL-valued samples
+    bk = L.eval_promql("bottomk(1, increase(view[6h]))", s).toPandas()
+    assert bk.value.notna().all()
+    # literal '$' in a replacement is tolerated (PromQL Expand), not a crash
+    lit = L.eval_promql(
+        'label_replace(last_over_time(click[6h]),'
+        ' "unit", "$ per s", "label", "(.*)")',
+        s,
+    ).toPandas()
+    assert (lit.unit == "$ per s").all()
+    # arity and q-range errors surface at parse as ValueError
+    for bad in (
+        'label_replace(m, "d", "r", "s", "x", "extra")',
+        "quantile_over_time(1.5, m[5m])",
+        "histogram_quantile(2, rate(m[5m]))",
+    ):
+        with pytest.raises(ValueError):
+            L.parse(bad)

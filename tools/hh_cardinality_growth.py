@@ -39,7 +39,7 @@ def main() -> None:
     for card in (1_000, 100_000, 5_000_000):
         # Zipf-ish keys: rank = floor(card ** u), u ~ U(0,1) — heavy
         # head at every cardinality, seeded => reproducible
-        path = f"/tmp/hhgrowth/c{card}"
+        path = f"/tmp/hhgrowth/n{n_rows}_c{card}"
         if not os.path.exists(path):
             (
                 spark.range(n_rows)
