@@ -114,3 +114,57 @@ def test_parser_never_crashes_unexpectedly(garbage):
         L.parse(garbage)
     except ValueError:
         pass
+
+
+@st.composite
+def lowerable_exprs(draw):
+    """ASTs restricted to the labels that exist on the test samples
+    frame, so lowering must always succeed."""
+    sel = L.Selector(metric=draw(st.sampled_from(["click", "view", "error"])))
+    text, secs = draw(DURS)
+    sel.range_s = secs
+    node = L.Func(
+        draw(st.sampled_from(sorted(L.RANGE_FUNCS - {"absent"}))), sel
+    )
+    shape = draw(st.integers(0, 3))
+    if shape == 1:
+        node = L.Agg(
+            draw(st.sampled_from(sorted(L.AGG_OPS))),
+            draw(st.sampled_from([[], ["label"], ["metric", "label"]])),
+            node,
+        )
+    elif shape == 2:
+        node = L.MathFn(
+            draw(st.sampled_from(sorted(L.MATH_FUNCS))),
+            node,
+            scalar=draw(st.floats(-10, 10)),
+        )
+    elif shape == 3:
+        node = L.BinOp(
+            draw(st.sampled_from(["+", "-", "*", "/", ">", "<"])),
+            node,
+            float(draw(st.integers(-50, 50))),
+            scalar_left=draw(st.booleans()),
+        )
+    return node
+
+
+_SESSION_CACHE: list = []
+
+
+@given(lowerable_exprs())
+@settings(max_examples=60, deadline=None)
+def test_lowering_constructs_valid_plans(ast):
+    """Every grammar shape lowers to an analyzable DataFrame with the
+    (.., w_start, value) contract — construction only, no job run."""
+    if not _SESSION_CACHE:
+        from prometheus_anomaly_detection_lstm_spark.session import get_spark
+
+        _SESSION_CACHE.append(get_spark("lang-props"))
+    spark = _SESSION_CACHE[0]
+    samples = spark.createDataFrame(
+        [], "ts timestamp, value double, seq long, metric string, label long"
+    )
+    df = L._eval(ast, samples)
+    assert "w_start" in df.columns and "value" in df.columns
+    df.schema  # forces analysis
