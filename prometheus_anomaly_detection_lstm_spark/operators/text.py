@@ -1261,3 +1261,156 @@ SELECT round(sum(n_pos * (cum_neg_below + n_neg / 2.0))
 FROM ranked"""
 
 QUERIES["text_nb_classifier_auc"] = (q_nb_classifier_auc, ORACLE_NB_AUC)
+
+
+#: multiclass NB label universe (the documents table's languages).
+NB_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def nb_multiclass_confusion(docs: DataFrame) -> DataFrame:
+    """Multiclass multinomial NB language ID + confusion matrix.
+
+    The binary classifier's big sibling: per-(term, lang) Laplace-
+    smoothed log-likelihoods, argmax over the label universe for each
+    held-out doc (doc_id % NB_FOLD_MOD == 0), rolled into the
+    (true_lang, pred_lang, n) confusion matrix — the standard language-
+    ID quality report of a corpus pipeline.
+
+    Scale shape: the model pivots per-term class counts into one
+    vocabulary-scale row per term (5 columns), broadcast-joined into
+    the held-out token stream; per-doc scores are one keyed agg; the
+    confusion rollup is label-universe-scale.  Unseen terms fall back
+    to the smoothed-only likelihood via the left join's NULL->0.
+    Argmax ties break toward the lexicographically LAST language
+    (struct max over (score, lang)) identically in the SQL twin.
+    """
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    train = toks.filter(F.col("doc_id") % NB_FOLD_MOD != 0)
+
+    counts = (
+        train.groupBy("term")
+        .pivot("lang", NB_LANGS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    stats = counts.agg(
+        *[F.sum(l).alias(f"tot_{l}") for l in NB_LANGS],
+        F.count("*").alias("vocab"),
+    )
+    priors = (
+        train.select("doc_id", "lang")
+        .distinct()
+        .groupBy()
+        .agg(
+            *[
+                F.sum((F.col("lang") == l).cast("bigint")).alias(f"nd_{l}")
+                for l in NB_LANGS
+            ],
+            F.count("*").alias("nd_all"),
+        )
+    )
+    held = toks.filter(F.col("doc_id") % NB_FOLD_MOD == 0)
+    # fold the constant denominator into each term's contribution
+    # BEFORE grouping (a one-row broadcast column can't appear bare
+    # inside an aggregate): ll_l = sum(ln(n_l+1) - ln(tot_l+V))
+    scored = (
+        held.join(counts, "term", "left")
+        .na.fill({l: 0 for l in NB_LANGS})
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "lang",
+            *[
+                (
+                    F.log(F.col(l) + 1)
+                    - F.log(F.col(f"tot_{l}") + F.col("vocab"))
+                ).alias(f"c_{l}")
+                for l in NB_LANGS
+            ],
+        )
+        .groupBy("doc_id", "lang")
+        .agg(*[F.sum(f"c_{l}").alias(f"ll_{l}") for l in NB_LANGS])
+    )
+    pick = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        F.col(f"ll_{l}")
+                        + F.log(F.col(f"nd_{l}") + 1)
+                        - F.log(F.col("nd_all") + F.lit(len(NB_LANGS)))
+                    ).alias("s"),
+                    F.lit(l).alias("l"),
+                )
+                for l in NB_LANGS
+            ]
+        )
+    )["l"]
+    return (
+        scored.crossJoin(F.broadcast(priors))
+        .select(F.col("lang").alias("true_lang"), pick.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_multiclass_confusion(_docs(spark, sf_dir))
+
+
+def _nb_confusion_oracle() -> str:
+    langs = NB_LANGS
+    count_cols = ",\n         ".join(
+        f"sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS n_{l}"
+        for l in langs
+    )
+    tot_cols = ", ".join(f"sum(n_{l}) AS tot_{l}" for l in langs)
+    nd_cols = ", ".join(
+        f"sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS nd_{l}"
+        for l in langs
+    )
+    ll_cols = ",\n         ".join(
+        f"sum(ln(coalesce(n_{l}, 0) + 1)) - count(*) * ln((SELECT tot_{l} FROM stats) + (SELECT vocab FROM stats)) AS ll_{l}"
+        for l in langs
+    )
+    structs = ", ".join(
+        f"{{'s': ll_{l} + ln((SELECT nd_{l} FROM priors) + 1) - ln((SELECT nd_all FROM priors) + {len(langs)}), 'l': '{l}'}}"
+        for l in langs
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tok AS (
+  SELECT * FROM toks WHERE term <> ''
+), train AS (
+  SELECT * FROM tok WHERE doc_id % 5 <> 0
+), counts AS (
+  SELECT term,
+         {count_cols}
+  FROM train GROUP BY term
+), stats AS (
+  SELECT {tot_cols}, count(*) AS vocab FROM counts
+), priors AS (
+  SELECT {nd_cols}, count(*) AS nd_all
+  FROM (SELECT DISTINCT doc_id, lang FROM train)
+), held AS (
+  SELECT * FROM tok WHERE doc_id % 5 = 0
+), scored AS (
+  SELECT h.doc_id, h.lang,
+         {ll_cols}
+  FROM held h LEFT JOIN counts c ON h.term = c.term
+  GROUP BY h.doc_id, h.lang
+), picked AS (
+  SELECT lang AS true_lang,
+         (list_max([{structs}])).l AS pred_lang
+  FROM scored
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM picked GROUP BY 1, 2"""
+
+
+QUERIES["text_nb_confusion"] = (q_nb_confusion, _nb_confusion_oracle())

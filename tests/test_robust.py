@@ -200,3 +200,28 @@ def test_heavy_hitters_null_user_ids_excluded(spark):
     n_valid = 200  # 100 of 300 rows are NULL
     for r in got:
         assert r.frac == pytest.approx(r.cnt / n_valid, abs=1e-6)
+
+
+def test_nb_multiclass_confusion_separable_vocab(spark):
+    """On a corpus with disjoint per-language vocabularies the
+    multiclass NB must classify every held-out doc correctly (pure
+    diagonal); row sums equal the held-out doc counts."""
+    from prometheus_anomaly_detection_lstm_spark.operators.text import (
+        nb_multiclass_confusion,
+    )
+
+    words = {"de": "der und das", "en": "the and of", "es": "el la que",
+             "fr": "le les et", "zh": "zh1 zh2 zh3"}
+    rows = []
+    i = 0
+    for lang, w in words.items():
+        for _ in range(10):
+            rows.append((i, f"{w} {w} {w}", lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = nb_multiclass_confusion(docs).collect()
+    assert all(r.true_lang == r.pred_lang for r in got)
+    # doc_id % 5 == 0 is held out: 2 of the 10 docs per language
+    assert {(r.true_lang, r.n) for r in got} == {
+        (l, 2) for l in words
+    }
