@@ -62,6 +62,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "tpch_q22",                 # avg-balance scalar subquery
     "events_heavy_hitters",     # one-row corpus-total denominator
     "corpus_source_token_drift",  # one-row global-token-total broadcast
+    "text_nb_confusion",        # one-row class-totals + priors broadcasts
 }
 
 
