@@ -587,3 +587,118 @@ QUERIES["events_association_rules"] = (
     q_events_association_rules,
     ORACLE_ASSOCIATION_RULES,
 )
+
+
+# -------------------------------------------------- ABC / Pareto by brand
+
+def q_parts_abc_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts WITHIN each brand: rank
+    parts by revenue, A = parts covering the first 70% of the brand's
+    cumulative revenue, B to 90%, C the tail — the inventory-management
+    classic.
+
+    Scale shape: the cumulative-share window partitions BY BRAND, so
+    there is no global sort anywhere (the naive formulation orders the
+    whole part universe — a range-partitioned exchange); per-brand
+    partitions are the brand's part count.  Revenue aggregates once on
+    partkey, joins the brand dimension broadcast, and both window
+    passes share the brand hash distribution.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    branded = rev.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        rev.l_partkey == part.p_partkey,
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    wtot = Window.partitionBy("p_brand")
+    d = branded.withColumn(
+        "cum", F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("revenue").over(wtot))
+    classed = d.withColumn(
+        "abc",
+        F.when(F.col("cum") <= 0.7 * F.col("tot"), "A")
+        .when(F.col("cum") <= 0.9 * F.col("tot"), "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("p_brand", "abc").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("revenue"), 6).alias("class_revenue"),
+    )
+
+
+ORACLE_PARTS_ABC = """WITH rev AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT p.p_brand, r.l_partkey, r.revenue,
+         sum(r.revenue) OVER (PARTITION BY p.p_brand
+             ORDER BY r.revenue DESC, r.l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(r.revenue) OVER (PARTITION BY p.p_brand) AS tot
+  FROM rev r JOIN part p ON r.l_partkey = p.p_partkey
+)
+SELECT p_brand, CASE WHEN cum <= 0.7 * tot THEN 'A'
+                     WHEN cum <= 0.9 * tot THEN 'B'
+                     ELSE 'C' END AS abc,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(revenue), 6) AS class_revenue
+FROM d GROUP BY 1, 2"""
+
+QUERIES["parts_abc_by_brand"] = (q_parts_abc_by_brand, ORACLE_PARTS_ABC)
+
+
+# ------------------------------------------------ shipping-delay profile
+
+def q_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution per order priority: day-bucket
+    histogram plus exact p50/p90 — the fulfillment-SLA readout.  One
+    fact-fact equi-join on orderkey (both sides keyed), aggregates on
+    (priority, delay_days) then priority."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    delays = joined.select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    return delays.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lineitems"),
+        F.round(F.avg("delay_days"), 6).alias("avg_delay"),
+        F.round(F.expr("percentile(delay_days, 0.5D)"), 6).alias("p50_delay"),
+        F.round(F.expr("percentile(delay_days, 0.9D)"), 6).alias("p90_delay"),
+        F.max("delay_days").cast("bigint").alias("max_delay"),
+    )
+
+
+ORACLE_SHIPPING_DELAY = """WITH d AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(avg(delay_days), 6) AS avg_delay,
+       round(quantile_cont(delay_days, 0.5), 6) AS p50_delay,
+       round(quantile_cont(delay_days, 0.9), 6) AS p90_delay,
+       CAST(max(delay_days) AS BIGINT) AS max_delay
+FROM d GROUP BY 1"""
+
+QUERIES["shipping_delay_profile"] = (
+    q_shipping_delay_profile,
+    ORACLE_SHIPPING_DELAY,
+)

@@ -321,6 +321,7 @@ PRIORITY: list[str] = [
     "promql_lang_increase_filter", "promql_lang_error_ratio",
     "promql_lang_histogram_quantile", "promql_lang_quantile_over_time",
     "promql_lang_label_replace", "text_nb_confusion",
+    "parts_abc_by_brand", "shipping_delay_profile",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

