@@ -304,8 +304,10 @@ PRIORITY: list[str] = [
     # NULL-cosine rows like the Spark side (advisor finding); the
     # minhash family re-rows on the round-5 verify-side A/B outcome;
     # recall-eval got an explicit schema + SQL-side rounding ----
+    # (dedup_apply / dedup_clusters moved past the window: the round-5
+    # verify-side A/B REVERTED, so their plans match their green r4
+    # official rows — the window slots go to first-time entries)
     "ann_cosine_topk", "dedup_minhash_lsh", "dedup_minhash_incremental",
-    "dedup_apply", "dedup_clusters",
     # ---- NEW in round 5 (first official rows) ----
     "text_bm25_topk", "embedding_matryoshka_eval", "dedup_edit_distance",
     "text_nb_classifier", "text_nb_classifier_auc",
@@ -342,6 +344,7 @@ PRIORITY: list[str] = [
     # Everything below holds a green official row on unchanged code
     # (r1-r4); the local sf0.01 parity sweep still covers all of them
     # every session.
+    "dedup_apply", "dedup_clusters",
     "corpus_decontaminate", "corpus_shuffle_shards",
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_repetition_scores", "text_quality_filter",
