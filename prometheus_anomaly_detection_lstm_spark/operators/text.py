@@ -1316,9 +1316,11 @@ def nb_multiclass_confusion(docs: DataFrame) -> DataFrame:
     held = toks.filter(F.col("doc_id") % NB_FOLD_MOD == 0)
     # fold the constant denominator into each term's contribution
     # BEFORE grouping (a one-row broadcast column can't appear bare
-    # inside an aggregate): ll_l = sum(ln(n_l+1) - ln(tot_l+V))
+    # inside an aggregate): ll_l = sum(ln(n_l+1) - ln(tot_l+V)).
+    # The vocabulary-scale model BROADCASTS into the token stream —
+    # the inverted-index discipline the module's scale story rests on.
     scored = (
-        held.join(counts, "term", "left")
+        held.join(F.broadcast(counts), "term", "left")
         .na.fill({l: 0 for l in NB_LANGS})
         .crossJoin(F.broadcast(stats))
         .select(
@@ -1335,14 +1337,26 @@ def nb_multiclass_confusion(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(*[F.sum(f"c_{l}").alias(f"ll_{l}") for l in NB_LANGS])
     )
+    # token-less held-out docs (empty/whitespace text) never reach the
+    # token stream — score them from the prior alone, like the binary
+    # classifier's left-join fallback
+    held_docs = docs.filter(F.col("doc_id") % NB_FOLD_MOD == 0).select(
+        "doc_id", "lang"
+    )
+    scored = held_docs.join(scored, ["doc_id", "lang"], "left").na.fill(
+        {f"ll_{l}": 0.0 for l in NB_LANGS}
+    )
+    # round the decision scores to 6dp so near-ties resolve identically
+    # across engines (the binary classifier's decision-boundary guard)
     pick = F.array_max(
         F.array(
             *[
                 F.struct(
-                    (
+                    F.round(
                         F.col(f"ll_{l}")
                         + F.log(F.col(f"nd_{l}") + 1)
-                        - F.log(F.col("nd_all") + F.lit(len(NB_LANGS)))
+                        - F.log(F.col("nd_all") + F.lit(len(NB_LANGS))),
+                        6,
                     ).alias("s"),
                     F.lit(l).alias("l"),
                 )
@@ -1373,14 +1387,16 @@ def _nb_confusion_oracle() -> str:
         f"sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS nd_{l}"
         for l in langs
     )
+    # per-token contribution form, matching the engine's summation
     ll_cols = ",\n         ".join(
-        f"sum(ln(coalesce(n_{l}, 0) + 1)) - count(*) * ln((SELECT tot_{l} FROM stats) + (SELECT vocab FROM stats)) AS ll_{l}"
+        f"sum(ln(coalesce(n_{l}, 0) + 1) - ln((SELECT tot_{l} FROM stats) + (SELECT vocab FROM stats))) AS ll_{l}"
         for l in langs
     )
     structs = ", ".join(
-        f"{{'s': ll_{l} + ln((SELECT nd_{l} FROM priors) + 1) - ln((SELECT nd_all FROM priors) + {len(langs)}), 'l': '{l}'}}"
+        f"{{'s': round(coalesce(ll_{l}, 0) + ln((SELECT nd_{l} FROM priors) + 1) - ln((SELECT nd_all FROM priors) + {len(langs)}), 6), 'l': '{l}'}}"
         for l in langs
     )
+    ll_sel = ", ".join(f"s.ll_{l} AS ll_{l}" for l in langs)
     return f"""WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
   FROM documents
@@ -1404,10 +1420,16 @@ def _nb_confusion_oracle() -> str:
          {ll_cols}
   FROM held h LEFT JOIN counts c ON h.term = c.term
   GROUP BY h.doc_id, h.lang
+), held_docs AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
+), full_scored AS (
+  SELECT d.doc_id, d.lang, {ll_sel}
+  FROM held_docs d LEFT JOIN scored s
+    ON d.doc_id = s.doc_id AND d.lang = s.lang
 ), picked AS (
   SELECT lang AS true_lang,
          (list_max([{structs}])).l AS pred_lang
-  FROM scored
+  FROM full_scored
 )
 SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
 FROM picked GROUP BY 1, 2"""

@@ -604,7 +604,6 @@ def q_parts_abc_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey, joins the brand dimension broadcast, and both window
     passes share the brand hash distribution.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = li.groupBy("l_partkey").agg(
@@ -623,10 +622,14 @@ def q_parts_abc_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = branded.withColumn(
         "cum", F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).withColumn("tot", F.sum("revenue").over(wtot))
+    # a part belongs to the class its cumulative share STARTS in, so
+    # the threshold-CROSSING part is included (standard ABC: a brand
+    # whose top part alone covers 95% still has that part in A)
+    prev = F.col("cum") - F.col("revenue")
     classed = d.withColumn(
         "abc",
-        F.when(F.col("cum") <= 0.7 * F.col("tot"), "A")
-        .when(F.col("cum") <= 0.9 * F.col("tot"), "B")
+        F.when(prev < 0.7 * F.col("tot"), "A")
+        .when(prev < 0.9 * F.col("tot"), "B")
         .otherwise("C"),
     )
     return classed.groupBy("p_brand", "abc").agg(
@@ -646,8 +649,8 @@ ORACLE_PARTS_ABC = """WITH rev AS (
          sum(r.revenue) OVER (PARTITION BY p.p_brand) AS tot
   FROM rev r JOIN part p ON r.l_partkey = p.p_partkey
 )
-SELECT p_brand, CASE WHEN cum <= 0.7 * tot THEN 'A'
-                     WHEN cum <= 0.9 * tot THEN 'B'
+SELECT p_brand, CASE WHEN cum - revenue < 0.7 * tot THEN 'A'
+                     WHEN cum - revenue < 0.9 * tot THEN 'B'
                      ELSE 'C' END AS abc,
        CAST(count(*) AS BIGINT) AS n_parts,
        round(sum(revenue), 6) AS class_revenue

@@ -149,19 +149,13 @@ def lowerable_exprs(draw):
     return node
 
 
-_SESSION_CACHE: list = []
-
-
 @given(lowerable_exprs())
 @settings(max_examples=60, deadline=None)
-def test_lowering_constructs_valid_plans(ast):
+def test_lowering_constructs_valid_plans(spark, ast):
     """Every grammar shape lowers to an analyzable DataFrame with the
-    (.., w_start, value) contract — construction only, no job run."""
-    if not _SESSION_CACHE:
-        from prometheus_anomaly_detection_lstm_spark.session import get_spark
-
-        _SESSION_CACHE.append(get_spark("lang-props"))
-    spark = _SESSION_CACHE[0]
+    (.., w_start, value) contract — construction only, no job run.
+    (conftest's spark fixture is session-scoped, which hypothesis
+    permits under @given — only function-scoped fixtures are barred.)"""
     samples = spark.createDataFrame(
         [], "ts timestamp, value double, seq long, metric string, label long"
     )

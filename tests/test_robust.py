@@ -242,3 +242,36 @@ def test_parts_abc_partition_invariants(spark):
         by_class = g.set_index("abc").rpp
         if "A" in by_class and "C" in by_class:
             assert by_class["A"] > by_class["C"]
+
+
+def test_abc_crossing_part_is_class_a(spark):
+    """The threshold-crossing part belongs to A: a brand whose top part
+    alone covers 95% of revenue still has an A part (review finding)."""
+    from prometheus_anomaly_detection_lstm_spark.plans.relational import (
+        q_parts_abc_by_brand,
+    )
+    import tempfile, os
+
+    root = tempfile.mkdtemp()
+    li = spark.createDataFrame(
+        [(1, 101, 1, 1, 1.0, 9500.0, 0.0, 0.0, "N", "O", None),
+         (2, 102, 1, 1, 1.0, 300.0, 0.0, 0.0, "N", "O", None),
+         (3, 103, 1, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(101, "a", "m", "B1", "t", 1, "c", 1.0, ""),
+         (102, "b", "m", "B1", "t", 1, "c", 1.0, ""),
+         (103, "c", "m", "B1", "t", 1, "c", 1.0, "")],
+        "p_partkey long, p_name string, p_mfgr string, p_brand string, "
+        "p_type string, p_size int, p_container string, "
+        "p_retailprice double, p_comment string",
+    )
+    li.write.parquet(os.path.join(root, "lineitem.parquet"))
+    part.write.parquet(os.path.join(root, "part.parquet"))
+    rows = {r.abc: r for r in q_parts_abc_by_brand(spark, root).collect()}
+    assert rows["A"].n_parts == 1            # the 95% part IS class A
+    assert rows["A"].class_revenue == 9500.0
