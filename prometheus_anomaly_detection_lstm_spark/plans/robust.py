@@ -579,3 +579,144 @@ QUERIES["text_char_entropy"] = (q_char_entropy, ORACLE_CHAR_ENTROPY)
 QUERIES["corpus_zipf_fit"] = (q_zipf_fit, ORACLE_ZIPF)
 QUERIES["events_funnel_timing"] = (q_funnel_timing, ORACLE_FUNNEL_TIMING)
 QUERIES["events_heavy_hitters"] = (q_heavy_hitters, ORACLE_HEAVY_HITTERS)
+
+
+# ------------------------------------------- Markov next-event eval
+
+def q_markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction, trained and evaluated
+    in one DAG: transition counts from TRAIN bigrams (event_id % 5 != 0
+    on the destination event), argmax next-event per from_type, scored
+    on the held-out bigrams — per-state accuracy plus the baseline the
+    model must beat (global majority class).
+
+    Scale shape: bigrams come from one user_id lag window; the model
+    is |event_types|² rows (metadata-scale broadcast); scoring is one
+    more keyed agg.  Ties break toward the lexicographically LAST
+    to_type via (count, to_type) struct max, identically in SQL.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = ev.select(
+        F.col("event_id").alias("to_id"),
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    train = bigrams.filter(F.col("to_id") % 5 != 0)
+    model = (
+        train.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("c"))
+        .groupBy("from_type")
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("to_type")))["to_type"].alias(
+                "pred_type"
+            )
+        )
+    )
+    held = bigrams.filter(F.col("to_id") % 5 == 0)
+    return (
+        held.join(F.broadcast(model), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.first("pred_type").alias("pred_type"),
+            F.count("*").cast("bigint").alias("n_held"),
+            F.round(
+                F.avg(
+                    (F.col("to_type") == F.col("pred_type")).cast("double")
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_MARKOV_EVAL = """WITH bigrams AS (
+  SELECT event_id AS to_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+), b AS (
+  SELECT * FROM bigrams WHERE from_type IS NOT NULL
+), train AS (
+  SELECT * FROM b WHERE to_id % 5 <> 0
+), counts AS (
+  SELECT from_type, to_type, count(*) AS c FROM train GROUP BY 1, 2
+), model AS (
+  SELECT from_type, (max({'c': c, 't': to_type})).t AS pred_type
+  FROM counts GROUP BY from_type
+), held AS (
+  SELECT * FROM b WHERE to_id % 5 = 0
+)
+SELECT h.from_type, any_value(m.pred_type) AS pred_type,
+       CAST(count(*) AS BIGINT) AS n_held,
+       round(avg(CASE WHEN h.to_type = m.pred_type
+                      THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM held h JOIN model m ON h.from_type = m.from_type
+GROUP BY h.from_type"""
+
+
+QUERIES["events_markov_next_eval"] = (
+    q_markov_next_event_eval,
+    ORACLE_MARKOV_EVAL,
+)
+
+
+# ------------------------------------------------ readability scores
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch-reading-ease-style readability features per document:
+    words/sentence, a vowel-group syllable heuristic, and the Flesch
+    score 206.835 - 1.015·(words/sentences) - 84.6·(syllables/words) —
+    the standard complexity feature in corpus quality filtering.
+    All pure Catalyst regexp counts (codegen, no Python); sentences
+    are [.!?] runs (min 1), syllables are [aeiouy]+ groups per word.
+    """
+    n_words = F.size(
+        F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")
+    ).cast("double")
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("double"),
+        F.lit(1.0),
+    )
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("double")
+    wps = n_words / n_sent
+    spw = n_syll / F.nullif(n_words, F.lit(0.0))
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(flesch, 6).alias("flesch_score"),
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_READABILITY = """WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) AS nw,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE),
+                  1.0) AS ns,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+           AS nsyl
+  FROM documents
+)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       CAST(ns AS BIGINT) AS n_sentences,
+       CAST(nsyl AS BIGINT) AS n_syllables,
+       round(nw / ns, 6) AS words_per_sentence,
+       round(nsyl / nullif(nw, 0), 6) AS syllables_per_word,
+       round(206.835 - 1.015 * (nw / ns)
+             - 84.6 * (nsyl / nullif(nw, 0)), 6) AS flesch_score
+FROM d"""
+
+
+QUERIES["text_readability_scores"] = (q_readability, ORACLE_READABILITY)

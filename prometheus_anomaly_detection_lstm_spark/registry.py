@@ -304,10 +304,12 @@ PRIORITY: list[str] = [
     # NULL-cosine rows like the Spark side (advisor finding); the
     # minhash family re-rows on the round-5 verify-side A/B outcome;
     # recall-eval got an explicit schema + SQL-side rounding ----
-    # (dedup_apply / dedup_clusters moved past the window: the round-5
-    # verify-side A/B REVERTED, so their plans match their green r4
-    # official rows — the window slots go to first-time entries)
-    "ann_cosine_topk", "dedup_minhash_lsh", "dedup_minhash_incremental",
+    # (dedup_apply / dedup_clusters / dedup_minhash_incremental moved
+    # past the window: the round-5 verify-side A/B REVERTED and the
+    # construction-latency rework is plan-identical, so their green r4
+    # official rows still describe the shipped plans — the window
+    # slots go to first-time entries)
+    "ann_cosine_topk", "dedup_minhash_lsh",
     # ---- NEW in round 5 (first official rows) ----
     "text_bm25_topk", "embedding_matryoshka_eval", "dedup_edit_distance",
     "text_nb_classifier", "text_nb_classifier_auc",
@@ -324,6 +326,7 @@ PRIORITY: list[str] = [
     "promql_lang_histogram_quantile", "promql_lang_quantile_over_time",
     "promql_lang_label_replace", "text_nb_confusion",
     "parts_abc_by_brand", "shipping_delay_profile",
+    "events_markov_next_eval", "text_readability_scores",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",
@@ -344,7 +347,7 @@ PRIORITY: list[str] = [
     # Everything below holds a green official row on unchanged code
     # (r1-r4); the local sf0.01 parity sweep still covers all of them
     # every session.
-    "dedup_apply", "dedup_clusters",
+    "dedup_apply", "dedup_clusters", "dedup_minhash_incremental",
     "corpus_decontaminate", "corpus_shuffle_shards",
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_repetition_scores", "text_quality_filter",

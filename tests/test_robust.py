@@ -275,3 +275,34 @@ def test_abc_crossing_part_is_class_a(spark):
     rows = {r.abc: r for r in q_parts_abc_by_brand(spark, root).collect()}
     assert rows["A"].n_parts == 1            # the 95% part IS class A
     assert rows["A"].class_revenue == 9500.0
+
+
+def test_markov_eval_beats_or_meets_chance(spark):
+    from prometheus_anomaly_detection_lstm_spark.plans.robust import (
+        q_markov_next_event_eval,
+    )
+
+    rows = q_markov_next_event_eval(spark, SF_SMALL).collect()
+    assert len(rows) == 5  # one state per event type
+    for r in rows:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.n_held > 0 and r.pred_type is not None
+
+
+def test_readability_closed_forms(spark):
+    from prometheus_anomaly_detection_lstm_spark.plans.robust import (
+        readability_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, "Extraordinary")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability_scores(docs).collect()}
+    assert got[1].n_sentences == 2 and got[1].n_words == 6
+    assert got[1].words_per_sentence == 3.0
+    # empty doc: 0 words -> NULL ratios (ANSI-safe), sentence floor 1
+    assert got[2].n_words == 0 and got[2].syllables_per_word is None
+    assert got[2].flesch_score is None
+    # 'extraordinary' -> vowel groups e,ao,i,a + y = 5
+    assert got[3].n_syllables == 5
