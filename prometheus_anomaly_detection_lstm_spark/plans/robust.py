@@ -720,3 +720,74 @@ FROM d"""
 
 
 QUERIES["text_readability_scores"] = (q_readability, ORACLE_READABILITY)
+
+
+# --------------------------------------------- return rate, Wilson CI
+
+def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per part brand with a 95% Wilson score interval —
+    rate comparisons between brands of very different volumes need the
+    interval, not the raw proportion (the classic small-n trap).  One
+    lineitem aggregate keyed on partkey joins the brand dimension
+    broadcast; the Wilson algebra is pure codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    flagged = li.select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("double").alias("ret"),
+    )
+    per_brand = (
+        flagged.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            flagged.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("ret").alias("r"),
+        )
+    )
+    z = 1.959964  # 95%
+    p = F.col("r") / F.col("n")
+    n = F.col("n")
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        / denom
+    )
+    return per_brand.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lineitems"),
+        F.col("r").cast("bigint").alias("n_returned"),
+        F.round(p, 6).alias("return_rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+ORACLE_RETURN_RATE = """WITH per AS (
+  SELECT p.p_brand, CAST(count(*) AS DOUBLE) AS n,
+         sum(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lineitems,
+       CAST(r AS BIGINT) AS n_returned,
+       round(r / n, 6) AS return_rate,
+       round(((r/n + 1.959964*1.959964/(2*n))
+              - 1.959964 * sqrt((r/n)*(1 - r/n)/n
+                  + 1.959964*1.959964/(4*n*n)))
+             / (1 + 1.959964*1.959964/n), 6) AS wilson_lo,
+       round(((r/n + 1.959964*1.959964/(2*n))
+              + 1.959964 * sqrt((r/n)*(1 - r/n)/n
+                  + 1.959964*1.959964/(4*n*n)))
+             / (1 + 1.959964*1.959964/n), 6) AS wilson_hi
+FROM per"""
+
+
+QUERIES["return_rate_by_brand"] = (
+    q_return_rate_by_brand,
+    ORACLE_RETURN_RATE,
+)

@@ -327,6 +327,9 @@ PRIORITY: list[str] = [
     "promql_lang_label_replace", "text_nb_confusion",
     "parts_abc_by_brand", "shipping_delay_profile",
     "events_markov_next_eval", "text_readability_scores",
+    # ---- first past the window edge (the 50 slots are full of
+    # first-time entries): graded in the NEXT round's window ----
+    "return_rate_by_brand",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

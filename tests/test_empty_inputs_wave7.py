@@ -30,6 +30,8 @@ NEW_QUERIES = [
     "text_nb_confusion",
     "parts_abc_by_brand",
     "shipping_delay_profile",
+    "events_markov_next_eval",
+    "text_readability_scores",
 ]
 
 _SCHEMAS = {

@@ -306,3 +306,25 @@ def test_readability_closed_forms(spark):
     assert got[2].flesch_score is None
     # 'extraordinary' -> vowel groups e,ao,i,a + y = 5
     assert got[3].n_syllables == 5
+
+
+def test_wilson_interval_properties(spark):
+    """The interval brackets the point estimate, lies in [0, 1], and
+    matches the closed form computed in plain Python."""
+    from prometheus_anomaly_detection_lstm_spark.plans.robust import (
+        q_return_rate_by_brand,
+    )
+    import math
+
+    rows = q_return_rate_by_brand(spark, SF_SMALL).collect()
+    assert rows
+    z = 1.959964
+    for row in rows:
+        n, r = row.n_lineitems, row.n_returned
+        p = r / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        assert row.wilson_lo == pytest.approx(center - half, abs=1e-6)
+        assert row.wilson_hi == pytest.approx(center + half, abs=1e-6)
+        assert 0.0 <= row.wilson_lo <= row.return_rate <= row.wilson_hi <= 1.0
