@@ -791,3 +791,155 @@ QUERIES["return_rate_by_brand"] = (
     q_return_rate_by_brand,
     ORACLE_RETURN_RATE,
 )
+
+
+# ------------------------------------------------- concentration (HHI)
+
+def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl-Hirschman index per nation:
+    sum of squared supplier revenue shares (10000-scaled) — the
+    antitrust-style single-vendor-risk readout of a supply base.  One
+    suppkey-keyed revenue aggregate, broadcast supplier->nation
+    dimension, one nation rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    dim = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    by_nation = rev.join(F.broadcast(dim), rev.l_suppkey == dim.s_suppkey)
+    w = Window.partitionBy("n_name")
+    share = F.col("rev") / F.sum("rev").over(w)
+    return (
+        by_nation.withColumn("share", share)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")) * 10000, 6).alias(
+                "hhi"
+            ),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_HHI = """WITH rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT n.n_name, r.rev,
+         r.rev / sum(r.rev) OVER (PARTITION BY n.n_name) AS share
+  FROM rev r
+  JOIN supplier s ON r.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(share * share) * 10000, 6) AS hhi,
+       round(max(share), 6) AS top_share
+FROM d GROUP BY 1"""
+
+
+QUERIES["supplier_hhi_by_nation"] = (
+    q_supplier_hhi_by_nation,
+    ORACLE_SUPPLIER_HHI,
+)
+
+
+# --------------------------------------------- lexical diversity (TTR)
+
+def q_doc_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio + hapax share — the lexical-
+    diversity quality features (low TTR flags template/repetition
+    spam).  Pure array expressions: tokens and distinct tokens per doc
+    in one codegen'd projection, no explode, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    n_tok = F.size(toks).cast("double")
+    n_types = F.size(F.array_distinct(toks)).cast("double")
+    # hapax count via the aggregate fold: tokens occurring exactly once
+    hapax = F.expr(
+        "size(filter(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)), "
+        "t -> size(filter(regexp_extract_all(lower(text), '[a-z]+', 0), "
+        "x -> x = t)) = 1))"
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_types.cast("bigint").alias("n_types"),
+        F.round(n_types / F.nullif(n_tok, F.lit(0.0)), 6).alias("ttr"),
+        F.round(hapax / F.nullif(n_types, F.lit(0.0)), 6).alias(
+            "hapax_share"
+        ),
+    )
+
+
+ORACLE_DOC_TTR = """WITH d AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types,
+         CAST(len(list_filter(list_distinct(toks),
+              t -> len(list_filter(toks, x -> x = t)) = 1)) AS DOUBLE)
+           AS hapax
+  FROM d
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(n_types / nullif(n_tok, 0), 6) AS ttr,
+       round(hapax / nullif(n_types, 0), 6) AS hapax_share
+FROM s"""
+
+
+QUERIES["doc_type_token_ratio"] = (q_doc_type_token_ratio, ORACLE_DOC_TTR)
+
+
+# ------------------------------------------- customer inter-order gaps
+
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution per order priority of the FIRST
+    order in each gap: median/p90 days between a customer's
+    consecutive orders — the repeat-purchase cadence readout.  One
+    custkey lag window, one bounded rollup."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap"),
+        F.round(F.expr("percentile(gap_days, 0.5D)"), 6).alias("p50_gap"),
+        F.round(F.expr("percentile(gap_days, 0.9D)"), 6).alias("p90_gap"),
+    )
+
+
+ORACLE_CUSTOMER_GAPS = """WITH g AS (
+  SELECT o_orderpriority,
+         date_diff('day',
+            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap_days), 6) AS avg_gap,
+       round(quantile_cont(gap_days, 0.5), 6) AS p50_gap,
+       round(quantile_cont(gap_days, 0.9), 6) AS p90_gap
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1"""
+
+
+QUERIES["customer_order_gaps"] = (q_customer_order_gaps, ORACLE_CUSTOMER_GAPS)

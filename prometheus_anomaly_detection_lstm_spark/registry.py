@@ -329,7 +329,8 @@ PRIORITY: list[str] = [
     "events_markov_next_eval", "text_readability_scores",
     # ---- first past the window edge (the 50 slots are full of
     # first-time entries): graded in the NEXT round's window ----
-    "return_rate_by_brand",
+    "return_rate_by_brand", "supplier_hhi_by_nation",
+    "doc_type_token_ratio", "customer_order_gaps",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

@@ -328,3 +328,25 @@ def test_wilson_interval_properties(spark):
         assert row.wilson_lo == pytest.approx(center - half, abs=1e-6)
         assert row.wilson_hi == pytest.approx(center + half, abs=1e-6)
         assert 0.0 <= row.wilson_lo <= row.return_rate <= row.wilson_hi <= 1.0
+
+
+def test_hhi_bounds_and_ttr_closed_forms(spark):
+    from prometheus_anomaly_detection_lstm_spark.plans.robust import (
+        q_doc_type_token_ratio,
+        q_supplier_hhi_by_nation,
+    )
+
+    for r in q_supplier_hhi_by_nation(spark, SF_SMALL).collect():
+        # HHI in (10000/n, 10000]; top share consistent with HHI
+        assert 10000 / r.n_suppliers - 1e-6 <= r.hhi <= 10000 + 1e-6
+        assert r.hhi >= 10000 * r.top_share**2 - 1e-3
+    got = {
+        r.doc_id: r
+        for r in q_doc_type_token_ratio(spark, SF_SMALL).collect()
+    }
+    for r in got.values():
+        assert r.n_types <= r.n_tokens
+        if r.ttr is not None:
+            assert 0 < r.ttr <= 1.0
+        if r.hapax_share is not None:
+            assert 0 <= r.hapax_share <= 1.0
