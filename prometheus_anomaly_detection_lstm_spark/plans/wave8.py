@@ -1,0 +1,488 @@
+"""Pipeline-ops / symbolic / vector-mining plans (round-5 continuation 4).
+
+Engine-completeness surface beside the reference's LSTM detector
+(vpuhoff/prometheus-anomaly-detection-lstm, train_model.py /
+detect_anomalies.py): the operational diagnostics and training-data
+mining passes a production deployment of that detector runs on the
+same lake.
+
+- ``join_key_skew_profile`` — pre-join key-skew diagnostics (the
+  "should this join be salted?" readout): per-key count distribution
+  collapsed to one row per (relation, key) — row/key totals, max and
+  percentile counts, skew ratio, top-key share.  The only
+  data-proportional exchange is the per-key partial-aggregated
+  groupBy; the percentile pass runs on the (much smaller) key-counts
+  frame.  Feeds ``operators/skew.salted_join``'s salting decision.
+- ``embedding_hard_negatives`` — triplet-mining readout per anchor:
+  the hardest negative (highest cosine under a DIFFERENT label) and
+  hardest positive (lowest cosine under the SAME label), plus the
+  triplet margin.  Anchors are a bounded broadcast set; candidates
+  stream through ONE map stage; per-anchor argmax/argmin is a
+  struct-ordered max/min aggregate (map-side combine, no window over
+  the pair stream) so the shuffle carries 2 rows per (partition,
+  anchor), never the pair stream itself.
+- ``metric_sax_symbols`` — SAX symbolization (Lin et al., DMKD 2007):
+  per-series z-normalization (tiny stats frame broadcast back, no
+  whole-series window), hourly PAA segment means, N(0,1)-quartile
+  breakpoint symbols, one SAX word per (series, day).  The standard
+  index/summary representation for similarity search over raw metric
+  archives at 100 TB.
+- ``text_pmi_collocations`` — top-K bigram collocations by pointwise
+  mutual information (Church & Hanks, 1990) with a minimum-count
+  floor.  Bigrams come from an array ``transform`` over the token
+  array (no self-join); unigram margins are re-aggregated from the
+  bigram counts (vocabulary-scale, not corpus-scale); final top-K by
+  TakeOrderedAndProject.
+- ``metric_spectral_residual`` — model-free saliency anomalies via
+  the spectral-residual transform (Ren et al., KDD 2019 — the
+  SR half of SR-CNN): per (series, day) hourly means, log-amplitude
+  spectrum minus its moving average, inverse FFT saliency, flag
+  points whose relative saliency exceeds ``SR_THRESHOLD``.  Arrow
+  applyInPandas per (series, day) chunk — parallelism is
+  #series x #days, each task FFTs a bounded 24-point window.
+  No SQL twin (FFT): rows-only registry entry; exactness is pinned
+  vs a from-the-definition numpy replica in tests/test_wave8.py.
+
+Scale notes (100 TB): every operator's data-proportional stage is a
+single hash-partitioned partial aggregate or a broadcast-joined map;
+windows/sorts only ever run on metadata-scale frames (key counts,
+vocabulary margins, 32-row anchor sets, 24-point day chunks).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_tables import events_series, load_table
+
+QUERIES: dict = {}
+
+#: Hard-negative mining: anchors = vec_id < HN_ANCHORS (bounded,
+#: broadcast) — the same anchor-set idiom as ann_cosine_topk.
+HN_ANCHORS = 32
+#: PMI collocations: minimum bigram count and report size.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+#: SAX: N(0,1) quartile breakpoints -> 4-symbol alphabet a..d.
+SAX_BREAKPOINTS = (-0.6744897501960817, 0.0, 0.6744897501960817)
+#: Spectral residual: moving-average width on the log spectrum
+#: (Ren et al. use q=3) and the relative-saliency anomaly threshold.
+#: The paper's tau=3 applies to their long sliding windows; on bounded
+#: 24-point day chunks the log-compressed saliency caps near 1.3 even
+#: for a 100x spike, so the threshold is calibrated against measured
+#: chunk behavior: a 2x planted spike scores ~0.69, benign sine
+#: variation <= ~0.1 (median normalization) — 0.5 splits them cleanly.
+SR_Q = 3
+SR_THRESHOLD = 0.5
+SR_EPS = 1e-8
+
+
+# ----------------------------------------------- join-key skew profile
+
+def _key_profile(df: DataFrame, rel: str, key: str) -> DataFrame:
+    """One diagnostic row for (rel, key): the per-key count
+    distribution.  groupBy(key) partial-aggregates map-side; the
+    percentile aggregate then runs over the key-counts frame (one row
+    per distinct key — metadata scale next to the fact table)."""
+    cnts = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+    agg = cnts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5D)"), 6).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99D)"), 6).alias("p99_cnt"),
+        F.round(
+            F.max("cnt") / F.expr("percentile(cnt, 0.5D)"), 6
+        ).alias("skew_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+    )
+    return agg.select(
+        F.lit(rel).alias("rel"), F.lit(key).alias("key"), "*"
+    )
+
+
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for the three join keys a 100-TB deployment
+    actually shuffles on: events.user_id (sessionization / funnels),
+    lineitem.l_orderkey (order joins), orders.o_custkey (customer
+    rollups).  Three one-row profiles unioned."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        _key_profile(ev, "events", "user_id")
+        .unionByName(_key_profile(li, "lineitem", "l_orderkey"))
+        .unionByName(_key_profile(od, "orders", "o_custkey"))
+    )
+
+
+_SKEW_ONE = """SELECT '{rel}' AS rel, '{key}' AS key,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+       round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+       round(max(cnt) / quantile_cont(cnt, 0.5), 6) AS skew_ratio,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share
+FROM (SELECT {key} AS k, CAST(count(*) AS DOUBLE) AS cnt
+      FROM {rel} GROUP BY 1)"""
+
+ORACLE_KEY_SKEW = " UNION ALL ".join(
+    _SKEW_ONE.format(rel=rel, key=key)
+    for rel, key in [
+        ("events", "user_id"),
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_custkey"),
+    ]
+)
+
+QUERIES["join_key_skew_profile"] = (q_join_key_skew_profile, ORACLE_KEY_SKEW)
+
+
+# --------------------------------------------- hard-negative mining
+
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor triplet-mining readout: hardest negative (max cosine,
+    different label), hardest positive (min cosine, same label), and
+    the margin between them.  Ties break on the LOWER candidate id in
+    both directions — encoded as struct-ordered max/min aggregates so
+    the per-anchor argmax is a partial-combining aggregation (2 rows
+    per partition per anchor cross the wire), not a window over the
+    anchor x corpus pair stream."""
+    from ..operators.similarity import _norm_den, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = with_norm(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    anchors = normed.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+        F.col("label").alias("c_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", dot / _norm_den("q_norm", "c_norm"))
+        .filter(F.col("cosine").isNotNull())  # zero vectors: no direction
+        .select("q_id", "q_label", "c_id", "c_label", "cosine")
+    )
+    neg = (
+        pairs.filter(F.col("c_label") != F.col("q_label"))
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine").alias("cos"),
+                    (-F.col("c_id")).alias("nid"),
+                )
+            ).alias("hn")
+        )
+    )
+    pos = (
+        pairs.filter(F.col("c_label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("cosine").alias("cos"), F.col("c_id").alias("cid")
+                )
+            ).alias("hp")
+        )
+    )
+    return (
+        neg.join(pos, "q_id")
+        .select(
+            "q_id",
+            F.col("q_label").alias("label"),
+            (-F.col("hn.nid")).cast("bigint").alias("hard_neg_id"),
+            F.round("hn.cos", 6).alias("hard_neg_cos"),
+            F.col("hp.cid").alias("hard_pos_id"),
+            F.round("hp.cos", 6).alias("hard_pos_cos"),
+            F.round(F.col("hp.cos") - F.col("hn.cos"), 6).alias("margin"),
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS c_id, c.label AS c_label,
+         list_dot_product(q.vec, c.vec) / nullif(q.norm * c.norm, 0) AS cosine
+  FROM v q, v c
+  WHERE q.vec_id < {HN_ANCHORS} AND q.vec_id != c.vec_id
+    AND list_dot_product(q.vec, c.vec) / nullif(q.norm * c.norm, 0)
+        IS NOT NULL
+),
+neg AS (
+  SELECT q_id, q_label, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM pairs WHERE c_label != q_label
+),
+pos AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine ASC, c_id ASC) AS rk
+  FROM pairs WHERE c_label = q_label
+)
+SELECT n.q_id, n.q_label AS label,
+       n.c_id AS hard_neg_id, round(n.cosine, 6) AS hard_neg_cos,
+       p.c_id AS hard_pos_id, round(p.cosine, 6) AS hard_pos_cos,
+       round(p.cosine - n.cosine, 6) AS margin
+FROM neg n JOIN pos p ON n.q_id = p.q_id
+WHERE n.rk = 1 AND p.rk = 1"""
+
+QUERIES["embedding_hard_negatives"] = (
+    q_embedding_hard_negatives,
+    ORACLE_HARD_NEGATIVES,
+)
+
+
+# ------------------------------------------------- SAX symbolization
+
+def sax_symbols(s: DataFrame) -> DataFrame:
+    """One SAX word per (metric, day): z-normalize against per-series
+    stats (tiny stats frame broadcast back — no whole-series window),
+    hourly PAA means, quartile-breakpoint symbols, hour-ordered word.
+
+    Segment means are rounded to 9 dp BEFORE the breakpoint CASE so a
+    1-ulp summation difference can never flip a symbol across engines.
+    """
+    stats = s.groupBy("metric").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    ).filter(F.col("sd") > 0)
+    b1, b2, b3 = SAX_BREAKPOINTS
+    z = s.join(F.broadcast(stats), "metric").withColumn(
+        "z", (F.col("value") - F.col("mu")) / F.col("sd")
+    )
+    paa = z.groupBy(
+        "metric",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.round(F.avg("z"), 9).alias("seg"))
+    sym = paa.withColumn(
+        "sym",
+        F.when(F.col("seg") < b1, F.lit("a"))
+        .when(F.col("seg") < b2, F.lit("b"))
+        .when(F.col("seg") < b3, F.lit("c"))
+        .otherwise(F.lit("d")),
+    )
+    word = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hr", "sym"))),
+            lambda x: x.sym,
+        ),
+    )
+    return sym.groupBy("metric", "day").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        word.alias("word"),
+    )
+
+
+def q_metric_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sax_symbols(events_series(spark, sf_dir))
+
+
+ORACLE_SAX = f"""WITH stats AS (
+  SELECT event_type AS metric, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT e.event_type AS metric, date_trunc('day', e.ts) AS day,
+         extract(hour FROM e.ts) AS hr,
+         (e.value - s.mu) / s.sd AS z
+  FROM events e JOIN stats s ON e.event_type = s.metric
+  WHERE s.sd > 0
+),
+paa AS (
+  SELECT metric, day, hr, round(avg(z), 9) AS seg
+  FROM z GROUP BY 1, 2, 3
+),
+sym AS (
+  SELECT metric, day, hr,
+         CASE WHEN seg < {SAX_BREAKPOINTS[0]} THEN 'a'
+              WHEN seg < {SAX_BREAKPOINTS[1]} THEN 'b'
+              WHEN seg < {SAX_BREAKPOINTS[2]} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM paa
+)
+SELECT metric, day, CAST(count(*) AS BIGINT) AS n_segments,
+       string_agg(sym, '' ORDER BY hr) AS word
+FROM sym GROUP BY 1, 2"""
+
+QUERIES["metric_sax_symbols"] = (q_metric_sax_symbols, ORACLE_SAX)
+
+
+# --------------------------------------------- PMI collocations
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = PMI_MIN_COUNT,
+    top_k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by PMI with a ``min_count``
+    floor.  Bigrams via an array ``transform`` over each doc's token
+    array (linear in corpus bytes, no self-join); the w1/w2 margins
+    re-aggregate the BIGRAM counts (vocabulary scale), so nothing
+    after the first groupBy is corpus-sized; final top-K lowers to
+    TakeOrderedAndProject."""
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    bigrams = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1), "
+        "(x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+    )
+    b = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+    )
+    cxy = b.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    # margins as DOUBLE: the c_x * c_y product at 100-TB corpus counts
+    # would overflow BIGINT (the oracle's counts are DOUBLE throughout)
+    cx = cxy.groupBy("w1").agg(F.sum("c_xy").cast("double").alias("c_x"))
+    cy = cxy.groupBy("w2").agg(F.sum("c_xy").cast("double").alias("c_y"))
+    total = cxy.agg(F.sum("c_xy").cast("double").alias("n_bi"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= min_count)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                F.log(
+                    F.col("c_xy") * F.col("n_bi")
+                    / (F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)
+
+
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_PMI = f"""WITH d AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+),
+b AS (
+  SELECT unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS pr
+  FROM d WHERE len(toks) >= 2
+),
+cxy AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS DOUBLE) AS c_xy
+  FROM b GROUP BY 1, 2
+),
+m AS (
+  SELECT w1, w2, c_xy,
+         sum(c_xy) OVER (PARTITION BY w1) AS c_x,
+         sum(c_xy) OVER (PARTITION BY w2) AS c_y,
+         sum(c_xy) OVER () AS n_bi
+  FROM cxy
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       round(ln(c_xy * n_bi / (c_x * c_y)), 6) AS pmi
+FROM m
+WHERE c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}"""
+
+QUERIES["text_pmi_collocations"] = (q_text_pmi_collocations, ORACLE_PMI)
+
+
+# ------------------------------------------- spectral-residual anomalies
+
+def sr_saliency(x: np.ndarray) -> np.ndarray:
+    """Spectral-residual saliency map of a 1-D series (Ren et al.,
+    KDD 2019): log-amplitude spectrum minus its SR_Q-point moving
+    average ('same' convolution), recombined with the original phase,
+    inverse-FFT magnitude.  Pure numpy — shared by the operator and
+    the from-the-definition test pin."""
+    fft = np.fft.fft(x.astype("float64"))
+    amp = np.abs(fft)
+    log_amp = np.log(amp + SR_EPS)
+    # chunks shorter than the averaging window (a day with < SR_Q
+    # hourly samples): shrink the window — 'same' convolution with a
+    # kernel longer than the signal returns kernel-length output
+    q = min(SR_Q, len(x))
+    kernel = np.ones(q) / q
+    avg = np.convolve(log_amp, kernel, mode="same")
+    residual = log_amp - avg
+    return np.abs(np.fft.ifft(np.exp(residual + 1j * np.angle(fft))))
+
+
+SR_SCHEMA = (
+    "metric string, day timestamp, hr int, hourly_value double, "
+    "saliency_score double"
+)
+
+
+def spectral_residual_anomalies(
+    s: DataFrame, threshold: float = SR_THRESHOLD
+) -> DataFrame:
+    """Flag hours whose relative saliency (S - median(S)) /
+    (median(S) + eps) exceeds ``threshold``, per (metric, day) chunk of
+    hourly means — median normalization so the spike itself cannot
+    inflate its own baseline.  Arrow
+    applyInPandas: each task FFTs one bounded <=24-point window, so
+    parallelism is #series x #days and per-task cost is O(1)."""
+    hourly = s.groupBy(
+        "metric",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.avg("value").alias("hourly_value"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hr").reset_index(drop=True)
+        sal = sr_saliency(pdf["hourly_value"].to_numpy())
+        med = np.median(sal)
+        rel = (sal - med) / (med + SR_EPS)
+        pdf["saliency_score"] = np.round(rel, 6)
+        return pdf[rel > threshold][
+            ["metric", "day", "hr", "hourly_value", "saliency_score"]
+        ]
+
+    return hourly.groupBy("metric", "day").applyInPandas(score, SR_SCHEMA)
+
+
+def q_metric_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spectral_residual_anomalies(events_series(spark, sf_dir))
+
+
+# FFT has no SQL twin: rows-only registry entry; exactness pinned vs a
+# from-the-definition numpy replica + planted-spike detection +
+# partitioning invariance in tests/test_wave8.py.
+QUERIES["metric_spectral_residual"] = (q_metric_spectral_residual, None)

@@ -331,12 +331,19 @@ PRIORITY: list[str] = [
     # first-time entries): graded in the NEXT round's window ----
     "return_rate_by_brand", "supplier_hhi_by_nation",
     "doc_type_token_ratio", "customer_order_gaps",
+    # continuation-4 additions (first-timers queued behind the four
+    # above, hash-graded first):
+    "join_key_skew_profile", "embedding_hard_negatives",
+    "metric_sax_symbols", "text_pmi_collocations",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",
     # framed PCM16 RMS/ZCR (int16 decode has no SQL twin; closed-form
     # pins on synthesized sine/square/silence): rows-only
     "multimodal_audio_features",
+    # spectral-residual saliency (FFT — no SQL twin; pinned vs a
+    # from-the-definition numpy replica): rows-only
+    "metric_spectral_residual",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----
@@ -416,6 +423,7 @@ PRIORITY: list[str] = [
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import (
         extended, mining, relational, robust, tpch_more, tpch_wave3, wave5,
+        wave8,
     )
     from .operators import (
         approx, bpe, corpus, dedup, kmeans, linalg, matrixprofile,
@@ -432,6 +440,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(mining.QUERIES)
     merged.update(wave5.QUERIES)
     merged.update(robust.QUERIES)
+    merged.update(wave8.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(promql_lang.QUERIES)

@@ -63,6 +63,8 @@ BNLJ_SCALAR_BROADCASTS = {
     "events_heavy_hitters",     # one-row corpus-total denominator
     "corpus_source_token_drift",  # one-row global-token-total broadcast
     "text_nb_confusion",        # one-row class-totals + priors broadcasts
+    "embedding_hard_negatives",  # anchor block (HN_ANCHORS rows, bounded)
+    "text_pmi_collocations",    # one-row bigram-total broadcast
 }
 
 

@@ -1,0 +1,197 @@
+"""Semantic pins for plans/wave8.py beyond the DuckDB oracle parity:
+
+- spectral residual equals the from-the-definition numpy replica row
+  for row, detects a planted spike, and is partitioning-invariant;
+- SAX words match a hand-computed closed form on constructed series
+  and are hour-ordered with length == n_segments;
+- PMI matches a hand-computed tiny corpus (ln of exact ratios);
+- hard negatives / positives match a brute-force numpy replica,
+  and margin = hard_pos_cos - hard_neg_cos;
+- the skew profile matches a pandas value_counts replica.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_anomaly_detection_lstm_spark.io_tables import (
+    events_series,
+    load_table,
+)
+from prometheus_anomaly_detection_lstm_spark.plans import wave8
+
+from .conftest import SF_SMALL
+
+
+# ------------------------------------------------- spectral residual
+
+def test_sr_matches_numpy_definition(spark):
+    got = (
+        wave8.q_metric_spectral_residual(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["metric", "day", "hr"])
+        .reset_index(drop=True)
+    )
+    raw = events_series(spark, SF_SMALL).toPandas()
+    raw["day"] = raw["ts"].dt.floor("D")
+    raw["hr"] = raw["ts"].dt.hour
+    hourly = (
+        raw.groupby(["metric", "day", "hr"], as_index=False)["value"]
+        .mean()
+        .rename(columns={"value": "hourly_value"})
+    )
+    want = []
+    for (metric, day), g in hourly.groupby(["metric", "day"]):
+        g = g.sort_values("hr").reset_index(drop=True)
+        sal = wave8.sr_saliency(g["hourly_value"].to_numpy())
+        med = np.median(sal)
+        rel = (sal - med) / (med + wave8.SR_EPS)
+        for i in np.nonzero(rel > wave8.SR_THRESHOLD)[0]:
+            want.append(
+                (metric, day, int(g["hr"][i]), round(float(rel[i]), 6))
+            )
+    got_set = {
+        (r.metric, r.day, r.hr, round(r.saliency_score, 6))
+        for r in got.itertuples()
+    }
+    assert got_set == set(want)
+
+
+def test_sr_detects_planted_spike_and_partition_invariant(spark):
+    # flat day with one huge spike at hour 12: SR must flag exactly it
+    rows = [
+        ("m", f"2024-03-01 {h:02d}:00:00", h, 100.0 + (900.0 if h == 12 else 0.0))
+        for h in range(24)
+    ]
+    s = spark.createDataFrame(
+        rows, "metric string, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = wave8.spectral_residual_anomalies(s).toPandas()
+    assert list(out["hr"]) == [12]
+    out7 = wave8.spectral_residual_anomalies(s.repartition(7)).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("hr").reset_index(drop=True),
+        out7.sort_values("hr").reset_index(drop=True),
+    )
+
+
+# --------------------------------------------------------------- SAX
+
+def test_sax_closed_form_word(spark):
+    # z = [-1, -1, +1, +1] -> symbols a a d d (quartile breakpoints)
+    rows = [
+        ("m", f"2024-03-01 {h:02d}:00:00", h, v)
+        for h, v in [(0, 0.0), (1, 0.0), (2, 10.0), (3, 10.0)]
+    ]
+    s = spark.createDataFrame(
+        rows, "metric string, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = wave8.sax_symbols(s).collect()
+    assert len(out) == 1
+    assert out[0].word == "aadd"
+    assert out[0].n_segments == 4
+
+
+def test_sax_words_wellformed(spark):
+    out = wave8.q_metric_sax_symbols(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    assert (out["word"].str.len() == out["n_segments"]).all()
+    assert out["word"].str.fullmatch("[abcd]+").all()
+
+
+# --------------------------------------------------------------- PMI
+
+def test_pmi_closed_form_tiny_corpus(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        (r.w1, r.w2): (r.c_xy, r.pmi)
+        for r in wave8.pmi_collocations(docs, min_count=1, top_k=10).collect()
+    }
+    # bigrams: (a,b) x3, (b,a) x1, (b,c) x1 -> N=5
+    # margins re-aggregate bigram counts: c_x (over w1): a->3, b->2;
+    # c_y (over w2): b->3, a->1, c->1
+    assert out[("a", "b")] == (3, round(math.log(3 * 5 / (3 * 3)), 6))
+    assert out[("b", "a")] == (1, round(math.log(1 * 5 / (2 * 1)), 6))
+    assert out[("b", "c")] == (1, round(math.log(1 * 5 / (2 * 1)), 6))
+
+
+def test_pmi_topk_order(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = wave8.pmi_collocations(docs, min_count=2, top_k=20).toPandas()
+    assert len(out) > 0
+    assert (out["c_xy"] >= 2).all()
+    pmis = out["pmi"].tolist()
+    assert pmis == sorted(pmis, reverse=True)
+
+
+# ------------------------------------------------------ hard negatives
+
+def test_hard_negatives_match_bruteforce(spark):
+    got = {
+        r.q_id: r
+        for r in wave8.q_embedding_hard_negatives(spark, SF_SMALL).collect()
+    }
+    emb = load_table(spark, SF_SMALL, "embeddings").toPandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    vecs, norms, labels, ids = (
+        vecs[order], norms[order], labels[order], ids[order]
+    )
+    checked = 0
+    for qi in np.nonzero(ids < wave8.HN_ANCHORS)[0]:
+        den = norms * norms[qi]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = vecs @ vecs[qi] / np.where(den == 0, np.nan, den)
+        cos[qi] = np.nan
+        negm = (labels != labels[qi]) & ~np.isnan(cos)
+        posm = (labels == labels[qi]) & ~np.isnan(cos)
+        posm[qi] = False
+        if not negm.any() or not posm.any():
+            assert ids[qi] not in got
+            continue
+        # ties break on lower id in both directions
+        neg_order = np.lexsort((ids[negm], -cos[negm]))
+        pos_order = np.lexsort((ids[posm], cos[posm]))
+        ni = np.nonzero(negm)[0][neg_order[0]]
+        pi = np.nonzero(posm)[0][pos_order[0]]
+        r = got[ids[qi]]
+        assert (r.hard_neg_id, r.hard_pos_id) == (ids[ni], ids[pi])
+        assert r.hard_neg_cos == pytest.approx(round(cos[ni], 6), abs=1e-9)
+        assert r.hard_pos_cos == pytest.approx(round(cos[pi], 6), abs=1e-9)
+        assert r.margin == pytest.approx(
+            round(cos[pi] - cos[ni], 6), abs=1e-6
+        )
+        checked += 1
+    assert checked == len(got) > 0
+
+
+# --------------------------------------------------------- skew profile
+
+def test_skew_profile_matches_pandas(spark):
+    got = {
+        (r.rel, r.key): r
+        for r in wave8.q_join_key_skew_profile(spark, SF_SMALL).collect()
+    }
+    assert set(got) == {
+        ("events", "user_id"),
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_custkey"),
+    }
+    ev = load_table(spark, SF_SMALL, "events").toPandas()
+    cnts = ev["user_id"].value_counts()
+    r = got[("events", "user_id")]
+    assert r.n_rows == len(ev)
+    assert r.n_keys == cnts.size
+    assert r.max_cnt == cnts.max()
+    assert r.top_share == pytest.approx(cnts.max() / len(ev), abs=1e-6)
+    assert r.p50_cnt == pytest.approx(np.percentile(cnts, 50), abs=1e-6)
