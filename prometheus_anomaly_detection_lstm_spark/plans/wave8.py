@@ -148,7 +148,7 @@ QUERIES["join_key_skew_profile"] = (q_join_key_skew_profile, ORACLE_KEY_SKEW)
 
 # --------------------------------------------- hard-negative mining
 
-def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hard_negatives(emb: DataFrame, n_anchors: int = HN_ANCHORS) -> DataFrame:
     """Per-anchor triplet-mining readout: hardest negative (max cosine,
     different label), hardest positive (min cosine, same label), and
     the margin between them.  Ties break on the LOWER candidate id in
@@ -157,12 +157,10 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition per anchor cross the wire), not a window over the
     anchor x corpus pair stream."""
     from ..operators.similarity import _norm_den, with_norm
-
-    emb = load_table(spark, sf_dir, "embeddings")
     normed = with_norm(emb).join(
         emb.select("vec_id", "label"), "vec_id"
     )
-    anchors = normed.filter(F.col("vec_id") < HN_ANCHORS).select(
+    anchors = normed.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
         F.col("norm").alias("q_norm"),
@@ -255,6 +253,10 @@ SELECT n.q_id, n.q_label AS label,
        round(p.cosine - n.cosine, 6) AS margin
 FROM neg n JOIN pos p ON n.q_id = p.q_id
 WHERE n.rk = 1 AND p.rk = 1"""
+
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
 
 QUERIES["embedding_hard_negatives"] = (
     q_embedding_hard_negatives,
