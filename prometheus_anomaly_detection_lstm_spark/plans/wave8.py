@@ -488,3 +488,210 @@ def q_metric_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from-the-definition numpy replica + planted-spike detection +
 # partitioning invariance in tests/test_wave8.py.
 QUERIES["metric_spectral_residual"] = (q_metric_spectral_residual, None)
+
+
+# --------------------------------------- Holt-Winters seasonal forecast
+
+#: Additive Holt-Winters smoothing constants (level / trend / seasonal)
+#: and the seasonal period in hours.  The classic conservative tuning
+#: for hourly ops metrics with a daily cycle.
+HW_ALPHA = 0.2
+HW_BETA = 0.02
+HW_GAMMA = 0.1
+HW_PERIOD = 24
+#: residual z-score threshold; warm-up = first two seasons excluded
+#: from both the sigma estimate and the flags.
+HW_Z = 3.0
+
+HW_SCHEMA = (
+    "metric string, ts_hour timestamp, value double, forecast double, "
+    "resid double, resid_z double"
+)
+
+
+def holt_winters_forecast(x: np.ndarray, m: int = HW_PERIOD):
+    """Additive Holt-Winters one-step-ahead forecasts (textbook
+    recursion).  Init: level = mean of season 1, trend = per-step
+    difference of season means, seasonals = season-1 deviations.
+    Returns a forecast array aligned to x (first season = NaN: no
+    forecast exists before the state is initialized).  Pure numpy —
+    shared by the operator and the from-the-definition test pin."""
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n < 2 * m:
+        return out  # not enough history to initialize level+trend
+    level = x[:m].mean()
+    trend = (x[m : 2 * m].mean() - x[:m].mean()) / m
+    season = (x[:m] - level).copy()
+    for t in range(m, n):
+        s = season[t % m]
+        out[t] = level + trend + s
+        prev_level = level
+        level = HW_ALPHA * (x[t] - s) + (1 - HW_ALPHA) * (level + trend)
+        trend = HW_BETA * (level - prev_level) + (1 - HW_BETA) * trend
+        season[t % m] = HW_GAMMA * (x[t] - level) + (1 - HW_GAMMA) * s
+    return out
+
+
+def holt_winters_anomalies(s: DataFrame, z: float = HW_Z) -> DataFrame:
+    """Seasonal-forecast residual anomalies per series: hourly means,
+    additive Holt-Winters one-step forecasts, flag hours where
+    |residual| > ``z`` sigma (sigma = std of post-warm-up residuals).
+
+    The recursion is inherently sequential per series, so this is an
+    Arrow applyInPandas with parallelism = #series; the per-series
+    pass is a single O(n) streaming scan over the (much smaller)
+    hourly rollup, not the raw samples — at 100 TB the raw->hourly
+    collapse happens in the partial-aggregating groupBy before any
+    Python.  The daily-chunk FFT twin (metric_spectral_residual) and
+    the closed-form double-smoothing twin (promql_holt_smoothing)
+    cover the bounded-chunk and no-Python alternatives."""
+    hourly = s.groupBy(
+        "metric", F.date_trunc("hour", "ts").alias("ts_hour")
+    ).agg(F.avg("value").alias("value"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_hour").reset_index(drop=True)
+        x = pdf["value"].to_numpy(dtype="float64")
+        fc = holt_winters_forecast(x)
+        resid = x - fc
+        valid = ~np.isnan(resid)
+        if valid.sum() < 2:
+            return pdf.iloc[0:0].assign(forecast=0.0, resid=0.0, resid_z=0.0)
+        sigma = resid[valid].std()
+        if sigma == 0:
+            return pdf.iloc[0:0].assign(forecast=0.0, resid=0.0, resid_z=0.0)
+        rz = resid / sigma
+        pdf["forecast"] = np.round(fc, 6)
+        pdf["resid"] = np.round(resid, 6)
+        pdf["resid_z"] = np.round(rz, 6)
+        return pdf[valid & (np.abs(rz) > HW_Z)][
+            ["metric", "ts_hour", "value", "forecast", "resid", "resid_z"]
+        ]
+
+    return hourly.groupBy("metric").applyInPandas(score, HW_SCHEMA)
+
+
+def q_metric_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt_winters_anomalies(events_series(spark, sf_dir))
+
+
+# The coupled level/trend/seasonal recursion has no SQL twin:
+# rows-only registry entry; pinned vs an independent textbook replica,
+# a planted seasonal break, and partitioning invariance.
+QUERIES["metric_holt_winters"] = (q_metric_holt_winters, None)
+
+
+# --------------------------------------- embedding centroid drift
+
+#: Embedding dimensionality of the testdata embeddings table (matches
+#: operators/linalg.DIM).
+EMB_DIM = 64
+
+
+def centroid_drift(emb: DataFrame) -> DataFrame:
+    """Per-label centroid drift between the first and second half of
+    the corpus (split at the median vec_id — the ingestion-order
+    proxy): centroid cosine and L2 distance, the standard
+    embedding-space drift monitor between two data slices.
+
+    Shape: posexplode to (label, dim, x) and aggregate per-dim
+    conditional means — ONE corpus-proportional exchange on
+    (label, dim) whose output is #labels x #dims rows; the cosine
+    then reduces that metadata-scale frame per label.  The median cut
+    is a one-row broadcast (BNLJ-allowlisted scalar)."""
+    cut = emb.agg(
+        F.expr("percentile(vec_id, 0.5D)").alias("cut")
+    )
+    x = (
+        emb.crossJoin(F.broadcast(cut))
+        .withColumn(
+            "half", F.when(F.col("vec_id") < F.col("cut"), 0).otherwise(1)
+        )
+        .select(
+            "label",
+            "half",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d", "xi"
+            ),
+        )
+    )
+    cent = x.groupBy("label", "d").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("xi"))).alias("ca"),
+        F.avg(F.when(F.col("half") == 1, F.col("xi"))).alias("cb"),
+    )
+    per_label = cent.groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sum(F.col("ca") * F.col("ca")).alias("na"),
+        F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+        F.sum(
+            (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+        ).alias("sq"),
+    )
+    counts = (
+        emb.crossJoin(F.broadcast(cut))
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.when(F.col("vec_id") < F.col("cut"), 1).otherwise(0)
+            ).cast("bigint").alias("n_a"),
+            F.sum(
+                F.when(F.col("vec_id") >= F.col("cut"), 1).otherwise(0)
+            ).cast("bigint").alias("n_b"),
+        )
+    )
+    return per_label.join(counts, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot")
+            / F.nullif(F.sqrt("na") * F.sqrt("nb"), F.lit(0.0)),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("sq"), 6).alias("centroid_l2"),
+    )
+
+
+ORACLE_CENTROID_DRIFT = f"""WITH cut AS (
+  SELECT quantile_cont(vec_id, 0.5) AS c FROM embeddings
+),
+x AS (
+  SELECT label,
+         CASE WHEN vec_id < (SELECT c FROM cut) THEN 0 ELSE 1 END AS half,
+         i, CAST(embedding[i] AS DOUBLE) AS xi
+  FROM embeddings, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+),
+cent AS (
+  SELECT label, i,
+         avg(CASE WHEN half = 0 THEN xi END) AS ca,
+         avg(CASE WHEN half = 1 THEN xi END) AS cb
+  FROM x GROUP BY 1, 2
+),
+per_label AS (
+  SELECT label, sum(ca * cb) AS dot, sum(ca * ca) AS na,
+         sum(cb * cb) AS nb, sum((ca - cb) * (ca - cb)) AS sq
+  FROM cent GROUP BY 1
+),
+counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id < (SELECT c FROM cut)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN vec_id >= (SELECT c FROM cut)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM embeddings GROUP BY 1
+)
+SELECT p.label, c.n_a, c.n_b,
+       round(p.dot / nullif(sqrt(p.na) * sqrt(p.nb), 0), 6)
+         AS centroid_cosine,
+       round(sqrt(p.sq), 6) AS centroid_l2
+FROM per_label p JOIN counts c ON p.label = c.label"""
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroid_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["embedding_centroid_drift"] = (
+    q_embedding_centroid_drift,
+    ORACLE_CENTROID_DRIFT,
+)

@@ -335,6 +335,7 @@ PRIORITY: list[str] = [
     # above, hash-graded first):
     "join_key_skew_profile", "embedding_hard_negatives",
     "metric_sax_symbols", "text_pmi_collocations",
+    "embedding_centroid_drift",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",
@@ -344,6 +345,9 @@ PRIORITY: list[str] = [
     # spectral-residual saliency (FFT — no SQL twin; pinned vs a
     # from-the-definition numpy replica): rows-only
     "metric_spectral_residual",
+    # Holt-Winters seasonal forecast residuals (coupled recursion — no
+    # SQL twin; pinned vs an independent textbook replica): rows-only
+    "metric_holt_winters",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----

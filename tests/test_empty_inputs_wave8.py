@@ -14,6 +14,8 @@ NEW_QUERIES = [
     "metric_sax_symbols",
     "text_pmi_collocations",
     "metric_spectral_residual",
+    "metric_holt_winters",
+    "embedding_centroid_drift",
 ]
 
 _SCHEMAS = {

@@ -65,6 +65,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "text_nb_confusion",        # one-row class-totals + priors broadcasts
     "embedding_hard_negatives",  # anchor block (HN_ANCHORS rows, bounded)
     "text_pmi_collocations",    # one-row bigram-total broadcast
+    "embedding_centroid_drift",  # one-row median-vec_id cut broadcast
 }
 
 

@@ -195,3 +195,98 @@ def test_skew_profile_matches_pandas(spark):
     assert r.max_cnt == cnts.max()
     assert r.top_share == pytest.approx(cnts.max() / len(ev), abs=1e-6)
     assert r.p50_cnt == pytest.approx(np.percentile(cnts, 50), abs=1e-6)
+
+
+# ------------------------------------------------------ Holt-Winters
+
+def _hw_replica(x, m, a, b, g):
+    """Independent textbook additive HW recursion (one-step forecasts)."""
+    n = len(x)
+    fc = [float("nan")] * n
+    if n < 2 * m:
+        return fc
+    level = sum(x[:m]) / m
+    trend = (sum(x[m : 2 * m]) / m - sum(x[:m]) / m) / m
+    season = [x[i] - level for i in range(m)]
+    for t in range(m, n):
+        s = season[t % m]
+        fc[t] = level + trend + s
+        new_level = a * (x[t] - s) + (1 - a) * (level + trend)
+        trend = b * (new_level - level) + (1 - b) * trend
+        season[t % m] = g * (x[t] - new_level) + (1 - g) * s
+        level = new_level
+    return fc
+
+
+def test_hw_forecast_matches_textbook_recursion():
+    rng = np.random.default_rng(7)
+    x = (
+        10.0
+        + np.tile(np.sin(np.arange(24) / 24 * 2 * np.pi), 10)
+        + rng.normal(0, 0.1, 240)
+    )
+    got = wave8.holt_winters_forecast(x)
+    want = _hw_replica(
+        list(x), wave8.HW_PERIOD, wave8.HW_ALPHA, wave8.HW_BETA, wave8.HW_GAMMA
+    )
+    assert np.isnan(got[: wave8.HW_PERIOD]).all()  # no pre-init forecast
+    np.testing.assert_allclose(
+        got[wave8.HW_PERIOD :], want[wave8.HW_PERIOD :], rtol=1e-12
+    )
+
+
+def test_hw_detects_seasonal_break_and_partition_invariant(spark):
+    # 5 clean daily cycles, then one hour jumps far off-pattern
+    hours = 5 * 24
+    rows = []
+    for i in range(hours):
+        day, hr = divmod(i, 24)
+        v = 100.0 + 10.0 * math.sin(hr / 24 * 2 * math.pi)
+        if i == 100:
+            v += 200.0
+        rows.append(
+            ("m", f"2024-03-{day + 1:02d} {hr:02d}:00:00", i, v)
+        )
+    s = spark.createDataFrame(
+        rows, "metric string, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = wave8.holt_winters_anomalies(s).toPandas()
+    assert len(out) >= 1
+    top = out.loc[out["resid_z"].abs().idxmax()]
+    assert top["ts_hour"].hour == 100 % 24 and top["ts_hour"].day == 100 // 24 + 1
+    out7 = wave8.holt_winters_anomalies(s.repartition(7)).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("ts_hour").reset_index(drop=True),
+        out7.sort_values("ts_hour").reset_index(drop=True),
+    )
+
+
+def test_hw_short_series_yields_empty(spark):
+    rows = [("m", f"2024-03-01 {h:02d}:00:00", h, float(h)) for h in range(12)]
+    s = spark.createDataFrame(
+        rows, "metric string, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert wave8.holt_winters_anomalies(s).count() == 0
+
+
+# ------------------------------------------------- centroid drift
+
+def test_centroid_drift_matches_numpy(spark):
+    got = {
+        r.label: r
+        for r in wave8.q_embedding_centroid_drift(spark, SF_SMALL).collect()
+    }
+    emb = load_table(spark, SF_SMALL, "embeddings").toPandas()
+    cut = np.percentile(emb["vec_id"], 50)
+    vecs = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    for label, g in emb.groupby("label"):
+        a = vecs[g.index[g["vec_id"] < cut]]
+        bm = vecs[g.index[g["vec_id"] >= cut]]
+        r = got[label]
+        assert (r.n_a, r.n_b) == (len(a), len(bm))
+        ca, cb = a.mean(axis=0), bm.mean(axis=0)
+        cos = ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb))
+        assert r.centroid_cosine == pytest.approx(cos, abs=1e-5)
+        assert r.centroid_l2 == pytest.approx(
+            np.linalg.norm(ca - cb), abs=1e-5
+        )

@@ -101,6 +101,11 @@ def main() -> None:
             "spectral_residual": lambda: wave8.spectral_residual_anomalies(
                 series
             ),
+            # the deliberately-sequential shape: per-series O(n) python
+            # recursion over the hourly rollup; time replication grows
+            # SERIES LENGTH, so wall tracks hourly-rollup rows / #series
+            "holt_winters": lambda: wave8.holt_winters_anomalies(series),
+            "centroid_drift": lambda: wave8.centroid_drift(emb),
         }
         timings = {}
         for name, build in shapes.items():
