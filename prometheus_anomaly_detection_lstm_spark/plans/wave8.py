@@ -695,3 +695,61 @@ QUERIES["embedding_centroid_drift"] = (
     q_embedding_centroid_drift,
     ORACLE_CENTROID_DRIFT,
 )
+
+
+# --------------------------------------------- SAX motif / novelty
+
+#: Motifs: top-N recurring day-words per series (must recur).
+SAX_MOTIF_TOP = 3
+
+
+def sax_motifs(s: DataFrame) -> DataFrame:
+    """Motif/novelty mining over the SAX words: per series, the top
+    ``SAX_MOTIF_TOP`` RECURRING day-words (the typical daily shapes)
+    plus every word seen exactly once (novel days — the symbolic
+    discord signal).  The word-frequency frame is bounded by #days per
+    series, so the per-series ranking window is metadata-scale."""
+    freq = (
+        sax_symbols(s)
+        .groupBy("metric", "word")
+        .agg(F.count("*").cast("bigint").alias("n_days"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("metric").orderBy(
+        F.desc("n_days"), F.asc("word")
+    )
+    motifs = (
+        freq.filter(F.col("n_days") >= 2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAX_MOTIF_TOP)
+        .select("metric", "word", "n_days", F.lit("motif").alias("kind"))
+    )
+    novel = freq.filter(F.col("n_days") == 1).select(
+        "metric", "word", "n_days", F.lit("novel").alias("kind")
+    )
+    return motifs.unionByName(novel)
+
+
+def q_metric_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sax_motifs(events_series(spark, sf_dir))
+
+
+ORACLE_SAX_MOTIFS = f"""WITH sax AS ({ORACLE_SAX}),
+freq AS (
+  SELECT metric, word, CAST(count(*) AS BIGINT) AS n_days
+  FROM sax GROUP BY 1, 2
+),
+ranked AS (
+  SELECT metric, word, n_days,
+         row_number() OVER (PARTITION BY metric
+             ORDER BY n_days DESC, word ASC) AS rk
+  FROM freq WHERE n_days >= 2
+)
+SELECT metric, word, n_days, 'motif' AS kind
+FROM ranked WHERE rk <= {SAX_MOTIF_TOP}
+UNION ALL
+SELECT metric, word, n_days, 'novel' AS kind
+FROM freq WHERE n_days = 1"""
+
+QUERIES["metric_sax_motifs"] = (q_metric_sax_motifs, ORACLE_SAX_MOTIFS)

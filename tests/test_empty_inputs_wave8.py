@@ -16,6 +16,7 @@ NEW_QUERIES = [
     "metric_spectral_residual",
     "metric_holt_winters",
     "embedding_centroid_drift",
+    "metric_sax_motifs",
 ]
 
 _SCHEMAS = {

@@ -290,3 +290,39 @@ def test_centroid_drift_matches_numpy(spark):
         assert r.centroid_l2 == pytest.approx(
             np.linalg.norm(ca - cb), abs=1e-5
         )
+
+
+def test_sax_motifs_wellformed(spark):
+    out = wave8.q_metric_sax_motifs(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    motifs = out[out["kind"] == "motif"]
+    novel = out[out["kind"] == "novel"]
+    assert (motifs["n_days"] >= 2).all()
+    assert (novel["n_days"] == 1).all()
+    # at most SAX_MOTIF_TOP motifs per series, ranked by recurrence
+    per = motifs.groupby("metric").size()
+    assert (per <= wave8.SAX_MOTIF_TOP).all()
+    # every motif recurs at least as often as any novel word (trivially)
+    # and the full word-frequency frame is recovered by the union
+    freq = (
+        wave8.sax_symbols(events_series(spark, SF_SMALL))
+        .groupBy("metric", "word")
+        .count()
+        .toPandas()
+    )
+    assert len(novel) == (freq["count"] == 1).sum()
+
+
+def test_sax_motifs_constructed_recurrence(spark):
+    # days 1-2 share one shape (motif), day 3 is unique (novel)
+    rows = []
+    for day, highs in [(1, (2, 3)), (2, (2, 3)), (3, (0, 1))]:
+        for h in range(4):
+            v = 10.0 if h in highs else 0.0
+            rows.append(("m", f"2024-03-0{day} {h:02d}:00:00", h, v))
+    s = spark.createDataFrame(
+        rows, "metric string, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.kind, r.word): r.n_days for r in wave8.sax_motifs(s).collect()}
+    assert out[("motif", "aadd")] == 2
+    assert [k for k in out if k[0] == "novel"] == [("novel", "ddaa")]
