@@ -156,9 +156,22 @@ def hard_negatives(emb: DataFrame, n_anchors: int = HN_ANCHORS) -> DataFrame:
     the per-anchor argmax is a partial-combining aggregation (2 rows
     per partition per anchor cross the wire), not a window over the
     anchor x corpus pair stream."""
-    from ..operators.similarity import _norm_den, with_norm
-    normed = with_norm(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
+    from ..operators.similarity import _norm_den
+
+    # norm + label in ONE projection — a with_norm()-then-self-join
+    # would shuffle the corpus twice through a SortMergeJoin on vec_id
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    normed = emb.select(
+        "vec_id",
+        "label",
+        vec.alias("vec"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec, lambda v: v * v),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("norm"),
     )
     anchors = normed.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("q_id"),
@@ -208,7 +221,7 @@ def hard_negatives(emb: DataFrame, n_anchors: int = HN_ANCHORS) -> DataFrame:
         )
     )
     return (
-        neg.join(pos, "q_id")
+        neg.join(F.broadcast(pos), "q_id")  # both sides <= n_anchors rows
         .select(
             "q_id",
             F.col("q_label").alias("label"),

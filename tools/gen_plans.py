@@ -168,6 +168,17 @@ SHOWCASE = [
      "the close-date rollup on the order key and the bounded day "
      "rollup — the running backlog window orders a metadata-scale "
      "frame, never the fact table."),
+    ("embedding_hard_negatives", "triplet mining as a partial-combining argmax",
+     "The bounded anchor block broadcasts (BNLJ on the q_id != c_id "
+     "guard); the per-anchor hardest-negative/positive argmax is a "
+     "struct-ordered max/min AGGREGATE, so the shuffle after the pair "
+     "map carries 2 rows per partition per anchor — the anchor x corpus "
+     "pair stream itself never crosses the wire."),
+    ("metric_sax_symbols", "SAX words without a whole-series window",
+     "Per-series z-stats come from a tiny groupBy broadcast back onto "
+     "the stream (no whole-partition window serializing a series); the "
+     "PAA and word rollups are partial-combining aggregates on "
+     "(metric, day[, hour])."),
 ]
 
 JOIN_RE = re.compile(
