@@ -51,12 +51,9 @@ vocabulary margins, 32-row anchor sets, 24-point day chunks).
 
 from __future__ import annotations
 
-import math
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_tables import events_series, load_table
@@ -512,8 +509,8 @@ HW_ALPHA = 0.2
 HW_BETA = 0.02
 HW_GAMMA = 0.1
 HW_PERIOD = 24
-#: residual z-score threshold; warm-up = first two seasons excluded
-#: from both the sigma estimate and the flags.
+#: residual z-score threshold; the first season has no forecast (the
+#: state initializes from it) and is excluded from sigma and flags.
 HW_Z = 3.0
 
 HW_SCHEMA = (
@@ -578,7 +575,7 @@ def holt_winters_anomalies(s: DataFrame, z: float = HW_Z) -> DataFrame:
         pdf["forecast"] = np.round(fc, 6)
         pdf["resid"] = np.round(resid, 6)
         pdf["resid_z"] = np.round(rz, 6)
-        return pdf[valid & (np.abs(rz) > HW_Z)][
+        return pdf[valid & (np.abs(rz) > z)][
             ["metric", "ts_hour", "value", "forecast", "resid", "resid_z"]
         ]
 
@@ -727,8 +724,6 @@ def sax_motifs(s: DataFrame) -> DataFrame:
         .groupBy("metric", "word")
         .agg(F.count("*").cast("bigint").alias("n_days"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("metric").orderBy(
         F.desc("n_days"), F.asc("word")
     )

@@ -326,3 +326,20 @@ def test_sax_motifs_constructed_recurrence(spark):
     out = {(r.kind, r.word): r.n_days for r in wave8.sax_motifs(s).collect()}
     assert out[("motif", "aadd")] == 2
     assert [k for k in out if k[0] == "novel"] == [("novel", "ddaa")]
+
+
+def test_hw_threshold_parameter_is_respected(spark):
+    # regression: the z kwarg must drive the flag filter (a looser
+    # threshold admits strictly more rows on the same series)
+    rows = [
+        ("m", f"2024-03-{1 + i // 24:02d} {i % 24:02d}:00:00", i,
+         100.0 + 10.0 * math.sin(i % 24 / 24 * 2 * math.pi)
+         + (50.0 if i == 60 else 0.0))
+        for i in range(72)
+    ]
+    s = spark.createDataFrame(
+        rows, "metric string, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tight = wave8.holt_winters_anomalies(s, z=wave8.HW_Z).count()
+    loose = wave8.holt_winters_anomalies(s, z=0.1).count()
+    assert loose > tight
