@@ -343,3 +343,42 @@ def test_hw_threshold_parameter_is_respected(spark):
     tight = wave8.holt_winters_anomalies(s, z=wave8.HW_Z).count()
     loose = wave8.holt_winters_anomalies(s, z=0.1).count()
     assert loose > tight
+
+
+# ------------------------------------------------- invariance properties
+
+def test_sax_affine_invariance(spark):
+    """z-normalization makes SAX words invariant to positive affine
+    transforms of the series: sax(a*x + b) == sax(x) for a > 0."""
+    s = events_series(spark, SF_SMALL)
+    base = {
+        (r.metric, r.day): r.word for r in wave8.sax_symbols(s).collect()
+    }
+    scaled = s.withColumn("value", F.col("value") * 37.5 + 1000.0)
+    got = {
+        (r.metric, r.day): r.word
+        for r in wave8.sax_symbols(scaled).collect()
+    }
+    assert got == base and len(base) > 0
+
+
+def test_pmi_duplication_invariance(spark):
+    """Duplicating every document doubles all counts but leaves every
+    PMI ratio unchanged: (2c_xy * 2N) / (2c_x * 2c_y) = c_xy*N/(c_x*c_y)."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    base = {
+        (r.w1, r.w2): r.pmi
+        for r in wave8.pmi_collocations(docs, min_count=2, top_k=50).collect()
+    }
+    got = {
+        (r.w1, r.w2): r.pmi
+        for r in wave8.pmi_collocations(
+            doubled, min_count=4, top_k=50
+        ).collect()
+    }
+    assert set(got) == set(base) and len(base) > 0
+    for k, v in base.items():
+        assert got[k] == pytest.approx(v, abs=2e-6)
