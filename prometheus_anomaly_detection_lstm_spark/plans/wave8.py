@@ -761,3 +761,97 @@ SELECT metric, word, n_days, 'novel' AS kind
 FROM freq WHERE n_days = 1"""
 
 QUERIES["metric_sax_motifs"] = (q_metric_sax_motifs, ORACLE_SAX_MOTIFS)
+
+
+# --------------------------------------- feature-hashing vectorizer
+
+#: Hashing-trick vectorizer: bucket count and buckets reported per doc.
+HASH_BUCKETS = 512
+HASH_TOP = 3
+
+
+def feature_hashing_topk(
+    docs: DataFrame, n_buckets: int = HASH_BUCKETS, top: int = HASH_TOP
+) -> DataFrame:
+    """Hashing-trick TF-IDF vectorizer readout: each token hashes to
+    one of ``n_buckets`` slots (md5 hex slice — the engine-portable
+    hash family used by the minhash operators), per-(doc, bucket)
+    weight = sum of tf·idf over the bucket's tokens (collisions add,
+    exactly the hashing-trick semantics), and the ``top`` heaviest
+    buckets per doc are reported.
+
+    Plan: one corpus-proportional (doc, token) aggregate; the idf join
+    is vocabulary-scale; the ranking window partitions by doc_id over
+    at most ``n_buckets`` rows per doc.  Weights are rounded to 6 dp
+    BEFORE ranking so the two engines rank the identical set."""
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    weighted = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias(
+                "w"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.round(F.sum("w"), 6).alias("weight"))
+    )
+    rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("bucket")
+    )
+    return (
+        weighted.withColumn("rk", F.row_number().over(rank).cast("bigint"))
+        .filter(F.col("rk") <= top)
+        .select("doc_id", "bucket", "weight", "rk")
+    )
+
+
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return feature_hashing_topk(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_FEATURE_HASHING = f"""WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM t GROUP BY 1, 2
+),
+idf AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id,
+         ('0x' || substr(md5(tf.tok), 1, 8))::BIGINT % {HASH_BUCKETS}
+           AS bucket,
+         round(sum(tf.tf * ln(n.n_docs / idf.df)), 6) AS weight
+  FROM tf JOIN idf USING (tok) CROSS JOIN n
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, bucket, weight,
+         CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY weight DESC, bucket ASC) AS BIGINT) AS rk
+  FROM w
+)
+SELECT doc_id, bucket, weight, rk FROM ranked WHERE rk <= {HASH_TOP}"""
+
+QUERIES["text_feature_hashing"] = (
+    q_text_feature_hashing,
+    ORACLE_FEATURE_HASHING,
+)

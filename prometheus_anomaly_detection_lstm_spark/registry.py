@@ -336,6 +336,7 @@ PRIORITY: list[str] = [
     "join_key_skew_profile", "embedding_hard_negatives",
     "metric_sax_symbols", "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs",
+    "text_feature_hashing",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

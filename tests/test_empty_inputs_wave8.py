@@ -17,6 +17,7 @@ NEW_QUERIES = [
     "metric_holt_winters",
     "embedding_centroid_drift",
     "metric_sax_motifs",
+    "text_feature_hashing",
 ]
 
 _SCHEMAS = {

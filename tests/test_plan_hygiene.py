@@ -66,6 +66,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "embedding_hard_negatives",  # anchor block (HN_ANCHORS rows, bounded)
     "text_pmi_collocations",    # one-row bigram-total broadcast
     "embedding_centroid_drift",  # one-row median-vec_id cut broadcast
+    "text_feature_hashing",     # one-row n_docs broadcast
 }
 
 

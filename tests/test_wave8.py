@@ -382,3 +382,23 @@ def test_pmi_duplication_invariance(spark):
     assert set(got) == set(base) and len(base) > 0
     for k, v in base.items():
         assert got[k] == pytest.approx(v, abs=2e-6)
+
+
+def test_feature_hashing_closed_form(spark):
+    # d0 = "a a b", d1 = "b c"; n_docs=2; df: a=1, b=2, c=1
+    # weights: d0/bucket(a) = 2 ln 2, d0/bucket(b) = 0,
+    #          d1/bucket(c) = ln 2,  d1/bucket(b) = 0
+    # buckets (md5 % 512): a=441, b=510, c=240 — no collisions
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.bucket): (r.weight, r.rk)
+        for r in wave8.feature_hashing_topk(docs).collect()
+    }
+    ln2 = round(math.log(2), 6)
+    assert got[(0, 441)] == (round(2 * math.log(2), 6), 1)
+    assert got[(0, 510)] == (0.0, 2)
+    assert got[(1, 240)] == (ln2, 1)
+    assert got[(1, 510)] == (0.0, 2)
+    assert len(got) == 4
