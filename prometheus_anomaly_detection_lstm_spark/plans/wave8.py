@@ -855,3 +855,75 @@ QUERIES["text_feature_hashing"] = (
     q_text_feature_hashing,
     ORACLE_FEATURE_HASHING,
 )
+
+
+# --------------------------------------- PCA reconstruction anomaly
+
+#: PCA detector: principal subspace rank kept for reconstruction.
+PCA_K = 2
+
+
+def pca_anomaly_scores(df: DataFrame, features: list, k: int = PCA_K) -> DataFrame:
+    """PCA reconstruction-error anomaly scores — the linear twin of the
+    LSTM autoencoder (reference train_model.py learns a nonlinear
+    reconstruction; this is the classical baseline run beside it).
+
+    Two-phase small-model/big-data split (the pca_fit / kmeans idiom):
+    phase 1 aggregates the d-vector of means and the d(d+1)/2 cross
+    moments in ONE pass (a single one-row aggregate — constant shuffle
+    volume), the d x d eigendecomposition runs driver-side in
+    microseconds; phase 2 scores every row with the residual-projector
+    QUADRATIC FORM folded into literal expressions — pure whole-stage
+    codegen, no Python, no join, no broadcast variable.
+
+    err(x) = || (I - V_k V_k^T)(x - mu) ||^2  (squared distance to the
+    principal subspace).  Component signs are canonicalized, so the
+    score is deterministic.
+    """
+    d = len(features)
+    aggs = [F.avg(F.col(f)).alias(f"__m{i}") for i, f in enumerate(features)]
+    aggs += [
+        F.avg(F.col(features[i]) * F.col(features[j])).alias(f"__p{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    if row["__m0"] is None:  # empty frame: no model to fit, no scores
+        return df.select(
+            "ts", F.lit(0.0).alias("pca_err")
+        ).filter(F.lit(False))
+    mu = np.array([row[f"__m{i}"] for i in range(d)])
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = row[f"__p{i}_{j}"] - mu[i] * mu[j]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for r in comps:
+        if r[np.argmax(np.abs(r))] < 0:
+            r *= -1.0
+    # residual projector Q = I - V_k^T V_k (d x d, literal floats)
+    q = np.eye(d) - comps.T @ comps
+    centered = [F.col(f) - F.lit(float(mu[i])) for i, f in enumerate(features)]
+    resid = [
+        sum(
+            (c * F.lit(float(q[a, b])) for b, c in enumerate(centered)),
+            F.lit(0.0),
+        )
+        for a in range(d)
+    ]
+    err = sum((e * e for e in resid), F.lit(0.0))
+    return df.select("ts", F.round(err, 8).alias("pca_err"))
+
+
+def q_metric_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import pipeline as P
+
+    df = P.preprocessed(spark, sf_dir)
+    return pca_anomaly_scores(df, P.FEATURES)
+
+
+# eigendecomposition has no SQL twin: rows-only registry entry; pinned
+# vs an exact numpy replica and a planted off-subspace anomaly.
+QUERIES["metric_pca_scores"] = (q_metric_pca_scores, None)

@@ -349,6 +349,9 @@ PRIORITY: list[str] = [
     # Holt-Winters seasonal forecast residuals (coupled recursion — no
     # SQL twin; pinned vs an independent textbook replica): rows-only
     "metric_holt_winters",
+    # PCA reconstruction error (eigendecomposition — no SQL twin;
+    # pinned vs an exact numpy replica): rows-only
+    "metric_pca_scores",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (r1/r2): bench headliners first so the graded
     # correctness record tracks the graded performance record ----

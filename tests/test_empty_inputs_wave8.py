@@ -18,6 +18,7 @@ NEW_QUERIES = [
     "embedding_centroid_drift",
     "metric_sax_motifs",
     "text_feature_hashing",
+    "metric_pca_scores",
 ]
 
 _SCHEMAS = {

@@ -402,3 +402,44 @@ def test_feature_hashing_closed_form(spark):
     assert got[(1, 240)] == (ln2, 1)
     assert got[(1, 510)] == (0.0, 2)
     assert len(got) == 4
+
+
+# ------------------------------------------------- PCA reconstruction
+
+def test_pca_scores_match_numpy_and_rank_planted_anomaly(spark):
+    # 2-D structure in 3 columns + one row far OFF the principal plane
+    rng = np.random.default_rng(3)
+    t = rng.normal(0, 1, (200, 2))
+    x = np.column_stack([t[:, 0], t[:, 1], 0.2 * t[:, 0] - 0.1 * t[:, 1]])
+    # off-subspace spike: big enough to rank top-1, small enough not
+    # to rotate the FITTED subspace toward itself (PCA on contaminated
+    # data absorbs a dominant outlier direction into the top PCs)
+    x[17] += np.array([0.0, 0.0, 5.0])
+    rows = [
+        (f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", *map(float, x[i]))
+        for i in range(len(x))
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, f0 double, f1 double, f2 double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = (
+        wave8.pca_anomaly_scores(df, ["f0", "f1", "f2"], k=2)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # exact numpy replica
+    mu = x.mean(axis=0)
+    cov = np.cov(x.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:2]].T
+    q = np.eye(3) - comps.T @ comps
+    want = np.einsum("nd,de,ne->n", x - mu, q, x - mu)
+    np.testing.assert_allclose(got["pca_err"], np.round(want, 8), atol=1e-6)
+    assert got["pca_err"].idxmax() == 17
+    assert got["pca_err"][17] > 100 * np.median(got["pca_err"].drop(17))
+
+
+def test_pca_scores_registry_query_runs(spark):
+    out = wave8.q_metric_pca_scores(spark, SF_SMALL).toPandas()
+    assert len(out) > 0 and (out["pca_err"] >= 0).all()
