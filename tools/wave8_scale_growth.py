@@ -106,6 +106,19 @@ def main() -> None:
             # SERIES LENGTH, so wall tracks hourly-rollup rows / #series
             "holt_winters": lambda: wave8.holt_winters_anomalies(series),
             "centroid_drift": lambda: wave8.centroid_drift(emb),
+            "sax_motifs": lambda: wave8.sax_motifs(series),
+            "feature_hashing": lambda: wave8.feature_hashing_topk(docs),
+            # NOTE pca fits driver-side per build() call (one-pass
+            # moment aggregate), so its wall includes the fit scan
+            "pca_scores": lambda: wave8.pca_anomaly_scores(
+                ev.select(
+                    "ts",
+                    F.col("value").alias("f0"),
+                    (F.col("value") * 2).alias("f1"),
+                    F.col("user_id").cast("double").alias("f2"),
+                ),
+                ["f0", "f1", "f2"],
+            ),
         }
         timings = {}
         for name, build in shapes.items():
