@@ -1,0 +1,176 @@
+"""Detector-zoo scorecard: every anomaly detector on one labeled bench.
+
+Synthesizes hourly series (daily sinusoid + Gaussian noise, seeded) and
+plants point anomalies at known positions, then runs the model-free
+detector zoo over the SAME frame and scores each against the planted
+truth at hour granularity — precision, recall, F1.  The detectors have
+deliberately disjoint failure modes, so the scorecard shows what each
+buys (and documents CUSUM's persistence: a cumulative statistic stays
+elevated for a few hours after a spike, trading precision for
+shift-detection power).
+
+    python tools/detector_zoo_eval.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_SERIES = 4
+N_DAYS = 14
+N_ANOMALIES = 5  # per series
+SPIKE = 8.0      # in noise-sigma units (sigma = 1, amplitude 10 cycle)
+SEED = 42
+
+
+def main() -> None:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from prometheus_anomaly_detection_lstm_spark.plans import (
+        mining,
+        robust,
+        wave8,
+    )
+    from prometheus_anomaly_detection_lstm_spark.session import get_spark
+
+    rng = np.random.default_rng(SEED)
+    rows, truth = [], set()
+    for m in range(N_SERIES):
+        metric = f"m{m}"
+        n = N_DAYS * 24
+        hours = np.arange(n)
+        base = 100.0 + 10.0 * np.sin(hours % 24 / 24 * 2 * np.pi)
+        noise = rng.normal(0, 1.0, n)
+        vals = base + noise
+        # plant spikes away from the first two days (detector warm-up)
+        spots = rng.choice(np.arange(48, n), size=N_ANOMALIES, replace=False)
+        vals[spots] += SPIKE * np.where(rng.random(N_ANOMALIES) < 0.5, -1, 1)
+        for i in range(n):
+            ts = pd.Timestamp("2024-03-01") + pd.Timedelta(hours=int(i))
+            rows.append((metric, ts, i, float(vals[i])))
+            if i in spots:
+                truth.add((metric, ts))
+
+    spark = get_spark("detector-zoo")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["metric", "ts", "seq", "value"])
+    )
+
+    def flags_cusum():
+        return {
+            (r.metric, r.ts) for r in robust.cusum_anomalies(s).collect()
+        }
+
+    def flags_mad():
+        return {(r.metric, r.ts) for r in mining.mad_outliers(s).collect()}
+
+    def flags_ensemble():
+        return {
+            (r.metric, r.ts)
+            for r in mining.anomaly_ensemble(s).collect()
+            if r.confirmed
+        }
+
+    def flags_sr():
+        return {
+            (r.metric, r.day + pd.Timedelta(hours=r.hr))
+            for r in wave8.spectral_residual_anomalies(s).collect()
+        }
+
+    def flags_hw():
+        return {
+            (r.metric, r.ts_hour)
+            for r in wave8.holt_winters_anomalies(s).collect()
+        }
+
+    detectors = {
+        "cusum": flags_cusum,
+        "mad_robust_z": flags_mad,
+        "ensemble_2of3": flags_ensemble,
+        "spectral_residual": flags_sr,
+        "holt_winters": flags_hw,
+    }
+    report = {}
+    for name, get in detectors.items():
+        got = get()
+        tp = len(got & truth)
+        prec = tp / len(got) if got else 0.0
+        rec = tp / len(truth)
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        report[name] = {
+            "flagged": len(got),
+            "precision": round(prec, 3),
+            "recall": round(rec, 3),
+            "f1": round(f1, 3),
+        }
+        print(name, report[name], flush=True)
+    print(json.dumps({"truth": len(truth), "detectors": report}))
+
+    # ---- scenario 2: sustained +3-sigma level shift for 24 h ----
+    # the complementary failure mode: CUSUM integrates small shifts,
+    # point-spike detectors see nothing hour-by-hour
+    rows2, shift_start = [], {}
+    for m in range(N_SERIES):
+        metric = f"s{m}"
+        n = N_DAYS * 24
+        hours = np.arange(n)
+        base = 100.0 + 10.0 * np.sin(hours % 24 / 24 * 2 * np.pi)
+        vals = base + rng.normal(0, 1.0, n)
+        start = int(rng.integers(72, n - 48))
+        vals[start : start + 24] += 3.0
+        shift_start[metric] = pd.Timestamp("2024-03-01") + pd.Timedelta(
+            hours=start
+        )
+        for i in range(n):
+            ts = pd.Timestamp("2024-03-01") + pd.Timedelta(hours=int(i))
+            rows2.append((metric, ts, i, float(vals[i])))
+    s2 = spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["metric", "ts", "seq", "value"])
+    )
+
+    def in_shift(metric, ts):
+        st = shift_start[metric]
+        return st <= ts < st + pd.Timedelta(hours=24)
+
+    shift_flags = {
+        "cusum": {
+            (r.metric, r.ts) for r in robust.cusum_anomalies(s2).collect()
+        },
+        "mad_robust_z": {
+            (r.metric, r.ts) for r in mining.mad_outliers(s2).collect()
+        },
+        "spectral_residual": {
+            (r.metric, r.day + pd.Timedelta(hours=r.hr))
+            for r in wave8.spectral_residual_anomalies(s2).collect()
+        },
+        "holt_winters": {
+            (r.metric, r.ts_hour)
+            for r in wave8.holt_winters_anomalies(s2).collect()
+        },
+    }
+    report2 = {}
+    for name, got in shift_flags.items():
+        detected = {
+            m for m in shift_start if any(
+                k[0] == m and in_shift(*k) for k in got
+            )
+        }
+        false_alarms = sum(1 for k in got if not in_shift(*k))
+        report2[name] = {
+            "series_detected": f"{len(detected)}/{N_SERIES}",
+            "false_alarm_hours": false_alarms,
+        }
+        print("shift:", name, report2[name], flush=True)
+    print(json.dumps({"shift_scenario": report2}))
+
+
+if __name__ == "__main__":
+    main()
