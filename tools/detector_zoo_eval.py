@@ -32,6 +32,9 @@ def main() -> None:
     import pandas as pd
     from pyspark.sql import functions as F
 
+    from prometheus_anomaly_detection_lstm_spark.operators.promql import (
+        seasonal_anomaly,
+    )
     from prometheus_anomaly_detection_lstm_spark.plans import (
         mining,
         robust,
@@ -91,7 +94,11 @@ def main() -> None:
             for r in wave8.holt_winters_anomalies(s).collect()
         }
 
+    def flags_seasonal():
+        return {(r.metric, r.ts) for r in seasonal_anomaly(s).collect()}
+
     detectors = {
+        "seasonal_z": flags_seasonal,
         "cusum": flags_cusum,
         "mad_robust_z": flags_mad,
         "ensemble_2of3": flags_ensemble,
@@ -141,6 +148,9 @@ def main() -> None:
         return st <= ts < st + pd.Timedelta(hours=24)
 
     shift_flags = {
+        "seasonal_z": {
+            (r.metric, r.ts) for r in seasonal_anomaly(s2).collect()
+        },
         "cusum": {
             (r.metric, r.ts) for r in robust.cusum_anomalies(s2).collect()
         },
