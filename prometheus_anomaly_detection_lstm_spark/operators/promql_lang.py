@@ -33,7 +33,9 @@ Supported grammar (documented subset, recursive descent):
                | 'label_join' '(' expr ',' STR ',' STR ',' STR... ')'
     AGGOP     := sum | avg | min | max | count | stddev | stdvar
     func      := FUNC '(' selector-with-range ')'
-    FUNC      := rate | irate | increase | resets | delta
+               | 'predict_linear' '(' selector-with-range ',' NUM ')'
+    FUNC      := rate | irate | increase | resets | changes | delta
+               | deriv
                | avg_over_time | min_over_time | max_over_time
                | sum_over_time | count_over_time | last_over_time
                | stddev_over_time | stdvar_over_time
@@ -94,7 +96,7 @@ _TOKEN_RE = re.compile(
 
 AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar"}
 RANGE_FUNCS = {
-    "rate", "irate", "increase", "resets", "delta",
+    "rate", "irate", "increase", "resets", "changes", "delta", "deriv",
     "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "absent",
@@ -193,6 +195,17 @@ class HistQ:
     the canonical usage)."""
 
     q: float
+    sel: Selector
+
+
+@dataclass
+class PredictLinear:
+    """``predict_linear(sel[d], t)`` — least-squares slope per
+    (series, bucket) extrapolated ``horizon_s`` past the bucket end,
+    anchored at the bucket's last sample (the batch
+    operators/promql.deriv_predict semantics)."""
+
+    horizon_s: float
     sel: Selector
 
 
@@ -396,6 +409,18 @@ class _Parser:
             if not 0.0 <= q <= 1.0:
                 raise ValueError(f"histogram_quantile q must be in [0, 1], got {q}")
             return HistQ(q, sel)
+        if tok[0] == "name" and tok[1] == "predict_linear":
+            self.next()
+            self.expect("(")
+            sel = self._selector()
+            self.expect(",")
+            t_tok = self.next()
+            if t_tok[0] != "num":
+                raise ValueError("predict_linear needs a scalar horizon")
+            self.expect(")")
+            if sel.range_s is None:
+                raise ValueError("predict_linear needs a range selector")
+            return PredictLinear(float(t_tok[1]), sel)
         if tok[0] == "name" and tok[1] in {"topk", "bottomk"}:
             op = self.next()[1]
             self.expect("(")
@@ -545,8 +570,49 @@ def _eval(node, samples: DataFrame) -> DataFrame:
             "w_start",
             F.lit(1.0).alias("value"),
         )
+    if isinstance(node, PredictLinear) or (
+        isinstance(node, Func) and node.name == "deriv"
+    ):
+        sel = node.sel if isinstance(node, PredictLinear) else node.arg
+        df = _apply_selector(samples, sel)
+        from ..functions import ntz_epoch_seconds
+
+        based = df.withColumn(
+            "w_start",
+            F.window("ts", f"{sel.range_s} seconds").start,
+        ).withColumn(
+            "__t", ntz_epoch_seconds("ts") - ntz_epoch_seconds("w_start")
+        )
+        slope = F.covar_pop("value", "__t") / F.expr("nullif(var_pop(__t), 0D)")
+        last = F.expr(
+            "max_by(named_struct('v', value, 't', __t), "
+            "named_struct('t', ts, 's', seq))"
+        )
+        agg = based.groupBy(*series, "w_start").agg(
+            slope.alias("__slope"), last.alias("__last")
+        )
+        if isinstance(node, Func):  # deriv
+            return agg.select(
+                *series, "w_start", F.col("__slope").alias("value")
+            )
+        pred = F.col("__last.v") + F.col("__slope") * (
+            F.lit(float(sel.range_s) + float(node.horizon_s))
+            - F.col("__last.t")
+        )
+        return agg.select(*series, "w_start", pred.alias("value"))
     if isinstance(node, Func):
         df = _apply_selector(samples, node.arg)
+        if node.name == "changes":
+            from .promql import changes_resets
+
+            out = changes_resets(
+                df, bucket_s=node.arg.range_s, series_cols=tuple(series)
+            )
+            return out.select(
+                *series,
+                "w_start",
+                F.col("changes").cast("double").alias("value"),
+            )
         if node.name in {"rate", "irate", "increase", "resets"}:
             rates = counter_rate(
                 df, bucket_s=node.arg.range_s, series_cols=tuple(series)
@@ -1037,4 +1103,75 @@ FROM rl GROUP BY 1, 2"""
 QUERIES["promql_lang_label_replace"] = (
     q_lang_label_replace,
     ORACLE_LANG_LABEL_REPLACE,
+)
+
+
+def q_lang_predict_linear(spark, sf_dir: str) -> DataFrame:
+    """``predict_linear`` from the string surface: 5-minute-ahead
+    linear forecast per (series, label, 10 m bucket), least-squares
+    slope anchored at the bucket's last sample — the capacity-planning
+    alert idiom (`predict_linear(disk_free[1h], 4*3600) < 0`)."""
+    return eval_promql(
+        "predict_linear(view[10m], 300)", _labeled(spark, sf_dir)
+    ).select(
+        "metric", "label", "w_start", F.col("value").alias("predicted")
+    )
+
+
+ORACLE_LANG_PREDICT_LINEAR = """WITH b AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         ts, value, event_id AS seq,
+         time_bucket(INTERVAL '600 seconds', ts) AS w_start,
+         epoch(ts) - epoch(time_bucket(INTERVAL '600 seconds', ts)) AS t
+  FROM events WHERE event_type = 'view'
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY metric, label, w_start ORDER BY ts DESC, seq DESC) AS rn
+  FROM b
+)
+SELECT metric, label, w_start,
+       round(max(CASE WHEN rn = 1 THEN value END)
+             + (covar_pop(value, t) / nullif(var_pop(t), 0))
+               * (900.0 - max(CASE WHEN rn = 1 THEN t END)),
+             6) AS predicted
+FROM r GROUP BY 1, 2, 3"""
+
+QUERIES["promql_lang_predict_linear"] = (
+    q_lang_predict_linear,
+    ORACLE_LANG_PREDICT_LINEAR,
+)
+
+
+def q_lang_changes_sum(spark, sf_dir: str) -> DataFrame:
+    """``changes()`` from the string surface, re-aggregated by label:
+    the flappiness readout (how often a gauge changed value per
+    bucket).  The lag chain rides the per-(series, label) sample
+    order, so a change across a bucket edge still counts — PromQL's
+    range-vector semantics."""
+    return eval_promql(
+        "sum by (label) (changes(click[10m]))", _labeled(spark, sf_dir)
+    ).select("label", "w_start", F.col("value").alias("n_changes"))
+
+
+ORACLE_LANG_CHANGES = """WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         ts, value, event_id AS seq
+  FROM events WHERE event_type = 'click'
+), l AS (
+  SELECT *, lag(value) OVER (PARTITION BY metric, label
+                             ORDER BY ts, seq) AS pv
+  FROM s
+)
+SELECT label, time_bucket(INTERVAL '600 seconds', ts) AS w_start,
+       round(CAST(sum(CASE WHEN pv IS NOT NULL AND value != pv
+                           THEN 1 ELSE 0 END) AS DOUBLE), 6) AS n_changes
+FROM l GROUP BY 1, 2"""
+
+QUERIES["promql_lang_changes_sum"] = (
+    q_lang_changes_sum,
+    ORACLE_LANG_CHANGES,
 )

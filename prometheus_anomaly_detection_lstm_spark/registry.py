@@ -336,7 +336,8 @@ PRIORITY: list[str] = [
     "join_key_skew_profile", "embedding_hard_negatives",
     "metric_sax_symbols", "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs",
-    "text_feature_hashing",
+    "text_feature_hashing", "promql_lang_predict_linear",
+    "promql_lang_changes_sum",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

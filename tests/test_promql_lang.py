@@ -392,3 +392,51 @@ def test_review_fixes_negative_bounds_nulls_arity_dollars(spark):
     ):
         with pytest.raises(ValueError):
             L.parse(bad)
+
+
+def test_deriv_and_predict_linear_lowering_match_operator(spark):
+    s = _samples(spark).select("metric", "ts", "seq", "value")
+    from prometheus_anomaly_detection_lstm_spark.operators.promql import (
+        deriv_predict,
+    )
+
+    direct = deriv_predict(
+        s.filter(F.col("metric") == "view"), horizon_s=300, bucket_s=300
+    )
+    via_deriv = L.eval_promql("deriv(view[5m])", s).select(
+        "metric", "w_start", F.col("value").alias("slope_per_s")
+    )
+    d = direct.select("metric", "w_start", "slope_per_s")
+    assert via_deriv.exceptAll(d).count() == 0
+    assert d.exceptAll(via_deriv).count() == 0
+    via_pred = L.eval_promql("predict_linear(view[5m], 300)", s).select(
+        "metric", "w_start", F.col("value").alias("predicted")
+    )
+    p = direct.select("metric", "w_start", "predicted")
+    assert via_pred.exceptAll(p).count() == 0
+    assert p.exceptAll(via_pred).count() == 0
+    assert via_pred.count() > 0
+
+
+def test_changes_lowering_matches_operator(spark):
+    s = _samples(spark)
+    from prometheus_anomaly_detection_lstm_spark.operators.promql import (
+        changes_resets,
+    )
+
+    direct = changes_resets(
+        s.filter(F.col("metric") == "click"),
+        bucket_s=600,
+        series_cols=("metric", "label"),
+    ).select(
+        "metric",
+        "label",
+        "w_start",
+        F.col("changes").cast("double").alias("value"),
+    )
+    via = L.eval_promql("changes(click[10m])", s).select(
+        "metric", "label", "w_start", "value"
+    )
+    assert via.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via).count() == 0
+    assert via.count() > 0
