@@ -26,12 +26,13 @@ Supported grammar (documented subset, recursive descent):
                | 'quantile_over_time' '(' NUM ','
                    selector-with-range ')'
                | MATHFN '(' expr [',' NUM] ')'
-                 (MATHFN := abs|ceil|floor|sqrt|exp|ln|log2
-                          | clamp_min|clamp_max — elementwise)
+                 (MATHFN := abs|ceil|floor|sqrt|exp|ln|log2|sgn
+                          | round|clamp_min|clamp_max — elementwise)
                | 'label_replace' '(' expr ',' STR ',' STR ',' STR ','
                    STR ')'
                | 'label_join' '(' expr ',' STR ',' STR ',' STR... ')'
     AGGOP     := sum | avg | min | max | count | stddev | stdvar
+               | quantile '(' NUM ',' expr ')'  (exact interpolated)
     func      := FUNC '(' selector-with-range ')'
                | 'predict_linear' '(' selector-with-range ',' NUM ')'
     FUNC      := rate | irate | increase | resets | changes | delta
@@ -126,6 +127,9 @@ class Agg:
     #: PromQL ``without (labels)``: group by every label EXCEPT these
     #: (and __name__, which without always drops).
     without: list[str] = field(default_factory=list)
+    #: quantile aggregator's phi (exact interpolated estimate — the
+    #: PromQL quantile() definition, percentile() is bit-identical)
+    phi: float | None = None
 
 
 @dataclass
@@ -147,6 +151,12 @@ MATH_FUNCS = {
     "log2": lambda v, _: F.log2(v),
     "clamp_min": lambda v, s: F.greatest(v, F.lit(s)),
     "clamp_max": lambda v, s: F.least(v, F.lit(s)),
+    # PromQL round(v, to=1): nearest multiple of `to`, TIES ROUND UP —
+    # Prometheus computes floor(v/to + 0.5) * to, so -7.5 rounds to -7,
+    # not -8 (half-away).  Built from floor explicitly for that reason.
+    "round": lambda v, s: F.floor(v / F.lit(s or 1.0) + F.lit(0.5))
+    * F.lit(s or 1.0),
+    "sgn": lambda v, _: F.signum(v),
 }
 
 
@@ -374,6 +384,11 @@ class _Parser:
             if name in {"clamp_min", "clamp_max"}:
                 self.expect(",")
                 scalar = self.scalar(f"{name} bound")
+            elif name == "round" and self.peek() and self.peek()[1] == ",":
+                self.next()
+                scalar = self.scalar("round to-nearest")
+                if scalar == 0:
+                    raise ValueError("round() to-nearest must be non-zero")
             self.expect(")")
             return MathFn(name, arg, scalar)
         if tok[0] == "name" and tok[1] == "quantile_over_time":
@@ -421,6 +436,22 @@ class _Parser:
             if sel.range_s is None:
                 raise ValueError("predict_linear needs a range selector")
             return PredictLinear(float(t_tok[1]), sel)
+        if tok[0] == "name" and tok[1] == "quantile":
+            self.next()
+            by, without = self._grouping_clause()
+            self.expect("(")
+            q_tok = self.next()
+            if q_tok[0] != "num":
+                raise ValueError("quantile needs a scalar phi")
+            self.expect(",")
+            arg = self._maybe_binop_left()
+            self.expect(")")
+            if not by and not without:
+                by, without = self._grouping_clause()
+            phi = float(q_tok[1])
+            if not 0.0 <= phi <= 1.0:
+                raise ValueError(f"quantile phi must be in [0, 1], got {phi}")
+            return Agg("quantile", by, arg, k=None, without=without, phi=phi)
         if tok[0] == "name" and tok[1] in {"topk", "bottomk"}:
             op = self.next()[1]
             self.expect("(")
@@ -663,6 +694,9 @@ def _eval(node, samples: DataFrame) -> DataFrame:
             "count": F.count("value").cast("double"),
             "stddev": F.stddev_pop("value"),
             "stdvar": F.var_pop("value"),
+            "quantile": F.expr(f"percentile(value, {node.phi}D)")
+            if node.op == "quantile"
+            else F.lit(None),
         }[node.op]
         group = node.by
         if node.without:

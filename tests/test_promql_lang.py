@@ -440,3 +440,48 @@ def test_changes_lowering_matches_operator(spark):
     assert via.exceptAll(direct).count() == 0
     assert direct.exceptAll(via).count() == 0
     assert via.count() > 0
+
+
+def test_quantile_aggregator_matches_manual(spark):
+    s = _samples(spark)
+    via = L.eval_promql(
+        "quantile by (label) (0.9, avg_over_time(view[10m]))", s
+    )
+    inner = L.eval_promql("avg_over_time(view[10m])", s)
+    manual = inner.groupBy("label", "w_start").agg(
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("value")
+    )
+    assert via.exceptAll(manual).count() == 0
+    assert manual.exceptAll(via).count() == 0
+    assert via.count() > 0
+
+
+def test_round_and_sgn_semantics(spark):
+    # one metric per sample so the instant selector keeps all of them
+    s = spark.createDataFrame(
+        [
+            ("a", "2024-03-01 00:00:00", 0, -7.5),
+            ("b", "2024-03-01 00:00:00", 1, 14.9),
+            ("c", "2024-03-01 00:00:00", 2, 0.0),
+        ],
+        "metric string, ts string, seq long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ten = {
+        r.metric: r.value
+        for m in "abc"
+        for r in L.eval_promql(f"round({m}, 10)", s).collect()
+    }
+    # Go math.Round(v/to)*to: -7.5/10=-0.75 -> -1 -> -10; 14.9 -> 10
+    assert ten == {"a": -10.0, "b": 10.0, "c": 0.0}
+    one = {
+        r.metric: r.value
+        for m in "abc"
+        for r in L.eval_promql(f"round({m})", s).collect()
+    }
+    assert one == {"a": -7.0, "b": 15.0, "c": 0.0}  # ties round UP
+    sg = {
+        r.metric: r.value
+        for m in "abc"
+        for r in L.eval_promql(f"sgn({m})", s).collect()
+    }
+    assert sg == {"a": -1.0, "b": 1.0, "c": 0.0}
