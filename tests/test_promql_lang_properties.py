@@ -48,15 +48,34 @@ def funcs(draw):
 
 @st.composite
 def aggs(draw):
-    op = draw(st.sampled_from(sorted(L.AGG_OPS)))
+    op = draw(st.sampled_from(sorted(L.AGG_OPS) + ["quantile"]))
     by = draw(st.lists(LABELS, max_size=2, unique=True))
     without = [] if by else draw(st.lists(LABELS, max_size=1, unique=True))
-    return L.Agg(op, by, draw(funcs()), without=without)
+    phi = round(draw(st.floats(0, 1, allow_nan=False)), 2) if op == "quantile" else None
+    return L.Agg(op, by, draw(funcs()), without=without, phi=phi)
+
+
+@st.composite
+def predict_linears(draw):
+    return L.PredictLinear(
+        float(draw(st.integers(0, 3600))), draw(selectors())
+    )
+
+
+@st.composite
+def mathfns(draw):
+    name = draw(st.sampled_from(sorted(L.MATH_FUNCS)))
+    scalar = None
+    if name in {"clamp_min", "clamp_max"}:
+        scalar = float(draw(st.integers(-20, 20)))
+    elif name == "round":
+        scalar = float(draw(st.integers(1, 100))) if draw(st.booleans()) else None
+    return L.MathFn(name, draw(funcs()), scalar)
 
 
 @st.composite
 def exprs(draw):
-    inner = draw(st.one_of(funcs(), aggs()))
+    inner = draw(st.one_of(funcs(), aggs(), predict_linears(), mathfns()))
     if draw(st.booleans()):
         op = draw(st.sampled_from(["+", "-", "*", "/", ">", "<", ">=", "<="]))
         scalar = float(draw(st.integers(0, 99)))
@@ -86,7 +105,15 @@ def _render(node) -> str:
             clause = f" by ({', '.join(node.by)}) "
         elif node.without:
             clause = f" without ({', '.join(node.without)}) "
+        if node.op == "quantile":
+            return f"{node.op}{clause}({node.phi:g}, {_render(node.arg)})"
         return f"{node.op}{clause}({_render(node.arg)})"
+    if isinstance(node, L.PredictLinear):
+        return f"predict_linear({_render_sel(node.sel)}, {node.horizon_s:g})"
+    if isinstance(node, L.MathFn):
+        if node.scalar is not None:
+            return f"{node.name}({_render(node.arg)}, {node.scalar:g})"
+        return f"{node.name}({_render(node.arg)})"
     if isinstance(node, L.BinOp):
         body = _render(node.expr)
         if node.scalar_left:
