@@ -46,6 +46,8 @@ Supported grammar (documented subset, recursive descent):
                  ['offset' DURATION]
     matcher   := LABEL ('=' | '!=' | '=~' | '!~') STRING
     binop     := + - * / > >= < <=  (comparisons FILTER, PromQL-style)
+               | and | or | unless  (set ops: semi/union/anti on the
+                 matched labelset per bucket; left samples win `or`)
                  vector binop scalar | scalar binop vector
                | vector binop ['on' '(' labels ')' |
                                'ignoring' '(' labels ')'] vector
@@ -230,7 +232,10 @@ class VecBinOp:
     vector's rows where the comparison holds (PromQL filter
     semantics).  Division yields SQL NULL on zero denominators (the
     SQL-friendly stand-in for PromQL's NaN/Inf).  Matching is strict
-    1:1 per (labelset, bucket) — group modifiers are out of scope."""
+    1:1 per (labelset, bucket) — group modifiers are out of scope.
+    Set ops (and/or/unless) use the same matched labelset: `and` is a
+    left-semi join, `unless` left-anti, `or` keeps every left sample
+    and fills from the right where the labelset is absent."""
 
     op: str
     left: object
@@ -319,7 +324,10 @@ class _Parser:
             return BinOp(op, expr, scalar, scalar_left=True)
         expr = self._primary()
         tok = self.peek()
-        if tok and tok[0] == "op" and tok[1] in {"+", "-", "*", "/", ">", ">=", "<", "<="}:
+        is_set_op = tok and tok[0] == "name" and tok[1] in {"and", "or", "unless"}
+        if is_set_op or (
+            tok and tok[0] == "op" and tok[1] in {"+", "-", "*", "/", ">", ">=", "<", "<="}
+        ):
             op = self.next()[1]
             on = None
             nxt = self.peek()
@@ -337,8 +345,11 @@ class _Parser:
                 else:
                     on = ("on", labels)
             nxt = self.peek()
-            if on is None and nxt and (
-                nxt[0] == "num" or nxt == ("op", "-")
+            if (
+                on is None
+                and not is_set_op
+                and nxt
+                and (nxt[0] == "num" or nxt == ("op", "-"))
             ):
                 return BinOp(op, expr, self.scalar("right operand"))
             rhs = self._primary()
@@ -785,6 +796,25 @@ def _eval(node, samples: DataFrame) -> DataFrame:
         else:  # ignoring
             match = [c for c in shared if c not in node.on[1]]
         keys = [*match, "w_start"]
+        if node.op in {"and", "unless"}:
+            # PromQL set ops: keep/drop LEFT samples by the existence of
+            # a matching labelset in the right vector — semi/anti join,
+            # the left vector's values pass through untouched
+            how = "left_semi" if node.op == "and" else "left_anti"
+            return lhs.join(rhs.select(*keys).distinct(), keys, how).select(
+                *lhs.columns  # joins reorder key columns to the front
+            )
+        if node.op == "or":
+            # left samples win; right fills labelsets absent on the left
+            if set(l_labels) != set(r_labels):
+                raise ValueError(
+                    "or requires both vectors to carry the same label "
+                    f"columns, got {sorted(l_labels)} vs {sorted(r_labels)}"
+                )
+            extra = rhs.join(lhs.select(*keys).distinct(), keys, "left_anti")
+            return lhs.select(*lhs.columns).unionByName(
+                extra.select(*lhs.columns)
+            )
         joined = lhs.withColumnRenamed("value", "__l").join(
             rhs.select(*keys, F.col("value").alias("__r")), keys
         )
@@ -1208,4 +1238,38 @@ FROM l GROUP BY 1, 2"""
 QUERIES["promql_lang_changes_sum"] = (
     q_lang_changes_sum,
     ORACLE_LANG_CHANGES,
+)
+
+
+def q_lang_unless_gate(spark, sf_dir: str) -> DataFrame:
+    """Set-operator alert gating from the string surface: view activity
+    UNLESS the same label's click volume ran hot that hour — the
+    standard PromQL suppress-when idiom (`alerts unless on (instance)
+    maintenance_mode == 1`)."""
+    return eval_promql(
+        "avg_over_time(view[1h]) unless on (label) "
+        "(avg_over_time(click[1h]) > 100)",
+        _labeled(spark, sf_dir),
+    ).select("metric", "label", "w_start", F.col("value").alias("view_avg"))
+
+
+ORACLE_LANG_UNLESS_GATE = """WITH s AS (
+  SELECT event_type AS metric,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS label,
+         time_bucket(INTERVAL '3600 seconds', ts) AS w_start, value
+  FROM events
+), v AS (
+  SELECT metric, label, w_start, avg(value) AS view_avg
+  FROM s WHERE metric = 'view' GROUP BY 1, 2, 3
+), hot AS (
+  SELECT label, w_start FROM s WHERE metric = 'click'
+  GROUP BY 1, 2 HAVING avg(value) > 100
+)
+SELECT v.metric, v.label, v.w_start, round(v.view_avg, 6) AS view_avg
+FROM v ANTI JOIN hot ON v.label = hot.label AND v.w_start = hot.w_start"""
+
+QUERIES["promql_lang_unless_gate"] = (
+    q_lang_unless_gate,
+    ORACLE_LANG_UNLESS_GATE,
 )

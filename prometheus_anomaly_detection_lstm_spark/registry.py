@@ -337,7 +337,7 @@ PRIORITY: list[str] = [
     "metric_sax_symbols", "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs",
     "text_feature_hashing", "promql_lang_predict_linear",
-    "promql_lang_changes_sum",
+    "promql_lang_changes_sum", "promql_lang_unless_gate",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

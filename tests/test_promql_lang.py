@@ -485,3 +485,53 @@ def test_round_and_sgn_semantics(spark):
         for r in L.eval_promql(f"sgn({m})", s).collect()
     }
     assert sg == {"a": -1.0, "b": 1.0, "c": 0.0}
+
+
+def test_set_operators_semantics(spark):
+    s = _samples(spark)
+    left = L.eval_promql("avg_over_time(view[1h])", s)
+    right = L.eval_promql(
+        'avg_over_time(click{label=~"[0-4]"}[1h])', s
+    )
+    both = L.eval_promql(
+        'avg_over_time(view[1h]) and on (label) '
+        'avg_over_time(click{label=~"[0-4]"}[1h])',
+        s,
+    )
+    neither = L.eval_promql(
+        'avg_over_time(view[1h]) unless on (label) '
+        'avg_over_time(click{label=~"[0-4]"}[1h])',
+        s,
+    )
+    # and/unless == manual semi/anti joins on (label, w_start), and
+    # they partition the left vector exactly
+    keys = ["label", "w_start"]
+    want_both = left.join(
+        right.select(*keys).distinct(), keys, "left_semi"
+    ).select(*left.columns)
+    want_neither = left.join(
+        right.select(*keys).distinct(), keys, "left_anti"
+    ).select(*left.columns)
+    assert both.exceptAll(want_both).count() == 0
+    assert want_both.exceptAll(both).count() == 0
+    assert neither.exceptAll(want_neither).count() == 0
+    assert want_neither.exceptAll(neither).count() == 0
+    assert both.count() + neither.count() == left.count()
+    assert both.count() > 0 and neither.count() > 0
+    # or: left wins, right fills the gaps — union is exact per labelset
+    merged = L.eval_promql(
+        'avg_over_time(view{label=~"[0-4]"}[1h]) or '
+        "avg_over_time(click[1h])",
+        s,
+    )
+    lhs = L.eval_promql('avg_over_time(view{label=~"[0-4]"}[1h])', s)
+    rhs = L.eval_promql("avg_over_time(click[1h])", s)
+    # matching drops __name__ (PromQL): click fills only labelsets
+    # with NO view sample in that bucket, metric name ignored
+    filled = rhs.join(
+        lhs.select("label", "w_start").distinct(),
+        ["label", "w_start"],
+        "left_anti",
+    ).select(*lhs.columns)
+    assert merged.count() == lhs.count() + filled.count()
+    assert merged.exceptAll(lhs.unionByName(filled)).count() == 0
