@@ -697,18 +697,18 @@ def _eval(node, samples: DataFrame) -> DataFrame:
             return inner.withColumn("__rk", rank).filter(
                 F.col("__rk") <= node.k
             ).drop("__rk")
-        agg_col: Column = {
-            "sum": F.sum("value"),
-            "avg": F.avg("value"),
-            "min": F.min("value"),
-            "max": F.max("value"),
-            "count": F.count("value").cast("double"),
-            "stddev": F.stddev_pop("value"),
-            "stdvar": F.var_pop("value"),
-            "quantile": F.expr(f"percentile(value, {node.phi}D)")
-            if node.op == "quantile"
-            else F.lit(None),
-        }[node.op]
+        if node.op == "quantile":
+            agg_col: Column = F.expr(f"percentile(value, {node.phi}D)")
+        else:
+            agg_col = {
+                "sum": F.sum("value"),
+                "avg": F.avg("value"),
+                "min": F.min("value"),
+                "max": F.max("value"),
+                "count": F.count("value").cast("double"),
+                "stddev": F.stddev_pop("value"),
+                "stdvar": F.var_pop("value"),
+            }[node.op]
         group = node.by
         if node.without:
             group = [
