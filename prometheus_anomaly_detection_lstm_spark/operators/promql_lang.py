@@ -45,7 +45,8 @@ Supported grammar (documented subset, recursive descent):
     selector  := NAME ['{' matcher (',' matcher)* '}'] ['[' DURATION ']']
                  ['offset' DURATION]
     matcher   := LABEL ('=' | '!=' | '=~' | '!~') STRING
-    binop     := + - * / > >= < <=  (comparisons FILTER, PromQL-style)
+    binop     := + - * / > >= < <=  (comparisons FILTER, PromQL-style;
+                 `bool` modifier -> 0/1 result, nothing filtered)
                | and | or | unless  (set ops: semi/union/anti on the
                  matched labelset per bucket; left samples win `or`)
                  vector binop scalar | scalar binop vector
@@ -140,6 +141,9 @@ class BinOp:
     expr: object
     scalar: float
     scalar_left: bool = False
+    #: PromQL `bool` modifier: comparisons return 0/1 instead of
+    #: filtering the vector
+    bool_mode: bool = False
 
 
 #: elementwise vector math: name -> value-column transform
@@ -241,6 +245,7 @@ class VecBinOp:
     left: object
     right: object
     on: tuple[str, list[str]] | None = None
+    bool_mode: bool = False
 
 
 def tokenize(s: str) -> list[tuple[str, str]]:
@@ -329,6 +334,15 @@ class _Parser:
             tok and tok[0] == "op" and tok[1] in {"+", "-", "*", "/", ">", ">=", "<", "<="}
         ):
             op = self.next()[1]
+            bool_mode = False
+            nxt = self.peek()
+            if (
+                op in {">", ">=", "<", "<="}
+                and nxt
+                and nxt == ("name", "bool")
+            ):
+                self.next()
+                bool_mode = True
             on = None
             nxt = self.peek()
             if nxt and nxt[0] == "name" and nxt[1] in {"on", "ignoring"}:
@@ -344,6 +358,21 @@ class _Parser:
                     on = ("ignoring", labels)
                 else:
                     on = ("on", labels)
+                nxt = self.peek()
+                # group_left/group_right: accepted and recorded — the
+                # underlying equi-join is naturally many-to-one, so the
+                # modifier needs no special physical handling (the
+                # optional carry-label list is consumed too)
+                if nxt and nxt[0] == "name" and nxt[1] in {
+                    "group_left",
+                    "group_right",
+                }:
+                    self.next()
+                    if self.peek() and self.peek()[1] == "(":
+                        self.next()
+                        while self.peek() and self.peek()[1] != ")":
+                            self.next()
+                        self.expect(")")
             nxt = self.peek()
             if (
                 on is None
@@ -351,9 +380,12 @@ class _Parser:
                 and nxt
                 and (nxt[0] == "num" or nxt == ("op", "-"))
             ):
-                return BinOp(op, expr, self.scalar("right operand"))
+                return BinOp(
+                    op, expr, self.scalar("right operand"),
+                    bool_mode=bool_mode,
+                )
             rhs = self._primary()
-            return VecBinOp(op, expr, rhs, on=on)
+            return VecBinOp(op, expr, rhs, on=on, bool_mode=bool_mode)
         return expr
 
     def _primary(self):
@@ -823,6 +855,12 @@ def _eval(node, samples: DataFrame) -> DataFrame:
             pred = {
                 ">": lv > rv, ">=": lv >= rv, "<": lv < rv, "<=": lv <= rv,
             }[node.op]
+            if node.bool_mode:  # `bool`: 0/1 result, nothing filtered
+                return joined.select(
+                    *l_labels,
+                    "w_start",
+                    F.when(pred, 1.0).otherwise(0.0).alias("value"),
+                )
             # PromQL filter semantics: keep the LEFT vector's sample
             return joined.filter(pred).select(
                 *l_labels, "w_start", lv.alias("value")
@@ -848,6 +886,10 @@ def _eval(node, samples: DataFrame) -> DataFrame:
                 "<": left < right,
                 "<=": left <= right,
             }[node.op]
+            if node.bool_mode:  # `bool`: 0/1 result, nothing filtered
+                return inner.withColumn(
+                    "value", F.when(pred, 1.0).otherwise(0.0)
+                )
             return inner.filter(pred)  # comparisons FILTER the vector
         out = {
             "+": left + right,

@@ -535,3 +535,34 @@ def test_set_operators_semantics(spark):
     ).select(*lhs.columns)
     assert merged.count() == lhs.count() + filled.count()
     assert merged.exceptAll(lhs.unionByName(filled)).count() == 0
+
+
+def test_bool_modifier_returns_indicator(spark):
+    s = _samples(spark)
+    plain = L.eval_promql("avg_over_time(view[1h]) > 100", s)
+    boolv = L.eval_promql("avg_over_time(view[1h]) > bool 100", s)
+    base = L.eval_promql("avg_over_time(view[1h])", s)
+    # bool keeps EVERY sample, value collapses to the 0/1 indicator
+    assert boolv.count() == base.count()
+    assert {r.value for r in boolv.collect()} <= {0.0, 1.0}
+    ones = boolv.filter(F.col("value") == 1.0).count()
+    assert ones == plain.count()
+    # vector-vector bool comparison too
+    vb = L.eval_promql(
+        "avg_over_time(view[1h]) >= bool avg_over_time(click[1h])", s
+    )
+    assert {r.value for r in vb.collect()} <= {0.0, 1.0}
+    assert vb.count() > 0
+
+
+def test_group_left_is_accepted_for_many_to_one(spark):
+    s = _samples(spark)
+    # per-label rate share of the label's total: M:1 on (label)
+    via = L.eval_promql(
+        "rate(click[1h]) / on (label) group_left "
+        "sum by (label) (rate(click[1h]))",
+        s,
+    )
+    assert via.count() > 0
+    vals = [r.value for r in via.collect() if r.value is not None]
+    assert all(-1e-9 <= v <= 1.0 + 1e-9 for v in vals)
