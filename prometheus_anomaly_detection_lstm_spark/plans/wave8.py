@@ -927,3 +927,81 @@ def q_metric_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eigendecomposition has no SQL twin: rows-only registry entry; pinned
 # vs an exact numpy replica and a planted off-subspace anomaly.
 QUERIES["metric_pca_scores"] = (q_metric_pca_scores, None)
+
+
+# --------------------------------------- seasonal robust (MAD) anomaly
+
+#: Modified z-score threshold (Iglewicz–Hoaglin): |0.6745 (x-med)/MAD|
+SEASONAL_MAD_Z = 3.5
+
+
+def seasonal_mad_anomalies(
+    s: DataFrame, z_cut: float = SEASONAL_MAD_Z
+) -> DataFrame:
+    """Seasonal-slot ROBUST anomaly flags: per (series, hour-of-day)
+    median/MAD profile, modified z-score per sample, flag |M| >= z_cut.
+
+    The robust twin of operators/promql.seasonal_anomaly (mean/std
+    slots): the detector-zoo scorecard (BASELINE.md) shows global
+    robust-z is blind inside strong seasonality and the mean/std
+    profile is contamination-sensitive — per-slot median/MAD is immune
+    to both.  Two metadata-scale profile aggregates (#series x 24 rows)
+    broadcast back; the scoring pass is map-only."""
+    by_slot = ["metric", F.hour("ts").alias("__h")]
+    med = s.groupBy(*by_slot).agg(
+        F.expr("percentile(value, 0.5D)").alias("__med")
+    )
+    slotted = s.withColumn("__h", F.hour("ts")).join(
+        F.broadcast(med), ["metric", "__h"]
+    )
+    mad = (
+        slotted.withColumn("__ad", F.abs(F.col("value") - F.col("__med")))
+        .groupBy("metric", "__h")
+        .agg(F.expr("percentile(__ad, 0.5D)").alias("__mad"))
+    )
+    scored = slotted.join(F.broadcast(mad), ["metric", "__h"]).withColumn(
+        "__m",
+        F.lit(0.6745)
+        * (F.col("value") - F.col("__med"))
+        / F.expr("nullif(__mad, 0D)"),
+    )
+    return scored.filter(F.abs(F.col("__m")) >= z_cut).select(
+        "metric",
+        "ts",
+        "seq",
+        "value",
+        F.round("__m", 6).alias("modified_z"),
+    )
+
+
+def q_metric_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_mad_anomalies(events_series(spark, sf_dir))
+
+
+ORACLE_SEASONAL_MAD = f"""WITH s AS (
+  SELECT event_type AS metric, ts, event_id AS seq, value,
+         extract(hour FROM ts) AS h
+  FROM events
+),
+med AS (
+  SELECT metric, h, quantile_cont(value, 0.5) AS med
+  FROM s GROUP BY 1, 2
+),
+mad AS (
+  SELECT s.metric, s.h, quantile_cont(abs(s.value - m.med), 0.5) AS mad
+  FROM s JOIN med m ON s.metric = m.metric AND s.h = m.h
+  GROUP BY 1, 2
+)
+SELECT s.metric, s.ts, s.seq, s.value,
+       round(0.6745 * (s.value - m.med) / nullif(d.mad, 0), 6)
+         AS modified_z
+FROM s
+JOIN med m ON s.metric = m.metric AND s.h = m.h
+JOIN mad d ON s.metric = d.metric AND s.h = d.h
+WHERE abs(0.6745 * (s.value - m.med) / nullif(d.mad, 0))
+      >= {SEASONAL_MAD_Z}"""
+
+QUERIES["metric_seasonal_mad"] = (
+    q_metric_seasonal_mad,
+    ORACLE_SEASONAL_MAD,
+)

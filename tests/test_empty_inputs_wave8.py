@@ -19,6 +19,7 @@ NEW_QUERIES = [
     "metric_sax_motifs",
     "text_feature_hashing",
     "metric_pca_scores",
+    "metric_seasonal_mad",
 ]
 
 _SCHEMAS = {

@@ -97,8 +97,15 @@ def main() -> None:
     def flags_seasonal():
         return {(r.metric, r.ts) for r in seasonal_anomaly(s).collect()}
 
+    def flags_seasonal_mad():
+        return {
+            (r.metric, r.ts)
+            for r in wave8.seasonal_mad_anomalies(s).collect()
+        }
+
     detectors = {
         "seasonal_z": flags_seasonal,
+        "seasonal_mad": flags_seasonal_mad,
         "cusum": flags_cusum,
         "mad_robust_z": flags_mad,
         "ensemble_2of3": flags_ensemble,
@@ -151,6 +158,10 @@ def main() -> None:
         "seasonal_z": {
             (r.metric, r.ts) for r in seasonal_anomaly(s2).collect()
         },
+        "seasonal_mad": {
+            (r.metric, r.ts)
+            for r in wave8.seasonal_mad_anomalies(s2).collect()
+        },
         "cusum": {
             (r.metric, r.ts) for r in robust.cusum_anomalies(s2).collect()
         },
@@ -180,6 +191,47 @@ def main() -> None:
         }
         print("shift:", name, report2[name], flush=True)
     print(json.dumps({"shift_scenario": report2}))
+
+    # ---- scenario 3: heavy slot contamination ----
+    # 40% of ONE hour-of-day slot's history carries +8-sigma spikes (a
+    # recurring 6 am incident).  A mean/std seasonal profile absorbs
+    # the contamination (inflated mu and sigma -> small z); the
+    # median/MAD profile stays anchored on the clean 60%.
+    rows3, truth3 = [], set()
+    n = N_DAYS * 24
+    hours = np.arange(n)
+    base = 100.0 + 10.0 * np.sin(hours % 24 / 24 * 2 * np.pi)
+    vals = base + rng.normal(0, 1.0, n)
+    slot_idx = np.nonzero(hours % 24 == 6)[0]
+    bad = rng.choice(slot_idx, size=int(0.4 * len(slot_idx)), replace=False)
+    vals[bad] += SPIKE
+    for i in range(n):
+        ts = pd.Timestamp("2024-03-01") + pd.Timedelta(hours=int(i))
+        rows3.append(("c0", ts, i, float(vals[i])))
+        if i in bad:
+            truth3.add(("c0", ts))
+    s3 = spark.createDataFrame(
+        pd.DataFrame(rows3, columns=["metric", "ts", "seq", "value"])
+    )
+    contam = {
+        "seasonal_z": {
+            (r.metric, r.ts) for r in seasonal_anomaly(s3).collect()
+        },
+        "seasonal_mad": {
+            (r.metric, r.ts)
+            for r in wave8.seasonal_mad_anomalies(s3).collect()
+        },
+    }
+    report3 = {}
+    for name, got in contam.items():
+        tp = len(got & truth3)
+        report3[name] = {
+            "flagged": len(got),
+            "recall": round(tp / len(truth3), 3),
+            "precision": round(tp / len(got), 3) if got else 0.0,
+        }
+        print("contam:", name, report3[name], flush=True)
+    print(json.dumps({"contamination_scenario": report3}))
 
 
 if __name__ == "__main__":
