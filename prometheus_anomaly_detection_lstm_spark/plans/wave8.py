@@ -1005,3 +1005,114 @@ QUERIES["metric_seasonal_mad"] = (
     q_metric_seasonal_mad,
     ORACLE_SEASONAL_MAD,
 )
+
+
+# --------------------------------------- kNN label-noise audit
+
+#: Label audit: anchors = vec_id < KNN_AUDIT_ANCHORS, k neighbours.
+KNN_AUDIT_ANCHORS = 32
+KNN_AUDIT_K = 10
+
+
+def knn_label_audit(
+    emb: DataFrame,
+    n_anchors: int = KNN_AUDIT_ANCHORS,
+    k: int = KNN_AUDIT_K,
+) -> DataFrame:
+    """kNN label-noise audit per anchor: the majority label among the
+    ``k`` nearest neighbours (cosine) vs the anchor's own label — the
+    classic mislabeled-sample detector run over training corpora
+    before fine-tuning.  Ties in the vote break on the LOWER label id.
+
+    Rides the bounded-anchor brute-force top-k
+    (operators/similarity.cosine_topk — one broadcast anchor block,
+    one candidate map stage); the vote is a ``k``-row-per-anchor
+    aggregate, metadata scale."""
+    from ..operators.similarity import cosine_topk
+
+    topk = cosine_topk(emb, n_queries=n_anchors, k=k)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("c_id"), F.col("label").alias("c_label")
+            ),
+            "c_id",
+        )
+        .groupBy("q_id", "c_label")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.asc("c_label")
+    )
+    majority = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "q_id", F.col("c_label").alias("knn_label"), "n_votes"
+        )
+    )
+    return (
+        majority.join(
+            F.broadcast(
+                labels.filter(F.col("vec_id") < n_anchors).select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("label").alias("own_label"),
+                )
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            "own_label",
+            "knn_label",
+            "n_votes",
+            (F.col("own_label") != F.col("knn_label"))
+            .cast("int")
+            .alias("suspect"),
+        )
+    )
+
+
+def q_embedding_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_label_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_KNN_LABEL_AUDIT = f"""WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+         list_dot_product(q.vec, c.vec) / nullif(q.norm * c.norm, 0) AS cosine
+  FROM v q, v c
+  WHERE q.vec_id < {KNN_AUDIT_ANCHORS} AND q.vec_id != c.vec_id
+    AND list_dot_product(q.vec, c.vec) / nullif(q.norm * c.norm, 0)
+        IS NOT NULL
+),
+topk AS (
+  SELECT q_id, c_id, c_label,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM pairs
+),
+votes AS (
+  SELECT q_id, c_label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk WHERE rk <= {KNN_AUDIT_K} GROUP BY 1, 2
+),
+maj AS (
+  SELECT q_id, c_label AS knn_label, n_votes,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY n_votes DESC, c_label ASC) AS vr
+  FROM votes
+)
+SELECT m.q_id, e.label AS own_label, m.knn_label, m.n_votes,
+       CAST(e.label != m.knn_label AS INT) AS suspect
+FROM maj m JOIN embeddings e ON m.q_id = e.vec_id
+WHERE m.vr = 1"""
+
+QUERIES["embedding_knn_label_audit"] = (
+    q_embedding_knn_label_audit,
+    ORACLE_KNN_LABEL_AUDIT,
+)

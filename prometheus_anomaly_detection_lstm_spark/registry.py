@@ -338,7 +338,7 @@ PRIORITY: list[str] = [
     "embedding_centroid_drift", "metric_sax_motifs",
     "text_feature_hashing", "promql_lang_predict_linear",
     "promql_lang_changes_sum", "promql_lang_unless_gate",
-    "metric_seasonal_mad",
+    "metric_seasonal_mad", "embedding_knn_label_audit",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

@@ -20,6 +20,7 @@ NEW_QUERIES = [
     "text_feature_hashing",
     "metric_pca_scores",
     "metric_seasonal_mad",
+    "embedding_knn_label_audit",
 ]
 
 _SCHEMAS = {

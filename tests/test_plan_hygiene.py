@@ -67,6 +67,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "text_pmi_collocations",    # one-row bigram-total broadcast
     "embedding_centroid_drift",  # one-row median-vec_id cut broadcast
     "text_feature_hashing",     # one-row n_docs broadcast
+    "embedding_knn_label_audit",  # cosine_topk anchor block (bounded)
 }
 
 

@@ -443,3 +443,36 @@ def test_pca_scores_match_numpy_and_rank_planted_anomaly(spark):
 def test_pca_scores_registry_query_runs(spark):
     out = wave8.q_metric_pca_scores(spark, SF_SMALL).toPandas()
     assert len(out) > 0 and (out["pca_err"] >= 0).all()
+
+
+def test_knn_label_audit_matches_bruteforce(spark):
+    got = {
+        r.q_id: r
+        for r in wave8.q_embedding_knn_label_audit(spark, SF_SMALL).collect()
+    }
+    emb = load_table(spark, SF_SMALL, "embeddings").toPandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    vecs, norms, labels, ids = (
+        vecs[order], norms[order], labels[order], ids[order]
+    )
+    import collections
+
+    for qi in np.nonzero(ids < wave8.KNN_AUDIT_ANCHORS)[0]:
+        den = norms * norms[qi]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = vecs @ vecs[qi] / np.where(den == 0, np.nan, den)
+        cos[qi] = np.nan
+        valid = ~np.isnan(cos)
+        cand = np.nonzero(valid)[0]
+        topk = cand[np.lexsort((ids[cand], -cos[cand]))][: wave8.KNN_AUDIT_K]
+        cnt = collections.Counter(labels[t] for t in topk)
+        knn_label = min(cnt, key=lambda l: (-cnt[l], l))
+        r = got[ids[qi]]
+        assert (r.knn_label, r.n_votes) == (knn_label, cnt[knn_label])
+        assert r.own_label == labels[qi]
+        assert r.suspect == int(labels[qi] != knn_label)
+    assert len(got) == wave8.KNN_AUDIT_ANCHORS
