@@ -106,6 +106,8 @@ def main() -> None:
             # SERIES LENGTH, so wall tracks hourly-rollup rows / #series
             "holt_winters": lambda: wave8.holt_winters_anomalies(series),
             "centroid_drift": lambda: wave8.centroid_drift(emb),
+            "seasonal_mad": lambda: wave8.seasonal_mad_anomalies(series),
+            "knn_label_audit": lambda: wave8.knn_label_audit(emb),
             "sax_motifs": lambda: wave8.sax_motifs(series),
             "feature_hashing": lambda: wave8.feature_hashing_topk(docs),
             # NOTE pca fits driver-side per build() call (one-pass
