@@ -1116,3 +1116,116 @@ QUERIES["embedding_knn_label_audit"] = (
     q_embedding_knn_label_audit,
     ORACLE_KNN_LABEL_AUDIT,
 )
+
+
+# --------------------------------------- SAX similarity search
+
+#: Similar-day report size per series.
+SAX_SIM_TOP = 3
+
+
+def _mindist_expr(w1: str, w2: str) -> str:
+    """SQL for the SAX MINDIST between two equal-length words (Lin et
+    al.'s lookup table for the 4-symbol alphabet: adjacent symbols cost
+    0, else the breakpoint gap).  Pure codegen — a fold over the
+    character positions; engine-portable (Spark and DuckDB both run
+    it verbatim via their higher-order list functions)."""
+    b1, b2, b3 = SAX_BREAKPOINTS
+    # symbol-index gap -> squared cost: adjacent symbols are free,
+    # a..c / b..d cross ONE breakpoint span (b2-b1 == b3-b2 == 0.6745
+    # for the N(0,1) quartiles), a..d crosses the full b3-b1 span
+    gap2_sq = (b2 - b1) ** 2
+    gap3_sq = (b3 - b1) ** 2
+    return (
+        f"sqrt(aggregate(sequence(1, length({w1})), 0.0D, (acc, p) -> "
+        f"acc + (CASE WHEN abs((ascii(substr({w1}, p, 1)) - 97) - "
+        f"(ascii(substr({w2}, p, 1)) - 97)) <= 1 THEN 0.0D "
+        f"WHEN abs((ascii(substr({w1}, p, 1)) - 97) - "
+        f"(ascii(substr({w2}, p, 1)) - 97)) = 2 "
+        f"THEN {gap2_sq}D "
+        f"ELSE {gap3_sq}D END)))"
+    )
+
+
+def sax_similar_days(s: DataFrame, top: int = SAX_SIM_TOP) -> DataFrame:
+    """SAX similarity search: for each series, the ``top`` archive days
+    whose SAX word sits closest (MINDIST) to the LATEST day's word —
+    'which historical days looked like today?', the retrieval the SAX
+    representation exists for.  Only same-segment-count days compete
+    (MINDIST is defined over equal-length words).
+
+    The archive is the words frame (one row per series-day — metadata
+    scale next to the raw samples), so the query-day join, the
+    distance fold, and the top-k window all run on #series x #days
+    rows."""
+    words = sax_symbols(s)
+    latest = words.groupBy("metric").agg(F.max("day").alias("qday"))
+    query = (
+        words.join(F.broadcast(latest), "metric")
+        .filter(F.col("day") == F.col("qday"))
+        .select(
+            "metric",
+            F.col("day").alias("qday"),
+            F.col("word").alias("qword"),
+            F.col("n_segments").alias("qn"),
+        )
+    )
+    cand = (
+        words.join(F.broadcast(query), "metric")
+        .filter(
+            (F.col("day") != F.col("qday")) & (F.col("n_segments") == F.col("qn"))
+        )
+        .withColumn(
+            "mindist",
+            F.round(F.expr(_mindist_expr("word", "qword")), 6),
+        )
+    )
+    w = Window.partitionBy("metric").orderBy(F.asc("mindist"), F.asc("day"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top)
+        .select("metric", "qday", "day", "word", "mindist", "rk")
+    )
+
+
+def q_metric_sax_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sax_similar_days(events_series(spark, sf_dir))
+
+
+_SQ2 = 0.6744897501960817 ** 2
+_SQ3 = (2 * 0.6744897501960817) ** 2
+
+ORACLE_SAX_SIMILAR = f"""WITH sax AS ({ORACLE_SAX}),
+latest AS (
+  SELECT metric, max(day) AS qday FROM sax GROUP BY 1
+),
+q AS (
+  SELECT s.metric, s.day AS qday, s.word AS qword,
+         s.n_segments AS qn
+  FROM sax s JOIN latest l ON s.metric = l.metric AND s.day = l.qday
+),
+cand AS (
+  SELECT s.metric, q.qday, s.day, s.word,
+         round(sqrt(list_sum(list_transform(range(1, len(s.word) + 1),
+           p -> CASE
+             WHEN abs((ascii(substr(s.word, p, 1)) - 97)
+                  - (ascii(substr(q.qword, p, 1)) - 97)) <= 1 THEN 0.0
+             WHEN abs((ascii(substr(s.word, p, 1)) - 97)
+                  - (ascii(substr(q.qword, p, 1)) - 97)) = 2
+               THEN {_SQ2}
+             ELSE {_SQ3} END))), 6) AS mindist
+  FROM sax s JOIN q ON s.metric = q.metric
+  WHERE s.day != q.qday AND s.n_segments = q.qn
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY metric
+      ORDER BY mindist ASC, day ASC) AS BIGINT) AS rk
+  FROM cand
+)
+SELECT metric, qday, day, word, mindist, rk
+FROM ranked WHERE rk <= {SAX_SIM_TOP}"""
+
+QUERIES["metric_sax_similar_days"] = (
+    q_metric_sax_similar_days,
+    ORACLE_SAX_SIMILAR,
+)

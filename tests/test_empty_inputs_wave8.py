@@ -21,6 +21,7 @@ NEW_QUERIES = [
     "metric_pca_scores",
     "metric_seasonal_mad",
     "embedding_knn_label_audit",
+    "metric_sax_similar_days",
 ]
 
 _SCHEMAS = {

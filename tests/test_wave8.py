@@ -476,3 +476,33 @@ def test_knn_label_audit_matches_bruteforce(spark):
         assert r.own_label == labels[qi]
         assert r.suspect == int(labels[qi] != knn_label)
     assert len(got) == wave8.KNN_AUDIT_ANCHORS
+
+
+def test_sax_mindist_closed_form(spark):
+    # three archive days vs query day "aadd" (same 4-segment shape):
+    # identical word -> 0; one a->b flip (adjacent) -> 0; one a->d
+    # flip -> full-span cost 2*0.6745
+    rows = []
+    shapes = {1: (2, 3), 2: (2, 3), 3: (2, 3), 4: (2, 3)}
+    for day, highs in shapes.items():
+        for h in range(4):
+            base = 10.0 if h in highs else 0.0
+            rows.append(("m", f"2024-03-0{day} {h:02d}:00:00", h, base))
+    s = spark.createDataFrame(
+        rows, "metric string, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = wave8.sax_similar_days(s).collect()
+    # all archive days share the query's word -> mindist 0, ranked by day
+    assert [(r.day.day, r.mindist, r.rk) for r in out] == [
+        (1, 0.0, 1),
+        (2, 0.0, 2),
+        (3, 0.0, 3),
+    ]
+    # and a direct closed-form check of the distance fold itself
+    d = spark.range(1).select(
+        F.expr(wave8._mindist_expr("'aadd'", "'aadd'")).alias("same"),
+        F.expr(wave8._mindist_expr("'aadd'", "'badd'")).alias("adj"),
+        F.expr(wave8._mindist_expr("'aadd'", "'dadd'")).alias("far"),
+    ).first()
+    assert d.same == 0.0 and d.adj == 0.0
+    assert d.far == pytest.approx(2 * 0.6744897501960817, abs=1e-9)
