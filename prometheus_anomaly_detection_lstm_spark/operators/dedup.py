@@ -205,14 +205,15 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_buckets(
     sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
-    """Banded LSH: docs sharing ANY band bucket become a candidate pair."""
-    # bucket key is the raw sig concat — already fixed-width hex,
-    # re-hashing it buys nothing and costs an md5 per row per band.
-    # The whole band array is ONE expr string (construction-latency
-    # discipline, see minhash_signatures).
+    """(doc_id, band, bucket): the banded-LSH bucket assignment.
+
+    Bucket key is the raw sig concat — already fixed-width hex,
+    re-hashing it buys nothing and costs an md5 per row per band.
+    The whole band array is ONE expr string (construction-latency
+    discipline, see minhash_signatures)."""
     structs = ", ".join(
         "struct({b} AS band, concat_ws('|', {parts}) AS bucket)".format(
             b=b,
@@ -222,9 +223,16 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     )
-    buckets = sigs.select(
+    return sigs.select(
         "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Banded LSH: docs sharing ANY band bucket become a candidate pair."""
+    buckets = lsh_buckets(sigs, bands, rows)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

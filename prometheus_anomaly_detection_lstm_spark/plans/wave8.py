@@ -1229,3 +1229,67 @@ QUERIES["metric_sax_similar_days"] = (
     q_metric_sax_similar_days,
     ORACLE_SAX_SIMILAR,
 )
+
+
+# --------------------------------------- LSH bucket-blowup profile
+
+def q_dedup_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH bucket diagnostics — the candidate-blowup tuning
+    readout run BEFORE a 100-TB dedup: bucket count, the largest and
+    p99 bucket, the total candidate pairs the buckets will generate
+    (sum of nC2 per bucket — the verify-join's input size), and the
+    share of those pairs coming from the single hottest bucket.  A hot
+    bucket (template boilerplate, empty docs sharing a signature)
+    turns LSH quadratic; this is the query that catches it first.
+
+    Everything after the signature aggregate is bucket-cardinality
+    scale; one row out."""
+    from ..operators.dedup import _docs, lsh_buckets, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    bs = lsh_buckets(sigs).groupBy("band", "bucket").agg(
+        F.count("*").cast("double").alias("sz")
+    )
+    pairs = F.col("sz") * (F.col("sz") - 1) / 2
+    return bs.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.round(F.expr("percentile(sz, 0.99D)"), 6).alias("p99_bucket"),
+        F.sum(pairs).cast("bigint").alias("candidate_pairs"),
+        F.round(
+            (F.max("sz") * (F.max("sz") - 1) / 2)
+            / F.nullif(F.sum(pairs), F.lit(0.0)),
+            6,
+        ).alias("top_bucket_pair_share"),
+    )
+
+
+def _lsh_profile_oracle() -> str:
+    from ..operators.dedup import _band_select, _shingle_cte, _sig_cols
+
+    return f"""WITH {_shingle_cte()},
+sigs AS (
+  SELECT doc_id, {_sig_cols()}
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+{_band_select()}
+),
+bs AS (
+  SELECT band, bucket, CAST(count(*) AS DOUBLE) AS sz
+  FROM buckets GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       round(quantile_cont(sz, 0.99), 6) AS p99_bucket,
+       CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs,
+       round((max(sz) * (max(sz) - 1) / 2)
+             / nullif(sum(sz * (sz - 1) / 2), 0), 6)
+         AS top_bucket_pair_share
+FROM bs"""
+
+
+QUERIES["dedup_lsh_bucket_profile"] = (
+    q_dedup_lsh_bucket_profile,
+    _lsh_profile_oracle(),
+)

@@ -339,7 +339,7 @@ PRIORITY: list[str] = [
     "text_feature_hashing", "promql_lang_predict_linear",
     "promql_lang_changes_sum", "promql_lang_unless_gate",
     "metric_seasonal_mad", "embedding_knn_label_audit",
-    "metric_sax_similar_days",
+    "metric_sax_similar_days", "dedup_lsh_bucket_profile",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

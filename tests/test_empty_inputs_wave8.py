@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "metric_seasonal_mad",
     "embedding_knn_label_audit",
     "metric_sax_similar_days",
+    "dedup_lsh_bucket_profile",
 ]
 
 _SCHEMAS = {
