@@ -1293,3 +1293,58 @@ QUERIES["dedup_lsh_bucket_profile"] = (
     q_dedup_lsh_bucket_profile,
     _lsh_profile_oracle(),
 )
+
+
+# --------------------------------------- hot-shingle (boilerplate) report
+
+#: Boilerplate report size.
+HOT_SHINGLE_TOP = 50
+
+
+def q_dedup_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The follow-up action to dedup_lsh_bucket_profile: WHICH n-grams
+    are the boilerplate — top shingles by document frequency with their
+    corpus share.  At 100 TB these become the stop-shingle list that is
+    excluded from shingling (the LSH analogue of stopword removal) so
+    template text cannot create hot buckets.  One (shingle -> doc
+    count) aggregate, TakeOrderedAndProject top-k."""
+    from ..operators.dedup import _docs, shingles
+
+    sh = shingles(_docs(spark, sf_dir))
+    n_docs = sh.select("doc_id").distinct().count()
+    freq = sh.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("doc_freq")
+    )
+    return (
+        freq.select(
+            "shingle",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.lit(float(n_docs)), 6).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(HOT_SHINGLE_TOP)
+    )
+
+
+def _hot_shingles_oracle() -> str:
+    from ..operators.dedup import _shingle_cte
+
+    return f"""WITH {_shingle_cte()},
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM sh),
+freq AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM sh GROUP BY 1
+)
+SELECT shingle, doc_freq,
+       round(doc_freq / n.n_docs, 6) AS doc_share
+FROM freq CROSS JOIN n
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT {HOT_SHINGLE_TOP}"""
+
+
+QUERIES["dedup_hot_shingles"] = (
+    q_dedup_hot_shingles,
+    _hot_shingles_oracle(),
+)

@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "embedding_knn_label_audit",
     "metric_sax_similar_days",
     "dedup_lsh_bucket_profile",
+    "dedup_hot_shingles",
 ]
 
 _SCHEMAS = {
