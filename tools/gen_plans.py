@@ -174,6 +174,15 @@ SHOWCASE = [
      "struct-ordered max/min AGGREGATE, so the shuffle after the pair "
      "map carries 2 rows per partition per anchor — the anchor x corpus "
      "pair stream itself never crosses the wire."),
+    ("dedup_lsh_bucket_profile", "LSH blowup diagnostics at bucket scale",
+     "Everything after the signature aggregate runs on bucket "
+     "cardinality: the shingle explode+md5 map feeds one partial-"
+     "aggregating groupBy, and the profile is a one-row reduction — "
+     "no pair join exists anywhere in this plan."),
+    ("metric_seasonal_mad", "robust seasonal profile, map-only scoring",
+     "Two metadata-scale percentile aggregates (#series x 24 rows) "
+     "broadcast back onto the sample stream; the modified-z filter is "
+     "a map-only projection — no per-series window, no global sort."),
     ("metric_sax_symbols", "SAX words without a whole-series window",
      "Per-series z-stats come from a tiny groupBy broadcast back onto "
      "the stream (no whole-partition window serializing a series); the "
