@@ -1348,3 +1348,138 @@ QUERIES["dedup_hot_shingles"] = (
     q_dedup_hot_shingles,
     _hot_shingles_oracle(),
 )
+
+
+# --------------------------------------- Kaplan-Meier reorder survival
+
+def q_orders_km_reorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve for "time until the customer orders again":
+    consecutive-order gaps are events, each customer's tail (last order
+    to the dataset horizon) is a CENSORED observation — the survival
+    estimate S(t) = prod_{t_i <= t} (1 - d_i / n_i) over event times,
+    the churn readout a naive gap-average gets wrong by ignoring
+    censoring.
+
+    Plan: one custkey lag window builds durations; everything after is
+    the duration-histogram frame (#distinct gap lengths — metadata
+    scale), where the at-risk counts and the running product (as
+    exp-sum-log, zero factors handled exactly) are ordered windows
+    under a single-partition key.  The dataset horizon is a one-row
+    broadcast."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    durs = (
+        orders.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff(F.to_date("nxt"), F.to_date("o_orderdate")),
+            )
+            .otherwise(
+                F.datediff(F.to_date("h"), F.to_date("o_orderdate"))
+            )
+            .alias("dur"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+        )
+    )
+    hist = durs.groupBy("dur").agg(
+        F.count("*").cast("double").alias("n_total"),
+        F.sum("event").cast("double").alias("n_events"),
+    )
+    total = hist.agg(F.sum("n_total").alias("n")).first()["n"]
+    if total is None:  # empty orders table: no curve
+        return hist.select(
+            F.col("dur").cast("bigint").alias("dur_days"),
+            F.lit(0).cast("bigint").alias("n_risk"),
+            F.lit(0).cast("bigint").alias("n_events"),
+            F.lit(0.0).alias("survival"),
+        ).filter(F.lit(False))
+    ow = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = (
+        hist.withColumn(
+            "n_risk",
+            F.lit(float(total)) - F.coalesce(F.sum("n_total").over(ow), F.lit(0.0)),
+        )
+        .filter(F.col("n_events") > 0)
+        .withColumn("factor", 1 - F.col("n_events") / F.col("n_risk"))
+        .withColumn(
+            "n_zero",
+            F.sum((F.col("factor") <= 0).cast("int")).over(run),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("n_zero") > 0, F.lit(0.0)).otherwise(
+                F.exp(F.sum(F.log(F.col("factor"))).over(run))
+            ),
+        )
+    )
+    return km.select(
+        F.col("dur").cast("bigint").alias("dur_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("survival", 6).alias("survival"),
+    )
+
+
+ORACLE_KM_REORDER = """WITH h AS (
+  SELECT max(o_orderdate) AS horizon FROM orders
+),
+d AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(nxt AS DATE))
+              ELSE date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST((SELECT horizon FROM h) AS DATE)) END
+           AS dur,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (
+    SELECT o_orderdate,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt
+    FROM orders
+  )
+),
+hist AS (
+  SELECT dur, CAST(count(*) AS DOUBLE) AS n_total,
+         CAST(sum(event) AS DOUBLE) AS n_events
+  FROM d GROUP BY 1
+),
+km AS (
+  SELECT dur, n_events,
+         (SELECT sum(n_total) FROM hist)
+           - coalesce(sum(n_total) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM hist
+),
+ev AS (
+  SELECT dur, n_risk, n_events,
+         1 - n_events / n_risk AS factor
+  FROM km WHERE n_events > 0
+),
+s AS (
+  SELECT dur, n_risk, n_events,
+         sum(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur) AS n_zero,
+         sum(ln(nullif(factor, 0))) OVER (ORDER BY dur) AS lnsum
+  FROM ev
+)
+SELECT CAST(dur AS BIGINT) AS dur_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(CASE WHEN n_zero > 0 THEN 0.0 ELSE exp(lnsum) END, 6)
+         AS survival
+FROM s"""
+
+QUERIES["orders_km_reorder_curve"] = (
+    q_orders_km_reorder_curve,
+    ORACLE_KM_REORDER,
+)

@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "metric_sax_similar_days",
     "dedup_lsh_bucket_profile",
     "dedup_hot_shingles",
+    "orders_km_reorder_curve",
 ]
 
 _SCHEMAS = {

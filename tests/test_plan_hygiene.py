@@ -68,6 +68,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "embedding_centroid_drift",  # one-row median-vec_id cut broadcast
     "text_feature_hashing",     # one-row n_docs broadcast
     "embedding_knn_label_audit",  # cosine_topk anchor block (bounded)
+    "orders_km_reorder_curve",  # one-row dataset-horizon broadcast
 }
 
 

@@ -506,3 +506,43 @@ def test_sax_mindist_closed_form(spark):
     ).first()
     assert d.same == 0.0 and d.adj == 0.0
     assert d.far == pytest.approx(2 * 0.6744897501960817, abs=1e-9)
+
+
+def test_km_curve_matches_manual_estimator(spark):
+    got = (
+        wave8.q_orders_km_reorder_curve(spark, SF_SMALL)
+        .toPandas()
+        .sort_values("dur_days")
+        .reset_index(drop=True)
+    )
+    orders = load_table(spark, SF_SMALL, "orders").toPandas()
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    horizon = orders["o_orderdate"].max().normalize()
+    durs, events = [], []
+    for _, g in orders.groupby("o_custkey"):
+        dates = g["o_orderdate"].dt.normalize().tolist()
+        for a, b in zip(dates, dates[1:]):
+            durs.append((b - a).days)
+            events.append(1)
+        durs.append((horizon - dates[-1]).days)
+        events.append(0)
+    durs, events = np.array(durs), np.array(events)
+    want = []
+    s = 1.0
+    for t in sorted({int(t) for t in durs[events == 1]}):
+        n_risk = int((durs >= t).sum())
+        d = int(((durs == t) & (events == 1)).sum())
+        s *= 1 - d / n_risk
+        want.append((t, n_risk, d, round(s, 6)))
+    got_rows = [
+        (r.dur_days, r.n_risk, r.n_events, r.survival)
+        for r in got.itertuples()
+    ]
+    assert len(got_rows) == len(want)
+    for (gt, gn, gd, gs), (wt, wn, wd, ws) in zip(got_rows, want):
+        assert (gt, gn, gd) == (wt, wn, wd)
+        assert gs == pytest.approx(ws, abs=1e-6)
+    # survival is monotone non-increasing and starts below 1
+    surv = got["survival"].tolist()
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+    assert surv[0] < 1.0
