@@ -1483,3 +1483,98 @@ QUERIES["orders_km_reorder_curve"] = (
     q_orders_km_reorder_curve,
     ORACLE_KM_REORDER,
 )
+
+
+# --------------------------------------- CUPED-adjusted A/B readout
+
+#: Experiment split: pre-period (covariate) / post-period (metric).
+CUPED_SPLIT = "2024-01-15 00:00:00"
+
+
+def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al.,
+    WSDM 2013 — the standard trick in every experimentation platform):
+    per-user POST-period spend Y adjusted by the PRE-period covariate
+    X, Y' = Y - theta (X - mean X) with theta = cov(X, Y)/var(X)
+    pooled across variants.  Reports, per variant, the raw and
+    adjusted metric variance and the variance-reduction share — the
+    sensitivity gain the experiment gets for free from history.
+
+    Plan: one per-user conditional aggregate over the stream; theta
+    and mean-X are a ONE-ROW aggregate broadcast back; the per-variant
+    rollup is 2 rows.  Nothing after the user rollup exceeds metadata
+    scale."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < split, F.col("value"))),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= split, F.col("value"))),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    pooled = per_user.agg(
+        (F.covar_pop("x", "y") / F.expr("nullif(var_pop(x), 0D)")).alias(
+            "theta"
+        ),
+        F.avg("x").alias("mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(pooled)).withColumn(
+        "y_adj",
+        F.col("y") - F.col("theta") * (F.col("x") - F.col("mx")),
+    )
+    return (
+        adj.groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_y"),
+            F.round(F.var_samp("y"), 6).alias("var_y"),
+            F.round(F.avg("y_adj"), 6).alias("mean_y_adj"),
+            F.round(F.var_samp("y_adj"), 6).alias("var_y_adj"),
+            F.round(
+                1 - F.var_samp("y_adj") / F.expr("nullif(var_samp(y), 0D)"),
+                6,
+            ).alias("var_reduction"),
+        )
+    )
+
+
+ORACLE_AB_CUPED = f"""WITH u AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                           THEN value END), 0) AS x,
+         coalesce(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                           THEN value END), 0) AS y,
+         CAST(user_id % 2 AS INT) AS variant
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+pooled AS (
+  SELECT covar_pop(x, y) / nullif(var_pop(x), 0) AS theta,
+         avg(x) AS mx
+  FROM u
+),
+adj AS (
+  SELECT u.variant, u.y,
+         u.y - p.theta * (u.x - p.mx) AS y_adj
+  FROM u CROSS JOIN pooled p
+)
+SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y), 6) AS mean_y,
+       round(var_samp(y), 6) AS var_y,
+       round(avg(y_adj), 6) AS mean_y_adj,
+       round(var_samp(y_adj), 6) AS var_y_adj,
+       round(1 - var_samp(y_adj) / nullif(var_samp(y), 0), 6)
+         AS var_reduction
+FROM adj GROUP BY 1"""
+
+QUERIES["events_ab_cuped"] = (q_events_ab_cuped, ORACLE_AB_CUPED)

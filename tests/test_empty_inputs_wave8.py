@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "dedup_lsh_bucket_profile",
     "dedup_hot_shingles",
     "orders_km_reorder_curve",
+    "events_ab_cuped",
 ]
 
 _SCHEMAS = {

@@ -69,6 +69,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "text_feature_hashing",     # one-row n_docs broadcast
     "embedding_knn_label_audit",  # cosine_topk anchor block (bounded)
     "orders_km_reorder_curve",  # one-row dataset-horizon broadcast
+    "events_ab_cuped",          # one-row pooled theta/mean broadcast
 }
 
 

@@ -546,3 +546,27 @@ def test_km_curve_matches_manual_estimator(spark):
     surv = got["survival"].tolist()
     assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
     assert surv[0] < 1.0
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark):
+    out = {
+        r.variant: r
+        for r in wave8.q_events_ab_cuped(spark, SF_SMALL).collect()
+    }
+    assert set(out) == {0, 1}
+    for r in out.values():
+        # CUPED must not bias the metric: adjusted mean ~= raw mean
+        # pooled across variants (per-variant means shift only by the
+        # variant's covariate imbalance, which is what CUPED corrects)
+        assert r.var_y_adj <= r.var_y + 1e-9
+        assert 0.0 <= r.var_reduction <= 1.0
+    # the pooled adjusted mean equals the pooled raw mean exactly
+    # (sum of theta*(x - mean_x) over ALL users is zero)
+    n0, n1 = out[0].n_users, out[1].n_users
+    pooled_raw = (out[0].mean_y * n0 + out[1].mean_y * n1) / (n0 + n1)
+    pooled_adj = (
+        out[0].mean_y_adj * n0 + out[1].mean_y_adj * n1
+    ) / (n0 + n1)
+    import pytest as _pt
+
+    assert pooled_adj == _pt.approx(pooled_raw, abs=1e-4)
