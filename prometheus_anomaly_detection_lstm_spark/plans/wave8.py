@@ -1578,3 +1578,52 @@ SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
 FROM adj GROUP BY 1"""
 
 QUERIES["events_ab_cuped"] = (q_events_ab_cuped, ORACLE_AB_CUPED)
+
+
+# --------------------------------------- A/B power / sample size
+
+#: Two-sided alpha=0.05 and power=0.8 normal quantiles, and the
+#: minimum detectable effect as a share of the control mean.
+POWER_Z_ALPHA = 1.959963984540054   # Phi^-1(0.975)
+POWER_Z_BETA = 0.8416212335729143   # Phi^-1(0.8)
+POWER_MDE_SHARE = 0.05
+
+
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the per-variant sample size required
+    to detect a ``POWER_MDE_SHARE`` lift at alpha=0.05 / power=0.8 —
+    n = 2 (z_a + z_b)^2 sigma^2 / delta^2 — computed TWICE, from the
+    raw metric variance and from the CUPED-adjusted variance
+    (events_ab_cuped's output), so the row quantifies how many users
+    the covariate adjustment saves.  Everything after the per-user
+    rollup is one- and two-row frames."""
+    cuped = q_events_ab_cuped(spark, sf_dir)
+    ctrl = cuped.filter(F.col("variant") == 0)
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    delta = F.col("mean_y") * POWER_MDE_SHARE
+    n_raw = 2 * z2 * F.col("var_y") / (delta * delta)
+    n_adj = 2 * z2 * F.col("var_y_adj") / (delta * delta)
+    return ctrl.select(
+        F.round(delta, 6).alias("mde_abs"),
+        F.ceil(n_raw).cast("bigint").alias("n_required_raw"),
+        F.ceil(n_adj).cast("bigint").alias("n_required_cuped"),
+        F.round(1 - n_adj / n_raw, 6).alias("users_saved_share"),
+    )
+
+
+_Z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+
+ORACLE_AB_POWER = f"""WITH cuped AS ({ORACLE_AB_CUPED})
+SELECT round(mean_y * {POWER_MDE_SHARE}, 6) AS mde_abs,
+       CAST(ceil(2 * {_Z2} * var_y
+            / ((mean_y * {POWER_MDE_SHARE})
+               * (mean_y * {POWER_MDE_SHARE}))) AS BIGINT)
+         AS n_required_raw,
+       CAST(ceil(2 * {_Z2} * var_y_adj
+            / ((mean_y * {POWER_MDE_SHARE})
+               * (mean_y * {POWER_MDE_SHARE}))) AS BIGINT)
+         AS n_required_cuped,
+       round(1 - var_y_adj / var_y, 6) AS users_saved_share
+FROM cuped WHERE variant = 0"""
+
+QUERIES["events_ab_power"] = (q_events_ab_power, ORACLE_AB_POWER)

@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "dedup_hot_shingles",
     "orders_km_reorder_curve",
     "events_ab_cuped",
+    "events_ab_power",
 ]
 
 _SCHEMAS = {

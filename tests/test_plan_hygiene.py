@@ -70,6 +70,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "embedding_knn_label_audit",  # cosine_topk anchor block (bounded)
     "orders_km_reorder_curve",  # one-row dataset-horizon broadcast
     "events_ab_cuped",          # one-row pooled theta/mean broadcast
+    "events_ab_power",          # same cuped subtree (one-row frames)
 }
 
 

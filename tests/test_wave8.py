@@ -570,3 +570,16 @@ def test_cuped_reduces_variance_and_preserves_means(spark):
     import pytest as _pt
 
     assert pooled_adj == _pt.approx(pooled_raw, abs=1e-4)
+
+
+def test_ab_power_consistent_with_cuped(spark):
+    power = wave8.q_events_ab_power(spark, SF_SMALL).first()
+    cuped = {
+        r.variant: r
+        for r in wave8.q_events_ab_cuped(spark, SF_SMALL).collect()
+    }
+    assert power.n_required_cuped <= power.n_required_raw
+    # the savings share IS the control variance reduction (delta cancels)
+    want = 1 - cuped[0].var_y_adj / cuped[0].var_y
+    assert power.users_saved_share == pytest.approx(want, abs=1e-5)
+    assert power.n_required_raw > 0 and power.mde_abs > 0
