@@ -1627,3 +1627,92 @@ SELECT round(mean_y * {POWER_MDE_SHARE}, 6) AS mde_abs,
 FROM cuped WHERE variant = 0"""
 
 QUERIES["events_ab_power"] = (q_events_ab_power, ORACLE_AB_POWER)
+
+
+# --------------------------------------- Dickey-Fuller stationarity
+
+#: 5% critical value of the DF tau_mu distribution (constant, large n).
+DF_CRIT_5PCT = -2.86
+
+
+def df_stationarity(s: DataFrame) -> DataFrame:
+    """Dickey-Fuller unit-root test per series (constant, no lag
+    augmentation): regress delta_y on y_{t-1} over the hourly rollup
+    and report the tau statistic — tau << 0 rejects the unit root,
+    i.e. the series is mean-reverting/stationary (the check run before
+    trusting z-score detectors or ARIMA-family forecasts).
+
+    The OLS is CLOSED FORM from five sums (Sxx, Sxy, Syy, n, rho):
+    tau = rho / sqrt((Syy - Sxy^2/Sxx) / (n-2) / Sxx) — one lag window
+    over the hourly rollup and one aggregate per series; no iteration,
+    no Python."""
+    hourly = s.groupBy(
+        "metric", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("y"))
+    w = Window.partitionBy("metric").orderBy("h")
+    lagged = (
+        hourly.withColumn("x", F.lag("y").over(w))
+        .filter(F.col("x").isNotNull())
+        .withColumn("d", F.col("y") - F.col("x"))
+    )
+    agg = lagged.groupBy("metric").agg(
+        F.count("*").cast("double").alias("n"),
+        (F.covar_pop("x", "d") * F.count("*")).alias("sxy"),
+        (F.var_pop("x") * F.count("*")).alias("sxx"),
+        (F.var_pop("d") * F.count("*")).alias("syy"),
+    )
+    rho = F.col("sxy") / F.expr("nullif(sxx, 0D)")
+    ssr = F.col("syy") - F.col("sxy") * F.col("sxy") / F.expr(
+        "nullif(sxx, 0D)"
+    )
+    tau = rho / F.sqrt(
+        ssr / (F.col("n") - 2) / F.expr("nullif(sxx, 0D)")
+    )
+    return agg.select(
+        "metric",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(rho, 6).alias("rho"),
+        F.round(tau, 6).alias("df_tau"),
+        (tau < DF_CRIT_5PCT).cast("int").alias("stationary_5pct"),
+    )
+
+
+def q_metric_df_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return df_stationarity(events_series(spark, sf_dir))
+
+
+ORACLE_DF_STATIONARITY = f"""WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS h,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT metric, y,
+         lag(y) OVER (PARTITION BY metric ORDER BY h) AS x
+  FROM hourly
+),
+d AS (
+  SELECT metric, x, y - x AS d FROM lagged WHERE x IS NOT NULL
+),
+agg AS (
+  SELECT metric, CAST(count(*) AS DOUBLE) AS n,
+         covar_pop(x, d) * count(*) AS sxy,
+         var_pop(x) * count(*) AS sxx,
+         var_pop(d) * count(*) AS syy
+  FROM d GROUP BY 1
+)
+SELECT metric, CAST(n AS BIGINT) AS n_obs,
+       round(sxy / nullif(sxx, 0), 6) AS rho,
+       round((sxy / nullif(sxx, 0))
+             / sqrt((syy - sxy * sxy / nullif(sxx, 0)) / (n - 2)
+                    / nullif(sxx, 0)), 6) AS df_tau,
+       CAST((sxy / nullif(sxx, 0))
+            / sqrt((syy - sxy * sxy / nullif(sxx, 0)) / (n - 2)
+                   / nullif(sxx, 0)) < {DF_CRIT_5PCT} AS INT)
+         AS stationary_5pct
+FROM agg"""
+
+QUERIES["metric_df_stationarity"] = (
+    q_metric_df_stationarity,
+    ORACLE_DF_STATIONARITY,
+)

@@ -341,6 +341,7 @@ PRIORITY: list[str] = [
     "metric_seasonal_mad", "embedding_knn_label_audit",
     "metric_sax_similar_days", "dedup_lsh_bucket_profile",
     "dedup_hot_shingles", "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
+    "metric_df_stationarity",
     # matrix-profile discords (quadratic NN scan — no SQL twin;
     # exactness pinned vs brute-force numpy): rows-only
     "metric_matrix_profile",

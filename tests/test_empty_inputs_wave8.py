@@ -27,6 +27,7 @@ NEW_QUERIES = [
     "orders_km_reorder_curve",
     "events_ab_cuped",
     "events_ab_power",
+    "metric_df_stationarity",
 ]
 
 _SCHEMAS = {

@@ -583,3 +583,38 @@ def test_ab_power_consistent_with_cuped(spark):
     want = 1 - cuped[0].var_y_adj / cuped[0].var_y
     assert power.users_saved_share == pytest.approx(want, abs=1e-5)
     assert power.n_required_raw > 0 and power.mde_abs > 0
+
+
+def test_df_stationarity_matches_numpy_ols_and_separates_processes(spark):
+    rng = np.random.default_rng(11)
+    n = 400
+    # stationary AR(1) (mean-reverting) vs a pure random walk
+    ar = np.zeros(n)
+    for t in range(1, n):
+        ar[t] = 0.5 * ar[t - 1] + rng.normal()
+    rw = np.cumsum(rng.normal(size=n))
+    rows = []
+    for name, series in [("ar", ar), ("rw", rw)]:
+        for i, v in enumerate(series):
+            ts = (
+                pd.Timestamp("2024-03-01")
+                + pd.Timedelta(hours=int(i))
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            rows.append((name, ts, i, float(v)))
+    s = spark.createDataFrame(
+        rows, "metric string, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.metric: r for r in wave8.df_stationarity(s).collect()}
+    # numpy replica of the closed form for the AR series
+    x, d = ar[:-1], np.diff(ar)
+    X = np.column_stack([np.ones(len(x)), x])
+    beta, *_ = np.linalg.lstsq(X, d, rcond=None)
+    resid = d - X @ beta
+    s2 = (resid @ resid) / (len(x) - 2)
+    se = np.sqrt(s2 / ((x - x.mean()) @ (x - x.mean())))
+    tau = beta[1] / se
+    assert got["ar"].df_tau == pytest.approx(tau, abs=1e-4)
+    # the AR(1) rejects the unit root decisively; the walk does not
+    assert got["ar"].stationary_5pct == 1
+    assert got["ar"].df_tau < -5
+    assert got["rw"].stationary_5pct == 0
