@@ -51,7 +51,28 @@ STANDALONE = [
     # number can never silently ride a degraded-recall config.
     "ann_cosine_topk_lsh",
     "text_quality_scores",
+    # q3 through the orderkey-bucketed lake layout (the measured -39%
+    # sf1 remedy): the one-time bucketing write happens at plan-
+    # construction time and is reported separately as
+    # tpch_q3_bucketed_write_sec — the timed entry is the recurring
+    # query cost over the pre-bucketed layout.
+    "tpch_q3_bucketed",
 ]
+
+#: Basket subtotals so the official record is self-comparable across
+#: rounds (round-5 verdict task 2): the headline "value" grows every
+#: time a query is ADDED to the bench, which reads as a regression when
+#: it is basket growth.  basket12 = the round-3 basket; basket13 adds
+#: ann_cosine_topk_lsh (round 4); comparable11 = the queries BASELINE.md
+#: prices on DuckDB (basket12 minus pipeline_prep, which DuckDB-side is
+#: a temp-table build inside its own timing).
+BASKET12 = [
+    "pipeline_prep", "anomaly_mse", "minmax_scaled", "threshold_split",
+    "tpch_q1", "tpch_q3", "tpch_q5", "windowed_events", "dedup_exact",
+    "dedup_minhash_lsh", "ann_cosine_topk", "text_quality_scores",
+]
+BASKET13 = BASKET12 + ["ann_cosine_topk_lsh"]
+COMPARABLE11 = [q for q in BASKET12 if q != "pipeline_prep"]
 
 
 def main() -> None:
@@ -76,6 +97,7 @@ def main() -> None:
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "tpch_q3_bucketed",
     ]:
         queries[warm_name][0](spark, warm_sf).write.format("noop").mode(
             "overwrite"
@@ -129,8 +151,18 @@ def main() -> None:
         "is_anomaly", "n", F.round("pct", 6).alias("pct")
     )
     standalone_dfs = {
-        name: queries[name][0](spark, sf_dir) for name in STANDALONE
+        name: queries[name][0](spark, sf_dir)
+        for name in STANDALONE
+        if name != "tpch_q3_bucketed"
     }
+    # the bucketed layout's one-time write cost, timed separately (it
+    # is the ingest-time storage policy, not a per-query cost — but it
+    # must be ON the record for the -39% read-side number to be honest)
+    t0 = time.perf_counter()
+    standalone_dfs["tpch_q3_bucketed"] = queries["tpch_q3_bucketed"][0](
+        spark, sf_dir
+    )
+    bucketed_write_sec = round(time.perf_counter() - t0, 3)
 
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -205,12 +237,23 @@ def main() -> None:
         return out
 
     exact = _topk_sets(cosine_topk(emb))
-    approx = _topk_sets(cosine_topk_lsh(emb, **LSH_RECALL08))
-    recalls = [
-        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
-    ]
-    lsh_recall = round(sum(recalls) / len(recalls), 4)
+
+    def _recall(approx_df) -> float:
+        approx = _topk_sets(approx_df)
+        recalls = [
+            len(exact[q] & approx.get(q, set())) / len(exact[q])
+            for q in exact
+        ]
+        return round(sum(recalls) / len(recalls), 4)
+
+    lsh_recall = _recall(cosine_topk_lsh(emb, **LSH_RECALL08))
     assert lsh_recall >= 0.8, f"LSH recall floor broken: {lsh_recall}"
+    # IVF and PQ floors asserted IN-RUN like LSH (round-5 verdict task
+    # 4): the registry configs themselves, not pytest-only floors.
+    ivf_recall = _recall(queries["ann_cosine_topk_ivf"][0](spark, sf_dir))
+    assert ivf_recall >= 0.8, f"IVF recall floor broken: {ivf_recall}"
+    pq_recall = _recall(queries["ann_cosine_topk_pq"][0](spark, sf_dir))
+    assert pq_recall >= 0.8, f"PQ recall floor broken: {pq_recall}"
 
     out = {
         "metric": "headline query wall time (noop write, local)",
@@ -218,7 +261,15 @@ def main() -> None:
         "unit": "sec",
         "queries": best,
         "sf": float(sf),
+        "basket12_total": round(sum(best[q] for q in BASKET12), 3),
+        "basket13_total": round(sum(best[q] for q in BASKET13), 3),
+        "comparable11_total": round(
+            sum(best[q] for q in COMPARABLE11), 3
+        ),
+        "tpch_q3_bucketed_write_sec": bucketed_write_sec,
         "ann_lsh_recall_at_10": lsh_recall,
+        "ann_ivf_recall_at_10": ivf_recall,
+        "ann_pq_recall_at_10": pq_recall,
     }
     for i, p in enumerate(passes, 1):
         out[f"value_pass{i}"] = round(sum(p.values()), 3)

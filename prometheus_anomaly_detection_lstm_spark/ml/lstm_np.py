@@ -42,7 +42,10 @@ LSTM_SEED = 20240613
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
-    return 1.0 / (1.0 + np.exp(-z))
+    # clamp so np.exp never overflows (RuntimeWarning); at |z| = 500
+    # the result already saturates to exactly 0.0/1.0 in float64, so
+    # outputs are bit-identical to the unclamped form
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -500.0, 500.0)))
 
 
 def _relu(z: np.ndarray) -> np.ndarray:

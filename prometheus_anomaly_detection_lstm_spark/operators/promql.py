@@ -1368,9 +1368,63 @@ def holt_smoothing(
     )
 
 
+def holt_smoothing_hourly(
+    samples: DataFrame,
+    alpha: float = HOLT_ALPHA,
+    beta: float = HOLT_BETA,
+    k: int = HOLT_K,
+    series_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Holt linear-trend smoothing over the HOURLY ROLLUP — the scale
+    form of :func:`holt_smoothing` and the registry's shipped plan.
+
+    The per-sample form keeps a K=120 collect_list frame on EVERY raw
+    row — measured as the costliest per-row operator in the registry
+    (BASELINE.md).  The monitoring question it answers ("level and
+    trend of this series") does not need per-sample granularity: this
+    form first collapses samples to per-(series, hour) means (ONE
+    map-combined keyed aggregate — the same rollup discipline as
+    metric_holt_winters), then runs the identical two-state truncated
+    fold over the hour-cardinality frame.  Fold work drops from
+    N_samples x K to N_hours x K; the raw-sample form stays available
+    for bounded inputs (streaming tail windows, alert lookbacks).
+
+    The hourly mean is rounded to 9dp in BOTH engines before the fold
+    (the metric_sax_symbols discipline) so a 1-ulp sum-order difference
+    cannot diverge through the recursion.
+    """
+    hourly = (
+        samples.groupBy(
+            *series_cols, F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.round(F.avg("value"), 9).alias("value"))
+    )
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("hour")
+        .rowsBetween(-(k - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    seed = F.struct(F.element_at(vals, 1).alias("s"), F.lit(0.0).alias("b"))
+
+    def step(acc, x):
+        s2 = F.lit(alpha) * x + F.lit(1.0 - alpha) * (acc["s"] + acc["b"])
+        b2 = F.lit(beta) * (s2 - acc["s"]) + F.lit(1.0 - beta) * acc["b"]
+        return F.struct(s2.alias("s"), b2.alias("b"))
+
+    folded = F.aggregate(F.slice(vals, 2, k), seed, step)
+    return hourly.select(
+        *series_cols,
+        "hour",
+        "value",
+        F.round(folded["s"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+    )
+
+
 def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return holt_smoothing(_long(spark, sf_dir))
+    return holt_smoothing_hourly(_long(spark, sf_dir))
 
 
 #: constants interpolated via repr so both engines parse the exact same
@@ -1381,13 +1435,18 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (acc, x) -> struct(s := acc.s + x.s, b := (acc.s + x.s) + acc.b)
 #: over [1,2,3] yields b=12 instead of 9); the list form evaluates
 #: correctly and matches the Spark struct fold value-for-value.
-ORACLE_HOLT = f"""WITH s AS (
-  SELECT event_type AS metric, ts, event_id AS seq, value,
-         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-           ROWS BETWEEN {HOLT_K - 1} PRECEDING AND CURRENT ROW) AS vals
+ORACLE_HOLT = f"""WITH r AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour,
+         round(avg(value), 9) AS value
   FROM events
+  GROUP BY 1, 2
+), s AS (
+  SELECT metric, hour, value,
+         list(value) OVER (PARTITION BY metric ORDER BY hour
+           ROWS BETWEEN {HOLT_K - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM r
 ), h AS (
-  SELECT metric, ts, seq, value,
+  SELECT metric, hour, value,
          list_reduce(
            list_transform(vals, x -> [x, 0.0::DOUBLE]),
            (acc, x) -> [
@@ -1400,7 +1459,7 @@ ORACLE_HOLT = f"""WITH s AS (
                + {1.0 - HOLT_BETA!r}::DOUBLE * acc[2]]) AS hw
   FROM s
 )
-SELECT metric, ts, seq, value,
+SELECT metric, hour, value,
        round(hw[1], 6) AS level, round(hw[2], 6) AS trend
 FROM h"""
 

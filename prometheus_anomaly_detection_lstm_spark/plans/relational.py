@@ -111,6 +111,63 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority"""
 
 
+#: bucket count for the q3 bucketed-lake layout (matches the local
+#: shuffle-partition scale; on a real cluster this is sized so one
+#: bucket ~ one task's worth of fact rows).
+Q3_BUCKETS = 8
+
+
+def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 routed through an orderkey-BUCKETED lake layout — the
+    measured storage-policy remedy for the q3 fact⋈fact exchange
+    (−39% at sf1, tests/test_bucketed_tpch.py pins answer identity and
+    ≥2 dropped exchanges vs the plain form).
+
+    Both facts are written ONCE as hash-bucketed external tables
+    (``bucketBy(orderkey) + sortBy``); every later q3-shaped join on
+    orderkey then plans with zero fact-side exchanges.  The one-time
+    bucketing write is the layout cost a 100-TB lake pays at ingest,
+    not per query — bench.py reports it separately
+    (``tpch_q3_bucketed_write_sec``).  The query logic itself is the
+    UNCHANGED :func:`tpch_q3_core`, so the oracle is ORACLE_TPCH_Q3.
+    """
+    import os
+    import tempfile
+
+    from ..io_tables import read_bucketed, write_bucketed
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    li_tbl, ord_tbl = f"q3b_lineitem_{tag}", f"q3b_orders_{tag}"
+    if not spark.catalog.tableExists(li_tbl) or not spark.catalog.tableExists(
+        ord_tbl
+    ):
+        root = os.path.join(
+            tempfile.gettempdir(), "prometheus_anomaly_detection_lstm_spark_bucketed", tag
+        )
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders")
+        # external tables (explicit path) so the layout never depends
+        # on a writable warehouse dir / metastore in the caller's cwd
+        for df, tbl, key in (
+            (li, li_tbl, "l_orderkey"),
+            (orders, ord_tbl, "o_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(Q3_BUCKETS, key)
+                .sortBy(key)
+                .option("path", os.path.join(root, tbl))
+                .saveAsTable(tbl)
+            )
+    return tpch_q3_core(
+        read_bucketed(spark, li_tbl),
+        read_bucketed(spark, ord_tbl),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
 def tpch_q5_core(
     li: DataFrame,
     orders: DataFrame,
@@ -282,6 +339,7 @@ GROUP BY 1, 2"""
 QUERIES = {
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
+    "tpch_q3_bucketed": (q_tpch_q3_bucketed, ORACLE_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
     "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),

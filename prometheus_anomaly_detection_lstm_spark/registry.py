@@ -282,11 +282,56 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-5 verdict task 1: the 21 queries that have NEVER had
-    # an official CORRECTNESS row (wave-5/6 additions parked past the
-    # window in round 4) — first in line, guaranteed graded.  After
-    # this round every registry query has an official driver row.
-    # Hash-graded entries first:
+    # ---- round-6 verdict task 1: the 26 queries that have NEVER had
+    # an official CORRECTNESS row (round-5 continuation additions that
+    # landed past that round's window).  After this round EVERY
+    # registry query has an official driver row.  Hash-graded first:
+    "doc_type_token_ratio", "customer_order_gaps",
+    "join_key_skew_profile", "embedding_hard_negatives",
+    "metric_sax_symbols", "text_pmi_collocations",
+    "embedding_centroid_drift", "metric_sax_motifs",
+    "text_feature_hashing", "promql_lang_predict_linear",
+    "promql_lang_changes_sum", "promql_lang_unless_gate",
+    "metric_seasonal_mad", "embedding_knn_label_audit",
+    "metric_sax_similar_days", "dedup_lsh_bucket_profile",
+    "dedup_hot_shingles", "orders_km_reorder_curve",
+    "events_ab_cuped", "events_ab_power", "metric_df_stationarity",
+    # ... then the 5 rows-only-by-design first-timers (no SQL twin —
+    # FFT / eigendecomposition / coupled recursion / quadratic NN /
+    # int16 DSP; exactness pinned vs numpy replicas in pytest):
+    "metric_matrix_profile", "multimodal_audio_features",
+    "metric_spectral_residual", "metric_holt_winters",
+    "metric_pca_scores",
+    # ---- NEW in round 6 (first official rows) ----
+    # bucketed-lake routing of the q3 logic: the measured -39% sf1
+    # remedy (tests/test_bucketed_tpch.py) on the official record,
+    # same oracle as tpch_q3
+    "tpch_q3_bucketed",
+    # semantic_dedup with corpus-scaled k (k ~ n/avg_cluster_size):
+    # closes the fixed-k quadratic-within-cluster caveat
+    "semantic_dedup_scaled",
+    # holt smoothing over the hourly rollup (retires the K=120
+    # collect_list frame — the costliest per-row operator in the
+    # registry); plan changed, needs a fresh row
+    "promql_holt_smoothing",
+    # round-6 additions registered as they land:
+    "metric_ramp_detect", "events_ab_sequential", "orders_basket_affinity",
+    "metric_esd_outliers", "corpus_dedup_e2e_stats", "text_keyword_extract",
+    "metric_bocpd_lite",
+    # ---- fill the window tail with the queries whose latest official
+    # row is oldest (all r1): bench headliners first so the graded
+    # correctness record tracks the graded performance record ----
+    "tpch_q1", "tpch_q3", "tpch_q5", "windowed_events",
+    "tpch_q6", "min_cost_supplier", "multires_rollup",
+    "rollup_agg", "topk_per_group", "semi_anti_join", "running_revenue",
+    "distinct_users", "vocab_stats", "funnel",
+    # ================= past the 50-slot window =================
+    # Everything below holds a green official row on unchanged code
+    # (r2-r5); the local sf0.01 parity sweep still covers all of them
+    # every session.
+    "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
+    "user_set_ops", "approx_distinct_users",
+    "approx_threshold_percentiles", "nan_counts",
     "metric_resample_interpolate", "text_log_odds_keywords",
     "events_attribution", "corpus_bloom_decontaminate",
     "events_frequent_paths", "orders_backlog_daily",
@@ -295,82 +340,26 @@ PRIORITY: list[str] = [
     "dedup_minhash_recall_eval", "promql_vector_match_ratio",
     "events_props_key_profile", "events_dau_wau", "events_bot_cadence",
     "multimodal_phash_dedup", "embedding_whiten",
-    # ... then the rows-only-by-design entries (no SQL twin — numpy
-    # spectra / iterative BPE / d×d solve / approximate ANN; exactness
-    # or recall floors pinned in pytest):
     "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
     "ann_cosine_topk_pq",
-    # ---- changed in round 5: ann_cosine_topk oracle now drops
-    # NULL-cosine rows like the Spark side (advisor finding); the
-    # minhash family re-rows on the round-5 verify-side A/B outcome;
-    # recall-eval got an explicit schema + SQL-side rounding ----
-    # (dedup_apply / dedup_clusters / dedup_minhash_incremental moved
-    # past the window: the round-5 verify-side A/B REVERTED and the
-    # construction-latency rework is plan-identical, so their green r4
-    # official rows still describe the shipped plans — the window
-    # slots go to first-time entries)
     "ann_cosine_topk", "dedup_minhash_lsh",
-    # ---- NEW in round 5 (first official rows) ----
     "text_bm25_topk", "embedding_matryoshka_eval", "dedup_edit_distance",
     "text_nb_classifier", "text_nb_classifier_auc",
     "embedding_logreg_fit",
-    # ---- NEW in round 5, continuation session (first official rows):
-    # robust-statistics / SPC / corpus-law plans, all hash-graded ----
     "metric_cusum_anomalies", "metric_theil_sen_trend",
     "text_char_entropy", "corpus_zipf_fit", "events_funnel_timing",
     "events_heavy_hitters", "corpus_source_token_drift",
-    # PromQL STRING compiler (parse -> lower onto counter_rate /
-    # window aggregates): reference config strings run in-engine
     "promql_lang_rate_sum", "promql_lang_topk_gauge",
     "promql_lang_increase_filter", "promql_lang_error_ratio",
     "promql_lang_histogram_quantile", "promql_lang_quantile_over_time",
     "promql_lang_label_replace", "text_nb_confusion",
     "parts_abc_by_brand", "shipping_delay_profile",
     "events_markov_next_eval", "text_readability_scores",
-    # ---- first past the window edge (the 50 slots are full of
-    # first-time entries): graded in the NEXT round's window ----
     "return_rate_by_brand", "supplier_hhi_by_nation",
-    "doc_type_token_ratio", "customer_order_gaps",
-    # continuation-4 additions (first-timers queued behind the four
-    # above, hash-graded first):
-    "join_key_skew_profile", "embedding_hard_negatives",
-    "metric_sax_symbols", "text_pmi_collocations",
-    "embedding_centroid_drift", "metric_sax_motifs",
-    "text_feature_hashing", "promql_lang_predict_linear",
-    "promql_lang_changes_sum", "promql_lang_unless_gate",
-    "metric_seasonal_mad", "embedding_knn_label_audit",
-    "metric_sax_similar_days", "dedup_lsh_bucket_profile",
-    "dedup_hot_shingles", "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
-    "metric_df_stationarity",
-    # matrix-profile discords (quadratic NN scan — no SQL twin;
-    # exactness pinned vs brute-force numpy): rows-only
-    "metric_matrix_profile",
-    # framed PCM16 RMS/ZCR (int16 decode has no SQL twin; closed-form
-    # pins on synthesized sine/square/silence): rows-only
-    "multimodal_audio_features",
-    # spectral-residual saliency (FFT — no SQL twin; pinned vs a
-    # from-the-definition numpy replica): rows-only
-    "metric_spectral_residual",
-    # Holt-Winters seasonal forecast residuals (coupled recursion — no
-    # SQL twin; pinned vs an independent textbook replica): rows-only
-    "metric_holt_winters",
-    # PCA reconstruction error (eigendecomposition — no SQL twin;
-    # pinned vs an exact numpy replica): rows-only
-    "metric_pca_scores",
-    # ---- fill the window tail with the queries whose latest official
-    # row is oldest (r1/r2): bench headliners first so the graded
-    # correctness record tracks the graded performance record ----
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "windowed_events",
     "text_quality_scores", "text_tfidf_top_terms", "text_frequent_tokens",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs", "anomaly_flags", "asof_join",
-    "rolling_features", "min_cost_supplier", "multires_rollup",
-    "rollup_agg", "topk_per_group", "semi_anti_join", "running_revenue",
-    "distinct_users", "vocab_stats", "funnel",
-    # ================= past the 50-slot window =================
-    # Everything below holds a green official row on unchanged code
-    # (r1-r4); the local sf0.01 parity sweep still covers all of them
-    # every session.
+    "rolling_features",
     "dedup_apply", "dedup_clusters", "dedup_minhash_incremental",
     "corpus_decontaminate", "corpus_shuffle_shards",
     "corpus_token_budget_sample", "embedding_quantize_int8",
@@ -392,7 +381,7 @@ PRIORITY: list[str] = [
     "promql_rate_offset_delta", "promql_sum_by_rate",
     "promql_series_cardinality", "promql_time_weighted_avg",
     "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
-    "promql_holt_smoothing", "metric_seasonal_anomaly",
+    "metric_seasonal_anomaly",
     "events_grouping_sets", "events_rank_functions", "event_pagerank",
     "scd2_user_bands",
     "dedup_embedding_cosine",

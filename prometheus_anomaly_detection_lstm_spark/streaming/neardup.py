@@ -180,6 +180,70 @@ def neardup_admit_batch(
         sigs.unpersist()
 
 
+def seed_neardup_index(docs: DataFrame, index_root: str) -> None:
+    """Seed the streaming index from an EXISTING corpus — the bridge
+    from a batch-built lake (``operators.dedup.build_dedup_index``
+    holds the same banded bucket content as a catalog table) to the
+    streaming probe's directory layout.  Written under ``batch=-1`` so
+    no real epoch id can collide with it and replays never exclude it.
+    """
+    sigs = minhash_signatures(docs)
+    sigs.write.mode("overwrite").parquet(f"{index_root}/sigs/batch=-1")
+    band_buckets(sigs).write.mode("overwrite").parquet(
+        f"{index_root}/buckets/batch=-1"
+    )
+
+
+def start_neardup_versioned_ingest(
+    source: DataFrame,
+    index_root: str,
+    out_root: str,
+    checkpoint: str,
+    lake_table: str,
+    app_id: str,
+    threshold: float = EST_JACCARD_THRESHOLD,
+    trigger_available_now: bool = True,
+):
+    """The full 100-TB incremental-corpus ingest path in ONE stream:
+    micro-batches probe the persisted signature index
+    (:func:`neardup_admit_batch`), and each batch's ADMITTED docs are
+    committed as one version of an ``io_versioned`` lake table with the
+    (``app``, ``batch``) idempotence token — so the growing corpus gets
+    time travel, ``snapshot_diff`` as exact per-batch CDC, and
+    writer-side exactly-once, while near-dups never enter it.
+
+    Crash-safety ordering: admission writes are batch-id-addressed
+    overwrites (idempotent), and the lake commit is skipped when its
+    token is already in a manifest — a replayed epoch re-runs the
+    admission (rewriting identical output) and leaves the lake alone.
+    """
+    from ..io_versioned import commit_append
+    from .ingest import committed_batches
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        neardup_admit_batch(batch, index_root, out_root, bid, threshold)
+        if bid in committed_batches(lake_table, app_id):
+            return  # replayed epoch: already durable, skip
+        admitted = batch.sparkSession.read.parquet(
+            f"{out_root}/admitted/batch={bid}"
+        )
+        commit_append(
+            admitted.withColumn("__batch", F.lit(bid)),
+            lake_table,
+            meta={"app": app_id, "batch": bid},
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_neardup_ingest(
     source: DataFrame,
     index_root: str,

@@ -71,6 +71,8 @@ BNLJ_SCALAR_BROADCASTS = {
     "orders_km_reorder_curve",  # one-row dataset-horizon broadcast
     "events_ab_cuped",          # one-row pooled theta/mean broadcast
     "events_ab_power",          # same cuped subtree (one-row frames)
+    "semantic_dedup_scaled",    # centroid table (ceil(sqrt(n)) rows —
+                                # sublinear in the corpus by design)
 }
 
 
