@@ -56,6 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import ntz_epoch_seconds
 from ..io_tables import events_series, load_table
 
 QUERIES: dict = {}
@@ -1716,3 +1717,111 @@ QUERIES["metric_df_stationarity"] = (
     q_metric_df_stationarity,
     ORACLE_DF_STATIONARITY,
 )
+
+
+# ------------------------------------------- ramp / drift detection
+
+#: |OLS slope| floor (value-units per hour) below which a series is
+#: "flat" regardless of the stationarity verdict — keeps numerically
+#: tiny trends on high-n series from alarming.
+RAMP_MIN_SLOPE = 1e-4
+
+
+def ramp_detect(s: DataFrame) -> DataFrame:
+    """Slow-drift (ramp) detector per series — the production form of
+    the detector-zoo scenario-D protocol (BASELINE.md, round 6).
+
+    Point detectors are structurally blind to a +0.025 sigma/hour
+    drift (each hour is near-normal for its slot), and trend
+    instruments applied to RAW samples are season-dominated (measured:
+    the diurnal slope swamps the drift on both arms).  The protocol
+    that separates the arms decisively is: roll up to the SEASONAL
+    PERIOD (daily means — removes the cycle exactly), then test the
+    trend two ways on the day-cardinality frame:
+
+    - OLS slope of daily mean vs epoch-hours (regr_slope — one
+      closed-form aggregate);
+    - Dickey-Fuller tau on the daily series (drifting series fail to
+      reject the unit root: tau lands near/above 0 while stationary
+      controls land below the -2.86 critical value).
+
+    ``drifting = 1`` when the series BOTH fails stationarity and moves
+    at a material rate.  Everything after the daily rollup is
+    metadata-scale (one row per series-day, then one per series).
+    """
+    daily = s.groupBy(
+        "metric", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("y"))
+    daily = daily.withColumn(
+        "eh", ntz_epoch_seconds("day") / F.lit(3600.0)
+    )
+    w = Window.partitionBy("metric").orderBy("day")
+    lagged = daily.withColumn("x", F.lag("y").over(w)).withColumn(
+        "d", F.col("y") - F.col("x")
+    )
+    # covar_pop/var_pop skip NULL pairs, so the first day per series
+    # (x IS NULL) drops out of the DF sums while regr_slope still sees
+    # every day
+    agg = lagged.groupBy("metric").agg(
+        F.count("x").cast("double").alias("n"),
+        F.expr("regr_slope(y, eh)").alias("slope"),
+        (F.covar_pop("x", "d") * F.count("x")).alias("sxy"),
+        (F.var_pop("x") * F.count("x")).alias("sxx"),
+        (F.var_pop("d") * F.count("x")).alias("syy"),
+    )
+    rho = F.col("sxy") / F.expr("nullif(sxx, 0D)")
+    ssr = F.col("syy") - F.col("sxy") * F.col("sxy") / F.expr(
+        "nullif(sxx, 0D)"
+    )
+    tau = rho / F.sqrt(
+        ssr / (F.col("n") - 2) / F.expr("nullif(sxx, 0D)")
+    )
+    nonstat = tau >= F.lit(DF_CRIT_5PCT)
+    material = F.abs(F.col("slope")) >= F.lit(RAMP_MIN_SLOPE)
+    return agg.select(
+        "metric",
+        (F.col("n") + 1).cast("bigint").alias("n_days"),
+        F.round("slope", 6).alias("slope_per_hour"),
+        F.round(tau, 6).alias("df_tau"),
+        (nonstat & material).cast("int").alias("drifting"),
+    )
+
+
+def q_metric_ramp_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ramp_detect(events_series(spark, sf_dir))
+
+
+ORACLE_RAMP_DETECT = f"""WITH daily AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+e AS (
+  SELECT metric, day, y, epoch(day) / 3600.0 AS eh FROM daily
+),
+lagged AS (
+  SELECT metric, y, eh,
+         lag(y) OVER (PARTITION BY metric ORDER BY day) AS x
+  FROM e
+),
+d AS (SELECT metric, y, eh, x, y - x AS d FROM lagged),
+agg AS (
+  SELECT metric, CAST(count(x) AS DOUBLE) AS n,
+         regr_slope(y, eh) AS slope,
+         covar_pop(x, d) * count(x) AS sxy,
+         var_pop(x) * count(x) AS sxx,
+         var_pop(d) * count(x) AS syy
+  FROM d GROUP BY 1
+)
+SELECT metric, CAST(n + 1 AS BIGINT) AS n_days,
+       round(slope, 6) AS slope_per_hour,
+       round((sxy / nullif(sxx, 0))
+             / sqrt((syy - sxy * sxy / nullif(sxx, 0)) / (n - 2)
+                    / nullif(sxx, 0)), 6) AS df_tau,
+       CAST(((sxy / nullif(sxx, 0))
+             / sqrt((syy - sxy * sxy / nullif(sxx, 0)) / (n - 2)
+                    / nullif(sxx, 0)) >= {DF_CRIT_5PCT})
+            AND abs(slope) >= {RAMP_MIN_SLOPE} AS INT) AS drifting
+FROM agg"""
+
+QUERIES["metric_ramp_detect"] = (q_metric_ramp_detect, ORACLE_RAMP_DETECT)

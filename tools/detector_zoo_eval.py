@@ -233,6 +233,159 @@ def main() -> None:
         print("contam:", name, report3[name], flush=True)
     print(json.dumps({"contamination_scenario": report3}))
 
+    # ---- scenario 4: slow ramp (trend drift) ----
+    # The remaining classic failure axis: +0.025 sigma/hour linear
+    # drift (reaches +3 sigma after 5 days, never a per-hour jump).
+    # Point detectors see each hour as near-normal; CUSUM integrates
+    # it; the TREND instruments (Theil-Sen slope, Dickey-Fuller
+    # stationarity) are built for exactly this and must earn their
+    # registry slots here.  4 ramp series (d*) + 4 stationary
+    # controls (k*) so slope/stationarity verdicts are calibrated
+    # against a null, not just the positive.
+    from prometheus_anomaly_detection_lstm_spark.plans.robust import (
+        theil_sen_trend,
+    )
+
+    DRIFT = 0.025  # sigma/hour
+    rows4, ramp_start = [], {}
+    n = N_DAYS * 24
+    hours = np.arange(n)
+    base = 100.0 + 10.0 * np.sin(hours % 24 / 24 * 2 * np.pi)
+    for m in range(N_SERIES):
+        for kind in ("d", "k"):
+            metric = f"{kind}{m}"
+            vals = base + rng.normal(0, 1.0, n)
+            if kind == "d":
+                start = int(rng.integers(72, n - 144))
+                ramp = np.maximum(hours - start, 0) * DRIFT
+                vals = vals + ramp
+                ramp_start[metric] = pd.Timestamp(
+                    "2024-03-01"
+                ) + pd.Timedelta(hours=start)
+            for i in range(n):
+                ts = pd.Timestamp("2024-03-01") + pd.Timedelta(
+                    hours=int(i)
+                )
+                rows4.append((metric, ts, i, float(vals[i])))
+    s4 = spark.createDataFrame(
+        pd.DataFrame(rows4, columns=["metric", "ts", "seq", "value"])
+    )
+
+    def in_ramp_alarm_window(metric, ts):
+        # credit flags once the drift has accumulated >= 2 sigma
+        st = ramp_start.get(metric)
+        return st is not None and ts >= st + pd.Timedelta(
+            hours=int(2.0 / DRIFT)
+        )
+
+    ramp_flags = {
+        "seasonal_z": {
+            (r.metric, r.ts) for r in seasonal_anomaly(s4).collect()
+        },
+        "seasonal_mad": {
+            (r.metric, r.ts)
+            for r in wave8.seasonal_mad_anomalies(s4).collect()
+        },
+        "cusum": {
+            (r.metric, r.ts) for r in robust.cusum_anomalies(s4).collect()
+        },
+        "mad_robust_z": {
+            (r.metric, r.ts) for r in mining.mad_outliers(s4).collect()
+        },
+        "spectral_residual": {
+            (r.metric, r.day + pd.Timedelta(hours=r.hr))
+            for r in wave8.spectral_residual_anomalies(s4).collect()
+        },
+        "holt_winters": {
+            (r.metric, r.ts_hour)
+            for r in wave8.holt_winters_anomalies(s4).collect()
+        },
+    }
+    report4 = {}
+    for name, got in ramp_flags.items():
+        detected = {
+            m for m in ramp_start if any(
+                k[0] == m and in_ramp_alarm_window(*k) for k in got
+            )
+        }
+        # false alarms: any flag on a CONTROL series (k*)
+        false_alarms = sum(1 for k in got if k[0].startswith("k"))
+        report4[name] = {
+            "series_detected": f"{len(detected)}/{N_SERIES}",
+            "control_false_alarm_hours": false_alarms,
+        }
+        print("ramp:", name, report4[name], flush=True)
+
+    # trend instruments: verdict per series, thresholded against the
+    # truth (true slope = DRIFT on ramps, 0 on controls).
+    # METHOD NOTE (measured): applied to the raw hourly series both
+    # instruments are season-dominated — the +-2.6/h diurnal slope
+    # swamps a 0.025/h drift (Theil-Sen medians land at ~0.00 for both
+    # arms) and the daily cycle pins DF tau at ~-2.9..-3.0 for both.
+    # The correct protocol is the same one metric_holt_winters uses:
+    # roll up to the SEASONAL PERIOD first (daily means), which
+    # removes the cycle exactly, then test the trend.
+    daily = (
+        pd.DataFrame(rows4, columns=["metric", "ts", "seq", "value"])
+        .assign(day=lambda d: d.ts.dt.floor("D"))
+        .groupby(["metric", "day"], as_index=False)["value"]
+        .mean()
+        .rename(columns={"day": "ts"})
+    )
+    daily["seq"] = daily.groupby("metric").cumcount()
+    s4d = spark.createDataFrame(daily[["metric", "ts", "seq", "value"]])
+    # daily spacing = 24 h, so theil_sen's per-hour slope over daily
+    # points still reads in value-units/hour (the drift rate itself)
+    slopes = {
+        r.metric: r.theil_sen_slope
+        for r in theil_sen_trend(s4d).collect()
+    }
+    # the median pairwise slope is DILUTED by the flat pre-ramp
+    # segment (ramps start 3-8 days into the 14-day window), so the
+    # point estimate reads ~0.3-0.7x the true drift rate; controls
+    # measure |slope| <= 0.0006.  0.2x the target drift separates the
+    # arms by >10x margin while staying tied to the effect size.
+    ts_ramp_hits = sum(
+        1 for m in ramp_start if slopes.get(m, 0.0) >= DRIFT * 0.2
+    )
+    ts_control_fas = sum(
+        1
+        for m, v in slopes.items()
+        if m.startswith("k") and abs(v) >= DRIFT * 0.2
+    )
+    report4["theil_sen_slope"] = {
+        "series_detected": f"{ts_ramp_hits}/{N_SERIES}",
+        "control_false_alarm_hours": ts_control_fas,
+        "slopes": {m: round(v, 4) for m, v in sorted(slopes.items())},
+    }
+    print("ramp: theil_sen_slope", report4["theil_sen_slope"], flush=True)
+
+    df_rows = {
+        r.metric: (r.df_tau, r.stationary_5pct)
+        for r in wave8.df_stationarity(s4d).collect()
+    }
+    # a ramping series fails the stationarity test (unit-root-like
+    # under a constant-only DF regression); a clean seasonal series
+    # passes — "detected" = flagged NON-stationary
+    df_ramp_hits = sum(
+        1 for m in ramp_start if df_rows.get(m, (0, 1))[1] == 0
+    )
+    df_control_fas = sum(
+        1
+        for m, (_, st) in df_rows.items()
+        if m.startswith("k") and st == 0
+    )
+    report4["df_nonstationarity"] = {
+        "series_detected": f"{df_ramp_hits}/{N_SERIES}",
+        "control_false_alarm_hours": df_control_fas,
+        "tau": {m: round(v[0], 2) for m, v in sorted(df_rows.items())},
+    }
+    print(
+        "ramp: df_nonstationarity", report4["df_nonstationarity"],
+        flush=True,
+    )
+    print(json.dumps({"ramp_scenario": report4}))
+
 
 if __name__ == "__main__":
     main()
