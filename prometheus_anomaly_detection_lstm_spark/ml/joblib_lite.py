@@ -19,13 +19,19 @@ materialized array — which is what this module implements, on the
 pure-Python ``pickle._Unpickler`` (the C unpickler's buffering would
 read past the payload).
 
+Compressed containers (modern joblib ``compress=N`` zlib, and the
+gzip/bz2/lzma writers) are one stdlib compression stream wrapping the
+identical layout — decompressed in memory and read the same way
+(round 6; closes the last drop-in-parity asterisk for environments
+with neither joblib nor sklearn).
+
 Classes from absent libraries (sklearn, joblib) resolve to generated
 STUB types whose state lands in ``__dict__`` — for artifact reading we
 only need the fitted attributes (``data_min_``, ``mean_``, ...), not
-behavior.  Anything the subset cannot represent (compressed joblib
-containers, object-dtype arrays, pickled functions) raises
-``JoblibUnsupported`` with guidance to the one-step export path in
-``keras_bridge`` (which runs in the user's own environment where
+behavior.  Anything the subset cannot represent (legacy ZF zfile
+containers, lz4/zstd frames, object-dtype arrays, pickled functions)
+raises ``JoblibUnsupported`` with guidance to the one-step export path
+in ``keras_bridge`` (which runs in the user's own environment where
 sklearn exists).
 
 Security note: this is NOT a general unpickler hardening layer — like
@@ -47,9 +53,21 @@ class JoblibUnsupported(Exception):
     subset this reader supports."""
 
 
-#: compressed-container magics (joblib's zlib/lzma/... envelopes) —
-#: detected up front for a clear error instead of a pickle crash.
-_COMPRESSED_PREFIXES = (b"ZF", b"\x1f\x8b", b"BZh", b"\xfd7zXZ", b"\x28\xb5\x2f\xfd")
+#: compressed-container magics joblib's modern (>= 0.10) compressor
+#: registry writes: the FILE is one plain compression stream wrapping
+#: the identical pickle-with-inline-payload layout, so stdlib codecs
+#: decompress it and the same unpickler reads the result.  (joblib
+#: compressor.py dispatches on these same prefixes.)
+_STDLIB_DECOMPRESSORS: dict[bytes, str] = {
+    b"\x78": "zlib",       # zlib stream (the compress=N default)
+    b"\x1f\x8b": "gzip",
+    b"BZh": "bz2",
+    b"\xfd7zXZ": "lzma",
+}
+#: containers we still cannot read without third-party code: the
+#: legacy joblib < 0.10 'ZF' zfile layout (side-car .npy members) and
+#: lz4/zstd frames (no stdlib codec).
+_UNSUPPORTED_PREFIXES = (b"ZF", b"\x04\x22\x4d\x18", b"\x28\xb5\x2f\xfd")
 
 
 class _Stub:
@@ -149,18 +167,33 @@ def _wrapper_class(module: str) -> type:
 
 
 def read_joblib(path: str) -> Any:
-    """Load the root object of an uncompressed ``joblib.dump`` file.
-    Arrays come back as real ndarrays; foreign classes as stubs whose
-    ``__dict__`` holds the fitted state."""
+    """Load the root object of a ``joblib.dump`` file — uncompressed,
+    or compressed with any stdlib-codec container (zlib, the
+    ``compress=N`` default; gzip; bz2; lzma/xz).  Arrays come back as
+    real ndarrays; foreign classes as stubs whose ``__dict__`` holds
+    the fitted state.
+
+    Compressed containers decompress fully in memory before
+    unpickling — correct for model/scaler artifacts (KBs-MBs); this is
+    an artifact reader, not a dataset codec."""
     with open(path, "rb") as fh:
         head = fh.read(8)
         fh.seek(0)
-        for magic in _COMPRESSED_PREFIXES:
+        for magic in _UNSUPPORTED_PREFIXES:
             if head.startswith(magic):
                 raise JoblibUnsupported(
-                    "compressed joblib container; re-dump with "
-                    "compress=0 or use the keras_bridge CLI export"
+                    "legacy-ZF or lz4/zstd joblib container; re-dump "
+                    "with a stdlib codec (compress=N/gzip/bz2/lzma) or "
+                    "use the keras_bridge CLI export"
                 )
+        for magic, codec in _STDLIB_DECOMPRESSORS.items():
+            if head.startswith(magic):
+                import importlib
+
+                data = importlib.import_module(codec).decompress(
+                    fh.read()
+                )
+                return _LiteUnpickler(io.BytesIO(data)).load()
         return _LiteUnpickler(fh).load()
 
 

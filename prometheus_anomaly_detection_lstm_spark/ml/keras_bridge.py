@@ -7,13 +7,14 @@ BOTH reference artifacts now load natively, no third-party library:
 
 - ``.keras`` archives parse via :mod:`.h5lite` (from-scratch HDF5
   subset reader) — :func:`load_keras_archive`;
-- uncompressed ``scaler.joblib`` dumps parse via :mod:`.joblib_lite`
-  (from-scratch unpickler with array-payload handling) —
+- ``scaler.joblib`` dumps — uncompressed AND stdlib-codec compressed
+  (zlib/gzip/bz2/lzma) — parse via :mod:`.joblib_lite` (from-scratch
+  unpickler with array-payload handling) —
   ``joblib_lite.scaler_params_from_joblib``.
 
 The CLI conversions remain for batch use and as the fallback for
-exotic artifacts (compressed joblib containers, full-HDF5 models),
-where they import TF/joblib from the USER'S environment:
+exotic artifacts (legacy-ZF / lz4 joblib containers, full-HDF5
+models), where they import TF/joblib from the USER'S environment:
 
     python -m prometheus_anomaly_detection_lstm_spark.ml.keras_bridge \\
         model.keras weights.npz            # Keras -> npz weights
@@ -197,9 +198,9 @@ def _export_keras(model_path: str, out_path: str) -> None:  # pragma: no cover
 
 def _export_scaler(scaler_path: str, out_path: str) -> None:  # pragma: no cover
     """joblib -> params CSV.  Native first: the from-scratch
-    ``joblib_lite`` reader handles uncompressed dumps with NO joblib or
-    sklearn installed (the round-4 verdict's last drop-in-parity
-    asterisk); real joblib, if present, covers compressed containers."""
+    ``joblib_lite`` reader handles uncompressed AND stdlib-codec
+    compressed dumps with NO joblib or sklearn installed; real joblib,
+    if present, covers the remaining exotics (legacy ZF, lz4)."""
     from .joblib_lite import JoblibUnsupported, read_joblib
 
     try:

@@ -316,8 +316,8 @@ PRIORITY: list[str] = [
     "promql_holt_smoothing",
     # round-6 additions registered as they land:
     "metric_ramp_detect", "events_ab_sequential", "orders_basket_affinity",
-    "metric_esd_outliers", "corpus_dedup_e2e_stats", "text_keyword_extract",
-    "metric_bocpd_lite",
+    "metric_glr_changepoint", "corpus_dedup_e2e_stats",
+    "text_keyword_extract",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (all r1): bench headliners first so the graded
     # correctness record tracks the graded performance record ----
@@ -425,7 +425,7 @@ PRIORITY: list[str] = [
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import (
         extended, mining, relational, robust, tpch_more, tpch_wave3, wave5,
-        wave8,
+        wave8, wave9,
     )
     from .operators import (
         approx, bpe, corpus, dedup, kmeans, linalg, matrixprofile,
@@ -443,6 +443,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(wave5.QUERIES)
     merged.update(robust.QUERIES)
     merged.update(wave8.QUERIES)
+    merged.update(wave9.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(promql_lang.QUERIES)

@@ -100,6 +100,23 @@ def dump_joblib_like(
         _FixturePickler(fh, protocol, align).dump(obj)
 
 
+def dump_joblib_like_compressed(
+    obj, path: str, codec: str = "zlib", protocol: int = 4
+) -> None:
+    """Compressed-container twin: the file is one stdlib compression
+    stream wrapping the identical pickle layout (what modern joblib's
+    compress=N / gzip / bz2 / lzma writers produce).  Alignment is
+    disabled inside compressed containers, mirroring joblib."""
+    import importlib
+    import io as _io
+
+    buf = _io.BytesIO()
+    with _fake_modules():
+        _FixturePickler(buf, protocol, None).dump(obj)
+    with open(path, "wb") as fh:
+        fh.write(importlib.import_module(codec).compress(buf.getvalue()))
+
+
 def fitted_minmax(data_min, data_max):
     s = MinMaxScaler()
     lo = np.asarray(data_min, dtype="float64")

@@ -13,6 +13,7 @@ from prometheus_anomaly_detection_lstm_spark.ml.joblib_lite import (
 
 from .joblib_fixture import (
     dump_joblib_like,
+    dump_joblib_like_compressed,
     fitted_minmax,
     fitted_standard,
 )
@@ -68,12 +69,30 @@ def test_multi_dim_and_orders(tmp_path):
         np.testing.assert_array_equal(got, a)
 
 
+@pytest.mark.parametrize("codec", ["zlib", "gzip", "bz2", "lzma"])
+def test_compressed_containers(tmp_path, codec):
+    """Stdlib-codec compressed containers (joblib compress=N and the
+    gzip/bz2/lzma writers) decompress in place and land the same
+    scaler — no joblib needed."""
+    lo, hi = [0.0, -2.5, 10.0], [1.0, 7.5, 10.0]
+    path = str(tmp_path / f"c_{codec}.joblib")
+    dump_joblib_like_compressed(fitted_minmax(lo, hi), path, codec=codec)
+    rows = scaler_params_from_joblib(path, FEATURES)
+    assert [r["min"] for r in rows] == lo
+    assert [r["max"] for r in rows] == hi
+
+
 def test_unsupported_paths(tmp_path):
-    # compressed container magic
+    # legacy ZF container magic (pre-0.10 zfile layout)
     p = tmp_path / "c.joblib"
     p.write_bytes(b"ZF\x01" + b"x" * 32)
-    with pytest.raises(JoblibUnsupported, match="compressed"):
+    with pytest.raises(JoblibUnsupported, match="container"):
         read_joblib(str(p))
+    # lz4 frame magic (no stdlib codec)
+    p4 = tmp_path / "c4.joblib"
+    p4.write_bytes(b"\x04\x22\x4d\x18" + b"x" * 32)
+    with pytest.raises(JoblibUnsupported, match="container"):
+        read_joblib(str(p4))
     # unfitted scaler (missing attributes)
     path = str(tmp_path / "unfit.joblib")
     s = fitted_minmax([0.0], [1.0])
@@ -105,3 +124,9 @@ def test_against_real_joblib(tmp_path):
     rows = scaler_params_from_joblib(path, ["a", "b"])
     assert [r["min"] for r in rows] == [0.0, 5.0]
     assert [r["max"] for r in rows] == [2.0, 9.0]
+    # compressed ground truth (zlib is joblib's compress=N default)
+    cpath = str(tmp_path / "real_c.joblib")
+    joblib.dump(s, cpath, compress=3)
+    crows = scaler_params_from_joblib(cpath, ["a", "b"])
+    assert [r["min"] for r in crows] == [0.0, 5.0]
+    assert [r["max"] for r in crows] == [2.0, 9.0]

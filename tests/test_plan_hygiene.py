@@ -73,6 +73,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "events_ab_power",          # same cuped subtree (one-row frames)
     "semantic_dedup_scaled",    # centroid table (ceil(sqrt(n)) rows —
                                 # sublinear in the corpus by design)
+    "orders_basket_affinity",   # one-row order-total denominator
 }
 
 
