@@ -34,11 +34,14 @@ AB_TAU2 = 1.0
 AB_ALPHA = 0.05
 
 
-def q_events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ab_sequential(ev: DataFrame) -> DataFrame:
     """Always-valid sequential A/B monitoring — the mixture SPRT
     (mSPRT) p-value process per experiment day, so the experimenter can
     peek daily WITHOUT inflating false positives (the fixed-horizon
     t-test in events_ab_test is only valid at its planned end).
+    ``ev`` carries (ts, user_id, value) purchase events; the streaming
+    twin is :mod:`..streaming.msprt` (sufficient statistics carried
+    across micro-batches, pinned to this operator).
 
     Per day d, over purchase events cumulative through d (variant =
     user_id % 2): Welch-free pooled-variance delta
@@ -55,10 +58,6 @@ def q_events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined); cumulative windows and all math run on the
     day-cardinality frame (~30 rows, the one sanctioned
     single-partition window scale)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
     daily = (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
@@ -125,6 +124,15 @@ def q_events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("p_day").over(w2) < AB_ALPHA).cast("int").alias(
             "significant"
         ),
+    )
+
+
+def q_events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return ab_sequential(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        )
     )
 
 
