@@ -640,3 +640,114 @@ QUERIES["text_keyword_extract"] = (
     q_text_keyword_extract,
     ORACLE_KEYWORD_EXTRACT,
 )
+
+
+# --------------------------------------- generalized ESD (Rosner) lite
+
+ESD_ROUNDS = 5       # outlier candidates tested per series
+ESD_LAMBDA = 3.0     # per-round critical value (t-quantile ~ 3.0 for
+                     # n >> k — the constant S-H-ESD-style deployments
+                     # use; exact Rosner tables need t quantiles)
+
+
+def q_metric_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD-style iterative outlier test per series (Rosner
+    1983, the engine inside Twitter's S-H-ESD): K rounds of "compute
+    mean/sd over the SURVIVING points, test the extremest residual,
+    remove it" — robust against masking, where a single-pass z-score
+    lets one huge outlier inflate sd and hide its neighbors.
+
+    Each round's mean/sd come from the points still standing, so the
+    K rounds are K chained (aggregate -> broadcast -> argmax-window)
+    stages over the per-series HOURLY frame — bounded depth, every
+    stage keyed on metric, raw samples shuffle once for the rollup.
+    The residual is rounded to 9dp before the argmax (the cross-engine
+    tie discipline), ties break on earliest hour.
+
+    Output: one row per tested candidate (metric, round, hour, value,
+    r_stat, is_outlier) — is_outlier = r_stat > ESD_LAMBDA.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    surviving = ev.groupBy(
+        F.col("event_type").alias("metric"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.avg("value").alias("y"))
+    rounds = []
+    for i in range(1, ESD_ROUNDS + 1):
+        stats = surviving.groupBy("metric").agg(
+            F.avg("y").alias("mu"),
+            F.stddev_samp("y").alias("sd"),
+            F.count("*").alias("n"),
+        )
+        scored = (
+            surviving.join(F.broadcast(stats), "metric")
+            .filter((F.col("n") >= 3) & (F.col("sd") > 0))
+            .withColumn(
+                "r",
+                F.round(F.abs(F.col("y") - F.col("mu")) / F.col("sd"), 9),
+            )
+        )
+        w = Window.partitionBy("metric").orderBy(
+            F.col("r").desc(), F.col("hour").asc()
+        )
+        top = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "metric",
+                F.lit(i).cast("int").alias("round"),
+                "hour",
+                F.round("y", 6).alias("value"),
+                F.round("r", 6).alias("r_stat"),
+                (F.col("r") > ESD_LAMBDA).cast("int").alias("is_outlier"),
+            )
+        )
+        rounds.append(top)
+        surviving = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") > 1)
+            .select("metric", "hour", "y")
+        )
+    return reduce(lambda a, b: a.unionByName(b), rounds)
+
+
+def _oracle_esd() -> str:
+    ctes = [
+        """s0 AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2
+)"""
+    ]
+    selects = []
+    for i in range(1, ESD_ROUNDS + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""r{i} AS (
+  SELECT s.metric, s.hour, s.y,
+         round(abs(s.y - st.mu) / st.sd, 9) AS r,
+         row_number() OVER (PARTITION BY s.metric
+            ORDER BY round(abs(s.y - st.mu) / st.sd, 9) DESC,
+                     s.hour ASC) AS rk
+  FROM {prev} s
+  JOIN (SELECT metric, avg(y) AS mu, stddev_samp(y) AS sd,
+               count(*) AS n
+        FROM {prev} GROUP BY 1) st
+    ON s.metric = st.metric
+  WHERE st.n >= 3 AND st.sd > 0
+)""")
+        ctes.append(f"""s{i} AS (
+  SELECT metric, hour, y FROM r{i} WHERE rk > 1
+)""")
+        selects.append(
+            f"""SELECT metric, CAST({i} AS INT) AS round, hour,
+       round(y, 6) AS value, round(r, 6) AS r_stat,
+       CAST(r > {ESD_LAMBDA!r} AS INT) AS is_outlier
+FROM r{i} WHERE rk = 1"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+QUERIES["metric_esd_outliers"] = (q_metric_esd_outliers, _oracle_esd())
