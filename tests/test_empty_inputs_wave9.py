@@ -17,6 +17,7 @@ NEW_QUERIES = [
     "text_keyword_extract",
     "semantic_dedup_scaled",
     "promql_holt_smoothing",
+    "metric_esd_outliers",
 ]
 
 _SCHEMAS = {
