@@ -190,7 +190,65 @@ def main() -> None:
             "false_alarm_hours": false_alarms,
         }
         print("shift:", name, report2[name], flush=True)
-    print(json.dumps({"shift_scenario": report2}))
+
+    # GLR change-point LOCALIZATION on the same shifted series: the
+    # zoo's detectors say "something is off"; GLR says WHERE.  Score =
+    # |argmax boundary - true shift start| in hours, per series.
+    from prometheus_anomaly_detection_lstm_spark.plans.wave9 import GLR_HALF
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FF
+
+    hourly2 = s2.groupBy(
+        "metric", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.avg("value").alias("y"))
+    sig2 = hourly2.groupBy("metric").agg(FF.var_pop("y").alias("var_y"))
+    wpre = W.partitionBy("metric").orderBy("hour").rowsBetween(
+        -GLR_HALF, -1
+    )
+    wpost = W.partitionBy("metric").orderBy("hour").rowsBetween(
+        0, GLR_HALF - 1
+    )
+    fr = (
+        hourly2.withColumn("n1", FF.count("y").over(wpre))
+        .withColumn("m1", FF.avg("y").over(wpre))
+        .withColumn("n2", FF.count("y").over(wpost))
+        .withColumn("m2", FF.avg("y").over(wpost))
+        .filter((FF.col("n1") == GLR_HALF) & (FF.col("n2") == GLR_HALF))
+        .join(FF.broadcast(sig2), "metric")
+        .withColumn(
+            "stat",
+            FF.col("n1") * FF.col("n2") / (FF.col("n1") + FF.col("n2"))
+            * (FF.col("m2") - FF.col("m1")) ** 2 / FF.col("var_y"),
+        )
+    )
+    wtop = W.partitionBy("metric").orderBy(
+        FF.col("stat").desc(), FF.col("hour").asc()
+    )
+    glr_loc = {
+        r.metric: r.hour
+        for r in fr.withColumn("rk", FF.row_number().over(wtop))
+        .filter(FF.col("rk") == 1)
+        .collect()
+    }
+    # a 24 h level shift has TWO equally strong step edges (up at
+    # start, down at start+24 h); localizing either is correct —
+    # score against the nearest true edge
+    def edge_err(m):
+        st = shift_start[m]
+        edges = (st, st + pd.Timedelta(hours=24))
+        return min(
+            abs(int((glr_loc[m] - e).total_seconds() // 3600))
+            for e in edges
+        )
+
+    loc_err = {m: edge_err(m) for m in shift_start if m in glr_loc}
+    report2["glr_localization"] = {
+        "localized_series": f"{len(loc_err)}/{N_SERIES}",
+        "abs_error_hours_to_nearest_edge": loc_err,
+        "max_abs_error_hours": max(loc_err.values()) if loc_err else None,
+    }
+    print("shift: glr_localization", report2["glr_localization"], flush=True)
+    print(json.dumps({"shift_scenario": report2}, default=str))
 
     # ---- scenario 3: heavy slot contamination ----
     # 40% of ONE hour-of-day slot's history carries +8-sigma spikes (a
