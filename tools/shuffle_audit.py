@@ -54,6 +54,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{log_dir}")
         .config("spark.eventLog.compress", "false")
