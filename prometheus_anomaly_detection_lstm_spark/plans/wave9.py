@@ -751,3 +751,269 @@ FROM r{i} WHERE rk = 1"""
 
 
 QUERIES["metric_esd_outliers"] = (q_metric_esd_outliers, _oracle_esd())
+
+
+# --------------------------------------- AR(2) one-step residual model
+
+AR2_Z = 3.0  # residual z threshold
+
+
+def q_metric_ar2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based anomaly detection via a per-series AR(2) one-step
+    predictor: y_t ~ a1 y_{t-1} + a2 y_{t-2} + c fitted CLOSED-FORM
+    from five population moments (the 2x2 normal equations solved
+    symbolically — no iteration, no Python), residual variance from
+    the OLS identity var(r) = var(y) - a1 cov(y1,y) - a2 cov(y2,y),
+    and |z| > 3 flags.  Complements the zoo: seasonal profiles learn
+    "normal for this slot"; the AR model learns "normal given the
+    last two observations" and catches level breaks inside an
+    otherwise-normal slot.
+
+    Plan: hourly rollup (the one full-data exchange), a two-lag window
+    on the same per-series partitioning, a 5-row per-series moment
+    aggregate broadcast back, map-only scoring."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("metric"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.avg("value").alias("y"))
+    w = Window.partitionBy("metric").orderBy("hour")
+    lagged = (
+        hourly.withColumn("y1", F.lag("y", 1).over(w))
+        .withColumn("y2", F.lag("y", 2).over(w))
+        .filter(F.col("y2").isNotNull())
+    )
+    m = lagged.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("y1").alias("m1"),
+        F.avg("y2").alias("m2"),
+        F.var_pop("y").alias("syy"),
+        F.var_pop("y1").alias("s11"),
+        F.var_pop("y2").alias("s22"),
+        F.covar_pop("y1", "y2").alias("s12"),
+        F.covar_pop("y1", "y").alias("s1y"),
+        F.covar_pop("y2", "y").alias("s2y"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    a1 = (
+        F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")
+    ) / F.expr("nullif(s11 * s22 - s12 * s12, 0D)")
+    a2 = (
+        F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")
+    ) / F.expr("nullif(s11 * s22 - s12 * s12, 0D)")
+    coef = m.filter((F.col("n") >= 10) & (det > 0)).select(
+        "metric",
+        a1.alias("a1"),
+        a2.alias("a2"),
+        (F.col("my") - a1 * F.col("m1") - a2 * F.col("m2")).alias("c"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.col("syy") - a1 * F.col("s1y") - a2 * F.col("s2y"),
+            )
+        ).alias("sigma_r"),
+    )
+    scored = lagged.join(F.broadcast(coef), "metric").withColumn(
+        "resid",
+        F.col("y")
+        - (
+            F.col("a1") * F.col("y1")
+            + F.col("a2") * F.col("y2")
+            + F.col("c")
+        ),
+    )
+    return (
+        scored.filter(
+            F.abs(F.col("resid"))
+            > AR2_Z * F.expr("nullif(sigma_r, 0D)")
+        )
+        .select(
+            "metric",
+            "hour",
+            F.round("y", 6).alias("value"),
+            F.round("resid", 6).alias("resid"),
+            F.round(
+                F.col("resid") / F.expr("nullif(sigma_r, 0D)"), 6
+            ).alias("z"),
+        )
+    )
+
+
+ORACLE_AR2_RESIDUALS = f"""WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT metric, hour, y,
+         lag(y, 1) OVER (PARTITION BY metric ORDER BY hour) AS y1,
+         lag(y, 2) OVER (PARTITION BY metric ORDER BY hour) AS y2
+  FROM hourly
+), l AS (SELECT * FROM lagged WHERE y2 IS NOT NULL),
+m AS (
+  SELECT metric, count(*) AS n, avg(y) AS my, avg(y1) AS m1,
+         avg(y2) AS m2, var_pop(y) AS syy, var_pop(y1) AS s11,
+         var_pop(y2) AS s22, covar_pop(y1, y2) AS s12,
+         covar_pop(y1, y) AS s1y, covar_pop(y2, y) AS s2y
+  FROM l GROUP BY 1
+), coef AS (
+  SELECT metric,
+         (s1y * s22 - s2y * s12) / nullif(s11 * s22 - s12 * s12, 0)
+           AS a1,
+         (s2y * s11 - s1y * s12) / nullif(s11 * s22 - s12 * s12, 0)
+           AS a2,
+         my, m1, m2, syy, s1y, s2y
+  FROM m
+  WHERE n >= 10 AND s11 * s22 - s12 * s12 > 0
+), cf AS (
+  SELECT metric, a1, a2, my - a1 * m1 - a2 * m2 AS c,
+         sqrt(greatest(0, syy - a1 * s1y - a2 * s2y)) AS sigma_r
+  FROM coef
+)
+SELECT l.metric, l.hour, round(l.y, 6) AS value,
+       round(l.y - (cf.a1 * l.y1 + cf.a2 * l.y2 + cf.c), 6) AS resid,
+       round((l.y - (cf.a1 * l.y1 + cf.a2 * l.y2 + cf.c))
+             / nullif(cf.sigma_r, 0), 6) AS z
+FROM l JOIN cf ON l.metric = cf.metric
+WHERE abs(l.y - (cf.a1 * l.y1 + cf.a2 * l.y2 + cf.c))
+      > {AR2_Z!r} * nullif(cf.sigma_r, 0)"""
+
+QUERIES["metric_ar2_residuals"] = (
+    q_metric_ar2_residuals,
+    ORACLE_AR2_RESIDUALS,
+)
+
+
+# ---------------------------------- incident dimension attribution
+
+def q_events_anomaly_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Root-cause attribution for the worst traffic hour — the
+    Adtributor shape (Bhagwan et al., NSDI 2014): pick the hour with
+    the largest total value (the incident), compare each dimension
+    value's SHARE of the incident hour (q) against its share of all
+    other hours (p), and rank dimension values by surprise (the
+    Jensen-Shannon divergence term) with their explanatory power
+    (share of the total composition change).
+
+    Plan: one (hour) rollup finds the incident as a one-row broadcast;
+    one conditional (event_type) rollup computes incident/baseline
+    sums; everything after runs on the dimension-cardinality frame.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    by_hour = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum("value").alias("total")
+    )
+    # deterministic argmax: max total, earliest hour on ties
+    incident = by_hour.agg(
+        F.max_by(
+            "hour", F.struct(F.col("total"), F.col("hour").cast("long") * -1)
+        ).alias("inc_hour")
+    )
+    tagged = ev.crossJoin(F.broadcast(incident)).withColumn(
+        "is_inc", (F.date_trunc("hour", "ts") == F.col("inc_hour"))
+    )
+    dims = tagged.groupBy(F.col("event_type").alias("dim_value")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_inc"), F.col("value"))), F.lit(0.0)
+        ).alias("inc_sum"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_inc"), F.col("value"))), F.lit(0.0)
+        ).alias("base_sum"),
+        F.max("inc_hour").alias("inc_hour"),
+    )
+    # shares + JS surprise + explanatory power on the
+    # dimension-cardinality frame
+    t = dims.agg(
+        F.sum("inc_sum").alias("inc_tot"),
+        F.sum("base_sum").alias("base_tot"),
+    )
+    scored = dims.crossJoin(F.broadcast(t)).select(
+        "dim_value",
+        "inc_hour",
+        (F.col("inc_sum") / F.expr("nullif(inc_tot, 0D)")).alias("q"),
+        (F.col("base_sum") / F.expr("nullif(base_tot, 0D)")).alias("p"),
+    )
+    js = 0.5 * (
+        F.when(
+            F.col("p") > 0,
+            F.col("p")
+            * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))),
+        ).otherwise(0.0)
+        + F.when(
+            F.col("q") > 0,
+            F.col("q")
+            * F.log(2 * F.col("q") / (F.col("p") + F.col("q"))),
+        ).otherwise(0.0)
+    )
+    with_js = scored.withColumn("surprise", js).withColumn(
+        "shift", F.col("q") - F.col("p")
+    )
+    denom = with_js.agg(
+        F.sum(F.abs(F.col("shift"))).alias("total_shift")
+    )
+    return (
+        with_js.crossJoin(F.broadcast(denom))
+        .select(
+            "dim_value",
+            "inc_hour",
+            F.round("p", 6).alias("baseline_share"),
+            F.round("q", 6).alias("incident_share"),
+            F.round("surprise", 6).alias("surprise"),
+            F.round(
+                F.col("shift") / F.expr("nullif(total_shift, 0D)"), 6
+            ).alias("explanatory_power"),
+        )
+        .orderBy(F.col("surprise").desc(), F.col("dim_value").asc())
+        .limit(10)
+    )
+
+
+ORACLE_ANOMALY_ATTRIBUTION = """WITH by_hour AS (
+  SELECT date_trunc('hour', ts) AS hour, sum(value) AS total
+  FROM events GROUP BY 1
+), inc AS (
+  SELECT hour AS inc_hour FROM by_hour
+  ORDER BY total DESC, hour ASC LIMIT 1
+), dims AS (
+  SELECT event_type AS dim_value,
+         coalesce(sum(CASE WHEN date_trunc('hour', ts) = inc.inc_hour
+                           THEN value END), 0) AS inc_sum,
+         coalesce(sum(CASE WHEN date_trunc('hour', ts) != inc.inc_hour
+                           THEN value END), 0) AS base_sum,
+         max(inc.inc_hour) AS inc_hour
+  FROM events CROSS JOIN inc
+  GROUP BY 1
+), t AS (
+  SELECT sum(inc_sum) AS inc_tot, sum(base_sum) AS base_tot FROM dims
+), s AS (
+  SELECT dim_value, inc_hour,
+         inc_sum / nullif(t.inc_tot, 0) AS q,
+         base_sum / nullif(t.base_tot, 0) AS p
+  FROM dims CROSS JOIN t
+), j AS (
+  SELECT dim_value, inc_hour, p, q,
+         0.5 * (CASE WHEN p > 0
+                     THEN p * ln(2 * p / (p + q)) ELSE 0 END
+              + CASE WHEN q > 0
+                     THEN q * ln(2 * q / (p + q)) ELSE 0 END)
+           AS surprise,
+         q - p AS shift
+  FROM s
+), d AS (SELECT sum(abs(shift)) AS total_shift FROM j)
+SELECT dim_value, inc_hour,
+       round(p, 6) AS baseline_share,
+       round(q, 6) AS incident_share,
+       round(surprise, 6) AS surprise,
+       round(shift / nullif(d.total_shift, 0), 6) AS explanatory_power
+FROM j CROSS JOIN d
+ORDER BY surprise DESC, dim_value ASC
+LIMIT 10"""
+
+QUERIES["events_anomaly_attribution"] = (
+    q_events_anomaly_attribution,
+    ORACLE_ANOMALY_ATTRIBUTION,
+)

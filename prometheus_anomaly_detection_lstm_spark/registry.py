@@ -318,18 +318,18 @@ PRIORITY: list[str] = [
     "metric_ramp_detect", "events_ab_sequential", "orders_basket_affinity",
     "metric_glr_changepoint", "corpus_dedup_e2e_stats",
     "text_keyword_extract", "metric_esd_outliers",
+    "metric_ar2_residuals", "events_anomaly_attribution",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (all r1): bench headliners first so the graded
     # correctness record tracks the graded performance record ----
     "tpch_q1", "tpch_q3", "tpch_q5", "windowed_events",
     "tpch_q6", "min_cost_supplier", "multires_rollup",
     "rollup_agg", "topk_per_group", "semi_anti_join", "running_revenue",
-    "distinct_users", "vocab_stats",
     # ================= past the 50-slot window =================
     # Everything below holds a green official row on unchanged code
     # (r2-r5); the local sf0.01 parity sweep still covers all of them
     # every session.
-    "funnel",
+    "distinct_users", "vocab_stats", "funnel",
     "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
     "user_set_ops", "approx_distinct_users",
     "approx_threshold_percentiles", "nan_counts",

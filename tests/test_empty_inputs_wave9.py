@@ -18,6 +18,8 @@ NEW_QUERIES = [
     "semantic_dedup_scaled",
     "promql_holt_smoothing",
     "metric_esd_outliers",
+    "metric_ar2_residuals",
+    "events_anomaly_attribution",
 ]
 
 _SCHEMAS = {

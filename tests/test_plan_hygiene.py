@@ -74,6 +74,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "semantic_dedup_scaled",    # centroid table (ceil(sqrt(n)) rows —
                                 # sublinear in the corpus by design)
     "orders_basket_affinity",   # one-row order-total denominator
+    "events_anomaly_attribution",  # one-row incident-hour + totals
 }
 
 
