@@ -1,6 +1,7 @@
 """Round-6 analytics wave: sequential A/B testing, basket affinity,
-GLR change-point localization, the corpus-pipeline funnel audit, and
-RAKE keyphrase extraction.
+GLR change-point localization, the corpus-pipeline funnel audit, RAKE
+keyphrase extraction, generalized-ESD outlier rounds, AR(2) one-step
+residual anomalies, and Adtributor-style incident attribution.
 
 Every query keeps the registry's scale discipline: raw data is touched
 by exactly one keyed rollup (or map-only projection); everything after

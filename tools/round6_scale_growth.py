@@ -91,11 +91,27 @@ def main() -> None:
             "value",
             F.col("event_id").alias("seq"),
         )
+        from prometheus_anomaly_detection_lstm_spark.plans import wave8, wave9
+
         timings = [
             ("semdedup_fixed_k", lambda: KM.semantic_dedup(vec)),
             ("semdedup_scaled_k", lambda: KM.semantic_dedup_scaled(vec)),
             ("holt_per_sample", lambda: holt_smoothing(samples)),
             ("holt_hourly", lambda: holt_smoothing_hourly(samples)),
+            # the wave-9 event-family: each is one keyed rollup +
+            # metadata-scale math, so walls should track the rollup scan
+            ("ramp_detect",
+             lambda: wave8.q_metric_ramp_detect(spark, ev_dir)),
+            ("glr_changepoint",
+             lambda: wave9.q_metric_glr_changepoint(spark, ev_dir)),
+            ("ar2_residuals",
+             lambda: wave9.q_metric_ar2_residuals(spark, ev_dir)),
+            ("ab_sequential",
+             lambda: wave9.q_events_ab_sequential(spark, ev_dir)),
+            ("anomaly_attribution",
+             lambda: wave9.q_events_anomaly_attribution(spark, ev_dir)),
+            ("esd_outliers",
+             lambda: wave9.q_metric_esd_outliers(spark, ev_dir)),
         ]
         for name, mk in timings:
             t0 = time.perf_counter()
