@@ -39,5 +39,14 @@ hygiene:
 bench:
 	python bench.py
 
+# per-query bytes-moved audit from event-log task metrics (BASELINE.md)
+shuffle-audit:
+	python tools/shuffle_audit.py
+
+# labeled detector scorecard: point spikes / level shift (+GLR
+# localization) / slot contamination / slow ramp
+zoo:
+	python tools/detector_zoo_eval.py
+
 clean:
 	rm -rf spark-warehouse metastore_db derby.log .pytest_cache .hypothesis
