@@ -319,6 +319,9 @@ PRIORITY: list[str] = [
     "metric_glr_changepoint", "corpus_dedup_e2e_stats",
     "text_keyword_extract", "metric_esd_outliers",
     "metric_ar2_residuals", "events_anomaly_attribution",
+    "orders_price_elasticity", "metric_cointegration_pairs",
+    "embedding_kcenter_coreset", "text_burstiness",
+    "events_ab_srm_check",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (all r1): bench headliners first so the graded
     # correctness record tracks the graded performance record ----
@@ -426,7 +429,7 @@ PRIORITY: list[str] = [
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import (
         extended, mining, relational, robust, tpch_more, tpch_wave3, wave5,
-        wave8, wave9,
+        wave8, wave9, wave10,
     )
     from .operators import (
         approx, bpe, corpus, dedup, kmeans, linalg, matrixprofile,
@@ -445,6 +448,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(robust.QUERIES)
     merged.update(wave8.QUERIES)
     merged.update(wave9.QUERIES)
+    merged.update(wave10.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(promql_lang.QUERIES)

@@ -20,6 +20,11 @@ NEW_QUERIES = [
     "metric_esd_outliers",
     "metric_ar2_residuals",
     "events_anomaly_attribution",
+    "orders_price_elasticity",
+    "metric_cointegration_pairs",
+    "embedding_kcenter_coreset",
+    "text_burstiness",
+    "events_ab_srm_check",
 ]
 
 _SCHEMAS = {

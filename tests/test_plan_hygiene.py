@@ -75,6 +75,7 @@ BNLJ_SCALAR_BROADCASTS = {
                                 # sublinear in the corpus by design)
     "orders_basket_affinity",   # one-row order-total denominator
     "events_anomaly_attribution",  # one-row incident-hour + totals
+    "text_burstiness",          # one-row n_docs broadcast
 }
 
 
