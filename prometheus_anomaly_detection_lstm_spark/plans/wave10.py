@@ -456,3 +456,306 @@ SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
 FROM c"""
 
 QUERIES["events_ab_srm_check"] = (q_events_ab_srm_check, ORACLE_SRM)
+
+
+# ------------------------------------- variance-shift GLR localization
+
+VGLR_HALF = 24  # hours per side
+
+
+def q_metric_glr_variance_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance-shift LOCALIZATION per series: the two-sample normal
+    likelihood-ratio statistic for a VARIANCE change at every hourly
+    boundary — the complement of metric_glr_changepoint, which only
+    sees the mean.  Instability onset (jitter, oscillation, load
+    thrash) moves the second moment long before the mean drifts.
+
+        -2 ln L = n1 ln(s2_pool / s2_pre) + n2 ln(s2_pool / s2_post),
+        s2_pool = (n1 s2_pre + n2 s2_post) / (n1 + n2)   (MLE vars)
+
+    Same plan shape as the mean GLR: hourly rollup, two bounded frames
+    on one per-series window exchange, argmax per series."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("metric"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.avg("value").alias("y"))
+    w_pre = (
+        Window.partitionBy("metric")
+        .orderBy("hour")
+        .rowsBetween(-VGLR_HALF, -1)
+    )
+    w_post = (
+        Window.partitionBy("metric")
+        .orderBy("hour")
+        .rowsBetween(0, VGLR_HALF - 1)
+    )
+    framed = (
+        hourly.withColumn("n1", F.count("y").over(w_pre))
+        .withColumn("v1", F.var_pop("y").over(w_pre))
+        .withColumn("n2", F.count("y").over(w_post))
+        .withColumn("v2", F.var_pop("y").over(w_post))
+        .filter(
+            (F.col("n1") == VGLR_HALF)
+            & (F.col("n2") == VGLR_HALF)
+            & (F.col("v1") > 0)
+            & (F.col("v2") > 0)
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    pool = (n1 * F.col("v1") + n2 * F.col("v2")) / (n1 + n2)
+    stat = n1 * F.log(pool / F.col("v1")) + n2 * F.log(
+        pool / F.col("v2")
+    )
+    scored = framed.withColumn("stat", F.round(stat, 6))
+    w_top = Window.partitionBy("metric").orderBy(
+        F.col("stat").desc(), F.col("hour").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select(
+            "metric",
+            F.col("hour").alias("change_hour"),
+            F.round("v1", 6).alias("var_pre"),
+            F.round("v2", 6).alias("var_post"),
+            F.col("stat").alias("vglr_stat"),
+        )
+    )
+
+
+ORACLE_GLR_VARIANCE = f"""WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2
+), framed AS (
+  SELECT metric, hour,
+         count(y) OVER pre AS n1, var_pop(y) OVER pre AS v1,
+         count(y) OVER post AS n2, var_pop(y) OVER post AS v2
+  FROM hourly
+  WINDOW pre AS (PARTITION BY metric ORDER BY hour
+                 ROWS BETWEEN {VGLR_HALF} PRECEDING AND 1 PRECEDING),
+         post AS (PARTITION BY metric ORDER BY hour
+                  ROWS BETWEEN CURRENT ROW AND {VGLR_HALF - 1} FOLLOWING)
+), ok AS (
+  SELECT * FROM framed
+  WHERE n1 = {VGLR_HALF} AND n2 = {VGLR_HALF} AND v1 > 0 AND v2 > 0
+), scored AS (
+  SELECT metric, hour, v1, v2,
+         round(n1 * ln(((n1 * v1 + n2 * v2) / (n1 + n2)) / v1)
+             + n2 * ln(((n1 * v1 + n2 * v2) / (n1 + n2)) / v2), 6)
+           AS stat
+  FROM ok
+), top AS (
+  SELECT *, row_number() OVER (PARTITION BY metric
+             ORDER BY stat DESC, hour ASC) AS rk
+  FROM scored
+)
+SELECT metric, hour AS change_hour,
+       round(v1, 6) AS var_pre, round(v2, 6) AS var_post,
+       stat AS vglr_stat
+FROM top WHERE rk = 1"""
+
+QUERIES["metric_glr_variance_change"] = (
+    q_metric_glr_variance_change,
+    ORACLE_GLR_VARIANCE,
+)
+
+
+# ------------------------------------- sample n-gram coverage eval
+
+COV_NGRAM = 3
+
+
+def q_corpus_sample_ngram_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much corpus DIVERSITY does the deterministic ~5% hash
+    sample keep?  Reports distinct-3-gram coverage (what fraction of
+    the full corpus's distinct 3-grams appear in the sample) and
+    mass coverage (fraction of total 3-gram OCCURRENCES whose gram is
+    sample-covered) — the eval a data-curation pipeline runs before
+    trusting a sampled study.  Distinct coverage is the diversity
+    number; mass coverage is always higher because frequent grams are
+    caught by any sample (their gap is the long-tail loss).
+
+    Plan: one gram explode + per-gram aggregate carrying total count
+    and a sample-presence flag (conditional max) — vocabulary-scale;
+    the readout is a one-row reduction."""
+    from ..operators.corpus import SAMPLE_RATE_HEX, _md5_hex
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = (
+        F.substring(_md5_hex("doc_id"), 1, 6) < F.lit(SAMPLE_RATE_HEX)
+    ).cast("int")
+    toks = docs.select(
+        "doc_id", in_sample.alias("s"), F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= COV_NGRAM)
+    grams = toks.select(
+        "s",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("ws") - F.lit(COV_NGRAM - 1)
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("ws", i, COV_NGRAM)
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("gram").agg(
+        F.count("*").alias("cnt"),
+        F.max("s").alias("covered"),
+    )
+    return per_gram.agg(
+        F.count("*").cast("bigint").alias("distinct_grams"),
+        F.sum("covered").cast("bigint").alias("covered_grams"),
+        F.round(
+            F.sum("covered") / F.count("*").cast("double"), 6
+        ).alias("distinct_coverage"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("covered"))
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("mass_coverage"),
+    )
+
+
+ORACLE_SAMPLE_COVERAGE = """WITH toks AS (
+  SELECT doc_id,
+         CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '0ccccd'
+              AS INT) AS s,
+         string_split(text, ' ') AS ws
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), grams AS (
+  SELECT s, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+), per_gram AS (
+  SELECT gram, count(*) AS cnt, max(s) AS covered
+  FROM grams GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS distinct_grams,
+       CAST(sum(covered) AS BIGINT) AS covered_grams,
+       round(sum(covered) / CAST(count(*) AS DOUBLE), 6)
+         AS distinct_coverage,
+       round(sum(cnt * covered) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS mass_coverage
+FROM per_gram"""
+
+QUERIES["corpus_sample_ngram_coverage"] = (
+    q_corpus_sample_ngram_coverage,
+    ORACLE_SAMPLE_COVERAGE,
+)
+
+
+# ------------------------------------- inter-source overlap matrix
+
+OVL_NGRAM = 8
+
+
+def q_text_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-SOURCE duplication matrix: for every ordered source pair,
+    the count of shared distinct 8-gram fingerprints and the
+    containment of the smaller-listed side — which datasets copy from
+    which (mirrors, scrapes, shared boilerplate) BEFORE doc-level
+    dedup mixes them.  The inter-dataset twin of the per-doc
+    containment operator.
+
+    Plan: gram explode -> distinct (source, md5 fingerprint) — the
+    inverted-index discipline: the self-join runs on the fingerprint
+    key, so only co-occurring fingerprints pair; per-source totals
+    broadcast (source cardinality) for the containment shares."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= OVL_NGRAM)
+    fps = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("ws") - F.lit(OVL_NGRAM - 1)
+                ),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("ws", i, OVL_NGRAM)).cast(
+                        "binary"
+                    )
+                ),
+            )
+        ).alias("fp"),
+    ).distinct()
+    totals = fps.groupBy("source").agg(F.count("*").alias("n_fp"))
+    pairs = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_fp").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_fp").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""WITH toks AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= {OVL_NGRAM}
+), fps AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(ws, i, i + {OVL_NGRAM - 1}), ' '))
+           AS fp
+  FROM toks, unnest(generate_series(1, len(ws) - {OVL_NGRAM - 1})) AS t(i)
+), totals AS (
+  SELECT source, count(*) AS n_fp FROM fps GROUP BY 1
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM fps a JOIN fps b
+    ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       round(n_common / CAST(ta.n_fp AS DOUBLE), 6) AS containment_a,
+       round(n_common / CAST(tb.n_fp AS DOUBLE), 6) AS containment_b
+FROM pairs
+JOIN totals ta ON pairs.source_a = ta.source
+JOIN totals tb ON pairs.source_b = tb.source"""
+
+QUERIES["text_source_overlap_matrix"] = (
+    q_text_source_overlap_matrix,
+    ORACLE_SOURCE_OVERLAP,
+)

@@ -321,7 +321,8 @@ PRIORITY: list[str] = [
     "metric_ar2_residuals", "events_anomaly_attribution",
     "orders_price_elasticity", "metric_cointegration_pairs",
     "embedding_kcenter_coreset", "text_burstiness",
-    "events_ab_srm_check",
+    "events_ab_srm_check", "metric_glr_variance_change",
+    "corpus_sample_ngram_coverage", "text_source_overlap_matrix",
     # ---- fill the window tail with the queries whose latest official
     # row is oldest (all r1): bench headliners first so the graded
     # correctness record tracks the graded performance record ----

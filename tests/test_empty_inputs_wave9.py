@@ -25,6 +25,9 @@ NEW_QUERIES = [
     "embedding_kcenter_coreset",
     "text_burstiness",
     "events_ab_srm_check",
+    "metric_glr_variance_change",
+    "corpus_sample_ngram_coverage",
+    "text_source_overlap_matrix",
 ]
 
 _SCHEMAS = {
