@@ -42,9 +42,11 @@ LSTM_SEED = 20240613
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
-    # clamp so np.exp never overflows (RuntimeWarning); at |z| = 500
-    # the result already saturates to exactly 0.0/1.0 in float64, so
-    # outputs are bit-identical to the unclamped form
+    # clamp so np.exp never overflows (RuntimeWarning).  At z = +500
+    # the positive branch saturates to exactly 1.0 in float64; for
+    # z < -500 the clamp returns 1/(1+e^500) ~ 7.1e-218 where the true
+    # value is smaller (exact 0.0 past z ~ -709.8) — a difference below
+    # 1e-217 that vanishes at output rounding (6dp discipline).
     return 1.0 / (1.0 + np.exp(-np.clip(z, -500.0, 500.0)))
 
 

@@ -627,16 +627,18 @@ def q_corpus_sample_ngram_coverage(
     )
 
 
-ORACLE_SAMPLE_COVERAGE = """WITH toks AS (
+from ..operators.corpus import SAMPLE_RATE_HEX as _SRH
+
+ORACLE_SAMPLE_COVERAGE = f"""WITH toks AS (
   SELECT doc_id,
-         CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '0ccccd'
+         CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{_SRH}'
               AS INT) AS s,
          string_split(text, ' ') AS ws
   FROM documents
-  WHERE len(string_split(text, ' ')) >= 3
+  WHERE len(string_split(text, ' ')) >= {COV_NGRAM}
 ), grams AS (
-  SELECT s, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
-  FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  SELECT s, array_to_string(list_slice(ws, i, i + {COV_NGRAM - 1}), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(ws) - {COV_NGRAM - 1})) AS t(i)
 ), per_gram AS (
   SELECT gram, count(*) AS cnt, max(s) AS covered
   FROM grams GROUP BY 1

@@ -282,10 +282,41 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-6 verdict task 1: the 26 queries that have NEVER had
-    # an official CORRECTNESS row (round-5 continuation additions that
-    # landed past that round's window).  After this round EVERY
-    # registry query has an official driver row.  Hash-graded first:
+    # ---- round-7 new queries (never graded; first official rows) ----
+    # (inserted here as they land; WINDOW_MARKER test keeps the 50-slot
+    # line honest)
+    # ---- round-7 verdict task 1: staleness refresh.  Oldest official
+    # rows first: the 17 queries whose latest driver row is ROUND 1
+    # (five rounds of code churn since), then the stalest round-2 rows
+    # (pipeline headliners ffill_bfill/metrics_wide/standard_scaled
+    # first, then the fill/align, text, multimodal and corpus
+    # families).  Everything here is green in the local parity sweep
+    # every session — this is artifact freshness, not risk repair. ----
+    "rollup_agg", "topk_per_group", "semi_anti_join",
+    "running_revenue", "distinct_users", "vocab_stats", "funnel",
+    "embedding_mean_by_label", "events_hourly_pivot",
+    "unpivot_metrics", "user_set_ops", "approx_distinct_users",
+    "approx_threshold_percentiles", "nan_counts", "tpch_q6",
+    "min_cost_supplier", "multires_rollup",
+    "ffill_bfill", "metrics_wide", "standard_scaled", "scaler_params",
+    "calendar_features", "fill_mean", "fill_median", "tail_n",
+    "inner_align", "dedup_keep_first", "multi_series_first",
+    "union_periods", "backfill_missing", "numeric_coercion",
+    "text_token_counts", "text_lang_id", "text_fingerprints",
+    "text_winnowing_fingerprints", "text_pii_redact",
+    "text_quality_scores", "text_tfidf_top_terms",
+    "multimodal_binary_metadata", "multimodal_decode_stub",
+    "multimodal_frame_sample", "corpus_hash_sample",
+    "corpus_doc_chunks", "corpus_doc_packing", "mse_histogram",
+    "threshold_percentiles", "per_feature_mse", "anomaly_flags",
+    "asof_join", "rolling_features",
+    # ================= past the 50-slot window =================
+    # (position enforced by tests/test_registry_hygiene.py)
+    # round-2-latest remainder — first in line for the round-8 window:
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "embedding_norms", "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
+    # round-3..6-latest rows on unchanged code, newest-graded last:
     "doc_type_token_ratio", "customer_order_gaps",
     "join_key_skew_profile", "embedding_hard_negatives",
     "metric_sax_symbols", "text_pmi_collocations",
@@ -294,28 +325,13 @@ PRIORITY: list[str] = [
     "promql_lang_changes_sum", "promql_lang_unless_gate",
     "metric_seasonal_mad", "embedding_knn_label_audit",
     "metric_sax_similar_days", "dedup_lsh_bucket_profile",
-    "dedup_hot_shingles", "orders_km_reorder_curve",
-    "events_ab_cuped", "events_ab_power", "metric_df_stationarity",
-    # ... then the 5 rows-only-by-design first-timers (no SQL twin —
-    # FFT / eigendecomposition / coupled recursion / quadratic NN /
-    # int16 DSP; exactness pinned vs numpy replicas in pytest):
+    "dedup_hot_shingles", "orders_km_reorder_curve", "events_ab_cuped",
+    "events_ab_power", "metric_df_stationarity",
     "metric_matrix_profile", "multimodal_audio_features",
     "metric_spectral_residual", "metric_holt_winters",
-    "metric_pca_scores",
-    # ---- NEW in round 6 (first official rows) ----
-    # bucketed-lake routing of the q3 logic: the measured -39% sf1
-    # remedy (tests/test_bucketed_tpch.py) on the official record,
-    # same oracle as tpch_q3
-    "tpch_q3_bucketed",
-    # semantic_dedup with corpus-scaled k (k ~ n/avg_cluster_size):
-    # closes the fixed-k quadratic-within-cluster caveat
-    "semantic_dedup_scaled",
-    # holt smoothing over the hourly rollup (retires the K=120
-    # collect_list frame — the costliest per-row operator in the
-    # registry); plan changed, needs a fresh row
-    "promql_holt_smoothing",
-    # round-6 additions registered as they land:
-    "metric_ramp_detect", "events_ab_sequential", "orders_basket_affinity",
+    "metric_pca_scores", "tpch_q3_bucketed", "semantic_dedup_scaled",
+    "promql_holt_smoothing", "metric_ramp_detect",
+    "events_ab_sequential", "orders_basket_affinity",
     "metric_glr_changepoint", "corpus_dedup_e2e_stats",
     "text_keyword_extract", "metric_esd_outliers",
     "metric_ar2_residuals", "events_anomaly_attribution",
@@ -323,20 +339,7 @@ PRIORITY: list[str] = [
     "embedding_kcenter_coreset", "text_burstiness",
     "events_ab_srm_check", "metric_glr_variance_change",
     "corpus_sample_ngram_coverage", "text_source_overlap_matrix",
-    # ---- fill the window tail with the queries whose latest official
-    # row is oldest (all r1): bench headliners first so the graded
-    # correctness record tracks the graded performance record ----
     "tpch_q1", "tpch_q3", "tpch_q5", "windowed_events",
-    "tpch_q6", "min_cost_supplier", "multires_rollup",
-    "rollup_agg", "topk_per_group", "semi_anti_join", "running_revenue",
-    # ================= past the 50-slot window =================
-    # Everything below holds a green official row on unchanged code
-    # (r2-r5); the local sf0.01 parity sweep still covers all of them
-    # every session.
-    "distinct_users", "vocab_stats", "funnel",
-    "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
-    "user_set_ops", "approx_distinct_users",
-    "approx_threshold_percentiles", "nan_counts",
     "metric_resample_interpolate", "text_log_odds_keywords",
     "events_attribution", "corpus_bloom_decontaminate",
     "events_frequent_paths", "orders_backlog_daily",
@@ -344,28 +347,23 @@ PRIORITY: list[str] = [
     "orders_churn_labels", "text_related_docs_topk",
     "dedup_minhash_recall_eval", "promql_vector_match_ratio",
     "events_props_key_profile", "events_dau_wau", "events_bot_cadence",
-    "multimodal_phash_dedup", "embedding_whiten",
-    "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
-    "ann_cosine_topk_pq",
-    "ann_cosine_topk", "dedup_minhash_lsh",
-    "text_bm25_topk", "embedding_matryoshka_eval", "dedup_edit_distance",
+    "multimodal_phash_dedup", "embedding_whiten", "metric_periodogram",
+    "vocab_bpe_merges", "embedding_ridge_fit", "ann_cosine_topk_pq",
+    "ann_cosine_topk", "dedup_minhash_lsh", "text_bm25_topk",
+    "embedding_matryoshka_eval", "dedup_edit_distance",
     "text_nb_classifier", "text_nb_classifier_auc",
-    "embedding_logreg_fit",
-    "metric_cusum_anomalies", "metric_theil_sen_trend",
-    "text_char_entropy", "corpus_zipf_fit", "events_funnel_timing",
-    "events_heavy_hitters", "corpus_source_token_drift",
-    "promql_lang_rate_sum", "promql_lang_topk_gauge",
-    "promql_lang_increase_filter", "promql_lang_error_ratio",
-    "promql_lang_histogram_quantile", "promql_lang_quantile_over_time",
-    "promql_lang_label_replace", "text_nb_confusion",
-    "parts_abc_by_brand", "shipping_delay_profile",
-    "events_markov_next_eval", "text_readability_scores",
-    "return_rate_by_brand", "supplier_hhi_by_nation",
-    "text_quality_scores", "text_tfidf_top_terms", "text_frequent_tokens",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "anomaly_flags", "asof_join",
-    "rolling_features",
-    "dedup_apply", "dedup_clusters", "dedup_minhash_incremental",
+    "embedding_logreg_fit", "metric_cusum_anomalies",
+    "metric_theil_sen_trend", "text_char_entropy", "corpus_zipf_fit",
+    "events_funnel_timing", "events_heavy_hitters",
+    "corpus_source_token_drift", "promql_lang_rate_sum",
+    "promql_lang_topk_gauge", "promql_lang_increase_filter",
+    "promql_lang_error_ratio", "promql_lang_histogram_quantile",
+    "promql_lang_quantile_over_time", "promql_lang_label_replace",
+    "text_nb_confusion", "parts_abc_by_brand",
+    "shipping_delay_profile", "events_markov_next_eval",
+    "text_readability_scores", "return_rate_by_brand",
+    "supplier_hhi_by_nation", "text_frequent_tokens", "dedup_apply",
+    "dedup_clusters", "dedup_minhash_incremental",
     "corpus_decontaminate", "corpus_shuffle_shards",
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_repetition_scores", "text_quality_filter",
@@ -379,51 +377,31 @@ PRIORITY: list[str] = [
     "metric_forecast_backtest", "promql_label_ops",
     "customer_rfm_segments", "events_association_rules",
     "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
-    "cohort_ltv_curve",
-    "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
-    "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
+    "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
+    "corpus_mixture_sample", "text_containment_pairs",
+    "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",
     "promql_rate_offset_delta", "promql_sum_by_rate",
     "promql_series_cardinality", "promql_time_weighted_avg",
     "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
-    "metric_seasonal_anomaly",
-    "events_grouping_sets", "events_rank_functions", "event_pagerank",
-    "scd2_user_bands",
-    "dedup_embedding_cosine",
-    "embedding_norms", "embedding_random_projection",
-    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
+    "metric_seasonal_anomaly", "events_grouping_sets",
+    "events_rank_functions", "event_pagerank", "scd2_user_bands",
+    "dedup_embedding_cosine", "embedding_random_projection",
     "promql_counter_rate", "promql_gauge_over_time",
     "promql_histogram_quantile", "promql_topk_series",
     "promql_rate_by_labelset", "promql_rate_anomaly",
-    "promql_deriv_predict", "promql_absent",
-    "metric_correlations",
-    "corpus_clean_pipeline",
-    "minmax_scaled", "anomaly_mse", "threshold_split", "anomaly_mse_lstm",
-    "corpus_stratified_sample",
-    "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
-    "user_set_ops",
-    "approx_distinct_users", "approx_threshold_percentiles",
+    "promql_deriv_predict", "promql_absent", "metric_correlations",
+    "corpus_clean_pipeline", "minmax_scaled", "anomaly_mse",
+    "threshold_split", "anomaly_mse_lstm", "corpus_stratified_sample",
     "embedding_covariance", "cube_agg", "table_profile",
-    "text_ngram_novelty", "text_dup_ngram_spans", "text_lm_trigram_scores",
-    "sessionize", "events_json_extract", "retention_cohorts",
-    "user_path_transitions", "metric_trend_slopes",
-    "range_join_interval_counts",
-    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
+    "text_ngram_novelty", "text_dup_ngram_spans",
+    "text_lm_trigram_scores", "sessionize", "events_json_extract",
+    "retention_cohorts", "user_path_transitions",
+    "metric_trend_slopes", "range_join_interval_counts", "tpch_q4",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22",
-    "mse_histogram", "threshold_percentiles", "per_feature_mse",
-    "nan_counts",
-    "ffill_bfill", "scaler_params", "standard_scaled", "metrics_wide",
-    "calendar_features",
-    "fill_mean", "fill_median", "tail_n", "inner_align",
-    "dedup_keep_first", "multi_series_first", "union_periods",
-    "backfill_missing", "numeric_coercion",
-    "text_token_counts",
-    "text_lang_id", "text_fingerprints", "text_winnowing_fingerprints",
-    "text_pii_redact", "multimodal_binary_metadata",
-    "multimodal_decode_stub", "multimodal_frame_sample",
-    "corpus_hash_sample", "corpus_doc_chunks", "corpus_doc_packing",
 ]
 
 

@@ -112,9 +112,20 @@ def test_streaming_msprt_split_invariant_and_matches_batch(spark, tmp_path):
     assert one[max(one)][5] == 1
 
     # mid-day split: within-day peeking re-emits the day with its
-    # latest cumulative stats; the FINAL day readout is unchanged
+    # latest cumulative stats.  The final cumulative fields (n0, n1,
+    # delta, log_lr) are unchanged, but p_always_valid is a RUNNING MIN
+    # over peeks — an extra mid-day peek can only lower it (and a lower
+    # p can only add significance), so equality is not guaranteed by
+    # mSPRT semantics for non-day-aligned batches.
     half = len(rows) // 2
     mid = _run_stream(
         spark, tmp_path, [rows[:half], rows[half:]], "msprt_mid"
     )
-    assert mid == one
+    assert set(mid) == set(one)
+    for day, m in mid.items():
+        o = one[day]
+        assert m[:2] == o[:2]  # counts exact
+        for x, y in zip(m[2:4], o[2:4]):  # rounded floats
+            assert abs(x - y) <= 1e-6
+        assert m[4] <= o[4] + 1e-9  # extra peek only lowers running-min p
+        assert m[5] >= o[5]  # lower p never un-calls significance
