@@ -1,0 +1,418 @@
+"""Round-7 wave 11: the two CCNet-style LLM-data staples the suite
+lacked (char-n-gram language identification, perplexity-bucket quality
+filtering) and the EVT/SPOT automatic anomaly threshold.
+
+- ``text_lang_id_ngram`` — multinomial Naive Bayes language
+  identification over CHARACTER TRIGRAMS, the fastText/CCNet lang-id
+  shape (cf. Joulin et al. 2017; CCNet, Wenzek et al. 2020), trained
+  AND applied in one Catalyst DAG: docs with ``doc_id % FOLD != 0``
+  train per-language trigram tables, the held-out fold is scored by
+  length-normalized log-likelihood (uniform prior) and labeled with
+  the argmax language.  Unlike ``text_lang_id`` (stopword-list
+  heuristic) this learns its model from data — on a real multilingual
+  corpus the trigram tables capture orthography (die/der vs the/of vs
+  de/la), which is exactly how fastText's lang-id works.
+- ``corpus_perplexity_filter`` — the second half of the CCNet recipe:
+  score every document with the corpus-trained character-trigram LM
+  (``text_lm_trigram_scores``'s model), convert to per-character
+  PERPLEXITY, split the corpus at the global perplexity terciles into
+  head/middle/tail buckets, and keep head+middle — CCNet's
+  perplexity-bucket curriculum verbatim (they use a pretrained KenLM;
+  the bucketing/keep logic is identical).
+- ``metric_spot_threshold`` — SPOT/EVT automatic thresholding (Siffer
+  et al., KDD'17): peaks-over-threshold excesses above an initial
+  per-series quantile are fit with a Generalized Pareto Distribution
+  (closed-form method-of-moments: xi = (1 - m^2/s^2)/2, sigma =
+  m*(1 + m^2/s^2)/2) and the alarm threshold z_q solves
+  P(X > z_q) = q.  This replaces the reference's hand-tuned
+  ``anomaly_threshold_mse`` (config.yaml:113-119) with a principled
+  risk-calibrated threshold; ``streaming/spot.py`` feeds the same fit
+  into the realtime detector.
+
+Scale notes (100 TB): lang-id's model is VOCABULARY-scale (charset^3
+trigram table, MBs) — one keyed agg builds it, one (AQE-gated) join
+applies it, per-doc scores are a keyed agg; nothing corpus-scale ever
+sits on the driver.  The perplexity filter is the same trigram rollup
+plus a doc-count-scale percentile (at 100 TB swap the exact percentile
+for approx_percentile — the ``approx_threshold_percentiles`` twin
+discipline).  SPOT reduces each series to a handful of moments: two
+keyed aggregates over samples, a broadcast of the per-series
+quantile, and series-cardinality-scale closed-form math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_tables import events_series, load_table
+
+QUERIES: dict = {}
+
+
+# ------------------------------------ char-trigram NB language id
+
+#: label vocabulary of the corpus fixture (documents.lang); on another
+#: corpus pass the observed label set — the pivot must be static so
+#: the plan (and its SQL twin) stay declarative.
+LANGID_LANGS = ("de", "en", "es", "fr", "zh")
+#: held-out fold: doc_id % LANGID_FOLD_MOD == 0 scores, the rest
+#: trains (same fold convention as text_nb_classifier).
+LANGID_FOLD_MOD = 5
+
+
+def lang_id_ngram(docs: DataFrame) -> DataFrame:
+    """Char-trigram NB lang-id; see module docstring.
+
+    Laplace-smoothed per-language trigram log-probabilities
+    ln((c_l + 1) / (tot_l + V)); a trigram unseen in training
+    contributes the smoothed floor ln(1 / (tot_l + V)).  Scores are
+    LENGTH-NORMALIZED (mean log-likelihood per trigram instance,
+    uniform prior) so short and long docs are comparable — argmax is
+    unchanged vs the sum form.  Ties (identical rounded scores) break
+    by language-code order via the first-match CASE.
+
+    Output: (doc_id, lang_true, s_<lang>... , lang_pred, correct) for
+    the held-out fold, scores rounded 6dp.
+    """
+    base = docs.select(
+        "doc_id", F.col("lang").alias("lang_true"), F.lower("text").alias("lt")
+    ).filter(F.length("lt") >= 3)
+    tris = base.select(
+        "doc_id",
+        "lang_true",
+        F.explode(
+            F.expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))")
+        ).alias("tri"),
+    )
+    train = tris.filter(F.col("doc_id") % LANGID_FOLD_MOD != 0)
+    counts = train.groupBy("tri").agg(
+        *[
+            F.sum((F.col("lang_true") == l).cast("bigint")).alias(f"c_{l}")
+            for l in LANGID_LANGS
+        ]
+    )
+    stats = counts.agg(
+        *[F.sum(f"c_{l}").alias(f"tot_{l}") for l in LANGID_LANGS],
+        F.count("*").alias("v"),
+    )
+    test = tris.filter(F.col("doc_id") % LANGID_FOLD_MOD == 0)
+    # left-join the vocabulary-scale model (AQE broadcasts while it
+    # fits); ln(NULL) is NULL so the coalesce falls through to the
+    # smoothed floor for unseen trigrams.
+    scored = (
+        test.join(counts, "tri", "left")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.round(
+                    F.avg(
+                        F.coalesce(
+                            F.log(
+                                (F.col(f"c_{l}") + 1.0)
+                                / (F.col(f"tot_{l}") + F.col("v"))
+                            ),
+                            F.log(1.0 / (F.col(f"tot_{l}") + F.col("v"))),
+                        )
+                    ),
+                    6,
+                ).alias(f"s_{l}")
+                for l in LANGID_LANGS
+            ]
+        )
+    )
+    m = F.greatest(*[F.col(f"s_{l}") for l in LANGID_LANGS])
+    expr = None
+    for l in LANGID_LANGS:
+        cond = F.col(f"s_{l}") == m
+        expr = F.when(cond, l) if expr is None else expr.when(cond, l)
+    labeled = base.select("doc_id", "lang_true").filter(
+        F.col("doc_id") % LANGID_FOLD_MOD == 0
+    )
+    return (
+        labeled.join(scored, "doc_id")
+        .withColumn("lang_pred", expr)
+        .withColumn(
+            "correct", (F.col("lang_pred") == F.col("lang_true")).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            *[f"s_{l}" for l in LANGID_LANGS],
+            "lang_pred",
+            "correct",
+        )
+    )
+
+
+def q_text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return lang_id_ngram(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    cs = ",\n         ".join(
+        f"count(*) FILTER (lang_true = '{l}') AS c_{l}" for l in LANGID_LANGS
+    )
+    tots = ", ".join(f"sum(c_{l}) AS tot_{l}" for l in LANGID_LANGS)
+    scores = ",\n         ".join(
+        f"round(avg(coalesce(ln((c_{l} + 1.0) / (tot_{l} + v)),"
+        f" ln(1.0 / (tot_{l} + v)))), 6) AS s_{l}"
+        for l in LANGID_LANGS
+    )
+    m = "greatest(" + ", ".join(f"s_{l}" for l in LANGID_LANGS) + ")"
+    case = " ".join(f"WHEN s_{l} = {m} THEN '{l}'" for l in LANGID_LANGS)
+    return f"""WITH base AS (
+  SELECT doc_id, lang AS lang_true, lower(text) AS lt
+  FROM documents WHERE length(lower(text)) >= 3
+), tris AS (
+  SELECT doc_id, lang_true, substring(lt, i, 3) AS tri
+  FROM base, unnest(generate_series(1, length(lt) - 2)) t(i)
+), counts AS (
+  SELECT tri,
+         {cs}
+  FROM tris WHERE doc_id % {LANGID_FOLD_MOD} <> 0 GROUP BY tri
+), stats AS (
+  SELECT {tots}, count(*) AS v FROM counts
+), scored AS (
+  SELECT doc_id,
+         {scores}
+  FROM (SELECT * FROM tris WHERE doc_id % {LANGID_FOLD_MOD} = 0) t
+  LEFT JOIN counts USING (tri) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.lang_true, {', '.join(f's_{l}' for l in LANGID_LANGS)},
+       CASE {case} END AS lang_pred,
+       CAST((CASE {case} END) = b.lang_true AS BIGINT) AS correct
+FROM base b JOIN scored s ON b.doc_id = s.doc_id
+WHERE b.doc_id % {LANGID_FOLD_MOD} = 0"""
+
+
+ORACLE_LANG_ID_NGRAM = _langid_sql()
+
+QUERIES["text_lang_id_ngram"] = (q_text_lang_id_ngram, ORACLE_LANG_ID_NGRAM)
+
+
+# ------------------------------------ perplexity-bucket quality filter
+
+def perplexity_filter(docs: DataFrame) -> DataFrame:
+    """CCNet perplexity buckets; see module docstring.
+
+    ppl(d) = exp(-mean_tris ln p(tri)) with p(tri) = c/total from the
+    corpus-trained trigram LM (``text_lm_trigram_scores``'s model —
+    common text scores LOW perplexity).  Buckets split at the global
+    terciles of the ROUNDED per-doc perplexity (rounding before the
+    percentile keeps the cut math on values both engines agree on
+    bit-for-bit); keep = head+middle, CCNet's standard curriculum.
+
+    Output: (doc_id, n_tris, ppl, bucket, keep).
+    """
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2), "
+                "i -> substring(lower(text), i, 3))"
+            )
+        ).alias("tri"),
+    ).where(F.length(F.lower("text")) >= 3)
+    counts = tris.groupBy("tri").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    per_doc = (
+        tris.join(counts, "tri")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tris"),
+            F.round(
+                F.exp(-F.avg(F.log(F.col("c") / F.col("total")))), 6
+            ).alias("ppl"),
+        )
+    )
+    cuts = per_doc.agg(
+        F.expr("percentile(ppl, CAST(1 AS DOUBLE)/3)").alias("q1"),
+        F.expr("percentile(ppl, CAST(2 AS DOUBLE)/3)").alias("q2"),
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("q1"), "head")
+        .when(F.col("ppl") <= F.col("q2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        per_doc.join(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .withColumn("keep", (F.col("bucket") != "tail").cast("bigint"))
+        .select("doc_id", "n_tris", "ppl", "bucket", "keep")
+    )
+
+
+def q_corpus_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return perplexity_filter(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_PERPLEXITY_FILTER = """WITH tris AS (
+  SELECT doc_id, substring(lower(text), i, 3) AS tri
+  FROM documents, unnest(generate_series(1, length(lower(text)) - 2)) t(i)
+  WHERE length(lower(text)) >= 3
+), counts AS (
+  SELECT tri, count(*) AS c FROM tris GROUP BY tri
+), total AS (
+  SELECT sum(c) AS total FROM counts
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tris,
+         round(exp(-avg(ln(c / total))), 6) AS ppl
+  FROM tris JOIN counts USING (tri) CROSS JOIN total
+  GROUP BY doc_id
+), cuts AS (
+  SELECT quantile_cont(ppl, CAST(1 AS DOUBLE)/3) AS q1,
+         quantile_cont(ppl, CAST(2 AS DOUBLE)/3) AS q2
+  FROM per_doc
+), labeled AS (
+  SELECT doc_id, n_tris, ppl,
+         CASE WHEN ppl <= q1 THEN 'head'
+              WHEN ppl <= q2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM per_doc CROSS JOIN cuts
+)
+SELECT doc_id, n_tris, ppl, bucket,
+       CAST(bucket <> 'tail' AS BIGINT) AS keep
+FROM labeled"""
+
+QUERIES["corpus_perplexity_filter"] = (
+    q_corpus_perplexity_filter,
+    ORACLE_PERPLEXITY_FILTER,
+)
+
+
+# ------------------------------------ SPOT / EVT automatic threshold
+
+#: initial peaks-over-threshold quantile (SPOT's t): the GPD is fit to
+#: excesses above this per-series level.
+SPOT_INIT_Q = 0.98
+#: target risk: the fitted threshold z_q satisfies P(X > z_q) = q.
+SPOT_RISK = 1e-3
+
+
+def spot_threshold(series: DataFrame) -> DataFrame:
+    """Closed-form SPOT fit per series; see module docstring.
+
+    Method-of-moments GPD on the excesses y = x - t over the initial
+    quantile t: with m = mean(y), s2 = var_pop(y),
+        xi    = (1 - m^2/s2) / 2
+        sigma = m * (1 + m^2/s2) / 2
+    and the risk-q threshold
+        z_q = t + (sigma/xi) * ((q*n/N_t)^(-xi) - 1)       (xi != 0)
+        z_q = t - sigma * ln(q*n/N_t)                      (xi -> 0)
+    Degenerate tails (no excesses, or zero-variance excesses) emit
+    NULL fit columns — the caller's signal to fall back to a static
+    percentile.  Output one row per series: (metric, n, t0, n_excess,
+    gpd_xi, gpd_sigma, spot_threshold, n_over), floats rounded 6dp;
+    n_over counts samples above the (rounded) fitted threshold — the
+    empirical check that the q-risk calibration is sane.
+    """
+    t0 = series.groupBy("metric").agg(
+        F.expr(f"percentile(value, {SPOT_INIT_Q})").alias("t0"),
+        F.count("*").alias("n"),
+    )
+    joined = series.join(F.broadcast(t0), "metric")
+    exc = joined.groupBy("metric").agg(
+        F.first("n").alias("n"),
+        F.first("t0").alias("t0"),
+        F.sum((F.col("value") > F.col("t0")).cast("bigint")).alias("n_excess"),
+        F.avg(
+            F.when(F.col("value") > F.col("t0"), F.col("value") - F.col("t0"))
+        ).alias("m"),
+        F.var_pop(
+            F.when(F.col("value") > F.col("t0"), F.col("value") - F.col("t0"))
+        ).alias("s2"),
+    )
+    ratio = (F.col("m") * F.col("m")) / F.col("s2")
+    xi = (1.0 - ratio) / 2.0
+    sigma = F.col("m") * (1.0 + ratio) / 2.0
+    ok = (F.col("n_excess") > 0) & (F.col("s2") > 0)
+    arg = F.lit(SPOT_RISK) * F.col("n") / F.col("n_excess")
+    z = F.when(
+        F.abs(xi) < 1e-9, F.col("t0") - sigma * F.log(arg)
+    ).otherwise(F.col("t0") + (sigma / xi) * (F.pow(arg, -xi) - 1.0))
+    fitted = exc.select(
+        "metric",
+        "n",
+        F.round("t0", 6).alias("t0"),
+        "n_excess",
+        F.round(F.when(ok, xi), 6).alias("gpd_xi"),
+        F.round(F.when(ok, sigma), 6).alias("gpd_sigma"),
+        F.round(F.when(ok, z), 6).alias("spot_threshold"),
+    )
+    over = (
+        series.join(F.broadcast(fitted.select("metric", "spot_threshold")), "metric")
+        .groupBy("metric")
+        .agg(
+            F.sum(
+                (F.col("value") > F.col("spot_threshold")).cast("bigint")
+            ).alias("n_over")
+        )
+    )
+    return fitted.join(over, "metric", "left").select(
+        "metric",
+        "n",
+        "t0",
+        "n_excess",
+        "gpd_xi",
+        "gpd_sigma",
+        "spot_threshold",
+        F.coalesce("n_over", F.lit(0)).cast("bigint").alias("n_over"),
+    )
+
+
+def q_metric_spot_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spot_threshold(events_series(spark, sf_dir))
+
+
+ORACLE_SPOT_THRESHOLD = f"""WITH series AS (
+  SELECT event_type AS metric, value FROM events
+), t0s AS (
+  SELECT metric, quantile_cont(value, {SPOT_INIT_Q}) AS t0,
+         count(*) AS n
+  FROM series GROUP BY metric
+), exc AS (
+  SELECT s.metric, any_value(n) AS n, any_value(t0) AS t0,
+         CAST(sum(CAST(value > t0 AS BIGINT)) AS BIGINT) AS n_excess,
+         avg(CASE WHEN value > t0 THEN value - t0 END) AS m,
+         var_pop(CASE WHEN value > t0 THEN value - t0 END) AS s2
+  FROM series s JOIN t0s USING (metric)
+  GROUP BY s.metric
+), fitted AS (
+  SELECT metric, n, round(t0, 6) AS t0, n_excess,
+         CASE WHEN n_excess > 0 AND s2 > 0
+              THEN round((1.0 - m*m/s2) / 2.0, 6) END AS gpd_xi,
+         CASE WHEN n_excess > 0 AND s2 > 0
+              THEN round(m * (1.0 + m*m/s2) / 2.0, 6) END AS gpd_sigma,
+         CASE WHEN n_excess > 0 AND s2 > 0 THEN round(
+           CASE WHEN abs((1.0 - m*m/s2) / 2.0) < 1e-9
+                THEN t0 - (m * (1.0 + m*m/s2) / 2.0)
+                       * ln({SPOT_RISK} * n / n_excess)
+                ELSE t0 + ((m * (1.0 + m*m/s2) / 2.0)
+                            / ((1.0 - m*m/s2) / 2.0))
+                       * (pow({SPOT_RISK} * n / n_excess,
+                              -((1.0 - m*m/s2) / 2.0)) - 1.0)
+           END, 6) END AS spot_threshold
+  FROM exc
+), over AS (
+  SELECT f.metric,
+         sum(CAST(s.value > f.spot_threshold AS BIGINT)) AS n_over
+  FROM series s JOIN fitted f USING (metric)
+  GROUP BY f.metric
+)
+SELECT f.metric, f.n, f.t0, f.n_excess, f.gpd_xi, f.gpd_sigma,
+       f.spot_threshold,
+       CAST(coalesce(o.n_over, 0) AS BIGINT) AS n_over
+FROM fitted f LEFT JOIN over o USING (metric)"""
+
+QUERIES["metric_spot_threshold"] = (
+    q_metric_spot_threshold,
+    ORACLE_SPOT_THRESHOLD,
+)

@@ -283,8 +283,10 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
     # ---- round-7 new queries (never graded; first official rows) ----
-    # (inserted here as they land; WINDOW_MARKER test keeps the 50-slot
-    # line honest)
+    # (the window-marker position below is machine-checked by
+    # tests/test_registry_hygiene.py)
+    "text_lang_id_ngram", "corpus_perplexity_filter",
+    "metric_spot_threshold",
     # ---- round-7 verdict task 1: staleness refresh.  Oldest official
     # rows first: the 17 queries whose latest driver row is ROUND 1
     # (five rounds of code churn since), then the stalest round-2 rows
@@ -308,11 +310,11 @@ PRIORITY: list[str] = [
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample", "corpus_hash_sample",
     "corpus_doc_chunks", "corpus_doc_packing", "mse_histogram",
-    "threshold_percentiles", "per_feature_mse", "anomaly_flags",
-    "asof_join", "rolling_features",
+    "threshold_percentiles", "per_feature_mse",
     # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
     # round-2-latest remainder — first in line for the round-8 window:
+    "anomaly_flags", "asof_join", "rolling_features",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_norms", "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
@@ -408,7 +410,7 @@ PRIORITY: list[str] = [
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans import (
         extended, mining, relational, robust, tpch_more, tpch_wave3, wave5,
-        wave8, wave9, wave10,
+        wave8, wave9, wave10, wave11,
     )
     from .operators import (
         approx, bpe, corpus, dedup, kmeans, linalg, matrixprofile,
@@ -428,6 +430,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(wave8.QUERIES)
     merged.update(wave9.QUERIES)
     merged.update(wave10.QUERIES)
+    merged.update(wave11.QUERIES)
     merged.update(approx.QUERIES)
     merged.update(promql.QUERIES)
     merged.update(promql_lang.QUERIES)

@@ -37,12 +37,27 @@ from .exporter import DetectorMetrics
 class DetectorConfig:
     metrics: list[str]
     sequence_length: int = 20
-    threshold: float = 0.0013
+    #: static MSE alarm threshold (the reference's hand-tuned
+    #: ``anomaly_threshold_mse``, config.yaml:113-119).  None switches
+    #: to AUTOMATIC thresholding: a streaming SPOT/EVT fit over the
+    #: detector's own recent MSE scores (streaming/spot.py) — the
+    #: detector stays silent while the calibrator warms up, then
+    #: alarms at the risk-q EVT level; alarmed scores are not fed back
+    #: into calibration (Siffer et al., KDD'17).
+    threshold: float | None = 0.0013
     interval_seconds: int = 30
     scaler_params: pd.DataFrame | None = None  # feature -> (min, max)
     #: any scorer exposing predict((1, L, F)) -> (1, L, F): the stub,
     #: a trained LinearAutoencoder, or the NumPy LSTM (ml/lstm_np.py)
     model: object = field(default_factory=StubAutoencoder)
+    #: SPOT calibrator used when ``threshold`` is None.
+    spot: "object" = None
+
+    def __post_init__(self):
+        if self.threshold is None and self.spot is None:
+            from .spot import SpotCalibrator
+
+            self.spot = SpotCalibrator()
 
     @property
     def features(self) -> list[str]:
@@ -102,7 +117,13 @@ def run_detection_cycle(
         sinks.latest_mse.set(-1.0)  # sentinel (M6, :339-348)
         sinks.is_anomaly.set(0.0)
         return None
-    is_anom = mse > cfg.threshold
+    thr = cfg.threshold
+    if thr is None:  # automatic SPOT/EVT threshold (streaming/spot.py)
+        thr = cfg.spot.threshold  # None while calibrating -> no alarm
+    is_anom = thr is not None and mse > thr
+    if cfg.threshold is None and not is_anom:
+        # alarmed scores never recalibrate the bar (SPOT protocol)
+        cfg.spot.observe(mse)
     sinks.latest_mse.set(mse)
     sinks.is_anomaly.set(1.0 if is_anom else 0.0)
     if is_anom:
@@ -110,7 +131,12 @@ def run_detection_cycle(
     for name, v in zip(cfg.features, feat_mse):
         sinks.feature_mse.set(float(v), feature_name=name)
     sinks.last_success.set_to_current_time()
-    return {"mse": mse, "is_anomaly": is_anom, "n_points": len(aligned)}
+    return {
+        "mse": mse,
+        "is_anomaly": is_anom,
+        "n_points": len(aligned),
+        "threshold": thr,
+    }
 
 
 def run_detector_on_batch(

@@ -76,6 +76,8 @@ BNLJ_SCALAR_BROADCASTS = {
     "orders_basket_affinity",   # one-row order-total denominator
     "events_anomaly_attribution",  # one-row incident-hour + totals
     "text_burstiness",          # one-row n_docs broadcast
+    "text_lang_id_ngram",       # one-row per-lang totals + vocab-size
+    "corpus_perplexity_filter",  # corpus-total + tercile-cuts rows
 }
 
 

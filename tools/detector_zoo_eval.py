@@ -444,6 +444,124 @@ def main() -> None:
     )
     print(json.dumps({"ramp_scenario": report4}))
 
+    # ---- scenario 5: SPOT/EVT threshold vs the static percentile ----
+    # Round-7 verdict task 5.  Every detector above consumes a
+    # hand-set level (A11's percentile or config.yaml's 0.0025); SPOT
+    # fits the alarm level from the score tail itself.  Both rules
+    # threshold the SAME seasonal |z| score stream (slot-profile
+    # residuals — thresholding raw values would hide trough-aligned
+    # spikes from both rules equally), and SPOT runs the paper's
+    # sequential protocol via streaming/spot.SpotCalibrator: warm up
+    # on the first 48 h (the zoo plants spikes after day 2 for exactly
+    # this reason), then walk forward — alarmed scores are never fed
+    # back into calibration, so planted anomalies cannot raise the bar
+    # (a BLIND whole-history GPD fit would model the planted spikes as
+    # the tail and extrapolate past them).  Expectations:
+    # Both rules score the same eval window (hour >= SPOT_WARM); the
+    # static level is the p99 of the FULL score history — exactly how
+    # a percentile threshold is set in practice.  Sub-scenarios:
+    #   dense spikes (5/series, ~1.5% rate) — static p99's fixed top-1%
+    #     happens to MATCH the planted rate, its best case;
+    #   rare spike (1/series, ~0.3% rate) — the common production case:
+    #     p99 over-alarms ~3:1 by construction; SPOT's risk-q level
+    #     does not chase the rate;
+    #   clean (no anomalies) — p99 still alarms 1% of the time; SPOT
+    #     alarms at ~q.
+    from prometheus_anomaly_detection_lstm_spark.streaming.spot import (
+        SpotCalibrator,
+    )
+
+    SPOT_WARM = 96  # 4-day calibration; zoo plants spikes after day 2
+
+    def seasonal_scores(frame: pd.DataFrame) -> pd.DataFrame:
+        """per-(metric, hour-of-day) |z| over the slot profile."""
+        f = frame.copy()
+        f["slot"] = f["ts"].dt.hour
+        prof = f.groupby(["metric", "slot"])["value"].agg(
+            ["mean", "std"]
+        )
+        f = f.join(prof, on=["metric", "slot"])
+        f["score"] = (f["value"] - f["mean"]).abs() / f["std"]
+        return f
+
+    def spot_vs_static(frame: pd.DataFrame, truth_set: set) -> dict:
+        scored = seasonal_scores(frame)
+        truth_eval = {
+            (m, ts)
+            for (m, ts) in truth_set
+            if (scored[(scored.metric == m) & (scored.ts == ts)].seq >= SPOT_WARM).all()
+        }
+        spot_got = set()
+        for metric, g in scored.sort_values("seq").groupby("metric"):
+            cal = SpotCalibrator(min_history=SPOT_WARM)
+            for r in g.itertuples():
+                thr = cal.threshold
+                if r.seq >= SPOT_WARM and thr is not None and r.score > thr:
+                    spot_got.add((metric, r.ts))  # alarm: not observed
+                else:
+                    cal.observe(r.score)
+        p99 = scored.groupby("metric")["score"].quantile(0.99)
+        static_got = {
+            (r.metric, r.ts)
+            for r in scored.itertuples()
+            if r.seq >= SPOT_WARM and r.score > p99[r.metric]
+        }
+        out = {}
+        for rule, got in (("spot_evt", spot_got), ("static_p99", static_got)):
+            tp = len(got & truth_eval)
+            prec = tp / len(got) if got else 1.0
+            rec = tp / len(truth_eval) if truth_eval else 1.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            out[rule] = {
+                "flagged": len(got),
+                "false_alarms": len(got - truth_eval),
+                "precision": round(prec, 3),
+                "recall": round(rec, 3),
+                "f1": round(f1, 3),
+            }
+            print("spot_vs_static:", rule, out[rule], flush=True)
+        return out
+
+    spike_frame = pd.DataFrame(
+        rows, columns=["metric", "ts", "seq", "value"]
+    )
+    report5 = {"dense_spikes": spot_vs_static(spike_frame, truth)}
+
+    rng5 = np.random.default_rng(SEED + 7)
+    rows5, truth5 = [], set()
+    for m in range(N_SERIES):
+        n = N_DAYS * 24
+        hours = np.arange(n)
+        base = 100.0 + 10.0 * np.sin(hours % 24 / 24 * 2 * np.pi)
+        vals = base + rng5.normal(0, 1.0, n)
+        spots = rng5.choice(np.arange(SPOT_WARM, n), size=1, replace=False)
+        vals[spots] += SPIKE
+        for i in range(n):
+            ts = pd.Timestamp("2024-03-01") + pd.Timedelta(hours=int(i))
+            rows5.append((f"r{m}", ts, i, float(vals[i])))
+            if i in spots:
+                truth5.add((f"r{m}", ts))
+    rare_frame = pd.DataFrame(
+        rows5, columns=["metric", "ts", "seq", "value"]
+    )
+    report5["rare_spike"] = spot_vs_static(rare_frame, truth5)
+
+    rng6 = np.random.default_rng(SEED + 5)
+    rows6 = []
+    for m in range(N_SERIES):
+        n = N_DAYS * 24
+        hours = np.arange(n)
+        base = 100.0 + 10.0 * np.sin(hours % 24 / 24 * 2 * np.pi)
+        vals = base + rng6.normal(0, 1.0, n)
+        for i in range(n):
+            ts = pd.Timestamp("2024-03-01") + pd.Timedelta(hours=int(i))
+            rows6.append((f"n{m}", ts, i, float(vals[i])))
+    clean_frame = pd.DataFrame(
+        rows6, columns=["metric", "ts", "seq", "value"]
+    )
+    report5["clean"] = spot_vs_static(clean_frame, set())
+    print(json.dumps({"spot_vs_static": report5}))
+
 
 if __name__ == "__main__":
     main()
