@@ -75,6 +75,130 @@ BASKET13 = BASKET12 + ["ann_cosine_topk_lsh"]
 COMPARABLE11 = [q for q in BASKET12 if q != "pipeline_prep"]
 
 
+def _drop_bucketed_layout(spark, sf_dir: str, n_buckets: int = 8) -> None:
+    """Drop the q3 bucketed external tables AND their backing paths so
+    a timed (re)construction always measures the true one-time cost."""
+    import shutil
+    import tempfile
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    tag = f"{tag}_b{n_buckets}"
+    for tbl in (f"q3b_lineitem_{tag}", f"q3b_orders_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(
+        os.path.join(
+            tempfile.gettempdir(), "prometheus_anomaly_detection_lstm_spark_bucketed", tag
+        ),
+        ignore_errors=True,
+    )
+
+
+def _executed_shuffle_mb(df) -> float:
+    """Execute the DataFrame's OWN physical-plan instance once and sum
+    shuffleBytesWritten across its exchanges (AQE stages included) —
+    the in-process twin of tools/shuffle_audit.py's event-log number."""
+    plan = df._jdf.queryExecution().executedPlan()
+    plan.execute().count()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        cls = node.getClass().getSimpleName()
+        if "ShuffleExchange" in cls:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleBytesWritten":
+                    total += kv._2().value()
+        if "QueryStage" in cls:
+            walk(node.plan())
+        if cls.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return round(total / 1e6, 3)
+
+
+#: sf1 crossover pair (round-6 verdict task 6): the 62 MB -> 0 shuffle
+#: story measured by tools/shuffle_audit.py lives on the official bench
+#: record as one plain-vs-bucketed q3 pass at sf1.  The three q3 tables
+#: are built once under /tmp (lineitem/orders replicated 10x from sf0.1
+#: with distinct orderkeys — tools/sf1_crossover.py's recipe — customer
+#: copied); generation cost is reported when it happens.
+SF1_DIR = "/tmp/crossover/sf1"
+
+
+def _sf1_q3_pair(spark, queries) -> dict:
+    import functools
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    needed = ("lineitem", "orders", "customer")
+    if not all(
+        os.path.exists(f"{SF1_DIR}/{t}.parquet") for t in needed
+    ):
+        t0 = time.perf_counter()
+        os.makedirs(SF1_DIR, exist_ok=True)
+        load_table(spark, "/root/testdata/sf0.1", "customer").write.mode(
+            "overwrite"
+        ).parquet(f"{SF1_DIR}/customer.parquet")
+        for name, keys in (
+            ("lineitem", ["l_orderkey"]),
+            ("orders", ["o_orderkey", "o_custkey"]),
+        ):
+            base = load_table(spark, "/root/testdata/sf0.1", name)
+            copies = []
+            for k in range(10):
+                c = base
+                for key in keys:
+                    c = c.withColumn(key, F.col(key) + F.lit(k * 1_000_000_000))
+                copies.append(c)
+            functools.reduce(
+                lambda a, b: a.unionByName(b), copies
+            ).repartition(16).write.mode("overwrite").parquet(
+                f"{SF1_DIR}/{name}.parquet"
+            )
+        out["sf1_gen_sec"] = round(time.perf_counter() - t0, 3)
+
+    from prometheus_anomaly_detection_lstm_spark.plans.relational import (
+        q_tpch_q3_bucketed,
+    )
+
+    plain = queries["tpch_q3"][0](spark, SF1_DIR)
+    # buckets sized to the 10x facts (one bucket ~ one task's rows —
+    # the same sizing rule a 100-TB lake applies); the one-time layout
+    # write is the ingest-time cost, reported separately as always.
+    _drop_bucketed_layout(spark, SF1_DIR, n_buckets=32)
+    t0 = time.perf_counter()
+    bucketed = q_tpch_q3_bucketed(spark, SF1_DIR, n_buckets=32)
+    out["sf1_tpch_q3_bucketed_write_sec"] = round(
+        time.perf_counter() - t0, 3
+    )
+    # median of 5 interleaved warm passes per side (this box's
+    # hypervisor noise exceeds the plain-vs-bucketed gap on single
+    # runs), plus the measured shuffle volume of each plan — the
+    # crossover stated in bytes on the official record.
+    samples: dict[str, list[float]] = {"sf1_tpch_q3": [], "sf1_tpch_q3_bucketed": []}
+    pair = (("sf1_tpch_q3", plain), ("sf1_tpch_q3_bucketed", bucketed))
+    for _name, df in pair:  # warm, untimed
+        df.write.format("noop").mode("overwrite").save()
+    for _ in range(5):
+        for name, df in pair:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    for name, vals in samples.items():
+        out[name] = sorted(vals)[2]
+        out[f"{name}_passes"] = vals
+    out["sf1_tpch_q3_shuffle_mb"] = _executed_shuffle_mb(plain)
+    out["sf1_tpch_q3_bucketed_shuffle_mb"] = _executed_shuffle_mb(bucketed)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -157,7 +281,11 @@ def main() -> None:
     }
     # the bucketed layout's one-time write cost, timed separately (it
     # is the ingest-time storage policy, not a per-query cost — but it
-    # must be ON the record for the -39% read-side number to be honest)
+    # must be ON the record for the -39% read-side number to be honest).
+    # Drop any pre-existing layout first (round-6 advice): on a warm
+    # metastore the construction would otherwise reuse the old tables
+    # and report a ~0 s "write cost" that is not the true layout cost.
+    _drop_bucketed_layout(spark, sf_dir)
     t0 = time.perf_counter()
     standalone_dfs["tpch_q3_bucketed"] = queries["tpch_q3_bucketed"][0](
         spark, sf_dir
@@ -202,22 +330,20 @@ def main() -> None:
     passes = [run_pass() for _ in range(4)]
     best = {k: min(p[k] for p in passes) for k in passes[0]}
 
-    # dedup_minhash_lsh gets BEST-OF-FIVE (two extra solo runs on top
-    # of the three full passes): round-4 verdict task 2 — the query
-    # carries an absolute <=1.5 s target and this box's hypervisor
-    # noise is +-2x on identical back-to-back runs, so three samples
-    # routinely miss the engine's real number.  Extra passes ride
-    # along in the output like the full passes do.
+    # dedup_minhash_lsh is reported as the MEDIAN OF FIVE dedicated
+    # warm passes (round-6 verdict task 2): the best-of-N figure on
+    # this box's +-2x hypervisor noise swung the official record
+    # 0.680 -> 0.878 s between rounds on an unchanged plan; the median
+    # of five solo passes is a stable engine number.  The four full
+    # passes and all five solo passes still ride along in the output.
     extra_minhash: list[float] = []
-    for _ in range(2):
+    for _ in range(5):
         t0 = time.perf_counter()
         standalone_dfs["dedup_minhash_lsh"].write.format("noop").mode(
             "overwrite"
         ).save()
         extra_minhash.append(round(time.perf_counter() - t0, 3))
-    best["dedup_minhash_lsh"] = min(
-        best["dedup_minhash_lsh"], *extra_minhash
-    )
+    best["dedup_minhash_lsh"] = sorted(extra_minhash)[2]
 
     # Recall floor for the timed approximate path (not timed itself):
     # the LSH config's speed only counts if recall@10 vs brute force
@@ -275,6 +401,16 @@ def main() -> None:
         out[f"value_pass{i}"] = round(sum(p.values()), 3)
         out[f"queries_pass{i}"] = p
     out["dedup_minhash_lsh_extra_passes"] = extra_minhash
+    out["dedup_minhash_lsh_reporting"] = (
+        "median of 5 dedicated warm passes (round-6 verdict task 2); "
+        "per-full-pass values in queries_pass*"
+    )
+
+    # sf1 crossover pair — only from the default sf0.1 grading run (an
+    # explicitly redirected bench, e.g. an sf1 or sf0.01 iteration
+    # loop, skips it; SPARK_GRAFT_SF1_SECTION=0 also opts out).
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1_SECTION") != "0":
+        out.update(_sf1_q3_pair(spark, queries))
     print(json.dumps(out))
 
 
