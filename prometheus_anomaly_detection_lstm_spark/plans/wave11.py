@@ -288,6 +288,107 @@ QUERIES["corpus_perplexity_filter"] = (
 )
 
 
+# ------------------------------- CCNet-style lang x bucket partition
+
+def q_corpus_ccnet_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CCNet OUTPUT layout: shard statistics per (language,
+    perplexity bucket) — CCNet publishes its corpus exactly this way
+    (``{lang}_{head|middle|tail}.json.gz``), and a training-data
+    pipeline consumes these cells as its mixture inventory.  Composes
+    the perplexity-bucket operator with the language column: per cell
+    (lang, bucket): doc count, token sum, summed perplexity (mean =
+    sum/n_docs; the sum is emitted because it is 6dp-closed across
+    engines), and the cell's share of the language's documents.
+
+    Scale shape: the per-doc bucket frame is the perplexity filter's
+    (one trigram rollup + doc-count percentile); token counts ride the
+    same docs scan; the final rollup is a keyed agg on
+    (lang, bucket) — cell cardinality is languages x 3."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = perplexity_filter(docs)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    cells = (
+        per_doc.join(toks, "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            # SUM not AVG: ppl is already on the 6dp grid, so the
+            # sum is 6dp-closed; an average of 6dp values ties at the
+            # 7th decimal where engine round-half behaviors diverge
+            F.round(F.sum("ppl"), 6).alias("sum_ppl"),
+        )
+    )
+    lang_tot = cells.groupBy("lang").agg(
+        F.sum("n_docs").alias("lang_docs")
+    )
+    return (
+        cells.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "sum_ppl",
+            F.round(F.col("n_docs") / F.col("lang_docs"), 6).alias(
+                "lang_share"
+            ),
+        )
+    )
+
+
+_PPL_CTES = """tris AS (
+  SELECT doc_id, substring(lower(text), i, 3) AS tri
+  FROM documents, unnest(generate_series(1, length(lower(text)) - 2)) t(i)
+  WHERE length(lower(text)) >= 3
+), counts AS (
+  SELECT tri, count(*) AS c FROM tris GROUP BY tri
+), total AS (
+  SELECT sum(c) AS total FROM counts
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tris,
+         round(exp(-avg(ln(c / total))), 6) AS ppl
+  FROM tris JOIN counts USING (tri) CROSS JOIN total
+  GROUP BY doc_id
+), cuts AS (
+  SELECT quantile_cont(ppl, CAST(1 AS DOUBLE)/3) AS q1,
+         quantile_cont(ppl, CAST(2 AS DOUBLE)/3) AS q2
+  FROM per_doc
+), labeled AS (
+  SELECT doc_id, n_tris, ppl,
+         CASE WHEN ppl <= q1 THEN 'head'
+              WHEN ppl <= q2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM per_doc CROSS JOIN cuts
+)"""
+
+ORACLE_CCNET_PARTITION = f"""WITH {_PPL_CTES}, cells AS (
+  SELECT d.lang, l.bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+         round(sum(l.ppl), 6) AS sum_ppl
+  FROM labeled l JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+), lang_tot AS (
+  SELECT lang, sum(n_docs) AS lang_docs FROM cells GROUP BY 1
+)
+SELECT c.lang, c.bucket, c.n_docs, c.n_tokens, c.sum_ppl,
+       round(c.n_docs / CAST(t.lang_docs AS DOUBLE), 6) AS lang_share
+FROM cells c JOIN lang_tot t USING (lang)"""
+
+QUERIES["corpus_ccnet_partition"] = (
+    q_corpus_ccnet_partition,
+    ORACLE_CCNET_PARTITION,
+)
+
+
 # ------------------------------------ SPOT / EVT automatic threshold
 
 #: initial peaks-over-threshold quantile (SPOT's t): the GPD is fit to

@@ -78,6 +78,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "text_burstiness",          # one-row n_docs broadcast
     "text_lang_id_ngram",       # one-row per-lang totals + vocab-size
     "corpus_perplexity_filter",  # corpus-total + tercile-cuts rows
+    "corpus_ccnet_partition",   # same perplexity subtree (one-row frames)
 }
 
 

@@ -147,7 +147,12 @@ def empty_sf(spark, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "name",
-    ["text_lang_id_ngram", "corpus_perplexity_filter", "metric_spot_threshold"],
+    [
+        "text_lang_id_ngram",
+        "corpus_perplexity_filter",
+        "metric_spot_threshold",
+        "corpus_ccnet_partition",
+    ],
 )
 def test_round7_query_survives_empty_corpus(spark, empty_sf, name):
     fn, _ = all_queries()[name]
