@@ -178,21 +178,23 @@ def _sf1_q3_pair(spark, queries) -> dict:
     out["sf1_tpch_q3_bucketed_write_sec"] = round(
         time.perf_counter() - t0, 3
     )
-    # median of 5 interleaved warm passes per side (this box's
-    # hypervisor noise exceeds the plain-vs-bucketed gap on single
-    # runs), plus the measured shuffle volume of each plan — the
+    # per-side BEST of 7 interleaved warm passes (the same per-query
+    # best-of statistic as the main basket: this box's hypervisor
+    # stalls are bimodal — ~0.3 s true runs interleaved with 2-3.5 s
+    # stall passes — so a median can land ON a stall; all raw passes
+    # ride along), plus the measured shuffle volume of each plan — the
     # crossover stated in bytes on the official record.
     samples: dict[str, list[float]] = {"sf1_tpch_q3": [], "sf1_tpch_q3_bucketed": []}
     pair = (("sf1_tpch_q3", plain), ("sf1_tpch_q3_bucketed", bucketed))
     for _name, df in pair:  # warm, untimed
         df.write.format("noop").mode("overwrite").save()
-    for _ in range(5):
+    for _ in range(7):
         for name, df in pair:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - t0, 3))
     for name, vals in samples.items():
-        out[name] = sorted(vals)[2]
+        out[name] = min(vals)
         out[f"{name}_passes"] = vals
     out["sf1_tpch_q3_shuffle_mb"] = _executed_shuffle_mb(plain)
     out["sf1_tpch_q3_bucketed_shuffle_mb"] = _executed_shuffle_mb(bucketed)
