@@ -517,3 +517,53 @@ QUERIES["metric_spot_threshold"] = (
     q_metric_spot_threshold,
     ORACLE_SPOT_THRESHOLD,
 )
+
+
+def q_metric_spot_anomaly_hours(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SPOT loop closed batch-side: every sample above its
+    series' fitted risk-q threshold, with the exceedance margin — the
+    alert feed a backtest or incident review consumes (the streaming
+    twin is the detector's threshold=None path).  Deterministic, so
+    unlike most anomaly detectors this one hash-checks end-to-end.
+
+    Scale shape: the SPOT fit is series-cardinality-scale (see
+    :func:`spot_threshold`); flagging is one broadcast join back into
+    the sample scan."""
+    series = events_series(spark, sf_dir)
+    fitted = spot_threshold(series).select("metric", "spot_threshold")
+    return (
+        series.join(F.broadcast(fitted), "metric")
+        .filter(F.col("value") > F.col("spot_threshold"))
+        .select(
+            "metric",
+            "ts",
+            F.round("value", 6).alias("value"),
+            "spot_threshold",
+            F.round(
+                F.col("value") - F.col("spot_threshold"), 6
+            ).alias("excess"),
+        )
+    )
+
+
+_SPOT_FIT_CTES = ORACLE_SPOT_THRESHOLD[
+    ORACLE_SPOT_THRESHOLD.index("WITH ") + 5 : ORACLE_SPOT_THRESHOLD.index(
+        "), over AS ("
+    )
+] + ")"
+
+ORACLE_SPOT_ANOMALY_HOURS = f"""WITH {_SPOT_FIT_CTES}, samples AS (
+  SELECT event_type AS metric, ts, value FROM events
+)
+SELECT s.metric, s.ts, round(s.value, 6) AS value,
+       f.spot_threshold,
+       round(s.value - f.spot_threshold, 6) AS excess
+FROM samples s JOIN fitted f USING (metric)
+WHERE s.value > f.spot_threshold"""
+
+QUERIES["metric_spot_anomaly_hours"] = (
+    q_metric_spot_anomaly_hours,
+    ORACLE_SPOT_ANOMALY_HOURS,
+)

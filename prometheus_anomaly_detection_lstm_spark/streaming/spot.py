@@ -95,3 +95,40 @@ class SpotCalibrator:
         if z is None:
             return float(np.percentile(hist, (1.0 - self.risk) * 100))
         return z
+
+
+class DriftSpotCalibrator(SpotCalibrator):
+    """DSPOT — the paper's drifting-baseline variant (Siffer et al.,
+    KDD'17 §4.3): the GPD is fit on RESIDUALS against a moving-average
+    local model, so a slowly rising or falling baseline does not drag
+    the threshold with it.  ``threshold`` returns the alarm level in
+    the ORIGINAL score units (local mean + fitted residual level), so
+    callers compare raw scores exactly as with plain SPOT.
+
+    State: the plain-SPOT residual history plus the last
+    ``depth`` raw scores for the local mean — both bounded.
+    """
+
+    def __init__(self, *args, depth: int = 24, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.depth = depth
+        self._recent: deque[float] = deque(maxlen=depth)
+
+    def observe(self, score: float) -> None:
+        if len(self._recent) == self.depth:
+            # residual vs the local model BEFORE this point joins it
+            self._scores.append(float(score) - self._local_mean())
+        self._recent.append(float(score))
+
+    def _local_mean(self) -> float:
+        return float(np.mean(self._recent))
+
+    def __len__(self) -> int:
+        return len(self._scores)
+
+    @property
+    def threshold(self) -> float | None:
+        base = super().threshold  # residual-space level
+        if base is None:
+            return None
+        return self._local_mean() + base

@@ -168,6 +168,42 @@ def test_spot_beats_static_percentile_on_rare_and_clean():
     assert spot_fa < static_fa, (spot_fa, static_fa)
 
 
+def test_dspot_tracks_drifting_baseline():
+    """DSPOT (drift variant): on a slowly rising baseline, plain SPOT's
+    threshold — calibrated on the early low regime and frozen further
+    by its own alarms — drowns in false alarms, while the
+    moving-average residual model stays calibrated and still catches
+    the planted spike."""
+    from prometheus_anomaly_detection_lstm_spark.streaming.spot import (
+        DriftSpotCalibrator,
+    )
+
+    rng = np.random.default_rng(9)
+    n, warm = 14 * 24, 96
+    ramp = np.linspace(0.0, 6.0, n)  # slow drift: +6 sigma over 2 weeks
+    scores = ramp + rng.normal(0, 1.0, n)
+    spike_at = 300
+    scores[spike_at] += 8.0
+
+    def walk(cal):
+        alarms = set()
+        for i, s in enumerate(scores):
+            thr = cal.threshold
+            if i >= warm and thr is not None and s > thr:
+                alarms.add(i)
+            else:
+                cal.observe(s)
+        return alarms
+
+    plain = walk(SpotCalibrator(min_history=warm))
+    drift = walk(DriftSpotCalibrator(min_history=warm, depth=24))
+    assert spike_at in drift
+    assert len(drift - {spike_at}) < len(plain - {spike_at}), (
+        len(drift), len(plain)
+    )
+    assert len(drift - {spike_at}) <= 5  # stays calibrated on the ramp
+
+
 def test_static_threshold_path_unchanged():
     cfg = DetectorConfig(metrics=METRICS, sequence_length=L, threshold=0.001)
     assert cfg.spot is None

@@ -152,6 +152,7 @@ def empty_sf(spark, tmp_path_factory):
         "corpus_perplexity_filter",
         "metric_spot_threshold",
         "corpus_ccnet_partition",
+        "metric_spot_anomaly_hours",
     ],
 )
 def test_round7_query_survives_empty_corpus(spark, empty_sf, name):
