@@ -28,8 +28,10 @@ with neither joblib nor sklearn).
 Classes from absent libraries (sklearn, joblib) resolve to generated
 STUB types whose state lands in ``__dict__`` — for artifact reading we
 only need the fitted attributes (``data_min_``, ``mean_``, ...), not
-behavior.  Anything the subset cannot represent (legacy ZF zfile
-containers, lz4/zstd frames, object-dtype arrays, pickled functions)
+behavior.  lz4 frames decode through the
+from-scratch frame/block reader in ``lz4lite`` (round 7).  Anything
+the subset cannot represent (legacy ZF zfile containers, zstd frames,
+object-dtype arrays, pickled functions)
 raises ``JoblibUnsupported`` with guidance to the one-step export path
 in ``keras_bridge`` (which runs in the user's own environment where
 sklearn exists).
@@ -64,10 +66,13 @@ _STDLIB_DECOMPRESSORS: dict[bytes, str] = {
     b"BZh": "bz2",
     b"\xfd7zXZ": "lzma",
 }
+#: lz4 frames have no stdlib codec — decoded by the from-scratch
+#: frame/block reader in ``lz4lite`` (round 7), checksums verified.
+_LZ4_MAGIC = b"\x04\x22\x4d\x18"
 #: containers we still cannot read without third-party code: the
 #: legacy joblib < 0.10 'ZF' zfile layout (side-car .npy members) and
-#: lz4/zstd frames (no stdlib codec).
-_UNSUPPORTED_PREFIXES = (b"ZF", b"\x04\x22\x4d\x18", b"\x28\xb5\x2f\xfd")
+#: zstd frames.
+_UNSUPPORTED_PREFIXES = (b"ZF", b"\x28\xb5\x2f\xfd")
 
 
 class _Stub:
@@ -182,10 +187,16 @@ def read_joblib(path: str) -> Any:
         for magic in _UNSUPPORTED_PREFIXES:
             if head.startswith(magic):
                 raise JoblibUnsupported(
-                    "legacy-ZF or lz4/zstd joblib container; re-dump "
+                    "legacy-ZF or zstd joblib container; re-dump "
                     "with a stdlib codec (compress=N/gzip/bz2/lzma) or "
                     "use the keras_bridge CLI export"
                 )
+        if head.startswith(_LZ4_MAGIC):
+            from .lz4lite import decompress_frame
+
+            return _LiteUnpickler(
+                io.BytesIO(decompress_frame(fh.read()))
+            ).load()
         for magic, codec in _STDLIB_DECOMPRESSORS.items():
             if head.startswith(magic):
                 import importlib

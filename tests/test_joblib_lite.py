@@ -88,10 +88,17 @@ def test_unsupported_paths(tmp_path):
     p.write_bytes(b"ZF\x01" + b"x" * 32)
     with pytest.raises(JoblibUnsupported, match="container"):
         read_joblib(str(p))
-    # lz4 frame magic (no stdlib codec)
+    # zstd frame magic (no stdlib codec, not implemented from scratch)
+    pz = tmp_path / "cz.joblib"
+    pz.write_bytes(b"\x28\xb5\x2f\xfd" + b"x" * 32)
+    with pytest.raises(JoblibUnsupported, match="container"):
+        read_joblib(str(pz))
+    # lz4 now decodes via lz4lite — garbage after the magic is a
+    # malformed FRAME (LZ4Error), no longer an unsupported container
+    from prometheus_anomaly_detection_lstm_spark.ml.lz4lite import LZ4Error
     p4 = tmp_path / "c4.joblib"
     p4.write_bytes(b"\x04\x22\x4d\x18" + b"x" * 32)
-    with pytest.raises(JoblibUnsupported, match="container"):
+    with pytest.raises(LZ4Error):
         read_joblib(str(p4))
     # unfitted scaler (missing attributes)
     path = str(tmp_path / "unfit.joblib")
