@@ -408,6 +408,18 @@ def main() -> None:
         "per-full-pass values in queries_pass*"
     )
 
+    # per-query shuffle volume at the bench sf (round 7): one extra
+    # execution per standalone basket query through its OWN plan
+    # instance, summing shuffleBytesWritten across exchanges — the
+    # scale design stated in bytes beside every wall-clock number.
+    shuffle_mb: dict[str, float] = {}
+    for name in STANDALONE:
+        shuffle_mb[name] = _executed_shuffle_mb(standalone_dfs[name])
+    # end-to-end (prep not cached here, so this includes the pivot
+    # exchange — the full-chain design number, hence the _e2e key)
+    shuffle_mb["anomaly_mse_e2e"] = _executed_shuffle_mb(mse_out)
+    out["queries_shuffle_mb"] = shuffle_mb
+
     # sf1 crossover pair — only from the default sf0.1 grading run (an
     # explicitly redirected bench, e.g. an sf1 or sf0.01 iteration
     # loop, skips it; SPARK_GRAFT_SF1_SECTION=0 also opts out).

@@ -560,6 +560,61 @@ def main() -> None:
         rows6, columns=["metric", "ts", "seq", "value"]
     )
     report5["clean"] = spot_vs_static(clean_frame, set())
+
+    # drifting baseline: +6-sigma linear ramp over the fortnight with
+    # one late +8-sigma spike, thresholds applied to the RAW scores
+    # (the slot profile can't absorb a trend).  Plain SPOT calibrates
+    # on the early low regime and then drowns (its own alarms freeze
+    # recalibration); DSPOT (streaming/spot.DriftSpotCalibrator) fits
+    # residuals against a 24 h moving average and stays calibrated;
+    # static p99 of the full history splits the ramp at its own 1%.
+    from prometheus_anomaly_detection_lstm_spark.streaming.spot import (
+        DriftSpotCalibrator,
+    )
+
+    rng7 = np.random.default_rng(SEED + 9)
+    n = N_DAYS * 24
+    drift_report = {}
+    for rule_name, make in (
+        ("spot_evt", lambda: SpotCalibrator(min_history=SPOT_WARM)),
+        ("dspot_drift", lambda: DriftSpotCalibrator(min_history=SPOT_WARM, depth=24)),
+    ):
+        tp = fa = 0
+        rng = np.random.default_rng(SEED + 9)
+        for m in range(N_SERIES):
+            scores = np.linspace(0.0, 6.0, n) + rng.normal(0, 1.0, n)
+            spike_at = int(rng.integers(SPOT_WARM + 48, n))
+            scores[spike_at] += 8.0
+            cal = make()
+            for i, s0 in enumerate(scores):
+                thr = cal.threshold
+                if i >= SPOT_WARM and thr is not None and s0 > thr:
+                    if i == spike_at:
+                        tp += 1
+                    else:
+                        fa += 1
+                else:
+                    cal.observe(s0)
+        drift_report[rule_name] = {
+            "spikes_caught": f"{tp}/{N_SERIES}",
+            "false_alarms": fa,
+        }
+        print("drift:", rule_name, drift_report[rule_name], flush=True)
+    rng = np.random.default_rng(SEED + 9)
+    tp = fa = 0
+    for m in range(N_SERIES):
+        scores = np.linspace(0.0, 6.0, n) + rng.normal(0, 1.0, n)
+        spike_at = int(rng.integers(SPOT_WARM + 48, n))
+        scores[spike_at] += 8.0
+        p99 = np.quantile(scores, 0.99)
+        got = {i for i in range(SPOT_WARM, n) if scores[i] > p99}
+        tp += int(spike_at in got)
+        fa += len(got - {spike_at})
+    drift_report["static_p99"] = {
+        "spikes_caught": f"{tp}/{N_SERIES}", "false_alarms": fa,
+    }
+    print("drift: static_p99", drift_report["static_p99"], flush=True)
+    report5["drifting_baseline"] = drift_report
     print(json.dumps({"spot_vs_static": report5}))
 
 
