@@ -209,6 +209,21 @@ SHOWCASE = [
      "variant) algebraic partials; the cumulative windows and the "
      "always-valid envelope run on the ~30-row day frame — the "
      "sanctioned single-partition scale."),
+    ("text_lang_id_ngram", "NB lang-id, vocabulary-scale model",
+     "The trigram model is one keyed agg (charset^3-bounded keys) "
+     "joined back AQE-gated; one-row per-language totals broadcast; "
+     "held-out scoring is a second keyed agg on doc_id — the corpus "
+     "shuffles only as trigram->count and doc->score rollups."),
+    ("corpus_perplexity_filter", "trigram LM + doc-count percentile",
+     "The LM reuses the bounded-key trigram rollup; the tercile cuts "
+     "are a one-row percentile aggregate broadcast back — at 100 TB "
+     "the exact percentile swaps for approx_percentile (the "
+     "approx_threshold_percentiles twin discipline)."),
+    ("metric_spot_threshold", "EVT fit from per-series moments",
+     "Two keyed aggregates over samples (quantile, then conditional "
+     "moments over the broadcast-joined threshold); the GPD algebra "
+     "runs on the series-cardinality frame — per-series state is a "
+     "handful of numbers, never the samples."),
 ]
 
 JOIN_RE = re.compile(
