@@ -332,20 +332,21 @@ def main() -> None:
     passes = [run_pass() for _ in range(4)]
     best = {k: min(p[k] for p in passes) for k in passes[0]}
 
-    # dedup_minhash_lsh is reported as the MEDIAN OF FIVE dedicated
-    # warm passes (round-6 verdict task 2): the best-of-N figure on
-    # this box's +-2x hypervisor noise swung the official record
-    # 0.680 -> 0.878 s between rounds on an unchanged plan; the median
-    # of five solo passes is a stable engine number.  The four full
-    # passes and all five solo passes still ride along in the output.
+    # dedup_minhash_lsh is reported as the MEDIAN OF SEVEN dedicated
+    # warm passes (round-6 verdict task 2 prescribed median of >=5):
+    # the best-of-N figure on this box's +-2x hypervisor noise swung
+    # the official record 0.680 -> 0.878 s between rounds on an
+    # unchanged plan, and with 5 passes a single stall still drags the
+    # median visibly.  The four full passes and all seven solo passes
+    # ride along in the output.
     extra_minhash: list[float] = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         standalone_dfs["dedup_minhash_lsh"].write.format("noop").mode(
             "overwrite"
         ).save()
         extra_minhash.append(round(time.perf_counter() - t0, 3))
-    best["dedup_minhash_lsh"] = sorted(extra_minhash)[2]
+    best["dedup_minhash_lsh"] = sorted(extra_minhash)[3]
 
     # Recall floor for the timed approximate path (not timed itself):
     # the LSH config's speed only counts if recall@10 vs brute force
@@ -404,27 +405,36 @@ def main() -> None:
         out[f"queries_pass{i}"] = p
     out["dedup_minhash_lsh_extra_passes"] = extra_minhash
     out["dedup_minhash_lsh_reporting"] = (
-        "median of 5 dedicated warm passes (round-6 verdict task 2); "
-        "per-full-pass values in queries_pass*"
+        "median of 7 dedicated warm passes (round-6 verdict task 2 "
+        "prescribed median of >=5); per-full-pass values in "
+        "queries_pass*"
     )
 
     # per-query shuffle volume at the bench sf (round 7): one extra
     # execution per standalone basket query through its OWN plan
     # instance, summing shuffleBytesWritten across exchanges — the
     # scale design stated in bytes beside every wall-clock number.
-    shuffle_mb: dict[str, float] = {}
-    for name in STANDALONE:
-        shuffle_mb[name] = _executed_shuffle_mb(standalone_dfs[name])
-    # end-to-end (prep not cached here, so this includes the pivot
-    # exchange — the full-chain design number, hence the _e2e key)
-    shuffle_mb["anomaly_mse_e2e"] = _executed_shuffle_mb(mse_out)
-    out["queries_shuffle_mb"] = shuffle_mb
+    # Both round-7 sections are fail-soft: a failure surfaces as an
+    # *_error key but never loses the core timing record.
+    try:
+        shuffle_mb: dict[str, float] = {}
+        for name in STANDALONE:
+            shuffle_mb[name] = _executed_shuffle_mb(standalone_dfs[name])
+        # end-to-end (prep not cached here, so this includes the pivot
+        # exchange — the full-chain design number, hence the _e2e key)
+        shuffle_mb["anomaly_mse_e2e"] = _executed_shuffle_mb(mse_out)
+        out["queries_shuffle_mb"] = shuffle_mb
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        out["queries_shuffle_mb_error"] = f"{type(exc).__name__}: {exc}"
 
     # sf1 crossover pair — only from the default sf0.1 grading run (an
     # explicitly redirected bench, e.g. an sf1 or sf0.01 iteration
     # loop, skips it; SPARK_GRAFT_SF1_SECTION=0 also opts out).
     if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1_SECTION") != "0":
-        out.update(_sf1_q3_pair(spark, queries))
+        try:
+            out.update(_sf1_q3_pair(spark, queries))
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            out["sf1_section_error"] = f"{type(exc).__name__}: {exc}"
     print(json.dumps(out))
 
 
