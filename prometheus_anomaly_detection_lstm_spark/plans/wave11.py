@@ -194,6 +194,49 @@ ORACLE_LANG_ID_NGRAM = _langid_sql()
 QUERIES["text_lang_id_ngram"] = (q_text_lang_id_ngram, ORACLE_LANG_ID_NGRAM)
 
 
+def q_text_lang_id_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confusion matrix + per-language recall for the NB lang-id on
+    the held-out fold — the eval a pipeline runs before trusting a
+    lang partition (the lang-id twin of ``text_nb_confusion``).
+    Cell counts are label-cardinality² (metadata scale)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    scored = lang_id_ngram(load_table(spark, sf_dir, "documents"))
+    cells = scored.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cells.groupBy("lang_true").agg(
+        F.sum("n").alias("n_true")
+    )
+    return (
+        cells.join(F.broadcast(tot), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            F.round(F.col("n") / F.col("n_true"), 6).alias("row_share"),
+        )
+    )
+
+
+ORACLE_LANG_ID_CONFUSION = f"""WITH scored AS ({ORACLE_LANG_ID_NGRAM}
+), cells AS (
+  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM scored GROUP BY 1, 2
+), tot AS (
+  SELECT lang_true, sum(n) AS n_true FROM cells GROUP BY 1
+)
+SELECT c.lang_true, c.lang_pred, c.n,
+       round(c.n / CAST(t.n_true AS DOUBLE), 6) AS row_share
+FROM cells c JOIN tot t USING (lang_true)"""
+
+QUERIES["text_lang_id_confusion"] = (
+    q_text_lang_id_confusion,
+    ORACLE_LANG_ID_CONFUSION,
+)
+
+
 # ------------------------------------ perplexity-bucket quality filter
 
 def perplexity_filter(docs: DataFrame) -> DataFrame:

@@ -287,7 +287,7 @@ PRIORITY: list[str] = [
     # tests/test_registry_hygiene.py)
     "text_lang_id_ngram", "corpus_perplexity_filter",
     "metric_spot_threshold", "corpus_ccnet_partition",
-    "metric_spot_anomaly_hours",
+    "metric_spot_anomaly_hours", "text_lang_id_confusion",
     # ---- round-7 verdict task 1: staleness refresh.  Oldest official
     # rows first: the 17 queries whose latest driver row is ROUND 1
     # (five rounds of code churn since), then the stalest round-2 rows
@@ -310,11 +310,11 @@ PRIORITY: list[str] = [
     "text_quality_scores", "text_tfidf_top_terms",
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample", "corpus_hash_sample",
-    "corpus_doc_chunks", "corpus_doc_packing", "mse_histogram",
+    "corpus_doc_chunks", "corpus_doc_packing",
     # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
     # round-2-latest remainder — first in line for the round-8 window:
-    "threshold_percentiles",
+    "mse_histogram", "threshold_percentiles",
     "per_feature_mse", "anomaly_flags", "asof_join", "rolling_features",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_norms", "ann_cosine_topk_lsh",

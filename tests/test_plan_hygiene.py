@@ -79,6 +79,7 @@ BNLJ_SCALAR_BROADCASTS = {
     "text_lang_id_ngram",       # one-row per-lang totals + vocab-size
     "corpus_perplexity_filter",  # corpus-total + tercile-cuts rows
     "corpus_ccnet_partition",   # same perplexity subtree (one-row frames)
+    "text_lang_id_confusion",   # same lang-id subtree (one-row stats)
 }
 
 

@@ -153,6 +153,7 @@ def empty_sf(spark, tmp_path_factory):
         "metric_spot_threshold",
         "corpus_ccnet_partition",
         "metric_spot_anomaly_hours",
+        "text_lang_id_confusion",
     ],
 )
 def test_round7_query_survives_empty_corpus(spark, empty_sf, name):
