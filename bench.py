@@ -201,6 +201,52 @@ def _sf1_q3_pair(spark, queries) -> dict:
     return out
 
 
+def _sf1_minhash(spark, queries) -> dict:
+    """sf1 point for the LLM-pipeline flagship (round-7 verdict task
+    6): dedup_minhash_lsh wall + shuffle bytes at 10x the grading
+    scale, on the official artifact rather than only in BASELINE.md.
+    Documents follow tools/sf1_crossover.py's recipe (10 doc_id-offset
+    copies, text tagged per copy so replicas are near- not exact-dups).
+    Reported as the median of 7 dedicated warm passes — the same
+    statistic as the sf0.1 minhash entry — with raw passes alongside.
+    """
+    import functools
+
+    out: dict[str, float | list[float]] = {}
+    path = f"{SF1_DIR}/documents.parquet"
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        os.makedirs(SF1_DIR, exist_ok=True)
+        base = load_table(spark, "/root/testdata/sf0.1", "documents")
+        copies = []
+        for k in range(10):
+            c = base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(k * 1_000_000_000)
+            )
+            if k > 0:
+                c = c.withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f" copyvariant{k}")),
+                )
+            copies.append(c)
+        functools.reduce(
+            lambda a, b: a.unionByName(b), copies
+        ).repartition(16).write.mode("overwrite").parquet(path)
+        out["sf1_documents_gen_sec"] = round(time.perf_counter() - t0, 3)
+
+    df = queries["dedup_minhash_lsh"][0](spark, SF1_DIR)
+    df.write.format("noop").mode("overwrite").save()  # warm, untimed
+    passes: list[float] = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        passes.append(round(time.perf_counter() - t0, 3))
+    out["sf1_dedup_minhash_lsh"] = sorted(passes)[3]
+    out["sf1_dedup_minhash_lsh_passes"] = passes
+    out["sf1_dedup_minhash_lsh_shuffle_mb"] = _executed_shuffle_mb(df)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -435,6 +481,41 @@ def main() -> None:
             out.update(_sf1_q3_pair(spark, queries))
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["sf1_section_error"] = f"{type(exc).__name__}: {exc}"
+        try:
+            out.update(_sf1_minhash(spark, queries))
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            out["sf1_minhash_error"] = f"{type(exc).__name__}: {exc}"
+
+    # The driver's BENCH_r{N}.json keeps only the LAST ~2.2 kB of
+    # bench output (round-7 verdict task 2: the r7 artifact lost its
+    # basket totals, pass-1 timings and ANN recall floors to tail
+    # truncation).  A compact copy of every headline stat is therefore
+    # serialized LAST, so any tail capture retains the full summary.
+    summary = {
+        "value": out["value"],
+        "queries": best,
+        "basket12_total": out["basket12_total"],
+        "basket13_total": out["basket13_total"],
+        "comparable11_total": out["comparable11_total"],
+        "tpch_q3_bucketed_write_sec": out["tpch_q3_bucketed_write_sec"],
+        "dedup_minhash_lsh_median7": best["dedup_minhash_lsh"],
+        "ann_lsh_recall_at_10": lsh_recall,
+        "ann_ivf_recall_at_10": ivf_recall,
+        "ann_pq_recall_at_10": pq_recall,
+    }
+    for k in (
+        "sf1_tpch_q3",
+        "sf1_tpch_q3_bucketed",
+        "sf1_tpch_q3_shuffle_mb",
+        "sf1_tpch_q3_bucketed_shuffle_mb",
+        "sf1_dedup_minhash_lsh",
+        "sf1_dedup_minhash_lsh_shuffle_mb",
+        "sf1_section_error",
+        "sf1_minhash_error",
+    ):
+        if k in out:
+            summary[k] = out[k]
+    out["summary"] = summary
     print(json.dumps(out))
 
 

@@ -157,6 +157,11 @@ def decompress_frame(data: bytes, verify_checksums: bool = True) -> bytes:
     has_c_size = bool(flg & 0x08)
     has_c_checksum = bool(flg & 0x04)
     has_dict_id = bool(flg & 0x01)
+    if has_dict_id:
+        # a dict-compressed frame decoded without its dictionary either
+        # fails confusingly mid-block or yields silently-wrong bytes
+        # into the unpickler — refuse up front (r7 ADVICE).
+        raise LZ4Error("dictionary-linked frames unsupported")
     if (bd >> 4) & 0x07 not in (4, 5, 6, 7):
         raise LZ4Error("invalid block-maxsize code")
     desc_end = i + 2 + (8 if has_c_size else 0) + (4 if has_dict_id else 0)

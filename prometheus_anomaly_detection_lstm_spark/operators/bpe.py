@@ -129,24 +129,198 @@ def learn_bpe_merges(
     )
 
 
-def encode_token_counts(
-    docs: DataFrame, merges: list[tuple[str, str]]
+#: The FROZEN production tokenizer: merge ranks learned ONCE from the
+#: sf0.01 corpus snapshot via ``learn_bpe_merges(n_merges=10)`` and
+#: frozen here, the way real pipelines ship a fixed tokenizer — the
+#: encode pass must be deterministic across corpus versions (packing,
+#: budgets and dedup stats all key off its token counts).
+FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
+def encode_word_tokens(
+    words: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
-    """Apply a learned merge list to the corpus: per document, the BPE
-    token count before/after — map-only (one chained Catalyst fold per
-    merge, rank order), no shuffle at any corpus size."""
-    words = _word_stream(docs, "doc_id")
-    toks = words.select("doc_id", F.split("word", "").alias("t"))
+    """(word) -> (word, t: array<string>): the merge list applied in
+    rank order — one chained Catalyst fold per merge, map-only."""
+    toks = words.select("word", F.split("word", "").alias("t"))
     for left, right in merges:
         toks = toks.withColumn("__l", F.lit(left)).withColumn(
             "__r", F.lit(right)
-        ).select("doc_id", F.expr(_MERGE_FOLD).alias("t"))
-    return toks.groupBy("doc_id").agg(
-        F.sum(F.size("t")).alias("n_bpe_tokens"),
-        F.sum(F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))).alias(
-            "n_chars_tokenized"
-        ),
+        ).select("word", F.expr(_MERGE_FOLD).alias("t"))
+    return toks
+
+
+def encode_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned merge list to the corpus: per document, word /
+    BPE-token / tokenized-char counts.
+
+    Scale shape: the fold chain runs ONCE per DISTINCT word
+    (vocabulary-scale memoization — the per-occurrence cost collapses
+    to a join lookup), and the join back to the word stream is
+    unhinted so AQE broadcasts the vocabulary side while it fits.  At
+    100 TB the corpus-scale work is one distinct + one broadcast-join
+    + one keyed agg; no fold ever touches a repeated word twice."""
+    words = _word_stream(docs, "doc_id")
+    vocab = words.select("word").distinct()
+    enc = encode_word_tokens(vocab, merges).select(
+        "word", F.size("t").cast("bigint").alias("n_toks")
     )
+    return words.join(enc, "word").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars_tokenized"),
+    )
+
+
+def bpe_packing(
+    docs: DataFrame, merges: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """``corpus_doc_packing`` on REAL tokenizer counts: greedy
+    contiguous packing (same shard/order/pack rule as
+    operators/corpus.doc_packing) driven by the frozen-BPE token count
+    instead of the whitespace proxy — the sequence-length budget a
+    trainer actually sees.  Docs whose every word is filtered (empty /
+    over-length) pack with 0 tokens rather than vanishing."""
+    from pyspark.sql import Window
+
+    from .corpus import PACK_SHARDS, PACK_TARGET_TOKENS
+
+    counts = encode_token_counts(docs, merges or FROZEN_MERGES)
+    sharded = docs.select(
+        "doc_id", (F.col("doc_id") % PACK_SHARDS).alias("shard")
+    ).join(counts.select("doc_id", "n_bpe_tokens"), "doc_id", "left").select(
+        "doc_id",
+        "shard",
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sharded.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / PACK_TARGET_TOKENS
+        ).cast("bigint"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# ------------------------------------------------------------- oracles
+#
+# DuckDB has no fold over arrays, but the leftmost non-overlapping
+# merge pass IS closed-form: candidate positions (t[i]=a, t[i+1]=b)
+# form gaps-and-islands runs (consecutive candidates only occur when
+# a=b), and the greedy pass takes the even offsets of each island.
+# One merge = explode positions -> island ids -> parity -> re-collect;
+# the chain below splices one such block per frozen merge.
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _bpe_word_ctes(merges: list[tuple[str, str]]) -> tuple[str, str]:
+    """CTE chain (w0 distinct words -> t<k> token lists) applying the
+    merge list; returns (ctes_sql, final_cte_name)."""
+    parts = [f"""w0 AS (
+  SELECT DISTINCT word AS w
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents)
+  WHERE length(word) BETWEEN 1 AND {MAX_WORD_CHARS}
+), t0 AS (
+  SELECT w, string_split(w, '') AS t FROM w0
+)"""]
+    for k, (a, b) in enumerate(merges, 1):
+        qa, qb = _sql_quote(a), _sql_quote(b)
+        parts.append(f"""e{k} AS (
+  SELECT w, i, t[i] AS tok,
+         CASE WHEN i < len(t) AND t[i] = '{qa}' AND t[i+1] = '{qb}'
+              THEN 1 ELSE 0 END AS cand
+  FROM t{k - 1}, unnest(generate_series(1, len(t))) u(i)
+), i{k} AS (
+  SELECT w, i, tok, cand,
+         CASE WHEN cand = 1 THEN i - row_number()
+              OVER (PARTITION BY w, cand ORDER BY i) END AS isl
+  FROM e{k}
+), s{k} AS (
+  SELECT w, i, tok,
+         CASE WHEN cand = 1
+              AND (i - min(i) OVER (PARTITION BY w, isl)) % 2 = 0
+              THEN 1 ELSE 0 END AS taken
+  FROM i{k}
+), p{k} AS (
+  SELECT w, i, tok, taken,
+         lag(taken, 1, 0) OVER (PARTITION BY w ORDER BY i) AS ptaken
+  FROM s{k}
+), t{k} AS (
+  SELECT w,
+         list(CASE WHEN taken = 1 THEN '{qa}{qb}' ELSE tok END ORDER BY i)
+           FILTER (WHERE ptaken = 0) AS t
+  FROM p{k} GROUP BY w
+)""")
+    return ",\n".join(parts), f"t{len(merges)}"
+
+
+def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
+    ctes, last = _bpe_word_ctes(merges)
+    return f"""WITH {ctes}, enc AS (
+  SELECT w, CAST(len(t) AS BIGINT) AS n_toks FROM {last}
+), stream AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents)
+  WHERE length(word) BETWEEN 1 AND {MAX_WORD_CHARS}
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(s.word)) AS BIGINT) AS n_chars_tokenized
+FROM stream s JOIN enc e ON s.word = e.w
+GROUP BY s.doc_id"""
+
+
+def _bpe_packing_oracle(merges: list[tuple[str, str]]) -> str:
+    from .corpus import PACK_SHARDS, PACK_TARGET_TOKENS
+
+    ctes, last = _bpe_word_ctes(merges)
+    return f"""WITH {ctes}, enc AS (
+  SELECT w, CAST(len(t) AS BIGINT) AS n_toks FROM {last}
+), stream AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents)
+  WHERE length(word) BETWEEN 1 AND {MAX_WORD_CHARS}
+), counts AS (
+  SELECT doc_id, sum(e.n_toks) AS n_bpe_tokens
+  FROM stream s JOIN enc e ON s.word = e.w
+  GROUP BY doc_id
+), sharded AS (
+  SELECT d.doc_id, d.doc_id % {PACK_SHARDS} AS shard,
+         CAST(coalesce(c.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN counts c USING (doc_id)
+), p AS (
+  SELECT shard, n_tokens,
+         CAST(floor(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_TARGET_TOKENS}) AS BIGINT) AS pack_id
+  FROM sharded
+)
+SELECT shard, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM p GROUP BY 1, 2"""
 
 
 def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,6 +328,36 @@ def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(spark, load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode/apply pass between ``vocab_bpe_merges`` and packing:
+    tokenize the corpus with the FROZEN merge list and emit per-doc
+    word / BPE-token / char counts (the numbers every budget, packing
+    and dedup-stat stage downstream consumes)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return encode_token_counts(
+        load_table(spark, sf_dir, "documents"), FROZEN_MERGES
+    )
+
+
+def q_corpus_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing on frozen-BPE token counts — the
+    whitespace-proxy packer (``corpus_doc_packing``) upgraded to the
+    tokenizer the trainer actually uses."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bpe_packing(load_table(spark, sf_dir, "documents"))
+
+
 # Iterative argmax: no SQL twin -> rows-only driver check; exactness is
 # pinned against a from-scratch Python BPE in tests/test_bpe.py.
 QUERIES["vocab_bpe_merges"] = (q_vocab_bpe_merges, None)
+# The encode pass is closed-form given the frozen merges (leftmost
+# non-overlapping == gaps-and-islands parity in SQL), so unlike the
+# induction it hash-checks end-to-end.
+QUERIES["corpus_bpe_encode"] = (
+    q_corpus_bpe_encode,
+    _bpe_encode_oracle(FROZEN_MERGES),
+)
+QUERIES["corpus_bpe_packing"] = (
+    q_corpus_bpe_packing,
+    _bpe_packing_oracle(FROZEN_MERGES),
+)

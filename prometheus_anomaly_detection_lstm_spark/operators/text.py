@@ -1436,3 +1436,157 @@ FROM picked GROUP BY 1, 2"""
 
 
 QUERIES["text_nb_confusion"] = (q_nb_confusion, _nb_confusion_oracle())
+
+
+# ------------------------------------------------------------------
+# Exact-substring dedup, APPLY pass: remove duplicated n-gram spans
+
+def dup_span_removal(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
+    """The second half of the suffix-array-style exact-substring dedup
+    recipe (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): ``dup_ngram_spans`` finds the duplicated
+    n-word spans; this pass merges each doc's overlapping/adjacent hit
+    ranges into maximal islands and emits the corpus with those word
+    ranges REMOVED, plus per-doc removal stats.  Policy: every
+    occurrence of a cross-doc duplicated span is dropped (the strict
+    variant of the paper's recipe), so the output is deterministic.
+
+    Shape: the hit join is span-table-sized (self-limiting — support
+    >= 2 spans only), the island merge is a doc-partitioned window
+    (doc-bounded state, no global sort), and the apply is one
+    projection with an array filter over the collected span list
+    (spans per doc are few after merging).  At 100 TB the work scales
+    with duplicate MASS, not corpus² — measured in BASELINE.md.
+
+    Output: (doc_id, n_spans, n_words_removed, n_chars_removed,
+    text_clean) for EVERY doc (0/0/0/original when nothing dups).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("s"),
+                    (i + (n - 1)).alias("e"),
+                    F.concat_ws(" ", F.slice(words, i, n)).alias("ngram"),
+                ),
+            )
+        ).alias("g"),
+    ).where(F.size(words) >= n).select("doc_id", "g.s", "g.e", "g.ngram")
+    dup = (
+        grams.groupBy("ngram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("ngram")
+    )
+    hits = grams.join(dup, "ngram").select("doc_id", "s", "e")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = hits.withColumn(
+        "new_isl",
+        (
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1
+        ).cast("int"),
+    ).withColumn("island", F.sum("new_isl").over(w_run))
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias(
+            "n_words_removed"
+        ),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+    )
+    joined = docs.select("doc_id", "text").join(per_doc, "doc_id", "left")
+    clean = F.when(F.col("spans").isNull(), F.col("text")).otherwise(
+        F.expr(
+            "concat_ws(' ', filter(split(text, ' '), (x, i) -> "
+            "NOT exists(spans, sp -> sp.s <= i + 1 AND i + 1 <= sp.e)))"
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_words_removed", F.lit(0))
+        .cast("bigint")
+        .alias("n_words_removed"),
+        (F.length("text") - F.length(clean)).cast("bigint").alias(
+            "n_chars_removed"
+        ),
+        clean.alias("text_clean"),
+    )
+
+
+ORACLE_DUP_SPAN_REMOVAL = f"""WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id, i AS s, i + {DUP_NGRAM_N - 1} AS e,
+         array_to_string(words[i:i + {DUP_NGRAM_N - 1}], ' ') AS ngram
+  FROM w, unnest(generate_series(1, len(words) - {DUP_NGRAM_N - 1})) t(i)
+  WHERE len(words) >= {DUP_NGRAM_N}
+), dup AS (
+  SELECT ngram FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.s, g.e FROM g JOIN dup USING (ngram)
+), isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+), isl2 AS (
+  SELECT doc_id, s, e,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM isl
+), m AS (
+  SELECT doc_id, island, min(s) AS s, max(e) AS e
+  FROM isl2 GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_words_removed
+  FROM m GROUP BY doc_id
+), cov AS (
+  SELECT DISTINCT doc_id, j FROM m, unnest(generate_series(s, e)) v(j)
+), tok AS (
+  SELECT doc_id, i, words[i] AS word
+  FROM w, unnest(generate_series(1, len(words))) t(i)
+), kept AS (
+  SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.i) AS text_clean
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.j
+  WHERE c.j IS NULL GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_words_removed, 0) AS BIGINT) AS n_words_removed,
+       CAST(length(d.text) - length(coalesce(k.text_clean, ''))
+            AS BIGINT) AS n_chars_removed,
+       coalesce(k.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN kept k ON d.doc_id = k.doc_id"""
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return dup_span_removal(_docs(spark, sf_dir))
+
+
+QUERIES["corpus_dup_span_removal"] = (
+    q_dup_span_removal,
+    ORACLE_DUP_SPAN_REMOVAL,
+)

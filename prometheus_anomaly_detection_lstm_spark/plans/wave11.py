@@ -610,3 +610,79 @@ QUERIES["metric_spot_anomaly_hours"] = (
     q_metric_spot_anomaly_hours,
     ORACLE_SPOT_ANOMALY_HOURS,
 )
+
+
+# ------------------------------------------ DSPOT batch twin (drift)
+
+#: local-model depth — mirrors streaming.spot.DriftSpotCalibrator's
+#: default deque depth so batch backtests and the realtime detector
+#: fit the same residual stream.
+DSPOT_DEPTH = 24
+
+
+def dspot_threshold(series: DataFrame) -> DataFrame:
+    """Batch twin of ``streaming.spot.DriftSpotCalibrator`` (DSPOT,
+    Siffer et al. KDD'17 §4.3): residuals against a bounded
+    moving-average local model (the previous ``DSPOT_DEPTH`` samples,
+    full windows only), then the SAME closed-form SPOT/GPD fit as
+    ``spot_threshold`` — so a drifting baseline no longer drags the
+    alarm level.  The fitted threshold is in RESIDUAL space (the
+    streaming twin re-anchors it to the live local mean per point).
+
+    Determinism: samples are totally ordered by (ts, seq) inside each
+    series, and the cross-engine moving average is pre-rounded to 9dp
+    before differencing (the SAX/holt float discipline) so the GPD fit
+    sees bit-identical residuals on any engine.
+
+    Shape: one series-partitioned window (bounded frame,
+    no global sort) + the two keyed aggs of the SPOT fit — series-
+    cardinality output, linear scan work at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("metric").orderBy("ts", "seq")
+    ma = F.avg("value").over(w.rowsBetween(-DSPOT_DEPTH, -1))
+    rn = F.row_number().over(w)
+    resid = (
+        series.select("metric", "ts", "seq", "value")
+        .withColumn("__ma", ma)
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") > DSPOT_DEPTH)
+        .select(
+            "metric",
+            F.round(
+                F.col("value") - F.round(F.col("__ma"), 9), 9
+            ).alias("value"),
+        )
+    )
+    return spot_threshold(resid).withColumnRenamed(
+        "spot_threshold", "dspot_threshold"
+    )
+
+
+def q_metric_dspot_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dspot_threshold(events_series(spark, sf_dir))
+
+
+#: the DSPOT oracle splices a residual-series CTE chain in front of the
+#: SPOT fit SQL (everything from `t0s AS (` on is shared verbatim).
+ORACLE_DSPOT_THRESHOLD = (
+    f"""WITH base AS (
+  SELECT event_type AS metric, ts, event_id AS seq, value FROM events
+), ma AS (
+  SELECT metric, value,
+         avg(value) OVER (PARTITION BY metric ORDER BY ts, seq
+             ROWS BETWEEN {DSPOT_DEPTH} PRECEDING AND 1 PRECEDING) AS mav,
+         row_number() OVER (PARTITION BY metric ORDER BY ts, seq) AS rn
+  FROM base
+), series AS (
+  SELECT metric, round(value - round(mav, 9), 9) AS value
+  FROM ma WHERE rn > {DSPOT_DEPTH}
+), """
+    + ORACLE_SPOT_THRESHOLD[ORACLE_SPOT_THRESHOLD.index("t0s AS (") :]
+).replace("spot_threshold", "dspot_threshold")
+
+QUERIES["metric_dspot_threshold"] = (
+    q_metric_dspot_threshold,
+    ORACLE_DSPOT_THRESHOLD,
+)

@@ -282,67 +282,62 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-7 new queries (never graded; first official rows) ----
+    # ---- round-8 new queries (never graded; first official rows) ----
     # (the window-marker position below is machine-checked by
     # tests/test_registry_hygiene.py)
-    "text_lang_id_ngram", "corpus_perplexity_filter",
-    "metric_spot_threshold", "corpus_ccnet_partition",
-    "metric_spot_anomaly_hours", "text_lang_id_confusion",
-    # ---- round-7 verdict task 1: staleness refresh.  Oldest official
-    # rows first: the 17 queries whose latest driver row is ROUND 1
-    # (five rounds of code churn since), then the stalest round-2 rows
-    # (pipeline headliners ffill_bfill/metrics_wide/standard_scaled
-    # first, then the fill/align, text, multimodal and corpus
-    # families).  Everything here is green in the local parity sweep
-    # every session — this is artifact freshness, not risk repair. ----
-    "rollup_agg", "topk_per_group", "semi_anti_join",
-    "running_revenue", "distinct_users", "vocab_stats", "funnel",
-    "embedding_mean_by_label", "events_hourly_pivot",
-    "unpivot_metrics", "user_set_ops", "approx_distinct_users",
-    "approx_threshold_percentiles", "nan_counts", "tpch_q6",
-    "min_cost_supplier", "multires_rollup",
-    "ffill_bfill", "metrics_wide", "standard_scaled", "scaler_params",
-    "calendar_features", "fill_mean", "fill_median", "tail_n",
-    "inner_align", "dedup_keep_first", "multi_series_first",
-    "union_periods", "backfill_missing", "numeric_coercion",
-    "text_token_counts", "text_lang_id", "text_fingerprints",
-    "text_winnowing_fingerprints", "text_pii_redact",
-    "text_quality_scores", "text_tfidf_top_terms",
-    "multimodal_binary_metadata", "multimodal_decode_stub",
-    "multimodal_frame_sample", "corpus_hash_sample",
-    "corpus_doc_chunks", "corpus_doc_packing",
+    "metric_dspot_threshold", "corpus_dup_span_removal",
+    "corpus_bpe_encode", "corpus_bpe_packing",
+    # ---- round-7 verdict task 1: finish the staleness refresh.  The
+    # 13 queries whose latest official row is ROUND 2 (the
+    # dedup/ann/score tail), then the 33 stalest round-3 rows (every
+    # non-TPC-H r3 row plus tpch_q4; the remaining 16 r3 TPC-H rows
+    # head the round-9 window).  All green in the local parity sweep
+    # every session — artifact freshness, not risk repair. ----
+    "mse_histogram",
+    "threshold_percentiles", "per_feature_mse", "anomaly_flags",
+    "asof_join", "rolling_features", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
+    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "text_frequent_tokens",
+    "dedup_apply", "dedup_minhash_incremental", "dedup_embedding_cosine",
+    "embedding_random_projection", "promql_counter_rate",
+    "promql_gauge_over_time", "promql_histogram_quantile",
+    "promql_topk_series", "promql_rate_by_labelset", "promql_rate_anomaly",
+    "promql_deriv_predict", "promql_absent", "metric_correlations",
+    "corpus_clean_pipeline", "minmax_scaled", "anomaly_mse",
+    "threshold_split", "anomaly_mse_lstm", "corpus_stratified_sample",
+    "embedding_covariance", "cube_agg", "table_profile",
+    "text_ngram_novelty", "text_dup_ngram_spans", "text_lm_trigram_scores",
+    "sessionize", "events_json_extract", "retention_cohorts",
+    "user_path_transitions", "metric_trend_slopes",
+    "range_join_interval_counts", "tpch_q4",
     # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
-    # round-2-latest remainder — first in line for the round-8 window:
-    "mse_histogram", "threshold_percentiles",
-    "per_feature_mse", "anomaly_flags", "asof_join", "rolling_features",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "embedding_norms", "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf",
-    # round-3..6-latest rows on unchanged code, newest-graded last:
-    "doc_type_token_ratio", "customer_order_gaps",
-    "join_key_skew_profile", "embedding_hard_negatives",
-    "metric_sax_symbols", "text_pmi_collocations",
-    "embedding_centroid_drift", "metric_sax_motifs",
-    "text_feature_hashing", "promql_lang_predict_linear",
-    "promql_lang_changes_sum", "promql_lang_unless_gate",
-    "metric_seasonal_mad", "embedding_knn_label_audit",
-    "metric_sax_similar_days", "dedup_lsh_bucket_profile",
-    "dedup_hot_shingles", "orders_km_reorder_curve", "events_ab_cuped",
-    "events_ab_power", "metric_df_stationarity",
-    "metric_matrix_profile", "multimodal_audio_features",
-    "metric_spectral_residual", "metric_holt_winters",
-    "metric_pca_scores", "tpch_q3_bucketed", "semantic_dedup_scaled",
-    "promql_holt_smoothing", "metric_ramp_detect",
-    "events_ab_sequential", "orders_basket_affinity",
-    "metric_glr_changepoint", "corpus_dedup_e2e_stats",
-    "text_keyword_extract", "metric_esd_outliers",
-    "metric_ar2_residuals", "events_anomaly_attribution",
-    "orders_price_elasticity", "metric_cointegration_pairs",
-    "embedding_kcenter_coreset", "text_burstiness",
-    "events_ab_srm_check", "metric_glr_variance_change",
-    "corpus_sample_ngram_coverage", "text_source_overlap_matrix",
-    "tpch_q1", "tpch_q3", "tpch_q5", "windowed_events",
+    # round-3-latest remainder — first in line for the round-9 window:
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # round-4..7-latest rows on unchanged code, newest-graded last:
+    "dedup_clusters", "corpus_decontaminate", "corpus_shuffle_shards",
+    "corpus_token_budget_sample", "embedding_quantize_int8",
+    "text_repetition_scores", "text_quality_filter",
+    "metric_rolling_median", "metric_change_points",
+    "event_graph_triangles", "corpus_quality_curriculum",
+    "metric_autocorrelation", "metric_mad_outliers",
+    "metric_stl_decompose", "metric_m4_downsample", "metric_slo_burn_rate",
+    "corpus_importance_sample", "metric_anomaly_ensemble",
+    "metric_distribution_drift", "tpch_q1_incremental",
+    "embedding_nearest_centroid_eval", "metric_forecast_backtest",
+    "promql_label_ops", "customer_rfm_segments",
+    "events_association_rules", "events_ab_test", "corpus_length_gini",
+    "metric_cross_correlation", "cohort_ltv_curve",
+    "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
+    "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
+    "promql_subquery_max_rate", "promql_alert_episodes",
+    "promql_rate_offset_delta", "promql_sum_by_rate",
+    "promql_series_cardinality", "promql_time_weighted_avg",
+    "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
+    "metric_seasonal_anomaly", "events_grouping_sets",
+    "events_rank_functions", "event_pagerank", "scd2_user_bands",
     "metric_resample_interpolate", "text_log_odds_keywords",
     "events_attribution", "corpus_bloom_decontaminate",
     "events_frequent_paths", "orders_backlog_daily",
@@ -354,57 +349,56 @@ PRIORITY: list[str] = [
     "vocab_bpe_merges", "embedding_ridge_fit", "ann_cosine_topk_pq",
     "ann_cosine_topk", "dedup_minhash_lsh", "text_bm25_topk",
     "embedding_matryoshka_eval", "dedup_edit_distance",
-    "text_nb_classifier", "text_nb_classifier_auc",
-    "embedding_logreg_fit", "metric_cusum_anomalies",
-    "metric_theil_sen_trend", "text_char_entropy", "corpus_zipf_fit",
-    "events_funnel_timing", "events_heavy_hitters",
-    "corpus_source_token_drift", "promql_lang_rate_sum",
-    "promql_lang_topk_gauge", "promql_lang_increase_filter",
-    "promql_lang_error_ratio", "promql_lang_histogram_quantile",
-    "promql_lang_quantile_over_time", "promql_lang_label_replace",
-    "text_nb_confusion", "parts_abc_by_brand",
+    "text_nb_classifier", "text_nb_classifier_auc", "embedding_logreg_fit",
+    "metric_cusum_anomalies", "metric_theil_sen_trend",
+    "text_char_entropy", "corpus_zipf_fit", "events_funnel_timing",
+    "events_heavy_hitters", "corpus_source_token_drift",
+    "promql_lang_rate_sum", "promql_lang_topk_gauge",
+    "promql_lang_increase_filter", "promql_lang_error_ratio",
+    "promql_lang_histogram_quantile", "promql_lang_quantile_over_time",
+    "promql_lang_label_replace", "text_nb_confusion", "parts_abc_by_brand",
     "shipping_delay_profile", "events_markov_next_eval",
     "text_readability_scores", "return_rate_by_brand",
-    "supplier_hhi_by_nation", "text_frequent_tokens", "dedup_apply",
-    "dedup_clusters", "dedup_minhash_incremental",
-    "corpus_decontaminate", "corpus_shuffle_shards",
-    "corpus_token_budget_sample", "embedding_quantize_int8",
-    "text_repetition_scores", "text_quality_filter",
-    "metric_rolling_median", "metric_change_points",
-    "event_graph_triangles", "corpus_quality_curriculum",
-    "metric_autocorrelation", "metric_mad_outliers",
-    "metric_stl_decompose", "metric_m4_downsample",
-    "metric_slo_burn_rate", "corpus_importance_sample",
-    "metric_anomaly_ensemble", "metric_distribution_drift",
-    "tpch_q1_incremental", "embedding_nearest_centroid_eval",
-    "metric_forecast_backtest", "promql_label_ops",
-    "customer_rfm_segments", "events_association_rules",
-    "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
-    "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
-    "corpus_mixture_sample", "text_containment_pairs",
-    "corpus_upsert_latest", "anomaly_intervals",
-    "promql_subquery_max_rate", "promql_alert_episodes",
-    "promql_rate_offset_delta", "promql_sum_by_rate",
-    "promql_series_cardinality", "promql_time_weighted_avg",
-    "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
-    "metric_seasonal_anomaly", "events_grouping_sets",
-    "events_rank_functions", "event_pagerank", "scd2_user_bands",
-    "dedup_embedding_cosine", "embedding_random_projection",
-    "promql_counter_rate", "promql_gauge_over_time",
-    "promql_histogram_quantile", "promql_topk_series",
-    "promql_rate_by_labelset", "promql_rate_anomaly",
-    "promql_deriv_predict", "promql_absent", "metric_correlations",
-    "corpus_clean_pipeline", "minmax_scaled", "anomaly_mse",
-    "threshold_split", "anomaly_mse_lstm", "corpus_stratified_sample",
-    "embedding_covariance", "cube_agg", "table_profile",
-    "text_ngram_novelty", "text_dup_ngram_spans",
-    "text_lm_trigram_scores", "sessionize", "events_json_extract",
-    "retention_cohorts", "user_path_transitions",
-    "metric_trend_slopes", "range_join_interval_counts", "tpch_q4",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
-    "tpch_q22",
+    "supplier_hhi_by_nation",
+    "doc_type_token_ratio", "customer_order_gaps", "join_key_skew_profile",
+    "embedding_hard_negatives", "metric_sax_symbols",
+    "text_pmi_collocations", "embedding_centroid_drift",
+    "metric_sax_motifs", "text_feature_hashing",
+    "promql_lang_predict_linear", "promql_lang_changes_sum",
+    "promql_lang_unless_gate", "metric_seasonal_mad",
+    "embedding_knn_label_audit", "metric_sax_similar_days",
+    "dedup_lsh_bucket_profile", "dedup_hot_shingles",
+    "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
+    "metric_df_stationarity", "metric_matrix_profile",
+    "multimodal_audio_features", "metric_spectral_residual",
+    "metric_holt_winters", "metric_pca_scores", "tpch_q3_bucketed",
+    "semantic_dedup_scaled", "promql_holt_smoothing", "metric_ramp_detect",
+    "events_ab_sequential", "orders_basket_affinity",
+    "metric_glr_changepoint", "corpus_dedup_e2e_stats",
+    "text_keyword_extract", "metric_esd_outliers", "metric_ar2_residuals",
+    "events_anomaly_attribution", "orders_price_elasticity",
+    "metric_cointegration_pairs", "embedding_kcenter_coreset",
+    "text_burstiness", "events_ab_srm_check", "metric_glr_variance_change",
+    "corpus_sample_ngram_coverage", "text_source_overlap_matrix",
+    "tpch_q1", "tpch_q3", "tpch_q5", "windowed_events",
+    "text_lang_id_ngram", "corpus_perplexity_filter",
+    "metric_spot_threshold", "corpus_ccnet_partition",
+    "metric_spot_anomaly_hours", "text_lang_id_confusion", "rollup_agg",
+    "topk_per_group", "semi_anti_join", "running_revenue",
+    "distinct_users", "vocab_stats", "funnel", "embedding_mean_by_label",
+    "events_hourly_pivot", "unpivot_metrics", "user_set_ops",
+    "approx_distinct_users", "approx_threshold_percentiles", "nan_counts",
+    "tpch_q6", "min_cost_supplier", "multires_rollup", "ffill_bfill",
+    "metrics_wide", "standard_scaled", "scaler_params",
+    "calendar_features", "fill_mean", "fill_median", "tail_n",
+    "inner_align", "dedup_keep_first", "multi_series_first",
+    "union_periods", "backfill_missing", "numeric_coercion",
+    "text_token_counts", "text_lang_id", "text_fingerprints",
+    "text_winnowing_fingerprints", "text_pii_redact",
+    "text_quality_scores", "text_tfidf_top_terms",
+    "multimodal_binary_metadata", "multimodal_decode_stub",
+    "multimodal_frame_sample", "corpus_hash_sample", "corpus_doc_chunks",
+    "corpus_doc_packing",
 ]
 
 

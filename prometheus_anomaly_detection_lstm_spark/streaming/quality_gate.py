@@ -58,6 +58,22 @@ class FrozenTrigramLM:
             logs += np.log((c + 1) / den)
         return n, float(np.exp(-logs / n))
 
+    def logprob_table(self) -> tuple[dict[int, float], float]:
+        """(int-keyed trigram -> smoothed log-prob, default log-prob):
+        the vectorized scorer's lookup — trigrams packed into one int
+        (3 × 21-bit codepoints) so a whole batch resolves through one
+        C-speed pandas map instead of a per-character Python loop."""
+        den = self.total + self.vocab
+        table = {
+            _tri_key(t): float(np.log((c + 1) / den))
+            for t, c in self.counts.items()
+        }
+        return table, float(np.log(1.0 / den))
+
+
+def _tri_key(tri: str) -> int:
+    return (ord(tri[0]) << 42) | (ord(tri[1]) << 21) | ord(tri[2])
+
 
 def freeze_lm(docs: DataFrame, keep_quantile: float = 2.0 / 3.0) -> FrozenTrigramLM:
     """Train the trigram LM on a corpus snapshot and freeze the keep
@@ -65,7 +81,8 @@ def freeze_lm(docs: DataFrame, keep_quantile: float = 2.0 / 3.0) -> FrozenTrigra
 
     The rollup runs distributed (the same bounded-key trigram agg as
     the batch operator); only the vocabulary-scale count table and the
-    doc-level ppl values are collected."""
+    ONE-ROW percentile sketch of the doc ppls are collected — nothing
+    doc-count-scale touches the driver."""
     from pyspark.sql import functions as F
 
     tris = docs.select(
@@ -95,14 +112,16 @@ def freeze_lm(docs: DataFrame, keep_quantile: float = 2.0 / 3.0) -> FrozenTrigra
             ).alias("ppl")
         )
     )
-    vals = np.array([r.ppl for r in ppl.collect()])
-    # frozen on the same 6dp grid the gate emits, so the keep
-    # predicate (rounded ppl <= cutoff) has no sub-rounding knife edge
-    cutoff = (
-        round(float(np.quantile(vals, keep_quantile)), 6)
-        if len(vals)
-        else float("inf")
-    )
+    # cutoff computed IN-ENGINE (r7 verdict task 5): the snapshot's
+    # doc-count-scale ppl vector never reaches the driver — only the
+    # one-row approx-percentile sketch does.  Frozen on the same 6dp
+    # grid the gate emits, so the keep predicate (rounded ppl <=
+    # cutoff) has no sub-rounding knife edge.
+    q_row = ppl.agg(
+        F.percentile_approx("ppl", keep_quantile).alias("q")
+    ).collect()
+    q = q_row[0]["q"] if q_row else None
+    cutoff = round(float(q), 6) if q is not None else float("inf")
     return FrozenTrigramLM(counts, total, vocab, cutoff)
 
 
@@ -115,17 +134,50 @@ def score_docs_batch(docs: DataFrame, lm: FrozenTrigramLM) -> DataFrame:
 
 
 def _scorer(lm: FrozenTrigramLM):
+    """Vectorized Arrow-batch scorer: codepoints -> packed int trigram
+    keys via numpy sliding windows, smoothed log-probs via one pandas
+    dict-map per batch, per-doc means via ``np.add.reduceat`` (the
+    summation order matches the scalar ``doc_ppl`` exactly, so the
+    stream ≡ batch ≡ numpy pins hold bit-for-bit).  Sub-trigram docs
+    (< 3 chars) are emitted with ``keep=0`` and NULL-ish ppl rather
+    than dropped, so downstream keep-set joins never lose doc_ids
+    silently (r7 ADVICE)."""
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table, default_lp = lm.logprob_table()
         for pdf in batches:
-            out = []
+            out: list[tuple[int, int, float, int]] = []
+            seg_ids: list[int] = []
+            seg_ns: list[int] = []
+            seg_keys: list[np.ndarray] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                n, ppl = lm.doc_ppl(text or "")
-                if n == 0:
+                lt = (text or "").lower()
+                n = len(lt) - 2
+                if n <= 0:
+                    out.append((int(doc_id), 0, float("nan"), 0))
                     continue
-                ppl = round(ppl, 6)
-                out.append(
-                    (int(doc_id), n, ppl, int(ppl <= lm.keep_cutoff))
+                a = np.frombuffer(
+                    lt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                seg_keys.append((a[:-2] << 42) | (a[1:-1] << 21) | a[2:])
+                seg_ids.append(int(doc_id))
+                seg_ns.append(n)
+            if seg_keys:
+                keys = np.concatenate(seg_keys)
+                lp = (
+                    pd.Series(keys)
+                    .map(table)
+                    .fillna(default_lp)
+                    .to_numpy()
                 )
+                bounds = np.cumsum([0] + seg_ns[:-1])
+                sums = np.add.reduceat(lp, bounds)
+                ppls = np.exp(-sums / np.asarray(seg_ns, dtype="float64"))
+                for i, doc_id in enumerate(seg_ids):
+                    p = round(float(ppls[i]), 6)
+                    out.append(
+                        (doc_id, seg_ns[i], p, int(p <= lm.keep_cutoff))
+                    )
             yield pd.DataFrame(
                 out, columns=["doc_id", "n_tris", "ppl", "keep"]
             )

@@ -79,21 +79,31 @@ class SpotCalibrator:
         self.risk = risk
         self.min_history = min_history
         self._scores: deque[float] = deque(maxlen=max_history)
+        # the GPD refit is O(history); eval loops read .threshold per
+        # observation (r7 ADVICE) — cache it, invalidated on observe()
+        self._cached: float | None = None
+        self._dirty = True
 
     def observe(self, score: float) -> None:
         self._scores.append(float(score))
+        self._dirty = True
 
     def __len__(self) -> int:
         return len(self._scores)
 
     @property
     def threshold(self) -> float | None:
+        if not self._dirty:
+            return self._cached
         if len(self._scores) < self.min_history:
-            return None
-        hist = np.asarray(self._scores)
-        z = fit_spot_threshold(hist, self.init_q, self.risk)
-        if z is None:
-            return float(np.percentile(hist, (1.0 - self.risk) * 100))
+            z = None
+        else:
+            hist = np.asarray(self._scores)
+            z = fit_spot_threshold(hist, self.init_q, self.risk)
+            if z is None:
+                z = float(np.percentile(hist, (1.0 - self.risk) * 100))
+        self._cached = z
+        self._dirty = False
         return z
 
 
@@ -118,6 +128,7 @@ class DriftSpotCalibrator(SpotCalibrator):
         if len(self._recent) == self.depth:
             # residual vs the local model BEFORE this point joins it
             self._scores.append(float(score) - self._local_mean())
+            self._dirty = True
         self._recent.append(float(score))
 
     def _local_mean(self) -> float:

@@ -149,3 +149,13 @@ def test_joblib_lz4_container_end_to_end(tmp_path):
     rows = scaler_params_from_joblib(str(framed), ["a", "b"])
     assert [r["min"] for r in rows] == [0.0, 5.0]
     assert [r["max"] for r in rows] == [2.0, 9.0]
+
+
+def test_dictionary_linked_frames_are_refused():
+    # r7 ADVICE: a dict-compressed frame decoded without its dictionary
+    # either fails confusingly mid-block or yields silently-wrong bytes
+    # — the reader must refuse at the descriptor, before any decode.
+    frame = bytearray(write_lz4_frame(b"hello world" * 10))
+    frame[4] |= 0x01  # FLG DictID bit
+    with pytest.raises(LZ4Error, match="dictionary"):
+        decompress_frame(bytes(frame))

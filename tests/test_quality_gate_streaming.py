@@ -125,3 +125,41 @@ def test_stream_equals_batch_and_split_invariant(spark, tmp_path):
         ).collect()
     }
     assert one == batch
+
+
+def test_sub_trigram_docs_flow_through_with_keep_zero(spark):
+    lm = freeze_lm(_snapshot_docs(spark))
+    docs = _incoming() + [
+        {"doc_id": 200, "text": "ab", "lang": "en", "source": "s",
+         "n_chars": 2},
+        {"doc_id": 201, "text": "", "lang": "en", "source": "s",
+         "n_chars": 0},
+    ]
+    rows = {
+        r.doc_id: r
+        for r in score_docs_batch(
+            spark.createDataFrame(pd.DataFrame(docs)), lm
+        ).collect()
+    }
+    # no doc_id is silently lost (r7 ADVICE) — sub-trigram docs emit
+    # keep=0 with no ppl instead of vanishing from the keep-set join
+    assert set(rows) == {d["doc_id"] for d in docs}
+    for did in (200, 201):
+        assert rows[did].n_tris == 0 and rows[did].keep == 0
+        assert rows[did].ppl is None or np.isnan(rows[did].ppl)
+
+
+def test_cutoff_is_frozen_in_engine_and_separates_regimes(spark):
+    snapshot = _snapshot_docs(spark)
+    lm = freeze_lm(snapshot)
+    scored = {
+        r.doc_id: r.ppl
+        for r in score_docs_batch(snapshot, lm).collect()
+    }
+    common = [scored[i] for i in range(20)]
+    odd = [scored[20 + i] for i in range(10)]
+    # the frozen 2/3-tercile boundary keeps the common regime and
+    # rejects the letter-soup regime on the snapshot itself
+    assert max(common) <= lm.keep_cutoff < min(odd)
+    kept = sum(1 for p in scored.values() if p <= lm.keep_cutoff)
+    assert 0.6 <= kept / len(scored) <= 0.75
