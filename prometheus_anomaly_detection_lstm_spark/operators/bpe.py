@@ -229,13 +229,16 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
-def _bpe_word_ctes(merges: list[tuple[str, str]]) -> tuple[str, str]:
+def _bpe_word_ctes(
+    merges: list[tuple[str, str]], src: str = "documents"
+) -> tuple[str, str]:
     """CTE chain (w0 distinct words -> t<k> token lists) applying the
-    merge list; returns (ctes_sql, final_cte_name)."""
+    merge list to corpus relation ``src`` (doc_id, text); returns
+    (ctes_sql, final_cte_name)."""
     parts = [f"""w0 AS (
   SELECT DISTINCT word AS w
   FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
-        FROM documents)
+        FROM {src})
   WHERE length(word) BETWEEN 1 AND {MAX_WORD_CHARS}
 ), t0 AS (
   SELECT w, string_split(w, '') AS t FROM w0
@@ -290,17 +293,19 @@ FROM stream s JOIN enc e ON s.word = e.w
 GROUP BY s.doc_id"""
 
 
-def _bpe_packing_oracle(merges: list[tuple[str, str]]) -> str:
+def _bpe_packing_oracle(
+    merges: list[tuple[str, str]], src: str = "documents"
+) -> str:
     from .corpus import PACK_SHARDS, PACK_TARGET_TOKENS
 
-    ctes, last = _bpe_word_ctes(merges)
+    ctes, last = _bpe_word_ctes(merges, src)
     return f"""WITH {ctes}, enc AS (
   SELECT w, CAST(len(t) AS BIGINT) AS n_toks FROM {last}
 ), stream AS (
   SELECT doc_id, word
   FROM (SELECT doc_id,
                unnest(string_split_regex(lower(text), '\\s+')) AS word
-        FROM documents)
+        FROM {src})
   WHERE length(word) BETWEEN 1 AND {MAX_WORD_CHARS}
 ), counts AS (
   SELECT doc_id, sum(e.n_toks) AS n_bpe_tokens
@@ -309,7 +314,7 @@ def _bpe_packing_oracle(merges: list[tuple[str, str]]) -> str:
 ), sharded AS (
   SELECT d.doc_id, d.doc_id % {PACK_SHARDS} AS shard,
          CAST(coalesce(c.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
-  FROM documents d LEFT JOIN counts c USING (doc_id)
+  FROM {src} d LEFT JOIN counts c USING (doc_id)
 ), p AS (
   SELECT shard, n_tokens,
          CAST(floor(COALESCE(sum(n_tokens) OVER (
@@ -321,6 +326,35 @@ def _bpe_packing_oracle(merges: list[tuple[str, str]]) -> str:
 SELECT shard, pack_id, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM p GROUP BY 1, 2"""
+
+
+def clean_tokenize_pack(docs: DataFrame) -> DataFrame:
+    """The production tail of an LLM-data pipeline composed in ONE
+    Catalyst plan: exact-substring span removal (Lee et al. 2022)
+    -> frozen-BPE tokenize -> greedy contiguous packing.  Everything
+    stays declarative, so Catalyst fuses the stages — no intermediate
+    materialization between cleaning and packing."""
+    from .text import dup_span_removal
+
+    cleaned = dup_span_removal(docs).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    return bpe_packing(cleaned)
+
+
+def _clean_tokenize_pack_oracle() -> str:
+    from .text import ORACLE_DUP_SPAN_REMOVAL
+
+    span_ctes = ORACLE_DUP_SPAN_REMOVAL[
+        len("WITH ") : ORACLE_DUP_SPAN_REMOVAL.index("\nSELECT d.doc_id")
+    ]
+    cleaned = """cleaned AS (
+  SELECT d.doc_id, coalesce(k.text_clean, '') AS text
+  FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+)"""
+    return _bpe_packing_oracle(FROZEN_MERGES, "cleaned").replace(
+        "WITH ", f"WITH {span_ctes}, {cleaned}, ", 1
+    )
 
 
 def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,4 +394,17 @@ QUERIES["corpus_bpe_encode"] = (
 QUERIES["corpus_bpe_packing"] = (
     q_corpus_bpe_packing,
     _bpe_packing_oracle(FROZEN_MERGES),
+)
+
+
+def q_corpus_clean_tokenize_pack(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return clean_tokenize_pack(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["corpus_clean_tokenize_pack"] = (
+    q_corpus_clean_tokenize_pack,
+    _clean_tokenize_pack_oracle(),
 )

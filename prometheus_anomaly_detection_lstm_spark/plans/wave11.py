@@ -638,25 +638,36 @@ def dspot_threshold(series: DataFrame) -> DataFrame:
     no global sort) + the two keyed aggs of the SPOT fit — series-
     cardinality output, linear scan work at 100 TB.
     """
+    resid = _dspot_residuals(series).select(
+        "metric", F.col("resid").alias("value")
+    )
+    return spot_threshold(resid).withColumnRenamed(
+        "spot_threshold", "dspot_threshold"
+    )
+
+
+def _dspot_residuals(series: DataFrame) -> DataFrame:
+    """(metric, ts, raw, resid): full-window residuals against the
+    bounded moving-average local model, 9dp pre-rounded (the
+    cross-engine float discipline)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("metric").orderBy("ts", "seq")
     ma = F.avg("value").over(w.rowsBetween(-DSPOT_DEPTH, -1))
     rn = F.row_number().over(w)
-    resid = (
+    return (
         series.select("metric", "ts", "seq", "value")
         .withColumn("__ma", ma)
         .withColumn("__rn", rn)
         .filter(F.col("__rn") > DSPOT_DEPTH)
         .select(
             "metric",
+            "ts",
+            F.col("value").alias("raw"),
             F.round(
                 F.col("value") - F.round(F.col("__ma"), 9), 9
-            ).alias("value"),
+            ).alias("resid"),
         )
-    )
-    return spot_threshold(resid).withColumnRenamed(
-        "spot_threshold", "dspot_threshold"
     )
 
 
@@ -685,4 +696,71 @@ ORACLE_DSPOT_THRESHOLD = (
 QUERIES["metric_dspot_threshold"] = (
     q_metric_dspot_threshold,
     ORACLE_DSPOT_THRESHOLD,
+)
+
+
+def q_metric_dspot_anomaly_hours(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DSPOT loop closed batch-side: every sample whose residual
+    (vs the bounded local mean) exceeds its series' drift-aware fitted
+    threshold, with the exceedance margin — the alert feed for
+    drifting baselines, where the plain-SPOT twin
+    (``metric_spot_anomaly_hours``) would chase the ramp.  Same shape
+    as the plain twin: series-cardinality fit + one broadcast join
+    back into the (windowed) sample scan."""
+    series = events_series(spark, sf_dir)
+    resid = _dspot_residuals(series)
+    fitted = dspot_threshold(series).select("metric", "dspot_threshold")
+    return (
+        resid.join(F.broadcast(fitted), "metric")
+        .filter(F.col("resid") > F.col("dspot_threshold"))
+        .select(
+            "metric",
+            "ts",
+            F.round("raw", 6).alias("value"),
+            F.round("resid", 6).alias("residual"),
+            "dspot_threshold",
+            F.round(
+                F.col("resid") - F.col("dspot_threshold"), 6
+            ).alias("excess"),
+        )
+    )
+
+
+_DSPOT_RESID_CTES = f"""base AS (
+  SELECT event_type AS metric, ts, event_id AS seq, value FROM events
+), ma AS (
+  SELECT metric, ts, value,
+         avg(value) OVER (PARTITION BY metric ORDER BY ts, seq
+             ROWS BETWEEN {DSPOT_DEPTH} PRECEDING AND 1 PRECEDING) AS mav,
+         row_number() OVER (PARTITION BY metric ORDER BY ts, seq) AS rn
+  FROM base
+), resid AS (
+  SELECT metric, ts, value AS raw,
+         round(value - round(mav, 9), 9) AS value
+  FROM ma WHERE rn > {DSPOT_DEPTH}
+)"""
+
+#: the SPOT fit CTEs WITHOUT the leading raw-events series CTE (the
+#: DSPOT feeds redefine `series` as the residual stream): t0s..fitted.
+_SPOT_FIT_TAIL = ORACLE_SPOT_THRESHOLD[
+    ORACLE_SPOT_THRESHOLD.index("t0s AS (") : ORACLE_SPOT_THRESHOLD.index(
+        "), over AS ("
+    )
+] + ")"
+
+ORACLE_DSPOT_ANOMALY_HOURS = f"""WITH {_DSPOT_RESID_CTES}, series AS (
+  SELECT metric, value FROM resid
+), {_SPOT_FIT_TAIL}
+SELECT r.metric, r.ts, round(r.raw, 6) AS value,
+       round(r.value, 6) AS residual,
+       f.spot_threshold AS dspot_threshold,
+       round(r.value - f.spot_threshold, 6) AS excess
+FROM resid r JOIN fitted f USING (metric)
+WHERE r.value > f.spot_threshold"""
+
+QUERIES["metric_dspot_anomaly_hours"] = (
+    q_metric_dspot_anomaly_hours,
+    ORACLE_DSPOT_ANOMALY_HOURS,
 )

@@ -215,9 +215,11 @@ def empty_sf(spark, tmp_path_factory):
     "name",
     [
         "metric_dspot_threshold",
+        "metric_dspot_anomaly_hours",
         "corpus_dup_span_removal",
         "corpus_bpe_encode",
         "corpus_bpe_packing",
+        "corpus_clean_tokenize_pack",
     ],
 )
 def test_round8_query_survives_empty_corpus(spark, empty_sf, name):
