@@ -576,6 +576,52 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_NGRAM_N = 8
 
 
+def trigram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, tri): lowercase character-trigram stream — the shared
+    feed of the LM/perplexity/lang-id family.  Positions explode FIRST
+    and the substring evaluates per exploded row inside whole-stage
+    codegen: building the trigram array inside transform() (and
+    re-lowering the text per element) measured 2.5x slower at sf0.1
+    (round 8)."""
+    return (
+        docs.select("doc_id", F.lower("text").alias("__lt"))
+        .where(F.length("__lt") >= 3)
+        .select(
+            "doc_id",
+            "__lt",
+            F.explode(F.expr("sequence(1, length(__lt) - 2)")).alias("__i"),
+        )
+        .select("doc_id", F.expr("substring(__lt, __i, 3)").alias("tri"))
+    )
+
+
+def _gram_stream(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, s, e, ngram): every n-word span with its 1-based word
+    range.  Positions explode first; the span text assembles per
+    exploded row inside whole-stage codegen (the fast shape — see
+    dup_ngram_spans docstring)."""
+    words = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", words.alias("__ws"))
+        .where(F.size("__ws") >= n)
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__ws") - (n - 1))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            (F.col("s") + (n - 1)).alias("e"),
+            F.concat_ws(
+                " ", F.slice("__ws", F.col("s"), n)
+            ).alias("ngram"),
+        )
+    )
+
+
 def dup_ngram_spans(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
     """Exact duplicate-substring mining at n-gram granularity: every
     n-word span that occurs in MORE THAN ONE document, with corpus
@@ -584,25 +630,20 @@ def dup_ngram_spans(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
     reference has no text surface at all, SURVEY §2).
 
     Shape: per-doc n-gram generation is a single JVM projection
-    (split -> sequence -> transform/slice, no Python); the explode fans
-    out ~n_words rows per doc — the same factor a shingle pass costs —
-    and the only shuffle is the keyed agg on the span text.  Output is
-    self-limiting (spans with cross-doc support >= 2), so at 100 TB the
-    result stays proportional to the duplicated volume, not the corpus.
-    Docs shorter than n words are excluded BEFORE sequence() so the
+    (split -> sequence -> explode -> per-row slice/concat, no Python);
+    the explode fans out ~n_words rows per doc — the same factor a
+    shingle pass costs — and the only shuffle is the keyed agg on the
+    span text.  The position sequence explodes FIRST and the span text
+    assembles per exploded row: building an array-of-ngrams inside
+    transform() materializes every span per doc before the explode and
+    measured 7.7x slower at sf0.1 (round 8).  Output is self-limiting
+    (spans with cross-doc support >= 2), so at 100 TB the result stays
+    proportional to the duplicated volume, not the corpus.  Docs
+    shorter than n words are excluded BEFORE sequence() so the
     descending-sequence trap (r2 ADVICE on winnowing) can't produce
     bogus spans.
     """
-    words = F.split(F.col("text"), " ")
-    spans = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )
-        ).alias("ngram"),
-    ).where(F.size(words) >= n)
+    spans = _gram_stream(docs, n).select("doc_id", "ngram")
     return (
         spans.groupBy("ngram")
         .agg(
@@ -665,16 +706,7 @@ def lm_trigram_scores(docs: DataFrame) -> DataFrame:
     so AQE broadcasts the count table while it fits and shuffle-joins
     beyond; the per-doc mean reuses doc_id keying.  All JVM-side.
     """
-    norm = "lower(text)"
-    tris = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length({norm}) - 2), "
-                f"i -> substring({norm}, i, 3))"
-            )
-        ).alias("tri"),
-    ).where(F.expr(f"length({norm})") >= 3)
+    tris = trigram_stream(docs)
     counts = tris.groupBy("tri").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
     return (
@@ -1463,20 +1495,7 @@ def dup_span_removal(docs: DataFrame, n: int = DUP_NGRAM_N) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    words = F.split(F.col("text"), " ")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.struct(
-                    i.alias("s"),
-                    (i + (n - 1)).alias("e"),
-                    F.concat_ws(" ", F.slice(words, i, n)).alias("ngram"),
-                ),
-            )
-        ).alias("g"),
-    ).where(F.size(words) >= n).select("doc_id", "g.s", "g.e", "g.ngram")
+    grams = _gram_stream(docs, n)
     dup = (
         grams.groupBy("ngram")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

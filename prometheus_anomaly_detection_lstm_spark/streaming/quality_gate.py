@@ -85,15 +85,9 @@ def freeze_lm(docs: DataFrame, keep_quantile: float = 2.0 / 3.0) -> FrozenTrigra
     doc-count-scale touches the driver."""
     from pyspark.sql import functions as F
 
-    tris = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(lower(text)) - 2), "
-                "i -> substring(lower(text), i, 3))"
-            )
-        ).alias("tri"),
-    ).where(F.length(F.lower("text")) >= 3)
+    from ..operators.text import trigram_stream
+
+    tris = trigram_stream(docs)
     counts_df = tris.groupBy("tri").agg(F.count("*").alias("c"))
     rows = counts_df.collect()  # vocabulary scale (charset^3 bound)
     counts = {r.tri: r.c for r in rows}

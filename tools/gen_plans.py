@@ -224,6 +224,29 @@ SHOWCASE = [
      "moments over the broadcast-joined threshold); the GPD algebra "
      "runs on the series-cardinality frame — per-series state is a "
      "handful of numbers, never the samples."),
+    ("corpus_bpe_encode", "frozen-BPE encode via vocabulary memoization",
+     "The merge-fold chain runs once per DISTINCT word (vocabulary "
+     "scale), never per occurrence; the encoded vocab joins the word "
+     "stream AQE-gated (broadcast while it fits) and one keyed agg "
+     "emits per-doc counts — the corpus-scale work is a distinct, a "
+     "join lookup and a rollup, with zero Python."),
+    ("corpus_dup_span_removal", "exact-substring dedup apply",
+     "The hit join is span-table-sized (support >= 2 n-grams only, "
+     "self-limiting); island merging is a doc-partitioned cumulative-"
+     "max window (doc-bounded state, no global sort); the apply is "
+     "one projection filtering word positions against the per-doc "
+     "merged-span array — work scales with duplicate mass, never "
+     "corpus-squared."),
+    ("metric_dspot_threshold", "DSPOT: drift-aware EVT on residuals",
+     "One bounded ROWS-frame window per series (the 24-sample local "
+     "mean — no unbounded state) feeds the same two-agg SPOT fit; a "
+     "drifting baseline adds zero exchanges over the plain fit."),
+    ("corpus_clean_tokenize_pack", "pipeline tail fused in one plan",
+     "Span removal -> frozen-BPE tokenize -> greedy packing as ONE "
+     "declarative DAG: Catalyst pipelines the cleaned text straight "
+     "into the encode join with no intermediate materialization; the "
+     "only exchanges are the span agg, the vocab distinct and the "
+     "doc/shard rollups."),
 ]
 
 JOIN_RE = re.compile(
