@@ -701,6 +701,90 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_apply(docs, pairs)
 
 
+def neardup_keep_best(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Quality-priority near-dup dedup (the RefinedWeb-style keep-one
+    policy): within each near-dup cluster keep the LONGEST member
+    (most-complete version; ties break on min doc_id) instead of
+    ``dedup_apply``'s arbitrary min-id representative.  Unclustered
+    docs pass through as their own singleton.
+
+    Shape: connected components (label propagation + pointer jumping,
+    shared with dedup_apply) -> one cluster-partitioned window picks
+    the representative and the cluster size (cluster-bounded state, no
+    global sort) -> LEFT ANTI passes the unclustered corpus through
+    map-only.  Output: surviving (doc_id, n_tokens, cluster_size).
+    """
+    from pyspark.sql import Window
+
+    from .clusters import connected_components
+
+    comps = connected_components(pairs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    clustered = comps.join(
+        toks, comps["node"] == toks["doc_id"]
+    ).select("doc_id", "component", "n_tokens")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = clustered.withColumn(
+        "rk", F.row_number().over(w)
+    ).withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("component")).cast("bigint"),
+    )
+    reps = ranked.filter(F.col("rk") == 1).select(
+        "doc_id", "n_tokens", "cluster_size"
+    )
+    unique = toks.join(
+        comps.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    ).withColumn("cluster_size", F.lit(1).cast("bigint"))
+    return unique.select("doc_id", "n_tokens", "cluster_size").unionByName(
+        reps
+    )
+
+
+ORACLE_NEARDUP_KEEP_BEST = f"""WITH RECURSIVE pairs AS (
+{{minhash}}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT c.node AS doc_id, c.component, t.n_tokens,
+         row_number() OVER (PARTITION BY c.component
+             ORDER BY t.n_tokens DESC, c.node) AS rk,
+         count(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM cc c JOIN toks t ON t.doc_id = c.node
+)
+SELECT t.doc_id, t.n_tokens, CAST(1 AS BIGINT) AS cluster_size
+FROM toks t WHERE t.doc_id NOT IN (SELECT node FROM cc)
+UNION ALL
+SELECT doc_id, n_tokens, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rk = 1"""
+
+
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs, threshold=0.05)
+    return neardup_keep_best(docs, pairs)
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT_DUPLICATES),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
@@ -717,6 +801,10 @@ QUERIES = {
     "dedup_apply": (
         q_dedup_apply,
         ORACLE_DEDUP_APPLY.format(minhash=_minhash_lsh_sql(0.05)),
+    ),
+    "corpus_neardup_keep_best": (
+        q_neardup_keep_best,
+        ORACLE_NEARDUP_KEEP_BEST.format(minhash=_minhash_lsh_sql(0.05)),
     ),
 }
 

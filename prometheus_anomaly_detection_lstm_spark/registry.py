@@ -288,12 +288,14 @@ PRIORITY: list[str] = [
     "metric_dspot_threshold", "corpus_dup_span_removal",
     "corpus_bpe_encode", "corpus_bpe_packing",
     "metric_dspot_anomaly_hours", "corpus_clean_tokenize_pack",
+    "corpus_neardup_keep_best",
     # ---- round-7 verdict task 1: finish the staleness refresh.  The
     # 13 queries whose latest official row is ROUND 2 (the
-    # dedup/ann/score tail), then the 31 stalest round-3 rows (the
-    # non-TPC-H r3 rows; range_join_interval_counts + the 17 r3 TPC-H
-    # rows head the round-9 window).  All green in the local parity
-    # sweep every session — artifact freshness, not risk repair. ----
+    # dedup/ann/score tail), then the 30 stalest round-3 rows (the
+    # non-TPC-H r3 rows; metric_trend_slopes,
+    # range_join_interval_counts + the 17 r3 TPC-H rows head the
+    # round-9 window).  All green in the local parity sweep every
+    # session — artifact freshness, not risk repair. ----
     "mse_histogram",
     "threshold_percentiles", "per_feature_mse", "anomaly_flags",
     "asof_join", "rolling_features", "dedup_exact", "dedup_ngram_jaccard",
@@ -309,11 +311,12 @@ PRIORITY: list[str] = [
     "embedding_covariance", "cube_agg", "table_profile",
     "text_ngram_novelty", "text_dup_ngram_spans", "text_lm_trigram_scores",
     "sessionize", "events_json_extract", "retention_cohorts",
-    "user_path_transitions", "metric_trend_slopes",
+    "user_path_transitions",
     # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
     # round-3-latest remainder — first in line for the round-9 window:
-    "range_join_interval_counts", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "metric_trend_slopes", "range_join_interval_counts",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # round-4..7-latest rows on unchanged code, newest-graded last:

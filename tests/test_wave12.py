@@ -220,9 +220,35 @@ def empty_sf(spark, tmp_path_factory):
         "corpus_bpe_encode",
         "corpus_bpe_packing",
         "corpus_clean_tokenize_pack",
+        "corpus_neardup_keep_best",
     ],
 )
 def test_round8_query_survives_empty_corpus(spark, empty_sf, name):
     fn, _ = all_queries()[name]
     rows = fn(spark, empty_sf).collect()
     assert rows == []
+
+
+def test_neardup_keep_best_keeps_longest_member(spark):
+    from prometheus_anomaly_detection_lstm_spark.operators.dedup import (
+        neardup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s", 5),
+            (2, "a b c d e f", "en", "s", 11),   # longest in cluster
+            (3, "a b c d", "en", "s", 7),
+            (9, "totally unrelated text here", "en", "s", 27),
+        ],
+        DOC_SCHEMA,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in neardup_keep_best(docs, pairs).collect()}
+    # cluster {1,2,3}: the LONGEST member survives, with cluster size
+    assert set(out) == {2, 9}
+    assert out[2].n_tokens == 6 and out[2].cluster_size == 3
+    # unclustered docs pass through as singletons
+    assert out[9].cluster_size == 1 and out[9].n_tokens == 4
