@@ -52,12 +52,21 @@ class DetectorConfig:
     model: object = field(default_factory=StubAutoencoder)
     #: SPOT calibrator used when ``threshold`` is None.
     spot: "object" = None
+    #: drift-aware auto-threshold: with ``threshold=None``, pick the
+    #: DSPOT calibrator (residuals vs a bounded moving-average local
+    #: model, Siffer et al. KDD'17 §4.3) instead of plain SPOT — the
+    #: right default when the MSE baseline itself trends (model aging,
+    #: slow data drift); the zoo measured 2 vs 489 false alarms on a
+    #: two-week ramp (BASELINE.md round-7 scorecard).
+    drift: bool = False
 
     def __post_init__(self):
         if self.threshold is None and self.spot is None:
-            from .spot import SpotCalibrator
+            from .spot import DriftSpotCalibrator, SpotCalibrator
 
-            self.spot = SpotCalibrator()
+            self.spot = (
+                DriftSpotCalibrator() if self.drift else SpotCalibrator()
+            )
 
     @property
     def features(self) -> list[str]:

@@ -210,3 +210,19 @@ def test_static_threshold_path_unchanged():
     sinks = DetectorMetrics()
     out = run_detection_cycle(_cycle(0, L + 2), cfg, sinks)
     assert out["threshold"] == 0.001
+
+
+def test_detector_drift_flag_selects_dspot_calibrator():
+    from prometheus_anomaly_detection_lstm_spark.streaming.spot import (
+        DriftSpotCalibrator,
+    )
+
+    cfg = DetectorConfig(
+        metrics=METRICS, sequence_length=L, threshold=None, drift=True
+    )
+    assert isinstance(cfg.spot, DriftSpotCalibrator)
+    # plain default stays plain SPOT
+    cfg2 = DetectorConfig(
+        metrics=METRICS, sequence_length=L, threshold=None
+    )
+    assert type(cfg2.spot) is SpotCalibrator
