@@ -85,6 +85,8 @@ def main() -> None:
             "events": load_table(spark, root, "events").count(),
         }
 
+        from prometheus_anomaly_detection_lstm_spark.operators import dedup
+
         timings = [
             ("bpe_encode", lambda: bpe.q_corpus_bpe_encode(spark, root)),
             ("bpe_packing", lambda: bpe.q_corpus_bpe_packing(spark, root)),
@@ -92,6 +94,10 @@ def main() -> None:
              lambda: text.q_dup_span_removal(spark, root)),
             ("dspot_threshold",
              lambda: wave11.q_metric_dspot_threshold(spark, root)),
+            ("clean_tokenize_pack",
+             lambda: bpe.q_corpus_clean_tokenize_pack(spark, root)),
+            ("neardup_keep_best",
+             lambda: dedup.q_neardup_keep_best(spark, root)),
         ]
         for name, mk in timings:
             t0 = time.perf_counter()
