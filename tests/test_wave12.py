@@ -252,3 +252,23 @@ def test_neardup_keep_best_keeps_longest_member(spark):
     assert out[2].n_tokens == 6 and out[2].cluster_size == 3
     # unclustered docs pass through as singletons
     assert out[9].cluster_size == 1 and out[9].n_tokens == 4
+
+
+def test_dup_span_removal_digest_keys_is_answer_identical(spark):
+    shared = " ".join(f"dup{i}" for i in range(DUP_NGRAM_N + 4))
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta " + shared + " gamma", "en", "s", 1),
+            (1, "start " + shared + " end", "en", "s", 1),
+            (2, "totally unique words only here nothing shared", "en",
+             "s", 1),
+        ],
+        DOC_SCHEMA,
+    )
+    text_keyed = sorted(
+        map(tuple, dup_span_removal(docs).collect())
+    )
+    digest_keyed = sorted(
+        map(tuple, dup_span_removal(docs, digest_keys=True).collect())
+    )
+    assert text_keyed == digest_keyed
