@@ -275,6 +275,20 @@ PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "anomaly_mse_mapinpandas": (q_mse_via_mapinpandas, oracles.ORACLE_ANOMALY_MSE),
 }
 
+#: Ledger aliases: names that appeared on an official per-round
+#: CORRECTNESS artifact and were later renamed or demoted out of the
+#: driver registry.  Cumulative "ever graded" tooling must treat a
+#: ledger row under the OLD name as covering the NEW name — otherwise
+#: the cumulative count double-counts (the round-8 verdict's "269th
+#: ghost query").  Maps ledger-name -> current registry name (or
+#: PYTEST_ONLY_QUERIES name) that carries the same semantics today.
+LEDGER_ALIASES: dict[str, str] = {
+    # graded round 1; the mapInPandas physical path was then demoted to
+    # PYTEST_ONLY_QUERIES (same ORACLE_ANOMALY_MSE) and the Catalyst
+    # path was registered as `anomaly_mse` / `anomaly_mse_lstm`.
+    "anomaly_mse_mapinpandas": "anomaly_mse",
+}
+
 #: Grading priority.  The driver grades the FIRST 50 registry entries
 #: per round (observed in round 1: CORRECTNESS_r01.json stopped at 50
 #: of 65), so never-yet-graded and recently-changed queries are ordered

@@ -75,14 +75,29 @@ def _tri_key(tri: str) -> int:
     return (ord(tri[0]) << 42) | (ord(tri[1]) << 21) | ord(tri[2])
 
 
-def freeze_lm(docs: DataFrame, keep_quantile: float = 2.0 / 3.0) -> FrozenTrigramLM:
+def freeze_lm(
+    docs: DataFrame,
+    keep_quantile: float = 2.0 / 3.0,
+    exact_cutoff: bool = False,
+) -> FrozenTrigramLM:
     """Train the trigram LM on a corpus snapshot and freeze the keep
     cutoff at the snapshot's ``keep_quantile`` smoothed-ppl boundary.
 
     The rollup runs distributed (the same bounded-key trigram agg as
     the batch operator); only the vocabulary-scale count table and the
-    ONE-ROW percentile sketch of the doc ppls are collected — nothing
-    doc-count-scale touches the driver."""
+    ONE-ROW percentile of the doc ppls are collected — nothing
+    doc-count-scale touches the driver.
+
+    Cutoff determinism (r8 ADVICE): the default ``percentile_approx``
+    sketch is APPROXIMATE and its partition-merge order can vary across
+    runs, so re-freezing the identical snapshot may yield a slightly
+    different frozen cutoff — acceptable for a quality gate whose
+    boundary is itself a heuristic, and the only shape that scales to
+    unbounded snapshots (the sketch is constant-size).  Pass
+    ``exact_cutoff=True`` for a bit-reproducible freeze via Spark's
+    exact ``percentile`` aggregate — still one row on the driver, but
+    the aggregate buffers the doc-count-scale ppl vector inside ONE
+    executor task, so reserve it for bounded calibration snapshots."""
     from pyspark.sql import functions as F
 
     from ..operators.text import trigram_stream
@@ -111,9 +126,12 @@ def freeze_lm(docs: DataFrame, keep_quantile: float = 2.0 / 3.0) -> FrozenTrigra
     # one-row approx-percentile sketch does.  Frozen on the same 6dp
     # grid the gate emits, so the keep predicate (rounded ppl <=
     # cutoff) has no sub-rounding knife edge.
-    q_row = ppl.agg(
-        F.percentile_approx("ppl", keep_quantile).alias("q")
-    ).collect()
+    q_agg = (
+        F.expr(f"percentile(ppl, {keep_quantile!r})")
+        if exact_cutoff
+        else F.percentile_approx("ppl", keep_quantile)
+    )
+    q_row = ppl.agg(q_agg.alias("q")).collect()
     q = q_row[0]["q"] if q_row else None
     cutoff = round(float(q), 6) if q is not None else float("inf")
     return FrozenTrigramLM(counts, total, vocab, cutoff)
@@ -130,9 +148,17 @@ def score_docs_batch(docs: DataFrame, lm: FrozenTrigramLM) -> DataFrame:
 def _scorer(lm: FrozenTrigramLM):
     """Vectorized Arrow-batch scorer: codepoints -> packed int trigram
     keys via numpy sliding windows, smoothed log-probs via one pandas
-    dict-map per batch, per-doc means via ``np.add.reduceat`` (the
-    summation order matches the scalar ``doc_ppl`` exactly, so the
-    stream ≡ batch ≡ numpy pins hold bit-for-bit).  Sub-trigram docs
+    dict-map per batch, per-doc means via ``np.add.reduceat``.
+
+    Parity with the scalar ``doc_ppl``: identical after the 6dp
+    rounding applied before the keep decision — NOT guaranteed
+    bit-for-bit on the raw sum, because ``reduceat``'s segment
+    reduction is not strict left-to-right sequential accumulation (the
+    two orders can differ ~1e-13 on 10k-term sums; r8 ADVICE).  Both
+    the emitted ppl and the frozen cutoff live on the same 6dp grid,
+    so only a doc whose raw ppl sits exactly on a 6dp rounding
+    boundary could flip its keep decision between the two paths; the
+    stream ≡ batch ≡ numpy pins hold on that rounded grid.  Sub-trigram docs
     (< 3 chars) are emitted with ``keep=0`` and NULL-ish ppl rather
     than dropped, so downstream keep-set joins never lose doc_ids
     silently (r7 ADVICE)."""
