@@ -701,9 +701,144 @@ def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_vec(spark, sf_dir))
 
 
-# approximate by design: rows-only for the driver (recall floor pinned
-# in tests/test_kmeans.py, same policy as ann_cosine_topk_lsh/_ivf)
-QUERIES["ann_cosine_topk_pq"] = (q_ann_cosine_topk_pq, None)
+def _pq_topk_oracle(
+    m: int = PQ_SEARCH_M,
+    kcode: int = PQ_SEARCH_K,
+    iters: int = PQ_TRAIN_ITERS,
+    n_queries: int = 10,
+    k: int = 10,
+    rerank: int = PQ_RERANK,
+) -> str:
+    """Generated DuckDB twin of :func:`pq_topk` (r8 verdict task 2:
+    approximate-but-DETERMINISTIC, so hash-checkable).  Replicates the
+    whole pipeline: unit-normalize, per-subspace codebooks seeded from
+    the first ``kcode`` vec_ids, ``iters`` Lloyd refinements (argmin
+    ties -> lowest code, empty codewords keep their previous value via
+    LEFT JOIN + coalesce), ADC scoring against per-query LUTs, the
+    k*rerank shortlist, exact rerank.
+
+    Cross-engine float evidence (tools/ann_oracle_margins.py +
+    tests/test_ann_oracles.py): DuckDB's sequential list folds are
+    bit-identical to Spark's ``F.aggregate`` folds and to numpy's
+    small-axis sums (dsub=4 < the pairwise threshold), so the ONLY
+    noise source is the codebook-mean aggregation order — and the
+    minimum argmin/shortlist/top-k margin is >= 7.6e-8 across
+    sf0.001/0.01/0.1, ~1e5 times the worst-case mean noise."""
+    dsub = EMB_DIM // m
+    d2 = _FOLD_D2.format(a="s.sv", b="c.cw")
+
+    def assign(name: str, cb: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT s.vec_id, s.mi, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.mi
+                ORDER BY {d2} ASC, c.code ASC) AS rk
+    FROM sub s JOIN {cb} c ON c.mi = s.mi
+  ) WHERE rk = 1
+)"""
+
+    def means(name: str, assigned: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT p.mi, p.code, coalesce(n.cw, p.cw) AS cw
+  FROM {prev} p LEFT JOIN (
+    SELECT mi, code, list(mval ORDER BY sp) AS cw
+    FROM (
+      SELECT a.mi, a.code, g.sp, avg(s.sv[g.sp]) AS mval
+      FROM {assigned} a
+      JOIN sub s ON s.vec_id = a.vec_id AND s.mi = a.mi,
+           generate_series(1, {dsub}) g(sp)
+      GROUP BY a.mi, a.code, g.sp
+    ) GROUP BY mi, code
+  ) n ON n.mi = p.mi AND n.code = p.code
+)"""
+
+    steps = [
+        f"""v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+)""",
+        """nrm AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS n FROM v
+)""",
+        """u AS (
+  SELECT vec_id, list_transform(vec, x -> x / n) AS uvec FROM nrm
+)""",
+        f"""sub AS (
+  SELECT vec_id, g.mi,
+         list_slice(uvec, g.mi * {dsub} + 1, g.mi * {dsub} + {dsub}) AS sv
+  FROM u, generate_series(0, {m - 1}) g(mi)
+)""",
+        f"""cb0 AS (
+  SELECT mi,
+         CAST(row_number() OVER (PARTITION BY mi ORDER BY vec_id) - 1
+              AS INT) AS code,
+         sv AS cw
+  FROM sub WHERE vec_id < {kcode}
+)""",
+    ]
+    for it in range(1, iters + 1):
+        steps.append(assign(f"a{it}", f"cb{it - 1}"))
+        steps.append(means(f"cb{it}", f"a{it}", f"cb{it - 1}"))
+    steps.append(assign("af", f"cb{iters}"))
+    steps.append(
+        f"""qmap AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS q_id
+  FROM u WHERE vec_id < {n_queries}
+)"""
+    )
+    steps.append(
+        f"""lut AS (
+  SELECT qm.q_id, c.mi, c.code, {d2} AS d
+  FROM qmap qm
+  JOIN sub s ON s.vec_id = qm.vec_id
+  JOIN cb{iters} c ON c.mi = s.mi
+)"""
+    )
+    # NB: the Spark side filters candidate vec_id != q POSITION (q_pos
+    # from posexplode), not != q vec_id — mirror that exactly
+    steps.append(
+        """adc AS (
+  SELECT l.q_id, a.vec_id AS c_id, sum(l.d) AS approx_d
+  FROM af a JOIN lut l ON l.mi = a.mi AND l.code = a.code
+  WHERE a.vec_id != l.q_id
+  GROUP BY l.q_id, a.vec_id
+)"""
+    )
+    steps.append(
+        f"""shortlist AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_d ASC, c_id ASC) AS srk
+    FROM adc
+  ) WHERE srk <= {k * rerank}
+)"""
+    )
+    steps.append(
+        """exact AS (
+  SELECT sl.q_id, sl.c_id,
+         list_reduce(list_transform(list_zip(cu.uvec, qu.uvec),
+             p -> p[1] * p[2]), (acc, x) -> acc + x) AS cosine
+  FROM shortlist sl
+  JOIN u cu ON cu.vec_id = sl.c_id
+  JOIN qmap qm ON qm.q_id = sl.q_id
+  JOIN u qu ON qu.vec_id = qm.vec_id
+)"""
+    )
+    body = ",\n".join(steps)
+    return f"""WITH {body}
+SELECT q_id, c_id, round(cosine, 6) AS cosine, rk FROM (
+  SELECT q_id, c_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rk
+  FROM exact
+) WHERE rk <= {k}"""
+
+
+# approximate vs brute force but deterministic end to end: hash oracle
+# since round 9 (recall floor still pinned in tests/test_kmeans.py and
+# asserted in-run by bench.py, same policy as ann_cosine_topk_lsh/_ivf)
+QUERIES["ann_cosine_topk_pq"] = (q_ann_cosine_topk_pq, _pq_topk_oracle())
 
 
 # ------------------------------------------- nearest-centroid probe
