@@ -42,7 +42,7 @@ quantile, and series-cardinality-scale closed-form math.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_tables import events_series, load_table
@@ -704,14 +704,45 @@ def q_metric_dspot_anomaly_hours(
     (vs the bounded local mean) exceeds its series' drift-aware fitted
     threshold, with the exceedance margin — the alert feed for
     drifting baselines, where the plain-SPOT twin
-    (``metric_spot_anomaly_hours``) would chase the ramp.  Same shape
-    as the plain twin: series-cardinality fit + one broadcast join
-    back into the (windowed) sample scan."""
+    (``metric_spot_anomaly_hours``) would chase the ramp.
+
+    Fused ONE-PLAN shape (r8 verdict task 4 — the join formulation ran
+    the residual window FOUR times: flag pass + three scans inside
+    spot_threshold): the whole SPOT fit is re-expressed as
+    whole-partition window aggregates stacked on the residual window's
+    OWN ``(metric)`` exchange.  Physical plan: one scan, ONE exchange,
+    one sort (the unordered fit windows reuse the (metric, ts, seq)
+    sort prefix), zero joins — the fit rides the same pass that flags.
+    """
     series = events_series(spark, sf_dir)
     resid = _dspot_residuals(series)
-    fitted = dspot_threshold(series).select("metric", "dspot_threshold")
+    w2 = Window.partitionBy("metric")
+    exc_val = F.when(
+        F.col("resid") > F.col("__t0"), F.col("resid") - F.col("__t0")
+    )
+    staged = (
+        resid.withColumn(
+            "__t0",
+            F.expr(f"percentile(resid, {SPOT_INIT_Q})").over(w2),
+        )
+        .withColumn("__n", F.count("*").over(w2))
+        .withColumn(
+            "__n_excess",
+            F.sum((F.col("resid") > F.col("__t0")).cast("bigint")).over(w2),
+        )
+        .withColumn("__m", F.avg(exc_val).over(w2))
+        .withColumn("__s2", F.var_pop(exc_val).over(w2))
+    )
+    ratio = (F.col("__m") * F.col("__m")) / F.col("__s2")
+    xi = (1.0 - ratio) / 2.0
+    sigma = F.col("__m") * (1.0 + ratio) / 2.0
+    ok = (F.col("__n_excess") > 0) & (F.col("__s2") > 0)
+    arg = F.lit(SPOT_RISK) * F.col("__n") / F.col("__n_excess")
+    z = F.when(
+        F.abs(xi) < 1e-9, F.col("__t0") - sigma * F.log(arg)
+    ).otherwise(F.col("__t0") + (sigma / xi) * (F.pow(arg, -xi) - 1.0))
     return (
-        resid.join(F.broadcast(fitted), "metric")
+        staged.withColumn("dspot_threshold", F.round(F.when(ok, z), 6))
         .filter(F.col("resid") > F.col("dspot_threshold"))
         .select(
             "metric",
