@@ -153,8 +153,94 @@ def encode_word_tokens(
     return toks
 
 
+def make_bpe_encode_kernel(merges: list[tuple[str, str]]):
+    """Arrow ``mapInPandas`` kernel applying a merge list of ANY size
+    to each word (plain-value closure — ships without the package).
+
+    Algorithm: repeatedly find the lowest-rank pair present at or above
+    a monotone rank floor and apply ONE complete leftmost
+    non-overlapping pass of it, then raise the floor to that rank.
+    This is exactly the fold chain's semantics for any merge list:
+    a complete leftmost pass leaves no (l, r) adjacency behind (a
+    merged token equals neither l nor r — both are non-empty proper
+    substrings), so a skipped rank is a provable identity pass, and
+    ranks are applied in the same increasing order.  Pinned bit-equal
+    to the fold chain on FROZEN_MERGES in tests/test_bpe_bounded.py.
+    """
+    merge_list = [tuple(m) for m in merges]
+
+    def encode_batch(batches):
+        from bisect import bisect_left
+
+        import pandas as pd
+
+        # a pair may appear at SEVERAL ranks (degenerate but legal —
+        # the fold chain re-applies it, and a multi-char pair CAN
+        # reappear after intermediate merges); keep every rank and
+        # select the smallest one at-or-above the monotone floor
+        pair_ranks: dict[tuple[str, str], list[int]] = {}
+        for r, m in enumerate(merge_list):
+            pair_ranks.setdefault(m, []).append(r)
+
+        def enc(word: str) -> list[str]:
+            toks: list[str] = list(word)
+            floor = 0
+            while len(toks) > 1:
+                best = None
+                for i in range(len(toks) - 1):
+                    ranks = pair_ranks.get((toks[i], toks[i + 1]))
+                    if ranks is None:
+                        continue
+                    j = bisect_left(ranks, floor)
+                    if j == len(ranks):
+                        continue
+                    r = ranks[j]
+                    if best is None or r < best:
+                        best = r
+                if best is None:
+                    break
+                left, right = merge_list[best]
+                lr = left + right
+                out: list[str] = []
+                for x in toks:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = lr
+                    else:
+                        out.append(x)
+                toks = out
+                floor = best
+            return toks
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"word": pdf["word"], "t": [enc(w) for w in pdf["word"]]}
+            )
+
+    return encode_batch
+
+
+def encode_word_tokens_bounded(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Same contract as :func:`encode_word_tokens`, BOUNDED plan (r8
+    verdict task 3): one Arrow ``mapInPandas`` stage regardless of
+    merge count.  The fold chain compiles one chained projection per
+    merge — plan depth linear in merges, fine at the frozen 10 but a
+    real 32k-merge production vocabulary won't compile; this variant's
+    plan is constant-size and its runtime is linear in merges × words
+    (measured flat-compile/linear-encode in tools/bpe_bounded_growth.py
+    -> BASELINE.md).  Still vocabulary-scale: callers feed the
+    DISTINCT-word table and join back, so no repeated word is ever
+    encoded twice."""
+    return words.select("word").mapInPandas(
+        make_bpe_encode_kernel(merges), schema="word string, t array<string>"
+    )
+
+
 def encode_token_counts(
-    docs: DataFrame, merges: list[tuple[str, str]]
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    bounded: bool = False,
 ) -> DataFrame:
     """Apply a learned merge list to the corpus: per document, word /
     BPE-token / tokenized-char counts.
@@ -164,10 +250,16 @@ def encode_token_counts(
     to a join lookup), and the join back to the word stream is
     unhinted so AQE broadcasts the vocabulary side while it fits.  At
     100 TB the corpus-scale work is one distinct + one broadcast-join
-    + one keyed agg; no fold ever touches a repeated word twice."""
+    + one keyed agg; no fold ever touches a repeated word twice.
+
+    ``bounded=True`` swaps the fold chain for the constant-plan Arrow
+    kernel (:func:`encode_word_tokens_bounded`) — the path for real
+    (thousands-of-merges) vocabularies; identical results by the
+    pinned equivalence."""
     words = _word_stream(docs, "doc_id")
     vocab = words.select("word").distinct()
-    enc = encode_word_tokens(vocab, merges).select(
+    encoder = encode_word_tokens_bounded if bounded else encode_word_tokens
+    enc = encoder(vocab, merges).select(
         "word", F.size("t").cast("bigint").alias("n_toks")
     )
     return words.join(enc, "word").groupBy("doc_id").agg(
@@ -391,6 +483,19 @@ QUERIES["corpus_bpe_encode"] = (
     q_corpus_bpe_encode,
     _bpe_encode_oracle(FROZEN_MERGES),
 )
+
+
+def q_corpus_bpe_encode_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Physical-path twin of ``corpus_bpe_encode`` through the
+    constant-plan Arrow encode kernel — same gaps-and-islands oracle
+    (registered in PYTEST_ONLY_QUERIES: the parity suite grades it
+    without spending a driver window slot on a duplicate strategy)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return encode_token_counts(
+        load_table(spark, sf_dir, "documents"), FROZEN_MERGES, bounded=True
+    )
 QUERIES["corpus_bpe_packing"] = (
     q_corpus_bpe_packing,
     _bpe_packing_oracle(FROZEN_MERGES),

@@ -271,8 +271,19 @@ DOMAIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 #: by the local parity suite (tests/test_oracle_parity.py) but kept out
 #: of the driver registry so the driver's grading window is spent on
 #: distinct operators, not duplicate physical strategies.
+def _bpe_bounded_entry() -> tuple[QueryFn, str | None]:
+    from .operators.bpe import (
+        FROZEN_MERGES,
+        _bpe_encode_oracle,
+        q_corpus_bpe_encode_bounded,
+    )
+
+    return (q_corpus_bpe_encode_bounded, _bpe_encode_oracle(FROZEN_MERGES))
+
+
 PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "anomaly_mse_mapinpandas": (q_mse_via_mapinpandas, oracles.ORACLE_ANOMALY_MSE),
+    "corpus_bpe_encode_bounded": _bpe_bounded_entry(),
 }
 
 #: Ledger aliases: names that appeared on an official per-round
