@@ -307,57 +307,39 @@ LEDGER_ALIASES: dict[str, str] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-8 new queries (never graded; first official rows) ----
-    # (the window-marker position below is machine-checked by
-    # tests/test_registry_hygiene.py)
-    "metric_dspot_threshold", "corpus_dup_span_removal",
-    "corpus_bpe_encode", "corpus_bpe_packing",
-    "metric_dspot_anomaly_hours", "corpus_clean_tokenize_pack",
-    "corpus_neardup_keep_best",
-    # ---- round-7 verdict task 1: finish the staleness refresh.  The
-    # 13 queries whose latest official row is ROUND 2 (the
-    # dedup/ann/score tail), then the 30 stalest round-3 rows (the
-    # non-TPC-H r3 rows; metric_trend_slopes,
-    # range_join_interval_counts + the 17 r3 TPC-H rows head the
-    # round-9 window).  All green in the local parity sweep every
-    # session — artifact freshness, not risk repair. ----
-    "mse_histogram",
-    "threshold_percentiles", "per_feature_mse", "anomaly_flags",
-    "asof_join", "rolling_features", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
-    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "text_frequent_tokens",
-    "dedup_apply", "dedup_minhash_incremental", "dedup_embedding_cosine",
-    "embedding_random_projection", "promql_counter_rate",
-    "promql_gauge_over_time", "promql_histogram_quantile",
-    "promql_topk_series", "promql_rate_by_labelset", "promql_rate_anomaly",
-    "promql_deriv_predict", "promql_absent", "metric_correlations",
-    "corpus_clean_pipeline", "minmax_scaled", "anomaly_mse",
-    "threshold_split", "anomaly_mse_lstm", "corpus_stratified_sample",
-    "embedding_covariance", "cube_agg", "table_profile",
-    "text_ngram_novelty", "text_dup_ngram_spans", "text_lm_trigram_scores",
-    "sessionize", "events_json_extract", "retention_cohorts",
-    "user_path_transitions",
-    # ================= past the 50-slot window =================
-    # (position enforced by tests/test_registry_hygiene.py)
-    # round-3-latest remainder — first in line for the round-9 window:
-    "metric_trend_slopes", "range_join_interval_counts",
-    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # round-4..7-latest rows on unchanged code, newest-graded last:
-    "dedup_clusters", "corpus_decontaminate", "corpus_shuffle_shards",
-    "corpus_token_budget_sample", "embedding_quantize_int8",
-    "text_repetition_scores", "text_quality_filter",
-    "metric_rolling_median", "metric_change_points",
+    # ---- round-9 window (position machine-checked by
+    # tests/test_registry_hygiene.py). Composition per the round-8
+    # verdict: (a) the 19 rows whose latest official grade is ROUND 3 —
+    # the TPC-H q4..q22 tail plus metric_trend_slopes and
+    # range_join_interval_counts (verdict task 1: zero r3-latest rows
+    # may remain); (b) 5 changed-code re-grades — the three ANN
+    # approximators whose rows-only checks became exact DuckDB hash
+    # oracles this round (verdict task 2) and the two DSPOT rows whose
+    # plan was fused into one window stage (verdict task 4); (c) the 26
+    # stalest round-4-latest rows. All 50 green in the local parity
+    # sweep and driver-simmed out-of-repo before commit. ----
+    "metric_trend_slopes", "range_join_interval_counts", "tpch_q4", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22", "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf", "ann_cosine_topk_pq", "metric_dspot_anomaly_hours",
+    "metric_dspot_threshold", "dedup_clusters", "corpus_decontaminate",
+    "corpus_shuffle_shards", "corpus_token_budget_sample",
+    "embedding_quantize_int8", "text_repetition_scores",
+    "text_quality_filter", "metric_rolling_median", "metric_change_points",
     "event_graph_triangles", "corpus_quality_curriculum",
-    "metric_autocorrelation", "metric_mad_outliers",
-    "metric_stl_decompose", "metric_m4_downsample", "metric_slo_burn_rate",
+    "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
+    "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
     "metric_distribution_drift", "tpch_q1_incremental",
     "embedding_nearest_centroid_eval", "metric_forecast_backtest",
-    "promql_label_ops", "customer_rfm_segments",
-    "events_association_rules", "events_ab_test", "corpus_length_gini",
-    "metric_cross_correlation", "cohort_ltv_curve",
+    "promql_label_ops", "customer_rfm_segments", "events_association_rules",
+    "events_ab_test",
+    # ================= past the 50-slot window =================
+    # (position enforced by tests/test_registry_hygiene.py)
+    # staleness-ordered: the 23 remaining round-4-latest rows first
+    # (they head the round-10 window), then r5..r8, newest-graded last:
+    "corpus_length_gini", "metric_cross_correlation", "cohort_ltv_curve",
     "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
     "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",
@@ -368,30 +350,27 @@ PRIORITY: list[str] = [
     "events_rank_functions", "event_pagerank", "scd2_user_bands",
     "metric_resample_interpolate", "text_log_odds_keywords",
     "events_attribution", "corpus_bloom_decontaminate",
-    "events_frequent_paths", "orders_backlog_daily",
-    "table_quality_checks", "events_pointintime_features",
-    "orders_churn_labels", "text_related_docs_topk",
-    "dedup_minhash_recall_eval", "promql_vector_match_ratio",
-    "events_props_key_profile", "events_dau_wau", "events_bot_cadence",
-    "multimodal_phash_dedup", "embedding_whiten", "metric_periodogram",
-    "vocab_bpe_merges", "embedding_ridge_fit", "ann_cosine_topk_pq",
+    "events_frequent_paths", "orders_backlog_daily", "table_quality_checks",
+    "events_pointintime_features", "orders_churn_labels",
+    "text_related_docs_topk", "dedup_minhash_recall_eval",
+    "promql_vector_match_ratio", "events_props_key_profile", "events_dau_wau",
+    "events_bot_cadence", "multimodal_phash_dedup", "embedding_whiten",
+    "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
     "ann_cosine_topk", "dedup_minhash_lsh", "text_bm25_topk",
-    "embedding_matryoshka_eval", "dedup_edit_distance",
-    "text_nb_classifier", "text_nb_classifier_auc", "embedding_logreg_fit",
-    "metric_cusum_anomalies", "metric_theil_sen_trend",
-    "text_char_entropy", "corpus_zipf_fit", "events_funnel_timing",
-    "events_heavy_hitters", "corpus_source_token_drift",
-    "promql_lang_rate_sum", "promql_lang_topk_gauge",
-    "promql_lang_increase_filter", "promql_lang_error_ratio",
-    "promql_lang_histogram_quantile", "promql_lang_quantile_over_time",
-    "promql_lang_label_replace", "text_nb_confusion", "parts_abc_by_brand",
-    "shipping_delay_profile", "events_markov_next_eval",
-    "text_readability_scores", "return_rate_by_brand",
-    "supplier_hhi_by_nation",
-    "doc_type_token_ratio", "customer_order_gaps", "join_key_skew_profile",
-    "embedding_hard_negatives", "metric_sax_symbols",
-    "text_pmi_collocations", "embedding_centroid_drift",
-    "metric_sax_motifs", "text_feature_hashing",
+    "embedding_matryoshka_eval", "dedup_edit_distance", "text_nb_classifier",
+    "text_nb_classifier_auc", "embedding_logreg_fit",
+    "metric_cusum_anomalies", "metric_theil_sen_trend", "text_char_entropy",
+    "corpus_zipf_fit", "events_funnel_timing", "events_heavy_hitters",
+    "corpus_source_token_drift", "promql_lang_rate_sum",
+    "promql_lang_topk_gauge", "promql_lang_increase_filter",
+    "promql_lang_error_ratio", "promql_lang_histogram_quantile",
+    "promql_lang_quantile_over_time", "promql_lang_label_replace",
+    "text_nb_confusion", "parts_abc_by_brand", "shipping_delay_profile",
+    "events_markov_next_eval", "text_readability_scores",
+    "return_rate_by_brand", "supplier_hhi_by_nation", "doc_type_token_ratio",
+    "customer_order_gaps", "join_key_skew_profile",
+    "embedding_hard_negatives", "metric_sax_symbols", "text_pmi_collocations",
+    "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
     "promql_lang_predict_linear", "promql_lang_changes_sum",
     "promql_lang_unless_gate", "metric_seasonal_mad",
     "embedding_knn_label_audit", "metric_sax_similar_days",
@@ -407,26 +386,40 @@ PRIORITY: list[str] = [
     "events_anomaly_attribution", "orders_price_elasticity",
     "metric_cointegration_pairs", "embedding_kcenter_coreset",
     "text_burstiness", "events_ab_srm_check", "metric_glr_variance_change",
-    "corpus_sample_ngram_coverage", "text_source_overlap_matrix",
-    "tpch_q1", "tpch_q3", "tpch_q5", "windowed_events",
-    "text_lang_id_ngram", "corpus_perplexity_filter",
-    "metric_spot_threshold", "corpus_ccnet_partition",
-    "metric_spot_anomaly_hours", "text_lang_id_confusion", "rollup_agg",
-    "topk_per_group", "semi_anti_join", "running_revenue",
-    "distinct_users", "vocab_stats", "funnel", "embedding_mean_by_label",
-    "events_hourly_pivot", "unpivot_metrics", "user_set_ops",
-    "approx_distinct_users", "approx_threshold_percentiles", "nan_counts",
-    "tpch_q6", "min_cost_supplier", "multires_rollup", "ffill_bfill",
-    "metrics_wide", "standard_scaled", "scaler_params",
-    "calendar_features", "fill_mean", "fill_median", "tail_n",
-    "inner_align", "dedup_keep_first", "multi_series_first",
-    "union_periods", "backfill_missing", "numeric_coercion",
-    "text_token_counts", "text_lang_id", "text_fingerprints",
-    "text_winnowing_fingerprints", "text_pii_redact",
+    "corpus_sample_ngram_coverage", "text_source_overlap_matrix", "tpch_q1",
+    "tpch_q3", "tpch_q5", "windowed_events", "text_lang_id_ngram",
+    "corpus_perplexity_filter", "metric_spot_threshold",
+    "corpus_ccnet_partition", "metric_spot_anomaly_hours",
+    "text_lang_id_confusion", "rollup_agg", "topk_per_group",
+    "semi_anti_join", "running_revenue", "distinct_users", "vocab_stats",
+    "funnel", "embedding_mean_by_label", "events_hourly_pivot",
+    "unpivot_metrics", "user_set_ops", "approx_distinct_users",
+    "approx_threshold_percentiles", "nan_counts", "tpch_q6",
+    "min_cost_supplier", "multires_rollup", "ffill_bfill", "metrics_wide",
+    "standard_scaled", "scaler_params", "calendar_features", "fill_mean",
+    "fill_median", "tail_n", "inner_align", "dedup_keep_first",
+    "multi_series_first", "union_periods", "backfill_missing",
+    "numeric_coercion", "text_token_counts", "text_lang_id",
+    "text_fingerprints", "text_winnowing_fingerprints", "text_pii_redact",
     "text_quality_scores", "text_tfidf_top_terms",
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample", "corpus_hash_sample", "corpus_doc_chunks",
-    "corpus_doc_packing",
+    "corpus_doc_packing", "corpus_dup_span_removal", "corpus_bpe_encode",
+    "corpus_bpe_packing", "corpus_clean_tokenize_pack",
+    "corpus_neardup_keep_best", "mse_histogram", "threshold_percentiles",
+    "per_feature_mse", "anomaly_flags", "asof_join", "rolling_features",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "embedding_norms", "text_frequent_tokens",
+    "dedup_apply", "dedup_minhash_incremental", "dedup_embedding_cosine",
+    "embedding_random_projection", "promql_counter_rate",
+    "promql_gauge_over_time", "promql_histogram_quantile",
+    "promql_topk_series", "promql_rate_by_labelset", "promql_rate_anomaly",
+    "promql_deriv_predict", "promql_absent", "metric_correlations",
+    "corpus_clean_pipeline", "minmax_scaled", "anomaly_mse",
+    "threshold_split", "anomaly_mse_lstm", "corpus_stratified_sample",
+    "embedding_covariance", "cube_agg", "table_profile", "text_ngram_novelty",
+    "text_dup_ngram_spans", "text_lm_trigram_scores", "sessionize",
+    "events_json_extract", "retention_cohorts", "user_path_transitions",
 ]
 
 
