@@ -111,6 +111,8 @@ def parallelize_if_underpartitioned(
     later repartition, so a pre-shuffled frame would be re-exchanged.
     Both call sites (shingle and embedding producers) pass raw scans.
     """
+    if df.isStreaming:  # no static partitioning to inspect
+        return df
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     threshold = max(2, n // 2) if min_partitions is None else min_partitions

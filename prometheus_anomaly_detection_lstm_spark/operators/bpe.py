@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_tables import load_table
+from ..io_tables import load_table, parallelize_if_underpartitioned
 
 QUERIES: dict = {}
 
@@ -46,8 +46,10 @@ MAX_WORD_CHARS = 20
 def _word_stream(docs: DataFrame, *extra_cols: str) -> DataFrame:
     """(*extra_cols, word): THE tokenization contract (lowercase,
     whitespace split, 1..MAX_WORD_CHARS) — shared by the trainer and
-    the encoder so the merges always apply to the same token stream."""
-    return docs.select(
+    the encoder so the merges always apply to the same token stream.
+    Rebalanced before the word fan-out when the scan under-splits
+    (streaming frames and well-split lakes pass through untouched)."""
+    return parallelize_if_underpartitioned(docs, *extra_cols).select(
         *extra_cols,
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
     ).filter(

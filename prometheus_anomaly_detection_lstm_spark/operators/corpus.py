@@ -28,7 +28,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io_tables import load_table
+from ..io_tables import load_table, parallelize_if_underpartitioned
 
 SAMPLE_RATE_HEX = "0ccccd"  # first 6 md5 hex digits < this ~= 5.0%
 CHUNK_TOKENS = 64
@@ -67,6 +67,9 @@ def doc_chunks(
     """
     k = chunk_tokens
     toks = F.split(F.col("text"), " ")
+    # rebalance before the chunk fan-out when the scan under-splits
+    # (single-row-group local files; exact no-op on a well-split lake)
+    docs = parallelize_if_underpartitioned(docs, "doc_id")
     return (
         docs.withColumn("__toks", toks)
         .withColumn("__n", F.size("__toks"))
@@ -193,8 +196,10 @@ DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out benchmark doc
 def gram_stream(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
     """Distinct (doc_id, gram) word n-grams — shared by the
     inverted-index and Bloom-prefiltered decontaminate plans (one
-    tokenization, no drift)."""
+    tokenization, no drift).  Rebalanced before the n-gram fan-out when
+    the scan under-splits (exact no-op on a well-split lake)."""
     ws = F.split(F.col("text"), " ")
+    docs = parallelize_if_underpartitioned(docs, "doc_id")
     return (
         docs.withColumn("ws", ws)
         .filter(F.size("ws") >= n)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import single_partition_key
 from ..io_tables import load_table
+from ..io_tables import parallelize_if_underpartitioned
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic.
 LANG_STOPWORDS = {
@@ -227,7 +228,7 @@ def tfidf_top_terms(
     measured under ``spark.sql.autoBroadcastJoinThreshold`` at runtime
     — the engine's own size gate, which is the scale-safe default.
     """
-    words = docs.select(
+    words = parallelize_if_underpartitioned(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -384,7 +385,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     aggregations over the exploded word/2-gram streams; everything
     map-side partial first, shuffles carry one row per (doc, word).
     """
-    words = docs.select(
+    words = parallelize_if_underpartitioned(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     wc = (
@@ -397,7 +398,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         )
     )
     grams = (
-        docs.withColumn("ws", F.split("text", " "))
+        parallelize_if_underpartitioned(docs, "doc_id").withColumn("ws", F.split("text", " "))
         .filter(F.size("ws") >= 2)
         .select(
             "doc_id",
@@ -582,9 +583,12 @@ def trigram_stream(docs: DataFrame) -> DataFrame:
     and the substring evaluates per exploded row inside whole-stage
     codegen: building the trigram array inside transform() (and
     re-lowering the text per element) measured 2.5x slower at sf0.1
-    (round 8)."""
+    (round 8).  The doc frame is rebalanced when the source
+    under-splits (parallelize_if_underpartitioned: single-row-group
+    local files would otherwise pipeline the whole explode through one
+    core; exact no-op at scale)."""
     return (
-        docs.select("doc_id", F.lower("text").alias("__lt"))
+        parallelize_if_underpartitioned(docs, "doc_id").select("doc_id", F.lower("text").alias("__lt"))
         .where(F.length("__lt") >= 3)
         .select(
             "doc_id",
@@ -599,10 +603,11 @@ def _gram_stream(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, s, e, ngram): every n-word span with its 1-based word
     range.  Positions explode first; the span text assembles per
     exploded row inside whole-stage codegen (the fast shape — see
-    dup_ngram_spans docstring)."""
+    dup_ngram_spans docstring).  Rebalanced before the fan-out when the
+    source under-splits (see parallelize_if_underpartitioned)."""
     words = F.split(F.col("text"), " ")
     return (
-        docs.select("doc_id", words.alias("__ws"))
+        parallelize_if_underpartitioned(docs, "doc_id").select("doc_id", words.alias("__ws"))
         .where(F.size("__ws") >= n)
         .select(
             "doc_id",
@@ -796,7 +801,7 @@ def frequent_tokens(
     what shuffles is the candidate list and the candidate-only counts.
     Output: (token, cnt, share), identical to the one-shot SQL twin.
     """
-    tokens = docs.select(
+    tokens = parallelize_if_underpartitioned(docs, "doc_id").select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     )
     cands = (
@@ -855,7 +860,7 @@ def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
     """
     ws = F.split(F.col("text"), " ")
     grams = (
-        docs.withColumn("ws", ws)
+        parallelize_if_underpartitioned(docs, "doc_id").withColumn("ws", ws)
         .filter(F.size("ws") >= n)
         .select(
             "doc_id",
@@ -958,7 +963,7 @@ def bm25_topk(
         F.avg(F.size(F.split("text", " "))).alias("avgdl"),
     )
     postings = (
-        docs.select(
+        parallelize_if_underpartitioned(docs, "doc_id").select(
             "doc_id",
             F.size(F.split("text", " ")).alias("dl"),
             F.explode(F.split("text", " ")).alias("term"),
@@ -1077,7 +1082,7 @@ def nb_train_score(docs: DataFrame, pos_lang: str = NB_POS_LANG) -> DataFrame:
     No reference counterpart (the reference has no text surface).
     """
     is_pos = (F.col("lang") == pos_lang).cast("bigint")
-    toks = docs.select(
+    toks = parallelize_if_underpartitioned(docs, "doc_id").select(
         "doc_id",
         is_pos.alias("is_pos"),
         F.explode(F.split("text", " ")).alias("term"),
@@ -1316,7 +1321,7 @@ def nb_multiclass_confusion(docs: DataFrame) -> DataFrame:
     Argmax ties break toward the lexicographically LAST language
     (struct max over (score, lang)) identically in the SQL twin.
     """
-    toks = docs.select(
+    toks = parallelize_if_underpartitioned(docs, "doc_id").select(
         "doc_id",
         "lang",
         F.explode(F.split("text", " ")).alias("term"),

@@ -254,6 +254,14 @@ def perplexity_filter(docs: DataFrame) -> DataFrame:
     bit-for-bit); keep = head+middle, CCNet's standard curriculum.
 
     Output: (doc_id, n_tris, ppl, bucket, keep).
+
+    Shape: ``per_doc`` feeds BOTH the tercile cuts and the final join,
+    and Catalyst does not dedupe common subtrees — without
+    materialization the corpus-scale trigram explode + LM count agg run
+    twice per query (measured 2x wall at sf0.1, round 9).  ``per_doc``
+    is doc-scale (one row per document), so it is localCheckpoint'ed
+    once and both consumers read the materialized frame; at 100 TB the
+    checkpoint is the per-doc score table, not the corpus.
     """
     from ..operators.text import trigram_stream
 
@@ -270,7 +278,7 @@ def perplexity_filter(docs: DataFrame) -> DataFrame:
                 F.exp(-F.avg(F.log(F.col("c") / F.col("total")))), 6
             ).alias("ppl"),
         )
-    )
+    ).localCheckpoint()
     cuts = per_doc.agg(
         F.expr("percentile(ppl, CAST(1 AS DOUBLE)/3)").alias("q1"),
         F.expr("percentile(ppl, CAST(2 AS DOUBLE)/3)").alias("q2"),
