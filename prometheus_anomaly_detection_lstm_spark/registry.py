@@ -312,12 +312,13 @@ PRIORITY: list[str] = [
     # verdict: (a) the 19 rows whose latest official grade is ROUND 3 —
     # the TPC-H q4..q22 tail plus metric_trend_slopes and
     # range_join_interval_counts (verdict task 1: zero r3-latest rows
-    # may remain); (b) 5 changed-code re-grades — the three ANN
+    # may remain); (b) changed-code re-grades — the three ANN
     # approximators whose rows-only checks became exact DuckDB hash
-    # oracles this round (verdict task 2) and the two DSPOT rows whose
-    # plan was fused into one window stage (verdict task 4); (c) the 26
-    # stalest round-4-latest rows. All 50 green in the local parity
-    # sweep and driver-simmed out-of-repo before commit. ----
+    # oracles (task 2), the two DSPOT rows whose plan was fused into one
+    # window stage (task 4), and the 8 stalest-graded text/corpus rows
+    # whose plans gained the under-split fan-out rebalance this round;
+    # (c) the stalest round-4-latest rows. All 50 green in the local
+    # parity sweep and driver-simmed out-of-repo before commit. ----
     "metric_trend_slopes", "range_join_interval_counts", "tpch_q4", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
@@ -331,52 +332,51 @@ PRIORITY: list[str] = [
     "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
     "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
+    "text_containment_pairs", "text_bm25_topk", "text_nb_classifier",
+    "text_nb_classifier_auc", "text_nb_confusion", "text_log_odds_keywords",
+    "corpus_bloom_decontaminate", "corpus_perplexity_filter",
+    # ================= past the 50-slot window =================
+    # (position enforced by tests/test_registry_hygiene.py)
+    # staleness-ordered: the remaining round-4-latest rows first
+    # (they head the round-10 window), then r5..r8, newest-graded last:
     "metric_distribution_drift", "tpch_q1_incremental",
     "embedding_nearest_centroid_eval", "metric_forecast_backtest",
     "promql_label_ops", "customer_rfm_segments", "events_association_rules",
-    "events_ab_test",
-    # ================= past the 50-slot window =================
-    # (position enforced by tests/test_registry_hygiene.py)
-    # staleness-ordered: the 23 remaining round-4-latest rows first
-    # (they head the round-10 window), then r5..r8, newest-graded last:
-    "corpus_length_gini", "metric_cross_correlation", "cohort_ltv_curve",
-    "promql_changes_resets", "metric_ewma", "corpus_mixture_sample",
-    "text_containment_pairs", "corpus_upsert_latest", "anomaly_intervals",
+    "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
+    "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
+    "corpus_mixture_sample", "corpus_upsert_latest", "anomaly_intervals",
     "promql_subquery_max_rate", "promql_alert_episodes",
     "promql_rate_offset_delta", "promql_sum_by_rate",
     "promql_series_cardinality", "promql_time_weighted_avg",
     "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
     "metric_seasonal_anomaly", "events_grouping_sets",
     "events_rank_functions", "event_pagerank", "scd2_user_bands",
-    "metric_resample_interpolate", "text_log_odds_keywords",
-    "events_attribution", "corpus_bloom_decontaminate",
+    "metric_resample_interpolate", "events_attribution",
     "events_frequent_paths", "orders_backlog_daily", "table_quality_checks",
     "events_pointintime_features", "orders_churn_labels",
     "text_related_docs_topk", "dedup_minhash_recall_eval",
     "promql_vector_match_ratio", "events_props_key_profile", "events_dau_wau",
     "events_bot_cadence", "multimodal_phash_dedup", "embedding_whiten",
     "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
-    "ann_cosine_topk", "dedup_minhash_lsh", "text_bm25_topk",
-    "embedding_matryoshka_eval", "dedup_edit_distance", "text_nb_classifier",
-    "text_nb_classifier_auc", "embedding_logreg_fit",
-    "metric_cusum_anomalies", "metric_theil_sen_trend", "text_char_entropy",
-    "corpus_zipf_fit", "events_funnel_timing", "events_heavy_hitters",
+    "ann_cosine_topk", "dedup_minhash_lsh", "embedding_matryoshka_eval",
+    "dedup_edit_distance", "embedding_logreg_fit", "metric_cusum_anomalies",
+    "metric_theil_sen_trend", "text_char_entropy", "corpus_zipf_fit",
+    "events_funnel_timing", "events_heavy_hitters",
     "corpus_source_token_drift", "promql_lang_rate_sum",
     "promql_lang_topk_gauge", "promql_lang_increase_filter",
     "promql_lang_error_ratio", "promql_lang_histogram_quantile",
     "promql_lang_quantile_over_time", "promql_lang_label_replace",
-    "text_nb_confusion", "parts_abc_by_brand", "shipping_delay_profile",
-    "events_markov_next_eval", "text_readability_scores",
-    "return_rate_by_brand", "supplier_hhi_by_nation", "doc_type_token_ratio",
-    "customer_order_gaps", "join_key_skew_profile",
-    "embedding_hard_negatives", "metric_sax_symbols", "text_pmi_collocations",
-    "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
-    "promql_lang_predict_linear", "promql_lang_changes_sum",
-    "promql_lang_unless_gate", "metric_seasonal_mad",
-    "embedding_knn_label_audit", "metric_sax_similar_days",
-    "dedup_lsh_bucket_profile", "dedup_hot_shingles",
-    "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
-    "metric_df_stationarity", "metric_matrix_profile",
+    "parts_abc_by_brand", "shipping_delay_profile", "events_markov_next_eval",
+    "text_readability_scores", "return_rate_by_brand",
+    "supplier_hhi_by_nation", "doc_type_token_ratio", "customer_order_gaps",
+    "join_key_skew_profile", "embedding_hard_negatives", "metric_sax_symbols",
+    "text_pmi_collocations", "embedding_centroid_drift", "metric_sax_motifs",
+    "text_feature_hashing", "promql_lang_predict_linear",
+    "promql_lang_changes_sum", "promql_lang_unless_gate",
+    "metric_seasonal_mad", "embedding_knn_label_audit",
+    "metric_sax_similar_days", "dedup_lsh_bucket_profile",
+    "dedup_hot_shingles", "orders_km_reorder_curve", "events_ab_cuped",
+    "events_ab_power", "metric_df_stationarity", "metric_matrix_profile",
     "multimodal_audio_features", "metric_spectral_residual",
     "metric_holt_winters", "metric_pca_scores", "tpch_q3_bucketed",
     "semantic_dedup_scaled", "promql_holt_smoothing", "metric_ramp_detect",
@@ -388,11 +388,10 @@ PRIORITY: list[str] = [
     "text_burstiness", "events_ab_srm_check", "metric_glr_variance_change",
     "corpus_sample_ngram_coverage", "text_source_overlap_matrix", "tpch_q1",
     "tpch_q3", "tpch_q5", "windowed_events", "text_lang_id_ngram",
-    "corpus_perplexity_filter", "metric_spot_threshold",
-    "corpus_ccnet_partition", "metric_spot_anomaly_hours",
-    "text_lang_id_confusion", "rollup_agg", "topk_per_group",
-    "semi_anti_join", "running_revenue", "distinct_users", "vocab_stats",
-    "funnel", "embedding_mean_by_label", "events_hourly_pivot",
+    "metric_spot_threshold", "corpus_ccnet_partition",
+    "metric_spot_anomaly_hours", "text_lang_id_confusion", "rollup_agg",
+    "topk_per_group", "semi_anti_join", "running_revenue", "distinct_users",
+    "vocab_stats", "funnel", "embedding_mean_by_label", "events_hourly_pivot",
     "unpivot_metrics", "user_set_ops", "approx_distinct_users",
     "approx_threshold_percentiles", "nan_counts", "tpch_q6",
     "min_cost_supplier", "multires_rollup", "ffill_bfill", "metrics_wide",
