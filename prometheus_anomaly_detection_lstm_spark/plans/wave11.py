@@ -45,7 +45,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io_tables import events_series, load_table
+from ..io_tables import (
+    events_series,
+    load_table,
+    parallelize_if_underpartitioned,
+)
 
 QUERIES: dict = {}
 
@@ -75,7 +79,10 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     Output: (doc_id, lang_true, s_<lang>... , lang_pred, correct) for
     the held-out fold, scores rounded 6dp.
     """
-    base = docs.select(
+    # own trigram stream (lang_true rides along), so it carries its own
+    # under-split rebalance — the shared trigram_stream's gate can't
+    # reach it (see parallelize_if_underpartitioned)
+    base = parallelize_if_underpartitioned(docs, "doc_id").select(
         "doc_id", F.col("lang").alias("lang_true"), F.lower("text").alias("lt")
     ).filter(F.length("lt") >= 3)
     # positions explode FIRST; the trigram substring evaluates per
