@@ -327,6 +327,26 @@ def _sf1_span_removal(spark, queries) -> dict:
     return out
 
 
+def _sf1_perplexity(spark, queries) -> dict:
+    """sf1 point for the trigram-LM flagship: at 10x the grading scale
+    the per-stage fixed overhead amortizes and the engine CROSSES the
+    DuckDB oracle (round-9 measurement: Spark 5.43 s vs DuckDB 7.50 s
+    median-of-3 = 0.72x; sf0.1 ratio was 2.4x).  Median of 3 full
+    build+execute passes (the query builds an eager doc-scale
+    checkpoint, so construction is part of the honest cost)."""
+    out: dict[str, float | list[float]] = {}
+    out.update(_ensure_sf1_documents(spark))
+    passes: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = queries["corpus_perplexity_filter"][0](spark, SF1_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        passes.append(round(time.perf_counter() - t0, 3))
+    out["sf1_corpus_perplexity_filter"] = sorted(passes)[1]
+    out["sf1_corpus_perplexity_filter_passes"] = passes
+    return out
+
+
 def _perplexity_full_cost(spark, queries, sf_dir: str) -> dict:
     """Full-cost point for the trigram-LM flagship (round-8 verdict
     task 7): corpus_perplexity_filter BUILDS an eager doc-scale
@@ -591,6 +611,10 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["sf1_span_error"] = f"{type(exc).__name__}: {exc}"
         try:
+            out.update(_sf1_perplexity(spark, queries))
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            out["sf1_perplexity_error"] = f"{type(exc).__name__}: {exc}"
+        try:
             out.update(_perplexity_full_cost(spark, queries, sf_dir))
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["perplexity_full_error"] = f"{type(exc).__name__}: {exc}"
@@ -622,10 +646,12 @@ def main() -> None:
         "sf1_dup_span_removal",
         "sf1_dup_span_removal_shuffle_mb",
         "sf1_dup_span_removal_digest",
+        "sf1_corpus_perplexity_filter",
         "corpus_perplexity_filter_full",
         "sf1_section_error",
         "sf1_minhash_error",
         "sf1_span_error",
+        "sf1_perplexity_error",
         "perplexity_full_error",
     ):
         if k in out:
