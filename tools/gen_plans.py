@@ -215,9 +215,14 @@ SHOWCASE = [
      "held-out scoring is a second keyed agg on doc_id — the corpus "
      "shuffles only as trigram->count and doc->score rollups."),
     ("corpus_perplexity_filter", "trigram LM + doc-count percentile",
-     "The LM reuses the bounded-key trigram rollup; the tercile cuts "
-     "are a one-row percentile aggregate broadcast back — at 100 TB "
-     "the exact percentile swaps for approx_percentile (the "
+     "The LM reuses the bounded-key trigram rollup over the rebalanced "
+     "doc scan (round 9: the under-split gate hash-partitions on "
+     "doc_id once; no-op on a well-split lake); the doc-scale per_doc "
+     "frame checkpoints ONCE and feeds both the tercile cuts and the "
+     "final bucket join (Catalyst does not dedupe common subtrees), "
+     "which is why the captured plan roots at the checkpoint scan — "
+     "the corpus-scale exchanges run exactly once at build.  At 100 "
+     "TB the exact percentile swaps for approx_percentile (the "
      "approx_threshold_percentiles twin discipline)."),
     ("metric_spot_threshold", "EVT fit from per-series moments",
      "Two keyed aggregates over samples (quantile, then conditional "
