@@ -27,11 +27,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_tables import load_table
+from ..io_tables import load_table, parallelize_if_underpartitioned
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # every consumer here is an Arrow mapInPandas kernel (decode /
+    # pHash / frame-sample) — an under-split scan would pin the whole
+    # Python stage to ONE worker, so rebalance at the source (exact
+    # no-op on a well-split lake)
+    return parallelize_if_underpartitioned(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
 
 
 def as_binary_table(docs: DataFrame) -> DataFrame:
