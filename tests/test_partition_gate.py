@@ -164,6 +164,21 @@ def test_csv_metrics_roundtrip_and_quarantine(spark, tmp_path):
     back.unpersist()
 
 
+def test_streaming_frame_passes_through(spark, tmp_path):
+    # Round-9: the gate now guards streaming frames explicitly — a
+    # readStream source has no static partitioning to inspect
+    # (inputFiles()/.rdd both raise on unresolved streaming plans), so
+    # it must pass through UNTOUCHED instead of crashing the builder.
+    src = str(tmp_path / "stream_src")
+    load_table(spark, SF_SMALL, "documents").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    assert stream.isStreaming
+    out = parallelize_if_underpartitioned(stream, "doc_id")
+    assert out is stream  # identical object — untouched
+
+
 def test_orc_roundtrip_pushdown_and_bloom_option(spark, tmp_path):
     from prometheus_anomaly_detection_lstm_spark.io_tables import (
         load_table,
