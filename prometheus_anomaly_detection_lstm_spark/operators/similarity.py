@@ -211,8 +211,20 @@ def lsh_candidate_set(
         F.col("vec_id").alias("c_id"),
         F.posexplode("buckets").alias("table", "bucket"),
     )
+    # The query side runs its OWN signature pass over only the
+    # n_queries rows (the filter pushes below the Arrow stage): the
+    # signature function is per-row deterministic, so values are
+    # identical to filtering `tagged`, but the corpus-wide Arrow pass
+    # executes ONCE instead of twice — Catalyst reuses exchanges, not
+    # ArrowEvalPython subtrees (round 9; ~0.3 s at sf0.1).
+    q_tagged = lsh_bucket_array(
+        normed.filter(F.col("vec_id") < n_queries),
+        planes,
+        tables,
+        seed_base=1,
+    )
     q_all = (
-        tagged.filter(F.col("vec_id") < n_queries)
+        q_tagged
         .select(
             F.col("vec_id").alias("q_id"),
             F.posexplode("buckets").alias("table", "bucket"),
