@@ -48,8 +48,14 @@ def _word_stream(docs: DataFrame, *extra_cols: str) -> DataFrame:
     whitespace split, 1..MAX_WORD_CHARS) — shared by the trainer and
     the encoder so the merges always apply to the same token stream.
     Rebalanced before the word fan-out when the scan under-splits
-    (streaming frames and well-split lakes pass through untouched)."""
-    return parallelize_if_underpartitioned(docs, *extra_cols).select(
+    (streaming frames and well-split lakes pass through untouched).
+    The gate always keys on doc_id (even when the caller keeps no
+    extra columns) so the exchange is a hash distribution a downstream
+    per-key agg could reuse — a keyless call would fall back to
+    round-robin, which parallelizes the map but satisfies no
+    ClusteredDistribution."""
+    gate_keys = extra_cols or ("doc_id",)
+    return parallelize_if_underpartitioned(docs, *gate_keys).select(
         *extra_cols,
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
     ).filter(

@@ -385,7 +385,8 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     aggregations over the exploded word/2-gram streams; everything
     map-side partial first, shuffles carry one row per (doc, word).
     """
-    words = parallelize_if_underpartitioned(docs, "doc_id").select(
+    docs = parallelize_if_underpartitioned(docs, "doc_id")
+    words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     wc = (
@@ -397,8 +398,10 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
             F.max("cnt").alias("top_cnt"),
         )
     )
+    # docs was gated once above; both branches hang off the SAME
+    # repartition subtree so ReuseExchange dedupes the fan-out shuffle.
     grams = (
-        parallelize_if_underpartitioned(docs, "doc_id").withColumn("ws", F.split("text", " "))
+        docs.withColumn("ws", F.split("text", " "))
         .filter(F.size("ws") >= 2)
         .select(
             "doc_id",

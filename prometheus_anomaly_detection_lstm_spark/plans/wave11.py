@@ -267,8 +267,12 @@ def perplexity_filter(docs: DataFrame) -> DataFrame:
     materialization the corpus-scale trigram explode + LM count agg run
     twice per query (measured 2x wall at sf0.1, round 9).  ``per_doc``
     is doc-scale (one row per document), so it is localCheckpoint'ed
-    once and both consumers read the materialized frame; at 100 TB the
-    checkpoint is the per-doc score table, not the corpus.
+    LAZILY (eager=False, round-9 ADVICE): construction stays free — a
+    plan capture or schema sweep that merely builds the query pays
+    nothing — and the first action (the tercile broadcast build, which
+    computes every per_doc partition) materializes the checkpoint that
+    the final join then reuses.  At 100 TB the checkpoint is the
+    per-doc score table, not the corpus.
     """
     from ..operators.text import trigram_stream
 
@@ -285,7 +289,7 @@ def perplexity_filter(docs: DataFrame) -> DataFrame:
                 F.exp(-F.avg(F.log(F.col("c") / F.col("total")))), 6
             ).alias("ppl"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cuts = per_doc.agg(
         F.expr("percentile(ppl, CAST(1 AS DOUBLE)/3)").alias("q1"),
         F.expr("percentile(ppl, CAST(2 AS DOUBLE)/3)").alias("q2"),
