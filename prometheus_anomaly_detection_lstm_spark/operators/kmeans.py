@@ -630,25 +630,59 @@ def pq_topk(
     dsub = EMB_DIM // m
     codebooks = train_pq_codebooks(unit, m, kcode, train_iters)
     coded = _assign_pq_codes(unit, codebooks, dsub)
+    return _pq_query(coded, codebooks, m, dsub, unit, n_queries, k, rerank)
+
+
+def _pq_query(
+    coded: DataFrame,
+    codebooks: list[list[list[float]]],
+    m: int,
+    dsub: int,
+    vec_source: DataFrame,
+    n_queries: int,
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """ADC scoring + exact rerank over an assigned-codes frame — the
+    query stage shared by the inline (:func:`pq_topk`) and persisted
+    (:func:`pq_topk_prebuilt`) paths.  ``vec_source`` supplies the
+    query-vector collect and the exact-rerank floats: the inline path
+    passes the unit frame, the prebuilt path the persisted codes frame
+    (whose uvec column carries the identical values)."""
     q_rows = sorted(
-        unit.filter(F.col("vec_id") < n_queries).collect(),
+        vec_source.filter(F.col("vec_id") < n_queries).collect(),
         key=lambda r: r["vec_id"],
     )
     q_vecs = [list(r["uvec"]) for r in q_rows]
+    # One fold per query over a FLATTENED (mi-major) LUT literal instead
+    # of m chained element_at terms: 10x fewer expressions to analyze /
+    # codegen (measured ~2 s of per-plan ANALYSIS at the search config —
+    # the dominant cost of the prebuilt query path).  The fold adds LUT
+    # entries in ascending-mi order with a +0.0 seed, bit-identical to
+    # the old t0+t1+... chain (every entry is a sum of squares >= +0.0).
+    kcode = len(codebooks[0])
+
+    def _adc_fold(lut):
+        return lambda acc, mi: acc + F.element_at(
+            lut, mi * kcode + F.get("codes", mi) + 1
+        )
+
     approx_cols = []
     for qv in q_vecs:
-        terms = None
+        flat: list[float] = []
         for mi in range(m):
             qs = qv[mi * dsub: (mi + 1) * dsub]
-            lut = [
+            flat.extend(
                 sum((a - b) * (a - b) for a, b in zip(qs, cw))
                 for cw in codebooks[mi]
-            ]
-            t = F.element_at(
-                F.lit(lut), F.element_at("codes", mi + 1) + 1
             )
-            terms = t if terms is None else terms + t
-        approx_cols.append(terms)
+        approx_cols.append(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                _adc_fold(F.lit(flat)),
+            )
+        )
     scored = coded.select(
         F.col("vec_id").alias("c_id"),
         F.posexplode(F.array(*approx_cols)).alias("q_pos", "approx_d"),
@@ -677,9 +711,9 @@ def pq_topk(
         ]
     )
     exact = (
-        unit.join(
+        vec_source.join(
             F.broadcast(shortlist),
-            unit["vec_id"] == shortlist["c_id"],
+            vec_source["vec_id"] == shortlist["c_id"],
         )
         .withColumn(
             "cosine", F.element_at(dots, F.col("q_id").cast("int") + 1)
@@ -699,6 +733,79 @@ def pq_topk(
 def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return pq_topk(_vec(spark, sf_dir))
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = PQ_SEARCH_M,
+    kcode: int = PQ_SEARCH_K,
+    train_iters: int = PQ_TRAIN_ITERS,
+) -> None:
+    """Build and persist the PQ index — the deployment shape a 100 TB
+    corpus actually runs (round-9 verdict task 3, mirroring the IVF
+    split at similarity.build_ivf_index): ``path/codebooks`` is the
+    tiny trained (mi, code, cw) table and ``path/codes`` the
+    corpus-scale (vec_id, uvec, codes) frame.  A query session then
+    pays ONLY the ADC lookup scan — no Lloyd training, no assignment
+    kernel — and parquet column pruning means the ADC stage reads
+    m int codes per vector, touching the d-float uvec column only for
+    the k*rerank shortlist rows."""
+    unit = _unit(emb)
+    dsub = EMB_DIM // m
+    codebooks = train_pq_codebooks(unit, m, kcode, train_iters)
+    spark = emb.sparkSession
+    cb_rows = [
+        (mi, code, cw)
+        for mi, cb in enumerate(codebooks)
+        for code, cw in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        cb_rows, "mi int, code int, cw array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _assign_pq_codes(unit, codebooks, dsub).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def load_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """(codebooks, codes) as written by :func:`build_pq_index`."""
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["mi"] for r in cb_rows) + 1
+    kcode = max(r["code"] for r in cb_rows) + 1
+    codebooks: list[list[list[float]]] = [
+        [None] * kcode for _ in range(m)
+    ]
+    for r in cb_rows:
+        codebooks[r["mi"]][r["code"]] = list(r["cw"])
+    return codebooks, spark.read.parquet(f"{path}/codes")
+
+
+def pq_topk_prebuilt(
+    spark: SparkSession,
+    path: str,
+    n_queries: int = 10,
+    k: int = 10,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Query a persisted PQ index (:func:`build_pq_index`): identical
+    results to the inline :func:`pq_topk` for the same parameters,
+    without re-training codebooks or re-assigning codes."""
+    codebooks, coded = load_pq_index(spark, path)
+    m = len(codebooks)
+    dsub = EMB_DIM // m
+    return _pq_query(
+        coded,
+        codebooks,
+        m,
+        dsub,
+        coded.select("vec_id", "uvec"),
+        n_queries,
+        k,
+        rerank,
+    )
 
 
 def _pq_topk_oracle(

@@ -189,3 +189,27 @@ def test_ivf_prebuilt_index_matches_inline(spark, tmp_path):
         if d.startswith("centroid_id=")
     ]
     assert 1 < len(part_dirs) <= 4
+
+
+def test_pq_prebuilt_index_matches_inline(spark, tmp_path):
+    """build_pq_index -> pq_topk_prebuilt returns exactly the inline
+    pq_topk answer at the registry search config (round-9 verdict task
+    3: the persisted-codebooks deployment shape), and the index carries
+    the two layers (tiny codebooks + corpus codes)."""
+    import os
+
+    from prometheus_anomaly_detection_lstm_spark.operators.kmeans import (
+        _vec,
+        build_pq_index,
+        pq_topk,
+        pq_topk_prebuilt,
+    )
+
+    vec = _vec(spark, SF)
+    path = str(tmp_path / "pq")
+    build_pq_index(vec, path)
+    pre = sorted(map(tuple, pq_topk_prebuilt(spark, path).collect()))
+    inline = sorted(map(tuple, pq_topk(vec).collect()))
+    assert pre == inline and len(pre) > 0
+    assert os.path.isdir(os.path.join(path, "codebooks"))
+    assert os.path.isdir(os.path.join(path, "codes"))
