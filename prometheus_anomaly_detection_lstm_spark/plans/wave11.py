@@ -76,6 +76,16 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     unchanged vs the sum form.  Ties (identical rounded scores) break
     by language-code order via the first-match CASE.
 
+    Shape (round-10, the r9 verdict's worst text ratio): the corpus
+    explodes ONCE into the compact (doc_id, tri, cnt) term-frequency
+    table — the same TF compaction tfidf uses — and that one exchange
+    is shared by the train rollup AND the test scoring branch
+    (identical scan+agg subtree, so ReuseExchange dedupes it; the old
+    instance-stream plan re-exploded the corpus per consumer).  All
+    downstream joins/aggs are vocab/compact scale, the per-doc mean is
+    the cnt-weighted sum over compact rows, and lang_true rides the
+    compaction key so no extra labeled join re-reads the corpus.
+
     Output: (doc_id, lang_true, s_<lang>... , lang_pred, correct) for
     the held-out fold, scores rounded 6dp.
     """
@@ -88,45 +98,65 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     # positions explode FIRST; the trigram substring evaluates per
     # exploded row (building the trigram array inside transform()
     # measured 2.5x slower at sf0.1, round 8)
-    tris = base.select(
-        "doc_id",
-        "lang_true",
-        "lt",
-        F.explode(F.expr("sequence(1, length(lt) - 2)")).alias("__i"),
-    ).select(
-        "doc_id", "lang_true", F.expr("substring(lt, __i, 3)").alias("tri")
+    dt = (
+        base.select(
+            "doc_id",
+            "lang_true",
+            "lt",
+            F.explode(F.expr("sequence(1, length(lt) - 2)")).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            F.expr("substring(lt, __i, 3)").alias("tri"),
+        )
+        .groupBy("doc_id", "lang_true", "tri")
+        .agg(F.count("*").alias("cnt"))
     )
-    train = tris.filter(F.col("doc_id") % LANGID_FOLD_MOD != 0)
+    train = dt.filter(F.col("doc_id") % LANGID_FOLD_MOD != 0)
+    # counts is VOCAB-scale (<= charset^3 rows) and feeds BOTH the
+    # stats rollup and the scoring join; Catalyst compiles the two
+    # broadcast builds independently (no subtree dedup), so without
+    # materialization the train fold explodes twice per run (measured
+    # plan, round 10).  Lazy localCheckpoint — the perplexity_filter
+    # precedent — makes the first broadcast build materialize the tiny
+    # model table and the second read it back.
     counts = train.groupBy("tri").agg(
         *[
-            F.sum((F.col("lang_true") == l).cast("bigint")).alias(f"c_{l}")
+            F.sum(
+                F.when(F.col("lang_true") == l, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"c_{l}")
             for l in LANGID_LANGS
         ]
-    )
+    ).localCheckpoint(eager=False)
     stats = counts.agg(
         *[F.sum(f"c_{l}").alias(f"tot_{l}") for l in LANGID_LANGS],
         F.count("*").alias("v"),
     )
-    test = tris.filter(F.col("doc_id") % LANGID_FOLD_MOD == 0)
+    test = dt.filter(F.col("doc_id") % LANGID_FOLD_MOD == 0)
     # left-join the vocabulary-scale model (AQE broadcasts while it
     # fits); ln(NULL) is NULL so the coalesce falls through to the
     # smoothed floor for unseen trigrams.
     scored = (
         test.join(counts, "tri", "left")
         .join(F.broadcast(stats))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang_true")
         .agg(
             *[
                 F.round(
-                    F.avg(
-                        F.coalesce(
+                    F.sum(
+                        F.col("cnt")
+                        * F.coalesce(
                             F.log(
                                 (F.col(f"c_{l}") + 1.0)
                                 / (F.col(f"tot_{l}") + F.col("v"))
                             ),
                             F.log(1.0 / (F.col(f"tot_{l}") + F.col("v"))),
                         )
-                    ),
+                    )
+                    / F.sum("cnt"),
                     6,
                 ).alias(f"s_{l}")
                 for l in LANGID_LANGS
@@ -138,12 +168,8 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     for l in LANGID_LANGS:
         cond = F.col(f"s_{l}") == m
         expr = F.when(cond, l) if expr is None else expr.when(cond, l)
-    labeled = base.select("doc_id", "lang_true").filter(
-        F.col("doc_id") % LANGID_FOLD_MOD == 0
-    )
     return (
-        labeled.join(scored, "doc_id")
-        .withColumn("lang_pred", expr)
+        scored.withColumn("lang_pred", expr)
         .withColumn(
             "correct", (F.col("lang_pred") == F.col("lang_true")).cast("bigint")
         )
@@ -164,12 +190,13 @@ def q_text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _langid_sql() -> str:
     cs = ",\n         ".join(
-        f"count(*) FILTER (lang_true = '{l}') AS c_{l}" for l in LANGID_LANGS
+        f"sum(CASE WHEN lang_true = '{l}' THEN cnt ELSE 0 END) AS c_{l}"
+        for l in LANGID_LANGS
     )
     tots = ", ".join(f"sum(c_{l}) AS tot_{l}" for l in LANGID_LANGS)
     scores = ",\n         ".join(
-        f"round(avg(coalesce(ln((c_{l} + 1.0) / (tot_{l} + v)),"
-        f" ln(1.0 / (tot_{l} + v)))), 6) AS s_{l}"
+        f"round(sum(cnt * coalesce(ln((c_{l} + 1.0) / (tot_{l} + v)),"
+        f" ln(1.0 / (tot_{l} + v)))) / sum(cnt), 6) AS s_{l}"
         for l in LANGID_LANGS
     )
     m = "greatest(" + ", ".join(f"s_{l}" for l in LANGID_LANGS) + ")"
@@ -177,27 +204,27 @@ def _langid_sql() -> str:
     return f"""WITH base AS (
   SELECT doc_id, lang AS lang_true, lower(text) AS lt
   FROM documents WHERE length(lower(text)) >= 3
-), tris AS (
-  SELECT doc_id, lang_true, substring(lt, i, 3) AS tri
+), dt AS (
+  SELECT doc_id, lang_true, substring(lt, i, 3) AS tri, count(*) AS cnt
   FROM base, unnest(generate_series(1, length(lt) - 2)) t(i)
+  GROUP BY 1, 2, 3
 ), counts AS (
   SELECT tri,
          {cs}
-  FROM tris WHERE doc_id % {LANGID_FOLD_MOD} <> 0 GROUP BY tri
+  FROM dt WHERE doc_id % {LANGID_FOLD_MOD} <> 0 GROUP BY tri
 ), stats AS (
   SELECT {tots}, count(*) AS v FROM counts
 ), scored AS (
-  SELECT doc_id,
+  SELECT doc_id, lang_true,
          {scores}
-  FROM (SELECT * FROM tris WHERE doc_id % {LANGID_FOLD_MOD} = 0) t
+  FROM (SELECT * FROM dt WHERE doc_id % {LANGID_FOLD_MOD} = 0) t
   LEFT JOIN counts USING (tri) CROSS JOIN stats
-  GROUP BY doc_id
+  GROUP BY doc_id, lang_true
 )
-SELECT b.doc_id, b.lang_true, {', '.join(f's_{l}' for l in LANGID_LANGS)},
+SELECT doc_id, lang_true, {', '.join(f's_{l}' for l in LANGID_LANGS)},
        CASE {case} END AS lang_pred,
-       CAST((CASE {case} END) = b.lang_true AS BIGINT) AS correct
-FROM base b JOIN scored s ON b.doc_id = s.doc_id
-WHERE b.doc_id % {LANGID_FOLD_MOD} = 0"""
+       CAST((CASE {case} END) = lang_true AS BIGINT) AS correct
+FROM scored"""
 
 
 ORACLE_LANG_ID_NGRAM = _langid_sql()
