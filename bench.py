@@ -74,6 +74,46 @@ BASKET12 = [
 BASKET13 = BASKET12 + ["ann_cosine_topk_lsh"]
 COMPARABLE11 = [q for q in BASKET12 if q != "pipeline_prep"]
 
+#: tables DuckDB registers for the in-run anchors (round-9 verdict
+#: task 1: the official ratios were cross-session — anchors measured on
+#: other days of a VM with documented ±2-3× noise — so BENCH_r09
+#: recorded an sf1 minhash at 2.6× an anchor that three same-tree runs
+#: measured at 1.45-1.69×.  Timing the oracle SQL in the SAME process,
+#: interleaved with the Spark passes, makes every official ratio
+#: same-minute, same-box evidence and VM noise self-documenting.)
+DUCK_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck_connect(sf_dir: str):
+    """DuckDB connection with the sf tables as views (directory
+    parquet — Spark-written artifacts like the sf1 set — via glob)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in DUCK_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'"
+            )
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _duck_pass(con, oracle_sqls: dict[str, str]) -> dict[str, float]:
+    """One timed pass of every anchor oracle on ``con`` (results
+    fetched and discarded — the DuckDB twin of the noop sink)."""
+    out: dict[str, float] = {}
+    for name, sql in oracle_sqls.items():
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
 
 def _drop_bucketed_layout(spark, sf_dir: str, n_buckets: int = 8) -> None:
     """Drop the q3 bucketed external tables AND their backing paths so
@@ -273,13 +313,30 @@ def _sf1_minhash(spark, queries) -> dict:
 
     df = queries["dedup_minhash_lsh"][0](spark, SF1_DIR)
     df.write.format("noop").mode("overwrite").save()  # warm, untimed
+    # in-run anchor: the oracle SQL timed on the SAME sf1 artifact in
+    # the same process, interleaved between Spark passes (1 duck pass
+    # after Spark passes 1/3/5) — the round-9 verdict's fix for the
+    # 2.6x-vs-1.45x cross-session artifact contradiction.
+    con = _duck_connect(SF1_DIR)
+    sql = queries["dedup_minhash_lsh"][1]
     passes: list[float] = []
-    for _ in range(7):
+    duck: list[float] = []
+    for i in range(7):
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         passes.append(round(time.perf_counter() - t0, 3))
+        if i % 2 == 0 and len(duck) < 3 and sql is not None:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            duck.append(round(time.perf_counter() - t0, 3))
     out["sf1_dedup_minhash_lsh"] = sorted(passes)[3]
     out["sf1_dedup_minhash_lsh_passes"] = passes
+    if duck:
+        out["sf1_dedup_minhash_lsh_duck_sec"] = sorted(duck)[1]
+        out["sf1_dedup_minhash_lsh_duck_passes"] = duck
+        out["sf1_dedup_minhash_lsh_inrun_ratio"] = round(
+            sorted(passes)[3] / sorted(duck)[1], 3
+        )
     out["sf1_dedup_minhash_lsh_shuffle_mb"] = _executed_shuffle_mb(df)
     return out
 
@@ -305,13 +362,26 @@ def _sf1_span_removal(spark, queries) -> dict:
 
     df = queries["corpus_dup_span_removal"][0](spark, SF1_DIR)
     df.write.format("noop").mode("overwrite").save()  # warm, untimed
+    con = _duck_connect(SF1_DIR)
+    sql = queries["corpus_dup_span_removal"][1]
     passes: list[float] = []
+    duck: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         passes.append(round(time.perf_counter() - t0, 3))
+        if sql is not None:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            duck.append(round(time.perf_counter() - t0, 3))
     out["sf1_dup_span_removal"] = sorted(passes)[1]
     out["sf1_dup_span_removal_passes"] = passes
+    if duck:
+        out["sf1_dup_span_removal_duck_sec"] = sorted(duck)[1]
+        out["sf1_dup_span_removal_duck_passes"] = duck
+        out["sf1_dup_span_removal_inrun_ratio"] = round(
+            sorted(passes)[1] / sorted(duck)[1], 3
+        )
     out["sf1_dup_span_removal_shuffle_mb"] = _executed_shuffle_mb(df)
 
     docs = load_table(spark, SF1_DIR, "documents")
@@ -336,14 +406,27 @@ def _sf1_perplexity(spark, queries) -> dict:
     checkpoint, so construction is part of the honest cost)."""
     out: dict[str, float | list[float]] = {}
     out.update(_ensure_sf1_documents(spark))
+    con = _duck_connect(SF1_DIR)
+    sql = queries["corpus_perplexity_filter"][1]
     passes: list[float] = []
+    duck: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
         df = queries["corpus_perplexity_filter"][0](spark, SF1_DIR)
         df.write.format("noop").mode("overwrite").save()
         passes.append(round(time.perf_counter() - t0, 3))
+        if sql is not None:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            duck.append(round(time.perf_counter() - t0, 3))
     out["sf1_corpus_perplexity_filter"] = sorted(passes)[1]
     out["sf1_corpus_perplexity_filter_passes"] = passes
+    if duck:
+        out["sf1_corpus_perplexity_filter_duck_sec"] = sorted(duck)[1]
+        out["sf1_corpus_perplexity_filter_duck_passes"] = duck
+        out["sf1_corpus_perplexity_filter_inrun_ratio"] = round(
+            sorted(passes)[1] / sorted(duck)[1], 3
+        )
     return out
 
 
@@ -496,8 +579,27 @@ def main() -> None:
     # notes identical code measured 6.5-8.9 s across boxes/days on this
     # VM's +-2x hypervisor noise, and sanctioned extra samples as the
     # remedy — one more FULL pass, all raw passes still recorded.)
-    passes = [run_pass() for _ in range(4)]
+    # In-run DuckDB anchors (round-9 verdict task 1): one DuckDB pass
+    # of every comparable-query oracle INTERLEAVED after each Spark
+    # pass, same process, same minute — so the official ratio has a
+    # trustworthy denominator regardless of which noise patch of the
+    # VM this run lands on.  Per-query best-of-4 on both sides (the
+    # same statistic), all raw passes recorded.
+    duck_con = _duck_connect(sf_dir)
+    duck_oracles = {
+        name: queries[name][1]
+        for name in COMPARABLE11
+        if queries[name][1] is not None
+    }
+    passes = []
+    duck_passes = []
+    for _ in range(4):
+        passes.append(run_pass())
+        duck_passes.append(_duck_pass(duck_con, duck_oracles))
     best = {k: min(p[k] for p in passes) for k in passes[0]}
+    duck_best = {
+        k: min(p[k] for p in duck_passes) for k in duck_passes[0]
+    }
 
     # dedup_minhash_lsh is reported as the MEDIAN OF SEVEN dedicated
     # warm passes (round-6 verdict task 2 prescribed median of >=5):
@@ -562,14 +664,26 @@ def main() -> None:
         "comparable11_total": round(
             sum(best[q] for q in COMPARABLE11), 3
         ),
+        "comparable11_duck_total": round(sum(duck_best.values()), 3),
+        "comparable11_inrun_ratio": round(
+            sum(best[q] for q in COMPARABLE11)
+            / max(sum(duck_best.values()), 1e-9),
+            3,
+        ),
         "tpch_q3_bucketed_write_sec": bucketed_write_sec,
         "ann_lsh_recall_at_10": lsh_recall,
         "ann_ivf_recall_at_10": ivf_recall,
         "ann_pq_recall_at_10": pq_recall,
     }
+    out["queries_duck"] = duck_best
+    out["queries_inrun_ratio"] = {
+        q: round(best[q] / max(duck_best[q], 1e-9), 2)
+        for q in duck_best
+    }
     for i, p in enumerate(passes, 1):
         out[f"value_pass{i}"] = round(sum(p.values()), 3)
         out[f"queries_pass{i}"] = p
+        out[f"queries_duck_pass{i}"] = duck_passes[i - 1]
     out["dedup_minhash_lsh_extra_passes"] = extra_minhash
     out["dedup_minhash_lsh_reporting"] = (
         "median of 7 dedicated warm passes (round-6 verdict task 2 "
@@ -614,6 +728,11 @@ def main() -> None:
             out.update(_sf1_perplexity(spark, queries))
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["sf1_perplexity_error"] = f"{type(exc).__name__}: {exc}"
+
+    # grading-scale full-cost record (round-8 verdict task 7) — OUTSIDE
+    # the sf1 gate (round-9 ADVICE: SPARK_GRAFT_SF1_SECTION=0 silently
+    # dropped it), so every default sf0.1 grading run carries it.
+    if sf == "0.1":
         try:
             out.update(_perplexity_full_cost(spark, queries, sf_dir))
         except Exception as exc:  # pragma: no cover - diagnostics only
@@ -627,9 +746,12 @@ def main() -> None:
     summary = {
         "value": out["value"],
         "queries": best,
+        "queries_duck": duck_best,
         "basket12_total": out["basket12_total"],
         "basket13_total": out["basket13_total"],
         "comparable11_total": out["comparable11_total"],
+        "comparable11_duck_total": out["comparable11_duck_total"],
+        "comparable11_inrun_ratio": out["comparable11_inrun_ratio"],
         "tpch_q3_bucketed_write_sec": out["tpch_q3_bucketed_write_sec"],
         "dedup_minhash_lsh_median7": best["dedup_minhash_lsh"],
         "ann_lsh_recall_at_10": lsh_recall,
@@ -642,11 +764,17 @@ def main() -> None:
         "sf1_tpch_q3_shuffle_mb",
         "sf1_tpch_q3_bucketed_shuffle_mb",
         "sf1_dedup_minhash_lsh",
+        "sf1_dedup_minhash_lsh_duck_sec",
+        "sf1_dedup_minhash_lsh_inrun_ratio",
         "sf1_dedup_minhash_lsh_shuffle_mb",
         "sf1_dup_span_removal",
+        "sf1_dup_span_removal_duck_sec",
+        "sf1_dup_span_removal_inrun_ratio",
         "sf1_dup_span_removal_shuffle_mb",
         "sf1_dup_span_removal_digest",
         "sf1_corpus_perplexity_filter",
+        "sf1_corpus_perplexity_filter_duck_sec",
+        "sf1_corpus_perplexity_filter_inrun_ratio",
         "corpus_perplexity_filter_full",
         "sf1_section_error",
         "sf1_minhash_error",
