@@ -504,6 +504,46 @@ def q_corpus_bpe_encode_bounded(
     return encode_token_counts(
         load_table(spark, sf_dir, "documents"), FROZEN_MERGES, bounded=True
     )
+
+
+#: production-vocabulary merge count for the registered 32k encode.
+MERGES_32K = 32_000
+
+
+def merges_32k() -> list[tuple[str, str]]:
+    """The FROZEN_MERGES head padded to a 32,000-entry merge table —
+    the closure size a real tokenizer ships (tools/bpe_bounded_growth.py
+    measured the kernel flat from 10 to 32k entries; this registers
+    that production shape as an every-session query, round-9 verdict
+    task 7).
+
+    The pad entries provably never fire on ANY corpus: each pad left
+    token ("①<i>") is multi-character, initial tokens are single
+    characters, and no merge in the table (frozen or pad) OUTPUTS a pad
+    left token — so no token stream can ever contain one.  The encode
+    result is therefore exactly the frozen-10 encode, which is what
+    lets the 32k entry carry the SAME exact hash oracle while paying
+    the full 32k-entry closure/rank-table cost end-to-end."""
+    pad = [(f"①{i}", f"②{i}") for i in range(MERGES_32K)]
+    return (FROZEN_MERGES + pad)[:MERGES_32K]
+
+
+def q_corpus_bpe_encode_32k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``corpus_bpe_encode`` at a production 32,000-entry merge table
+    through the bounded Arrow kernel (the fold chain cannot compile at
+    this count — BASELINE.md growth rows)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return encode_token_counts(
+        load_table(spark, sf_dir, "documents"), merges_32k(), bounded=True
+    )
+
+
+QUERIES["corpus_bpe_encode_32k"] = (
+    q_corpus_bpe_encode_32k,
+    _bpe_encode_oracle(FROZEN_MERGES),
+)
 QUERIES["corpus_bpe_packing"] = (
     q_corpus_bpe_packing,
     _bpe_packing_oracle(FROZEN_MERGES),

@@ -307,38 +307,23 @@ LEDGER_ALIASES: dict[str, str] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-9 window (position machine-checked by
-    # tests/test_registry_hygiene.py). Composition per the round-8
-    # verdict: (a) the 19 rows whose latest official grade is ROUND 3 —
-    # the TPC-H q4..q22 tail plus metric_trend_slopes and
-    # range_join_interval_counts (verdict task 1: zero r3-latest rows
-    # may remain); (b) changed-code re-grades — the three ANN
-    # approximators whose rows-only checks became exact DuckDB hash
-    # oracles (task 2), the two DSPOT rows whose plan was fused into one
-    # window stage (task 4), and the 8 stalest-graded text/corpus rows
-    # whose plans gained the under-split fan-out rebalance this round;
-    # (c) the stalest round-4-latest rows. All 50 green in the local
-    # parity sweep and driver-simmed out-of-repo before commit. ----
-    "metric_trend_slopes", "range_join_interval_counts", "tpch_q4", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22", "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf", "ann_cosine_topk_pq", "metric_dspot_anomaly_hours",
-    "metric_dspot_threshold", "dedup_clusters", "corpus_decontaminate",
-    "corpus_shuffle_shards", "corpus_token_budget_sample",
-    "embedding_quantize_int8", "text_repetition_scores",
-    "text_quality_filter", "metric_rolling_median", "metric_change_points",
-    "event_graph_triangles", "corpus_quality_curriculum",
-    "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
-    "metric_m4_downsample", "metric_slo_burn_rate",
-    "corpus_importance_sample", "metric_anomaly_ensemble",
-    "text_containment_pairs", "text_bm25_topk", "text_nb_classifier",
-    "text_nb_classifier_auc", "text_nb_confusion", "text_log_odds_keywords",
-    "corpus_bloom_decontaminate", "corpus_perplexity_filter",
-    # ================= past the 50-slot window =================
-    # (position enforced by tests/test_registry_hygiene.py)
-    # staleness-ordered: the remaining round-4-latest rows first
-    # (they head the round-10 window), then r5..r8, newest-graded last:
+    # ---- round-10 window (position machine-checked by
+    # tests/test_registry_hygiene.py).  Composition per the round-9
+    # verdict: (a) the 8 changed-code / new rows of this round — the
+    # production-vocabulary BPE encode (new, task 7), the reworked
+    # lang-id pair (TF compaction + model checkpoint, task 4), the two
+    # perplexity-family rows whose checkpoint went lazy (ADVICE 1), the
+    # single-gate repetition scores (ADVICE 4), the keyed-gate BPE
+    # trainer (ADVICE 3), and the PQ query whose ADC stage was
+    # refactored into the shared prebuilt path (task 3); (b) ALL 30
+    # remaining round-4-latest rows (task 2: zero r4-latest rows may
+    # remain); (c) the 12 stalest round-5-latest rows the remaining
+    # slots hold — the r5 band continues next round.  All 50 green in
+    # the local parity sweep and driver-simmed out-of-repo before
+    # commit. ----
+    "corpus_bpe_encode_32k", "text_lang_id_ngram", "text_lang_id_confusion",
+    "corpus_perplexity_filter", "corpus_ccnet_partition",
+    "text_repetition_scores", "vocab_bpe_merges", "ann_cosine_topk_pq",
     "metric_distribution_drift", "tpch_q1_incremental",
     "embedding_nearest_centroid_eval", "metric_forecast_backtest",
     "promql_label_ops", "customer_rfm_segments", "events_association_rules",
@@ -355,21 +340,42 @@ PRIORITY: list[str] = [
     "events_frequent_paths", "orders_backlog_daily", "table_quality_checks",
     "events_pointintime_features", "orders_churn_labels",
     "text_related_docs_topk", "dedup_minhash_recall_eval",
-    "promql_vector_match_ratio", "events_props_key_profile", "events_dau_wau",
+    "promql_vector_match_ratio", "events_props_key_profile",
+    "events_dau_wau",
+    # ================= past the 50-slot window =================
+    # (position enforced by tests/test_registry_hygiene.py)
+    # staleness-ordered: the remaining round-5-latest rows first (they
+    # head the round-11 window), then r6..r9, newest-graded last:
+    "metric_trend_slopes", "range_join_interval_counts", "tpch_q4",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf", "metric_dspot_anomaly_hours",
+    "metric_dspot_threshold", "dedup_clusters", "corpus_decontaminate",
+    "corpus_shuffle_shards", "corpus_token_budget_sample",
+    "embedding_quantize_int8", "text_quality_filter",
+    "metric_rolling_median", "metric_change_points", "event_graph_triangles",
+    "corpus_quality_curriculum", "metric_autocorrelation",
+    "metric_mad_outliers", "metric_stl_decompose", "metric_m4_downsample",
+    "metric_slo_burn_rate", "corpus_importance_sample",
+    "metric_anomaly_ensemble", "text_containment_pairs", "text_bm25_topk",
+    "text_nb_classifier", "text_nb_classifier_auc", "text_nb_confusion",
+    "text_log_odds_keywords", "corpus_bloom_decontaminate",
     "events_bot_cadence", "multimodal_phash_dedup", "embedding_whiten",
-    "metric_periodogram", "vocab_bpe_merges", "embedding_ridge_fit",
-    "ann_cosine_topk", "dedup_minhash_lsh", "embedding_matryoshka_eval",
-    "dedup_edit_distance", "embedding_logreg_fit", "metric_cusum_anomalies",
+    "metric_periodogram", "embedding_ridge_fit", "ann_cosine_topk",
+    "dedup_minhash_lsh", "embedding_matryoshka_eval", "dedup_edit_distance",
+    "embedding_logreg_fit", "metric_cusum_anomalies",
     "metric_theil_sen_trend", "text_char_entropy", "corpus_zipf_fit",
     "events_funnel_timing", "events_heavy_hitters",
     "corpus_source_token_drift", "promql_lang_rate_sum",
     "promql_lang_topk_gauge", "promql_lang_increase_filter",
     "promql_lang_error_ratio", "promql_lang_histogram_quantile",
     "promql_lang_quantile_over_time", "promql_lang_label_replace",
-    "parts_abc_by_brand", "shipping_delay_profile", "events_markov_next_eval",
-    "text_readability_scores", "return_rate_by_brand",
-    "supplier_hhi_by_nation", "doc_type_token_ratio", "customer_order_gaps",
-    "join_key_skew_profile", "embedding_hard_negatives", "metric_sax_symbols",
+    "parts_abc_by_brand", "shipping_delay_profile",
+    "events_markov_next_eval", "text_readability_scores",
+    "return_rate_by_brand", "supplier_hhi_by_nation", "doc_type_token_ratio",
+    "customer_order_gaps", "join_key_skew_profile",
+    "embedding_hard_negatives", "metric_sax_symbols",
     "text_pmi_collocations", "embedding_centroid_drift", "metric_sax_motifs",
     "text_feature_hashing", "promql_lang_predict_linear",
     "promql_lang_changes_sum", "promql_lang_unless_gate",
@@ -387,11 +393,10 @@ PRIORITY: list[str] = [
     "metric_cointegration_pairs", "embedding_kcenter_coreset",
     "text_burstiness", "events_ab_srm_check", "metric_glr_variance_change",
     "corpus_sample_ngram_coverage", "text_source_overlap_matrix", "tpch_q1",
-    "tpch_q3", "tpch_q5", "windowed_events", "text_lang_id_ngram",
-    "metric_spot_threshold", "corpus_ccnet_partition",
-    "metric_spot_anomaly_hours", "text_lang_id_confusion", "rollup_agg",
-    "topk_per_group", "semi_anti_join", "running_revenue", "distinct_users",
-    "vocab_stats", "funnel", "embedding_mean_by_label", "events_hourly_pivot",
+    "tpch_q3", "tpch_q5", "windowed_events", "metric_spot_threshold",
+    "metric_spot_anomaly_hours", "rollup_agg", "topk_per_group",
+    "semi_anti_join", "running_revenue", "distinct_users", "vocab_stats",
+    "funnel", "embedding_mean_by_label", "events_hourly_pivot",
     "unpivot_metrics", "user_set_ops", "approx_distinct_users",
     "approx_threshold_percentiles", "nan_counts", "tpch_q6",
     "min_cost_supplier", "multires_rollup", "ffill_bfill", "metrics_wide",
@@ -416,10 +421,12 @@ PRIORITY: list[str] = [
     "promql_deriv_predict", "promql_absent", "metric_correlations",
     "corpus_clean_pipeline", "minmax_scaled", "anomaly_mse",
     "threshold_split", "anomaly_mse_lstm", "corpus_stratified_sample",
-    "embedding_covariance", "cube_agg", "table_profile", "text_ngram_novelty",
-    "text_dup_ngram_spans", "text_lm_trigram_scores", "sessionize",
-    "events_json_extract", "retention_cohorts", "user_path_transitions",
+    "embedding_covariance", "cube_agg", "table_profile",
+    "text_ngram_novelty", "text_dup_ngram_spans", "text_lm_trigram_scores",
+    "sessionize", "events_json_extract", "retention_cohorts",
+    "user_path_transitions",
 ]
+
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
