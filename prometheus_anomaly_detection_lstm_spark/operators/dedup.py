@@ -50,7 +50,9 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles_raw(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+def _shingles_raw(
+    docs: DataFrame, n: int = SHINGLE_N, gate: bool = True
+) -> DataFrame:
     """Word n-gram shingle STREAM per doc (duplicates kept).
 
     The docs are hash-repartitioned by doc_id ONLY when the scan is
@@ -62,9 +64,15 @@ def _shingles_raw(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     (``parallelize_if_underpartitioned``) keeps the exchange OFF a real
     lake whose scan is already well-split (round-3 verdict finding #2).
     Measured ~30% off dedup_minhash_lsh at sf0.1 locally.
+
+    ``gate=False`` is for callers that ALREADY hash-distributed the doc
+    frame by doc_id (``minhash_lsh_dedup(pre_key=True)``): the gate's
+    metadata estimate traces inputFiles() through a repartition, so it
+    would re-fire on the pre-keyed frame and stack a second exchange.
     """
     words = F.split(F.col("text"), " ")
-    docs = parallelize_if_underpartitioned(docs, "doc_id")
+    if gate:
+        docs = parallelize_if_underpartitioned(docs, "doc_id")
     return (
         docs.withColumn("words", words)
         .filter(F.size("words") >= n)
@@ -80,9 +88,11 @@ def _shingles_raw(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+def shingles(
+    docs: DataFrame, n: int = SHINGLE_N, gate: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    return _shingles_raw(docs, n).distinct()
+    return _shingles_raw(docs, n, gate).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -166,7 +176,10 @@ MINHASH_SLICES = 4
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = MINHASH_K, with_size: bool = False
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    with_size: bool = False,
+    gate: bool = True,
 ) -> DataFrame:
     """(doc_id, sig_1..sig_k): k independent min-hashes of the shingle set.
 
@@ -184,7 +197,7 @@ def minhash_signatures(
     skipped and the partial min collapses to one row per doc map-side.
     ``with_size=True`` adds the DISTINCT shingle count (``n_sh``).
     """
-    sh = _shingles_raw(docs)
+    sh = _shingles_raw(docs, gate=gate)
     # One F.expr string per aggregate (1 py4j round-trip each) instead
     # of a 6-deep Column chain (~6 round-trips each): measured ~1.8 ms
     # per py4j call on this box, this is ~80 ms off every plan
@@ -282,7 +295,9 @@ def _verify_jaccard(
 
 
 def minhash_lsh_dedup(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pre_key: bool = False,
 ) -> DataFrame:
     """MinHash->LSH candidates verified with exact Jaccard.
 
@@ -296,7 +311,25 @@ def minhash_lsh_dedup(
     measured locally a ``persist()`` here costs more (forced
     materialization + cache memory pressure) than three recomputes.
     Revisit only if the shingle stage grows an expensive upstream.
+
+    ``pre_key=True`` (the registered flagship's setting, round-10 A/B
+    in BASELINE.md): hash-distribute the RAW doc frame by doc_id
+    unconditionally before amplification.  Exchange placement, not
+    parallelism, is the win — the per-doc distinct, the sizes rollup
+    and the verify joins all inherit HashPartitioning(doc_id), so the
+    exchanges that would otherwise move the AMPLIFIED shingle stream
+    (~3× corpus bytes each) collapse to one pre-amplification exchange
+    of raw docs.  Measured at sf1: shuffle 63.6 → 21.4 MB, wall 9.0 →
+    6.3 s median, interleaved A/B.  At 100 TB the same inequality
+    holds (1× corpus bytes moved once vs the amplified stream moved at
+    the verify joins), so this is on by default for the flagship, not
+    gated on local under-splitting.
     """
+    if pre_key:
+        n = docs.sparkSession.sparkContext.defaultParallelism
+        docs = docs.repartition(n, "doc_id")
+        cands = lsh_candidate_pairs(minhash_signatures(docs, gate=False))
+        return _verify_jaccard(shingles(docs, gate=False), cands, threshold)
     cands = lsh_candidate_pairs(minhash_signatures(docs))
     return _verify_jaccard(shingles(docs), cands, threshold)
 
@@ -630,7 +663,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_dedup(_docs(spark, sf_dir))
+    # pre_key: exchange-placement win measured at sf1 (63.6 -> 21.4 MB
+    # shuffle); other minhash consumers keep the gated default until
+    # their window slots come up (round-11).
+    return minhash_lsh_dedup(_docs(spark, sf_dir), pre_key=True)
 
 
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -341,7 +341,7 @@ PRIORITY: list[str] = [
     "events_pointintime_features", "orders_churn_labels",
     "text_related_docs_topk", "dedup_minhash_recall_eval",
     "promql_vector_match_ratio", "events_props_key_profile",
-    "events_dau_wau",
+    "dedup_minhash_lsh",
     # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
     # staleness-ordered: the remaining round-5-latest rows first (they
@@ -363,7 +363,7 @@ PRIORITY: list[str] = [
     "text_log_odds_keywords", "corpus_bloom_decontaminate",
     "events_bot_cadence", "multimodal_phash_dedup", "embedding_whiten",
     "metric_periodogram", "embedding_ridge_fit", "ann_cosine_topk",
-    "dedup_minhash_lsh", "embedding_matryoshka_eval", "dedup_edit_distance",
+    "events_dau_wau", "embedding_matryoshka_eval", "dedup_edit_distance",
     "embedding_logreg_fit", "metric_cusum_anomalies",
     "metric_theil_sen_trend", "text_char_entropy", "corpus_zipf_fit",
     "events_funnel_timing", "events_heavy_hitters",
