@@ -281,9 +281,37 @@ def _bpe_bounded_entry() -> tuple[QueryFn, str | None]:
     return (q_corpus_bpe_encode_bounded, _bpe_encode_oracle(FROZEN_MERGES))
 
 
+def _pq_prebuilt_entry() -> tuple[QueryFn, str | None]:
+    """ann_cosine_topk_pq through the persisted-index deployment path
+    (build_pq_index under /tmp keyed by sf_dir, then pq_topk_prebuilt)
+    — same exact oracle as the inline query, graded by the parity
+    suite without spending a driver window slot on a duplicate
+    physical strategy (the prebuilt==inline pin also lives in
+    tests/test_similarity_recall.py)."""
+    import os
+    import tempfile
+
+    from .operators.kmeans import _vec, build_pq_index, pq_topk_prebuilt
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+        path = os.path.join(
+            tempfile.gettempdir(), "prometheus_anomaly_detection_lstm_spark_pq", tag
+        )
+        if not os.path.isdir(os.path.join(path, "codes")):
+            build_pq_index(_vec(spark, sf_dir), path)
+        return pq_topk_prebuilt(spark, path)
+
+    from .operators.kmeans import _pq_topk_oracle
+
+    return (q, _pq_topk_oracle())
+
+
 PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "anomaly_mse_mapinpandas": (q_mse_via_mapinpandas, oracles.ORACLE_ANOMALY_MSE),
     "corpus_bpe_encode_bounded": _bpe_bounded_entry(),
+    "ann_cosine_topk_pq_prebuilt": _pq_prebuilt_entry(),
 }
 
 #: Ledger aliases: names that appeared on an official per-round
