@@ -294,13 +294,30 @@ def _pq_prebuilt_entry() -> tuple[QueryFn, str | None]:
     from .operators.kmeans import _vec, build_pq_index, pq_topk_prebuilt
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import json
+
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
         path = os.path.join(
             tempfile.gettempdir(), "prometheus_anomaly_detection_lstm_spark_pq", tag
         )
-        if not os.path.isdir(os.path.join(path, "codes")):
-            build_pq_index(_vec(spark, sf_dir), path)
+        vec = _vec(spark, sf_dir)
+        # recipe stamp (r8 ADVICE precedent): a cached index is reused
+        # only if it was built from the same-cardinality input —
+        # otherwise a stale /tmp index would silently grade other data.
+        recipe = {"sf_dir": sf_dir.rstrip("/"), "rows": vec.count()}
+        stamp = os.path.join(path, "recipe.json")
+        reusable = False
+        if os.path.isdir(os.path.join(path, "codes")) and os.path.exists(stamp):
+            try:
+                with open(stamp) as fh:
+                    reusable = json.load(fh) == recipe
+            except (json.JSONDecodeError, OSError):
+                reusable = False
+        if not reusable:
+            build_pq_index(vec, path)
+            with open(stamp, "w") as fh:
+                json.dump(recipe, fh)
         return pq_topk_prebuilt(spark, path)
 
     from .operators.kmeans import _pq_topk_oracle
