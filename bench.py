@@ -430,6 +430,67 @@ def _sf1_perplexity(spark, queries) -> dict:
     return out
 
 
+def _ann_prebuilt_section(spark, sf_dir: str) -> dict:
+    """Official record for the ANN build-once/query-many deployment
+    split (round-9 runway item 3): IVF and PQ prebuilt-index query
+    times beside the build-included registry numbers.  Indexes live
+    under /tmp recipe-stamped per sf_dir (build cost is reported in
+    the run that pays it, like sf1_gen_sec); queries are the warm-plan
+    median of 5 — the cached-plan protocol of the main basket."""
+    import json
+    import tempfile
+
+    from prometheus_anomaly_detection_lstm_spark.operators.kmeans import (
+        _vec,
+        build_pq_index,
+        pq_topk_prebuilt,
+    )
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_prebuilt,
+    )
+
+    out: dict[str, float | list[float]] = {}
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "prometheus_anomaly_detection_lstm_spark_annidx", tag)
+    emb = load_table(spark, sf_dir, "embeddings")
+    recipe = {"sf_dir": sf_dir.rstrip("/"), "rows": emb.count()}
+
+    def ensure(name: str, build) -> str:
+        path = os.path.join(root, name)
+        stamp = os.path.join(path, "recipe.json")
+        reusable = False
+        if os.path.exists(stamp):
+            try:
+                with open(stamp) as fh:
+                    reusable = json.load(fh) == recipe
+            except (json.JSONDecodeError, OSError):
+                reusable = False
+        if not reusable:
+            t0 = time.perf_counter()
+            build(path)
+            out[f"ann_{name}_build_sec"] = round(time.perf_counter() - t0, 3)
+            with open(stamp, "w") as fh:
+                json.dump(recipe, fh)
+        return path
+
+    ivf_path = ensure("ivf", lambda p: build_ivf_index(emb, p))
+    pq_path = ensure("pq", lambda p: build_pq_index(_vec(spark, sf_dir), p))
+    for key, df in (
+        ("ann_ivf_prebuilt_query_sec", cosine_topk_ivf_prebuilt(spark, ivf_path)),
+        ("ann_pq_prebuilt_query_sec", pq_topk_prebuilt(spark, pq_path)),
+    ):
+        df.write.format("noop").mode("overwrite").save()  # warm, untimed
+        vals: list[float] = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            vals.append(round(time.perf_counter() - t0, 3))
+        out[key] = sorted(vals)[2]
+        out[f"{key}_passes"] = vals
+    return out
+
+
 def _perplexity_full_cost(spark, queries, sf_dir: str) -> dict:
     """Full-cost point for the trigram-LM flagship (round-8 verdict
     task 7): corpus_perplexity_filter BUILDS an eager doc-scale
@@ -737,6 +798,10 @@ def main() -> None:
             out.update(_perplexity_full_cost(spark, queries, sf_dir))
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["perplexity_full_error"] = f"{type(exc).__name__}: {exc}"
+        try:
+            out.update(_ann_prebuilt_section(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            out["ann_prebuilt_error"] = f"{type(exc).__name__}: {exc}"
 
     # The driver's BENCH_r{N}.json keeps only the LAST ~2.2 kB of
     # bench output (round-7 verdict task 2: the r7 artifact lost its
@@ -776,6 +841,11 @@ def main() -> None:
         "sf1_corpus_perplexity_filter_duck_sec",
         "sf1_corpus_perplexity_filter_inrun_ratio",
         "corpus_perplexity_filter_full",
+        "ann_ivf_build_sec",
+        "ann_pq_build_sec",
+        "ann_ivf_prebuilt_query_sec",
+        "ann_pq_prebuilt_query_sec",
+        "ann_prebuilt_error",
         "sf1_section_error",
         "sf1_minhash_error",
         "sf1_span_error",
