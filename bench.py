@@ -17,6 +17,14 @@ production shape: a 100-TB pipeline scores once and feeds many
 consumers, it does not re-derive the pivot->fill->scale->window chain
 per downstream query.  The prep/materialization cost is its own timed
 entry so the total stays end-to-end honest.
+
+Round-10 protocol: every anchored ratio on the artifact is IN-RUN —
+one DuckDB pass of each comparable-query oracle interleaved after each
+Spark pass (and oracle passes interleaved inside the sf1 sections), so
+the denominator is same-process/same-minute instead of a cross-session
+archive on a ±2-3× noisy VM.  The ANN deployment split (IVF/PQ
+prebuilt-index query times, recipe-stamped /tmp indexes) and the
+perplexity full-cost record also ride every default sf0.1 run.
 """
 
 from __future__ import annotations
