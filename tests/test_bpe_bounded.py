@@ -122,3 +122,30 @@ def test_bounded_token_counts_match_fold_path(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_pad_merges_provably_never_fire():
+    """corpus_bpe_encode_32k's oracle claim: the 31,990 pad entries of
+    merges_32k() can never fire on ANY word — even one that contains
+    the pad marker characters themselves — because every pad LEFT token
+    is multi-character and no merge in the table outputs a pad left
+    token, so no token stream can ever contain one.  Pin the proof on
+    adversarial words built from the pad alphabet."""
+    merges = bpe.merges_32k()
+    frozen = list(bpe.FROZEN_MERGES)
+    adversarial = [
+        "①0②0",          # the raw pad pair glyphs, adjacent
+        "①②",            # bare markers
+        "x①1②1x",        # embedded mid-word
+        "er①0",          # frozen-merge output followed by marker
+        "①" * 5 + "②" * 5,
+        "mer①12②12lu",    # frozen merges fire around the markers
+    ]
+    for word in adversarial:
+        assert _kernel_encode(word, merges) == _py_fold_chain(
+            word, frozen
+        ), word
+    # and on a real-alphabet word the 32k table equals the frozen-10
+    assert _kernel_encode("lowermaster", merges) == _py_fold_chain(
+        "lowermaster", frozen
+    )
