@@ -801,7 +801,9 @@ def main() -> None:
     out["dedup_minhash_lsh_reporting"] = (
         "median of 7 dedicated warm passes (round-6 verdict task 2 "
         "prescribed median of >=5); per-full-pass values in "
-        "queries_pass*"
+        "queries_pass*; its queries_inrun_ratio therefore divides the "
+        "median-of-7 by the duck best-of-4 (every other ratio is "
+        "best-of-4 / best-of-4)"
     )
 
     # per-query shuffle volume at the bench sf (round 7): one extra
