@@ -410,8 +410,10 @@ def _sf1_perplexity(spark, queries) -> dict:
     the per-stage fixed overhead amortizes and the engine CROSSES the
     DuckDB oracle (round-9 measurement: Spark 5.43 s vs DuckDB 7.50 s
     median-of-3 = 0.72x; sf0.1 ratio was 2.4x).  Median of 3 full
-    build+execute passes (the query builds an eager doc-scale
-    checkpoint, so construction is part of the honest cost)."""
+    build+execute passes (the query builds a doc-scale checkpoint —
+    lazy since round 10, materialized by the first action — so each
+    pass constructs fresh and the full corpus rollup stays in the
+    timed cost)."""
     out: dict[str, float | list[float]] = {}
     out.update(_ensure_sf1_documents(spark))
     con = _duck_connect(SF1_DIR)
@@ -545,10 +547,11 @@ def _ann_prebuilt_section(spark, sf_dir: str) -> dict:
 
 def _perplexity_full_cost(spark, queries, sf_dir: str) -> dict:
     """Full-cost point for the trigram-LM flagship (round-8 verdict
-    task 7): corpus_perplexity_filter BUILDS an eager doc-scale
-    localCheckpoint (the per-doc score table feeds both the tercile
-    cuts and the final join), so the basket's construct-once/
-    re-execute protocol would time only the checkpoint-downstream tail.
+    task 7): corpus_perplexity_filter builds a doc-scale
+    localCheckpoint (LAZY since round 10 — the per-doc score table
+    feeds both the tercile cuts and the final join and materializes on
+    the first action), so the basket's construct-once/re-execute
+    protocol would time only the checkpoint-downstream tail.
     This section times CONSTRUCTION + EXECUTION together, median of 5,
     so the recorded number carries the whole corpus-scale trigram
     rollup every pass."""
