@@ -43,6 +43,11 @@ bench:
 shuffle-audit:
 	python tools/shuffle_audit.py
 
+# same-minute DuckDB anchors for any query list (round-10 protocol;
+# defaults to the ratio-weak text/corpus/DSPOT set at sf0.1)
+anchors:
+	python tools/inrun_anchor_sweep.py $(QUERIES)
+
 # labeled detector scorecard: point spikes / level shift (+GLR
 # localization) / slot contamination / slow ramp
 zoo:
