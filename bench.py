@@ -500,8 +500,11 @@ def _ann_prebuilt_section(spark, sf_dir: str) -> dict:
         pq_topk_prebuilt,
     )
     from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
+        LSH_RECALL08,
         build_ivf_index,
+        build_lsh_index,
         cosine_topk_ivf_prebuilt,
+        cosine_topk_lsh_prebuilt,
     )
 
     out: dict[str, float | list[float]] = {}
@@ -530,9 +533,21 @@ def _ann_prebuilt_section(spark, sf_dir: str) -> dict:
 
     ivf_path = ensure("ivf", lambda p: build_ivf_index(emb, p))
     pq_path = ensure("pq", lambda p: build_pq_index(_vec(spark, sf_dir), p))
+    lsh_path = ensure(
+        "lsh",
+        lambda p: build_lsh_index(
+            emb, p, planes=LSH_RECALL08["planes"], tables=LSH_RECALL08["tables"]
+        ),
+    )
     for key, df in (
         ("ann_ivf_prebuilt_query_sec", cosine_topk_ivf_prebuilt(spark, ivf_path)),
         ("ann_pq_prebuilt_query_sec", pq_topk_prebuilt(spark, pq_path)),
+        (
+            "ann_lsh_prebuilt_query_sec",
+            cosine_topk_lsh_prebuilt(
+                spark, lsh_path, probe_hamming=LSH_RECALL08["probe_hamming"]
+            ),
+        ),
     ):
         df.write.format("noop").mode("overwrite").save()  # warm, untimed
         vals: list[float] = []
@@ -910,8 +925,10 @@ def main() -> None:
         "corpus_perplexity_filter_full",
         "ann_ivf_build_sec",
         "ann_pq_build_sec",
+        "ann_lsh_build_sec",
         "ann_ivf_prebuilt_query_sec",
         "ann_pq_prebuilt_query_sec",
+        "ann_lsh_prebuilt_query_sec",
         "ann_prebuilt_error",
         "sf1_section_error",
         "sf1_minhash_error",

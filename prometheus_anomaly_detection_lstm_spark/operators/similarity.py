@@ -203,9 +203,6 @@ def lsh_candidate_set(
     (table, bucket) rows, and the tiny probe side broadcasts — the
     corpus never shuffles.
     """
-    masks = [0] + [
-        m for m in range(1, 2**planes) if bin(m).count("1") <= probe_hamming
-    ]
     tagged = lsh_bucket_array(normed, planes, tables, seed_base=1)
     c_all = tagged.select(
         F.col("vec_id").alias("c_id"),
@@ -223,7 +220,24 @@ def lsh_candidate_set(
         tables,
         seed_base=1,
     )
-    q_all = (
+    q_all = _lsh_query_probes(q_tagged, planes, probe_hamming)
+    return (
+        c_all.join(F.broadcast(q_all), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+
+def _lsh_query_probes(
+    q_tagged: DataFrame, planes: int, probe_hamming: int
+) -> DataFrame:
+    """(q_id, table, bucket) multiprobe fan-out of a signature frame —
+    shared by the inline candidate set and the prebuilt-index query."""
+    masks = [0] + [
+        m for m in range(1, 2**planes) if bin(m).count("1") <= probe_hamming
+    ]
+    return (
         q_tagged
         .select(
             F.col("vec_id").alias("q_id"),
@@ -241,12 +255,6 @@ def lsh_candidate_set(
                 )
             ).alias("bucket"),
         )
-    )
-    return (
-        c_all.join(F.broadcast(q_all), ["table", "bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
     )
 
 
@@ -295,6 +303,14 @@ def cosine_topk_lsh(
     cands = lsh_candidate_set(
         normed, n_queries, planes, tables, probe_hamming
     )
+    return _lsh_exact_rerank(cands, normed, n_queries, k)
+
+
+def _lsh_exact_rerank(
+    cands: DataFrame, normed: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """Exact-cosine rerank of LSH candidates against a (vec_id, vec,
+    norm) frame — shared by the inline and prebuilt-index paths."""
     # Only vec_id < n_queries can appear as q_id in cands; filtering
     # before the broadcast keeps the hash table at n_queries rows
     # instead of the whole corpus (broadcast-OOM risk at scale).
@@ -327,6 +343,77 @@ def cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rk")
     )
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    path: str,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+) -> None:
+    """Build and persist the LSH index — the third leg of the ANN
+    deployment trilogy (IVF: :func:`build_ivf_index`; PQ:
+    kmeans.build_pq_index): ``path/vectors`` stores the pre-normalized
+    (vec_id, vec, norm) frame for the exact rerank, ``path/buckets``
+    the exploded (c_id, table, bucket) posting rows PARTITIONED BY
+    table (a query probes per-table buckets, so each table's postings
+    prune to their own directory), and ``path/meta.json`` the (planes,
+    tables) config so the query side derives identical signatures.
+    A query session then pays ONE tiny Arrow pass over the query rows
+    plus the broadcast probe join — the corpus-wide signature pass
+    happens once at build time."""
+    import json
+    import os
+
+    normed = with_norm(emb)
+    normed.write.mode("overwrite").parquet(f"{path}/vectors")
+    tagged = lsh_bucket_array(normed, planes, tables, seed_base=1)
+    (
+        tagged.select(
+            F.col("vec_id").alias("c_id"),
+            F.posexplode("buckets").alias("table", "bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("table")
+        .parquet(f"{path}/buckets")
+    )
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"planes": planes, "tables": tables}, fh)
+
+
+def cosine_topk_lsh_prebuilt(
+    spark: SparkSession,
+    path: str,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Query a persisted LSH index (:func:`build_lsh_index`): identical
+    results to the inline :func:`cosine_topk_lsh` for the same
+    parameters, without re-signing the corpus.  The signature kernel
+    runs only over the n_queries probe rows; candidates come from the
+    stored posting table."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    c_all = spark.read.parquet(f"{path}/buckets")
+    q_tagged = lsh_bucket_array(
+        vectors.filter(F.col("vec_id") < n_queries),
+        meta["planes"],
+        meta["tables"],
+        seed_base=1,
+    )
+    q_all = _lsh_query_probes(q_tagged, meta["planes"], probe_hamming)
+    cands = (
+        c_all.join(F.broadcast(q_all), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    return _lsh_exact_rerank(cands, vectors, n_queries, k)
 
 
 def kmeans_centroids(
