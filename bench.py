@@ -447,7 +447,10 @@ def _sf1_langid(spark, queries) -> dict:
     AND the warm scoring steady state (re-execute the same plan: the
     trained model is reused, which is what a deployment that scores
     batches pays), with the oracle timed in-run on the same artifact.
-    Round-10 builder measurement: warm 0.99x DuckDB — a crossover."""
+    Ratio-basis note (r10 ADVICE): the warm ratio divides warm Spark
+    passes (model reused) by FULL DuckDB executions (model retrained
+    every pass) — the key says so (`warm_vs_fullduck`); the
+    like-for-like headline is `full_inrun_ratio` (full/full)."""
     out: dict[str, float | list[float]] = {}
     out.update(_ensure_sf1_documents(spark))
     con = _duck_connect(SF1_DIR)
@@ -475,7 +478,7 @@ def _sf1_langid(spark, queries) -> dict:
     out["sf1_text_lang_id_warm_passes"] = warm
     if duck:
         out["sf1_text_lang_id_duck_sec"] = sorted(duck)[1]
-        out["sf1_text_lang_id_warm_inrun_ratio"] = round(
+        out["sf1_text_lang_id_warm_vs_fullduck_ratio"] = round(
             sorted(warm)[1] / sorted(duck)[1], 3
         )
         out["sf1_text_lang_id_full_inrun_ratio"] = round(
@@ -497,6 +500,7 @@ def _ann_prebuilt_section(spark, sf_dir: str) -> dict:
     from prometheus_anomaly_detection_lstm_spark.operators.kmeans import (
         _vec,
         build_pq_index,
+        pq_build_recipe,
         pq_topk_prebuilt,
     )
     from prometheus_anomaly_detection_lstm_spark.operators.similarity import (
@@ -505,15 +509,22 @@ def _ann_prebuilt_section(spark, sf_dir: str) -> dict:
         build_lsh_index,
         cosine_topk_ivf_prebuilt,
         cosine_topk_lsh_prebuilt,
+        ivf_build_recipe,
+        lsh_build_recipe,
     )
 
     out: dict[str, float | list[float]] = {}
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
     root = os.path.join(tempfile.gettempdir(), "prometheus_anomaly_detection_lstm_spark_annidx", tag)
     emb = load_table(spark, sf_dir, "embeddings")
-    recipe = {"sf_dir": sf_dir.rstrip("/"), "rows": emb.count()}
+    base = {"sf_dir": sf_dir.rstrip("/"), "rows": emb.count()}
 
-    def ensure(name: str, build) -> str:
+    def ensure(name: str, build, build_recipe: dict) -> str:
+        # reuse gate = data identity + BUILD identity (config constants
+        # and a build-code version token) — r10 ADVICE: a {sf_dir, rows}
+        # stamp silently reused stale indexes after a build change, and
+        # the prebuilt bench rows carry no oracle to catch that.
+        recipe = {**base, **build_recipe}
         path = os.path.join(root, name)
         stamp = os.path.join(path, "recipe.json")
         reusable = False
@@ -531,13 +542,22 @@ def _ann_prebuilt_section(spark, sf_dir: str) -> dict:
                 json.dump(recipe, fh)
         return path
 
-    ivf_path = ensure("ivf", lambda p: build_ivf_index(emb, p))
-    pq_path = ensure("pq", lambda p: build_pq_index(_vec(spark, sf_dir), p))
+    ivf_path = ensure(
+        "ivf",
+        lambda p: build_ivf_index(emb, p),
+        ivf_build_recipe(n_lists=8),
+    )
+    pq_path = ensure(
+        "pq",
+        lambda p: build_pq_index(_vec(spark, sf_dir), p),
+        pq_build_recipe(),
+    )
     lsh_path = ensure(
         "lsh",
         lambda p: build_lsh_index(
             emb, p, planes=LSH_RECALL08["planes"], tables=LSH_RECALL08["tables"]
         ),
+        lsh_build_recipe(LSH_RECALL08["planes"], LSH_RECALL08["tables"]),
     )
     for key, df in (
         ("ann_ivf_prebuilt_query_sec", cosine_topk_ivf_prebuilt(spark, ivf_path)),
@@ -919,7 +939,7 @@ def main() -> None:
         "sf1_text_lang_id_full",
         "sf1_text_lang_id_warm",
         "sf1_text_lang_id_duck_sec",
-        "sf1_text_lang_id_warm_inrun_ratio",
+        "sf1_text_lang_id_warm_vs_fullduck_ratio",
         "sf1_text_lang_id_full_inrun_ratio",
         "sf1_langid_error",
         "corpus_perplexity_filter_full",

@@ -49,12 +49,16 @@ def _word_stream(docs: DataFrame, *extra_cols: str) -> DataFrame:
     the encoder so the merges always apply to the same token stream.
     Rebalanced before the word fan-out when the scan under-splits
     (streaming frames and well-split lakes pass through untouched).
-    The gate always keys on doc_id (even when the caller keeps no
-    extra columns) so the exchange is a hash distribution a downstream
-    per-key agg could reuse — a keyless call would fall back to
-    round-robin, which parallelizes the map but satisfies no
-    ClusteredDistribution."""
-    gate_keys = extra_cols or ("doc_id",)
+    When the caller keeps no extra columns the gate still keys on
+    doc_id IF the frame has one, so the exchange is a hash
+    distribution a downstream per-key agg could reuse; an external
+    docs frame WITHOUT doc_id falls back to keyless round-robin
+    (parallelizes the map, satisfies no ClusteredDistribution) rather
+    than raising an AnalysisException only on under-split inputs —
+    the r10 ADVICE's intermittent, environment-dependent failure."""
+    gate_keys = extra_cols or (
+        ("doc_id",) if "doc_id" in docs.columns else ()
+    )
     return parallelize_if_underpartitioned(docs, *gate_keys).select(
         *extra_cols,
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),

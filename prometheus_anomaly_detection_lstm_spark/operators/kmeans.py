@@ -735,6 +735,28 @@ def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_vec(spark, sf_dir))
 
 
+#: Bump whenever build_pq_index's layout or the trainer changes —
+#: part of the recipe stamp gating /tmp index reuse (r10 ADVICE).
+PQ_INDEX_VERSION = 1
+
+
+def pq_build_recipe(
+    m: int = PQ_SEARCH_M,
+    kcode: int = PQ_SEARCH_K,
+    train_iters: int = PQ_TRAIN_ITERS,
+) -> dict:
+    """Reuse-gating identity of a persisted PQ index: the build config
+    + build-code version, so a constant or trainer change invalidates
+    cached indexes instead of silently grading stale codes."""
+    return {
+        "kind": "pq",
+        "version": PQ_INDEX_VERSION,
+        "m": m,
+        "kcode": kcode,
+        "train_iters": train_iters,
+    }
+
+
 def build_pq_index(
     emb: DataFrame,
     path: str,

@@ -270,6 +270,30 @@ LSH_RECALL08 = {"planes": 8, "tables": 16, "probe_hamming": 2}
 #: lists (or 0.83 probing 4/16 — the at-scale shape).
 IVF_RECALL08 = {"n_lists": 8, "n_probe": 4}
 
+#: Bump whenever build_lsh_index's on-disk layout or the signature
+#: kernel changes.  Part of the recipe stamp a cached /tmp index is
+#: compared against at reuse time (r10 ADVICE: a stamp carrying only
+#: {sf_dir, rows} silently reused a stale index after a build-code or
+#: config change — the prebuilt query path has no oracle to catch it).
+LSH_INDEX_VERSION = 1
+IVF_INDEX_VERSION = 1
+
+
+def lsh_build_recipe(planes: int, tables: int) -> dict:
+    """The reuse-gating identity of a persisted LSH index: every input
+    that changes the index bytes (build config + build-code version)."""
+    return {
+        "kind": "lsh",
+        "version": LSH_INDEX_VERSION,
+        "planes": planes,
+        "tables": tables,
+    }
+
+
+def ivf_build_recipe(n_lists: int) -> dict:
+    """Reuse-gating identity of a persisted IVF index."""
+    return {"kind": "ivf", "version": IVF_INDEX_VERSION, "n_lists": n_lists}
+
 
 def cosine_topk_lsh(
     emb: DataFrame,
@@ -361,9 +385,22 @@ def build_lsh_index(
     tables) config so the query side derives identical signatures.
     A query session then pays ONE tiny Arrow pass over the query rows
     plus the broadcast probe join — the corpus-wide signature pass
-    happens once at build time."""
+    happens once at build time.
+
+    ``path`` must be a LOCAL directory: ``meta.json`` is written with
+    plain ``open()`` (the parquet parts go through Spark and would
+    accept any URI, but the sidecar does not) — asserted up front so a
+    non-local path fails BEFORE the corpus-wide signature pass is paid,
+    not after (r10 ADVICE)."""
     import json
     import os
+
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            f"build_lsh_index requires a local path (meta.json sidecar "
+            f"is written with open()); got {path!r}"
+        )
+    os.makedirs(path.removeprefix("file:"), exist_ok=True)
 
     normed = with_norm(emb)
     normed.write.mode("overwrite").parquet(f"{path}/vectors")
@@ -377,7 +414,7 @@ def build_lsh_index(
         .partitionBy("table")
         .parquet(f"{path}/buckets")
     )
-    with open(os.path.join(path, "meta.json"), "w") as fh:
+    with open(os.path.join(path.removeprefix("file:"), "meta.json"), "w") as fh:
         json.dump({"planes": planes, "tables": tables}, fh)
 
 

@@ -291,7 +291,12 @@ def _pq_prebuilt_entry() -> tuple[QueryFn, str | None]:
     import os
     import tempfile
 
-    from .operators.kmeans import _vec, build_pq_index, pq_topk_prebuilt
+    from .operators.kmeans import (
+        _vec,
+        build_pq_index,
+        pq_build_recipe,
+        pq_topk_prebuilt,
+    )
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         import json
@@ -302,10 +307,16 @@ def _pq_prebuilt_entry() -> tuple[QueryFn, str | None]:
             tempfile.gettempdir(), "prometheus_anomaly_detection_lstm_spark_pq", tag
         )
         vec = _vec(spark, sf_dir)
-        # recipe stamp (r8 ADVICE precedent): a cached index is reused
-        # only if it was built from the same-cardinality input —
-        # otherwise a stale /tmp index would silently grade other data.
-        recipe = {"sf_dir": sf_dir.rstrip("/"), "rows": vec.count()}
+        # recipe stamp (r8 ADVICE precedent, widened by the r10 ADVICE):
+        # a cached index is reused only if it was built from the
+        # same-cardinality input AND the same build config/code version
+        # — otherwise a stale /tmp index would silently grade other
+        # data or an outdated trainer's codes.
+        recipe = {
+            "sf_dir": sf_dir.rstrip("/"),
+            "rows": vec.count(),
+            **pq_build_recipe(),
+        }
         stamp = os.path.join(path, "recipe.json")
         reusable = False
         if os.path.isdir(os.path.join(path, "codes")) and os.path.exists(stamp):
