@@ -294,6 +294,21 @@ def _verify_jaccard(
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def pre_key_docs(docs: DataFrame) -> DataFrame:
+    """Hash-distribute the RAW doc frame by doc_id unconditionally,
+    BEFORE shingle amplification — the exchange-placement move behind
+    ``minhash_lsh_dedup(pre_key=True)`` (round-10 interleaved A/B at
+    sf1: shuffle 63.6 → 21.4 MB, wall 9.0 → 6.3 s).  Downstream
+    per-doc aggregates and verify joins inherit
+    HashPartitioning(doc_id), so the ~3×-bytes amplified stream never
+    re-shuffles; the inequality (move 1× corpus once vs the amplified
+    stream repeatedly) strengthens with scale.  Callers must pass
+    ``gate=False`` to the shingle/signature producers (the under-split
+    gate would re-fire through the repartition)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id")
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -326,8 +341,7 @@ def minhash_lsh_dedup(
     gated on local under-splitting.
     """
     if pre_key:
-        n = docs.sparkSession.sparkContext.defaultParallelism
-        docs = docs.repartition(n, "doc_id")
+        docs = pre_key_docs(docs)
         cands = lsh_candidate_pairs(minhash_signatures(docs, gate=False))
         return _verify_jaccard(shingles(docs, gate=False), cands, threshold)
     cands = lsh_candidate_pairs(minhash_signatures(docs))
@@ -686,7 +700,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .clusters import dedup_clusters
 
-    pairs = minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.05)
+    # pre_key: round-10 flagship A/B (BASELINE.md) — flipped round 11
+    pairs = minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.05, pre_key=True)
     return dedup_clusters(pairs)
 
 
@@ -733,7 +748,7 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != component)"""
 
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_dedup(docs, threshold=0.05)
+    pairs = minhash_lsh_dedup(docs, threshold=0.05, pre_key=True)
     return dedup_apply(docs, pairs)
 
 
@@ -817,7 +832,7 @@ FROM ranked WHERE rk = 1"""
 
 def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_dedup(docs, threshold=0.05)
+    pairs = minhash_lsh_dedup(docs, threshold=0.05, pre_key=True)
     return neardup_keep_best(docs, pairs)
 
 
@@ -1059,7 +1074,7 @@ def related_docs_topk(
     the rank window partitions by doc, so parallelism follows corpus
     size and the only new shuffle is the pair-scale rank exchange.
     """
-    pairs = minhash_lsh_dedup(docs, threshold)
+    pairs = minhash_lsh_dedup(docs, threshold, pre_key=True)
     sym = pairs.select(
         F.col("doc_a").alias("doc"),
         F.col("doc_b").alias("nbr"),
@@ -1127,7 +1142,7 @@ def minhash_recall_eval(
         .persist()
     )
     found_pairs = (
-        minhash_lsh_dedup(docs, threshold)
+        minhash_lsh_dedup(docs, threshold, pre_key=True)
         .select("doc_a", "doc_b")
         .persist()
     )

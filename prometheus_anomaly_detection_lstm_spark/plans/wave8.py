@@ -1245,9 +1245,17 @@ def q_dedup_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything after the signature aggregate is bucket-cardinality
     scale; one row out."""
-    from ..operators.dedup import _docs, lsh_buckets, minhash_signatures
+    from ..operators.dedup import (
+        _docs,
+        lsh_buckets,
+        minhash_signatures,
+        pre_key_docs,
+    )
 
-    sigs = minhash_signatures(_docs(spark, sf_dir))
+    # pre_key (round-11 flip): the signature aggregate groups by doc_id,
+    # so keying the RAW docs before the shingle fan-out moves the only
+    # exchange below 1x corpus bytes instead of the amplified stream.
+    sigs = minhash_signatures(pre_key_docs(_docs(spark, sf_dir)), gate=False)
     bs = lsh_buckets(sigs).groupBy("band", "bucket").agg(
         F.count("*").cast("double").alias("sz")
     )
