@@ -363,82 +363,49 @@ LEDGER_ALIASES: dict[str, str] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-10 window (position machine-checked by
-    # tests/test_registry_hygiene.py).  Composition per the round-9
-    # verdict: (a) the 8 changed-code / new rows of this round — the
-    # production-vocabulary BPE encode (new, task 7), the reworked
-    # lang-id pair (TF compaction + model checkpoint, task 4), the two
-    # perplexity-family rows whose checkpoint went lazy (ADVICE 1), the
-    # single-gate repetition scores (ADVICE 4), the keyed-gate BPE
-    # trainer (ADVICE 3), and the PQ query whose ADC stage was
-    # refactored into the shared prebuilt path (task 3); (b) ALL 30
-    # remaining round-4-latest rows (task 2: zero r4-latest rows may
-    # remain); (c) the 12 stalest round-5-latest rows the remaining
-    # slots hold — the r5 band continues next round.  All 50 green in
-    # the local parity sweep and driver-simmed out-of-repo before
-    # commit. ----
-    "corpus_bpe_encode_32k", "text_lang_id_ngram", "text_lang_id_confusion",
-    "corpus_perplexity_filter", "corpus_ccnet_partition",
-    "text_repetition_scores", "vocab_bpe_merges", "ann_cosine_topk_pq",
-    "metric_distribution_drift", "tpch_q1_incremental",
-    "embedding_nearest_centroid_eval", "metric_forecast_backtest",
-    "promql_label_ops", "customer_rfm_segments", "events_association_rules",
-    "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
-    "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
-    "corpus_mixture_sample", "corpus_upsert_latest", "anomaly_intervals",
-    "promql_subquery_max_rate", "promql_alert_episodes",
-    "promql_rate_offset_delta", "promql_sum_by_rate",
-    "promql_series_cardinality", "promql_time_weighted_avg",
-    "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
-    "metric_seasonal_anomaly", "events_grouping_sets",
-    "events_rank_functions", "event_pagerank", "scd2_user_bands",
-    "metric_resample_interpolate", "events_attribution",
-    "events_frequent_paths", "orders_backlog_daily", "table_quality_checks",
-    "events_pointintime_features", "orders_churn_labels",
+    # ---- round-11 window (position machine-checked by
+    # tests/test_registry_hygiene.py).  Composition per the round-10
+    # verdict: (a) the 8 changed-code rows of this round — the six
+    # minhash consumers flipped to pre_key=True (task 2; note the
+    # verdict's list named corpus_dedup_e2e_stats, but that query is
+    # exact-dedup based with no minhash call — the actual sixth
+    # consumer is text_related_docs_topk) and the lang-id pair whose
+    # per-language score expressions are now built once and reused
+    # across folds (task 6); (b) ALL 30 remaining round-5-latest rows
+    # (task 1: zero r5-latest rows may remain); (c) the 12 stalest
+    # round-6 rows by queue order — the r6 band continues next round.
+    # All 50 green in the local parity sweep and driver-simmed
+    # out-of-repo before commit. ----
+    "dedup_clusters", "dedup_apply", "corpus_neardup_keep_best",
     "text_related_docs_topk", "dedup_minhash_recall_eval",
-    "promql_vector_match_ratio", "events_props_key_profile",
-    "dedup_minhash_lsh",
+    "dedup_lsh_bucket_profile", "text_lang_id_ngram",
+    "text_lang_id_confusion", "ann_cosine_topk", "corpus_source_token_drift",
+    "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
+    "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",
+    "events_bot_cadence", "events_dau_wau", "events_funnel_timing",
+    "events_heavy_hitters", "events_markov_next_eval",
+    "metric_cusum_anomalies", "metric_periodogram", "metric_theil_sen_trend",
+    "multimodal_phash_dedup", "parts_abc_by_brand",
+    "promql_lang_error_ratio", "promql_lang_histogram_quantile",
+    "promql_lang_increase_filter", "promql_lang_label_replace",
+    "promql_lang_quantile_over_time", "promql_lang_rate_sum",
+    "promql_lang_topk_gauge", "return_rate_by_brand",
+    "shipping_delay_profile", "supplier_hhi_by_nation", "text_char_entropy",
+    "text_readability_scores", "doc_type_token_ratio", "customer_order_gaps",
+    "join_key_skew_profile", "embedding_hard_negatives",
+    "metric_sax_symbols", "text_pmi_collocations",
+    "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
+    "promql_lang_predict_linear", "promql_lang_changes_sum",
+    "promql_lang_unless_gate",
     # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
-    # staleness-ordered: the remaining round-5-latest rows first (they
-    # head the round-11 window), then r6..r9, newest-graded last:
-    "metric_trend_slopes", "range_join_interval_counts", "tpch_q4",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf", "metric_dspot_anomaly_hours",
-    "metric_dspot_threshold", "dedup_clusters", "corpus_decontaminate",
-    "corpus_shuffle_shards", "corpus_token_budget_sample",
-    "embedding_quantize_int8", "text_quality_filter",
-    "metric_rolling_median", "metric_change_points", "event_graph_triangles",
-    "corpus_quality_curriculum", "metric_autocorrelation",
-    "metric_mad_outliers", "metric_stl_decompose", "metric_m4_downsample",
-    "metric_slo_burn_rate", "corpus_importance_sample",
-    "metric_anomaly_ensemble", "text_containment_pairs", "text_bm25_topk",
-    "text_nb_classifier", "text_nb_classifier_auc", "text_nb_confusion",
-    "text_log_odds_keywords", "corpus_bloom_decontaminate",
-    "events_bot_cadence", "multimodal_phash_dedup", "embedding_whiten",
-    "metric_periodogram", "embedding_ridge_fit", "ann_cosine_topk",
-    "events_dau_wau", "embedding_matryoshka_eval", "dedup_edit_distance",
-    "embedding_logreg_fit", "metric_cusum_anomalies",
-    "metric_theil_sen_trend", "text_char_entropy", "corpus_zipf_fit",
-    "events_funnel_timing", "events_heavy_hitters",
-    "corpus_source_token_drift", "promql_lang_rate_sum",
-    "promql_lang_topk_gauge", "promql_lang_increase_filter",
-    "promql_lang_error_ratio", "promql_lang_histogram_quantile",
-    "promql_lang_quantile_over_time", "promql_lang_label_replace",
-    "parts_abc_by_brand", "shipping_delay_profile",
-    "events_markov_next_eval", "text_readability_scores",
-    "return_rate_by_brand", "supplier_hhi_by_nation", "doc_type_token_ratio",
-    "customer_order_gaps", "join_key_skew_profile",
-    "embedding_hard_negatives", "metric_sax_symbols",
-    "text_pmi_collocations", "embedding_centroid_drift", "metric_sax_motifs",
-    "text_feature_hashing", "promql_lang_predict_linear",
-    "promql_lang_changes_sum", "promql_lang_unless_gate",
+    # staleness-ordered: the 38 remaining round-6-latest rows first
+    # (they head the round-12 window), then r7..r10, newest-graded
+    # last:
     "metric_seasonal_mad", "embedding_knn_label_audit",
-    "metric_sax_similar_days", "dedup_lsh_bucket_profile",
-    "dedup_hot_shingles", "orders_km_reorder_curve", "events_ab_cuped",
-    "events_ab_power", "metric_df_stationarity", "metric_matrix_profile",
+    "metric_sax_similar_days", "dedup_hot_shingles",
+    "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
+    "metric_df_stationarity", "metric_matrix_profile",
     "multimodal_audio_features", "metric_spectral_residual",
     "metric_holt_winters", "metric_pca_scores", "tpch_q3_bucketed",
     "semantic_dedup_scaled", "promql_holt_smoothing", "metric_ramp_detect",
@@ -465,22 +432,55 @@ PRIORITY: list[str] = [
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample", "corpus_hash_sample", "corpus_doc_chunks",
     "corpus_doc_packing", "corpus_dup_span_removal", "corpus_bpe_encode",
-    "corpus_bpe_packing", "corpus_clean_tokenize_pack",
-    "corpus_neardup_keep_best", "mse_histogram", "threshold_percentiles",
-    "per_feature_mse", "anomaly_flags", "asof_join", "rolling_features",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "embedding_norms", "text_frequent_tokens",
-    "dedup_apply", "dedup_minhash_incremental", "dedup_embedding_cosine",
-    "embedding_random_projection", "promql_counter_rate",
-    "promql_gauge_over_time", "promql_histogram_quantile",
-    "promql_topk_series", "promql_rate_by_labelset", "promql_rate_anomaly",
-    "promql_deriv_predict", "promql_absent", "metric_correlations",
-    "corpus_clean_pipeline", "minmax_scaled", "anomaly_mse",
-    "threshold_split", "anomaly_mse_lstm", "corpus_stratified_sample",
-    "embedding_covariance", "cube_agg", "table_profile",
-    "text_ngram_novelty", "text_dup_ngram_spans", "text_lm_trigram_scores",
-    "sessionize", "events_json_extract", "retention_cohorts",
-    "user_path_transitions",
+    "corpus_bpe_packing", "corpus_clean_tokenize_pack", "mse_histogram",
+    "threshold_percentiles", "per_feature_mse", "anomaly_flags", "asof_join",
+    "rolling_features", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
+    "text_frequent_tokens", "dedup_minhash_incremental",
+    "dedup_embedding_cosine", "embedding_random_projection",
+    "promql_counter_rate", "promql_gauge_over_time",
+    "promql_histogram_quantile", "promql_topk_series",
+    "promql_rate_by_labelset", "promql_rate_anomaly", "promql_deriv_predict",
+    "promql_absent", "metric_correlations", "corpus_clean_pipeline",
+    "minmax_scaled", "anomaly_mse", "threshold_split", "anomaly_mse_lstm",
+    "corpus_stratified_sample", "embedding_covariance", "cube_agg",
+    "table_profile", "text_ngram_novelty", "text_dup_ngram_spans",
+    "text_lm_trigram_scores", "sessionize", "events_json_extract",
+    "retention_cohorts", "user_path_transitions", "metric_trend_slopes",
+    "range_join_interval_counts", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22", "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
+    "metric_dspot_anomaly_hours", "metric_dspot_threshold",
+    "corpus_decontaminate", "corpus_shuffle_shards",
+    "corpus_token_budget_sample", "embedding_quantize_int8",
+    "text_quality_filter", "metric_rolling_median", "metric_change_points",
+    "event_graph_triangles", "corpus_quality_curriculum",
+    "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
+    "metric_m4_downsample", "metric_slo_burn_rate",
+    "corpus_importance_sample", "metric_anomaly_ensemble",
+    "text_containment_pairs", "text_bm25_topk", "text_nb_classifier",
+    "text_nb_classifier_auc", "text_nb_confusion", "text_log_odds_keywords",
+    "corpus_bloom_decontaminate", "corpus_bpe_encode_32k",
+    "corpus_perplexity_filter", "corpus_ccnet_partition",
+    "text_repetition_scores", "vocab_bpe_merges", "ann_cosine_topk_pq",
+    "metric_distribution_drift", "tpch_q1_incremental",
+    "embedding_nearest_centroid_eval", "metric_forecast_backtest",
+    "promql_label_ops", "customer_rfm_segments", "events_association_rules",
+    "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
+    "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
+    "corpus_mixture_sample", "corpus_upsert_latest", "anomaly_intervals",
+    "promql_subquery_max_rate", "promql_alert_episodes",
+    "promql_rate_offset_delta", "promql_sum_by_rate",
+    "promql_series_cardinality", "promql_time_weighted_avg",
+    "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
+    "metric_seasonal_anomaly", "events_grouping_sets",
+    "events_rank_functions", "event_pagerank", "scd2_user_bands",
+    "metric_resample_interpolate", "events_attribution",
+    "events_frequent_paths", "orders_backlog_daily", "table_quality_checks",
+    "events_pointintime_features", "orders_churn_labels",
+    "promql_vector_match_ratio", "events_props_key_profile",
+    "dedup_minhash_lsh",
 ]
 
 
