@@ -365,21 +365,22 @@ LEDGER_ALIASES: dict[str, str] = {
 PRIORITY: list[str] = [
     # ---- round-11 window (position machine-checked by
     # tests/test_registry_hygiene.py).  Composition per the round-10
-    # verdict: (a) the 8 changed-code rows of this round — the six
+    # verdict: (a) the 6 changed-code rows of this round — the six
     # minhash consumers flipped to pre_key=True (task 2; note the
     # verdict's list named corpus_dedup_e2e_stats, but that query is
     # exact-dedup based with no minhash call — the actual sixth
-    # consumer is text_related_docs_topk) and the lang-id pair whose
-    # per-language score expressions are now built once and reused
-    # across folds (task 6); (b) ALL 30 remaining round-5-latest rows
-    # (task 1: zero r5-latest rows may remain); (c) the 12 stalest
-    # round-6 rows by queue order — the r6 band continues next round.
+    # consumer is text_related_docs_topk; the lang-id pair stays
+    # un-regraded — task 6 closed with a measured written analysis in
+    # BASELINE.md, code unchanged); (b) ALL 30 remaining
+    # round-5-latest rows (task 1: zero r5-latest rows may remain);
+    # (c) the 14 stalest round-6 rows by queue order — the r6 band
+    # continues next round.
     # All 50 green in the local parity sweep and driver-simmed
     # out-of-repo before commit. ----
     "dedup_clusters", "dedup_apply", "corpus_neardup_keep_best",
     "text_related_docs_topk", "dedup_minhash_recall_eval",
-    "dedup_lsh_bucket_profile", "text_lang_id_ngram",
-    "text_lang_id_confusion", "ann_cosine_topk", "corpus_source_token_drift",
+    "dedup_lsh_bucket_profile", "metric_seasonal_mad",
+    "embedding_knn_label_audit", "ann_cosine_topk", "corpus_source_token_drift",
     "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
     "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",
     "events_bot_cadence", "events_dau_wau", "events_funnel_timing",
@@ -402,7 +403,6 @@ PRIORITY: list[str] = [
     # staleness-ordered: the 38 remaining round-6-latest rows first
     # (they head the round-12 window), then r7..r10, newest-graded
     # last:
-    "metric_seasonal_mad", "embedding_knn_label_audit",
     "metric_sax_similar_days", "dedup_hot_shingles",
     "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
     "metric_df_stationarity", "metric_matrix_profile",
@@ -462,6 +462,7 @@ PRIORITY: list[str] = [
     "text_containment_pairs", "text_bm25_topk", "text_nb_classifier",
     "text_nb_classifier_auc", "text_nb_confusion", "text_log_odds_keywords",
     "corpus_bloom_decontaminate", "corpus_bpe_encode_32k",
+    "text_lang_id_ngram", "text_lang_id_confusion",
     "corpus_perplexity_filter", "corpus_ccnet_partition",
     "text_repetition_scores", "vocab_bpe_merges", "ann_cosine_topk_pq",
     "metric_distribution_drift", "tpch_q1_incremental",
