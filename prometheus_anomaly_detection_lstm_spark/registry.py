@@ -281,6 +281,44 @@ def _bpe_bounded_entry() -> tuple[QueryFn, str | None]:
     return (q_corpus_bpe_encode_bounded, _bpe_encode_oracle(FROZEN_MERGES))
 
 
+def _ensure_ann_index(
+    sf_dir: str,
+    subdir: str,
+    probe: str,
+    rows: int,
+    build_recipe: dict,
+    build,
+) -> str:
+    """Build-or-reuse a persisted ANN index under /tmp.
+
+    Recipe stamp (r8 ADVICE precedent, widened by the r10 ADVICE): a
+    cached index is reused only if it was built from the
+    same-cardinality input AND the same build config/code version —
+    otherwise a stale /tmp index would silently grade other data or an
+    outdated trainer's output.  ``probe`` is the payload subdirectory
+    whose presence marks a completed build."""
+    import json
+    import os
+    import tempfile
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), subdir, tag)
+    recipe = {"sf_dir": sf_dir.rstrip("/"), "rows": rows, **build_recipe}
+    stamp = os.path.join(path, "recipe.json")
+    reusable = False
+    if os.path.isdir(os.path.join(path, probe)) and os.path.exists(stamp):
+        try:
+            with open(stamp) as fh:
+                reusable = json.load(fh) == recipe
+        except (json.JSONDecodeError, OSError):
+            reusable = False
+    if not reusable:
+        build(path)
+        with open(stamp, "w") as fh:
+            json.dump(recipe, fh)
+    return path
+
+
 def _pq_prebuilt_entry() -> tuple[QueryFn, str | None]:
     """ann_cosine_topk_pq through the persisted-index deployment path
     (build_pq_index under /tmp keyed by sf_dir, then pq_topk_prebuilt)
@@ -288,10 +326,8 @@ def _pq_prebuilt_entry() -> tuple[QueryFn, str | None]:
     suite without spending a driver window slot on a duplicate
     physical strategy (the prebuilt==inline pin also lives in
     tests/test_similarity_recall.py)."""
-    import os
-    import tempfile
-
     from .operators.kmeans import (
+        _pq_topk_oracle,
         _vec,
         build_pq_index,
         pq_build_recipe,
@@ -299,47 +335,95 @@ def _pq_prebuilt_entry() -> tuple[QueryFn, str | None]:
     )
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import json
-
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
-        path = os.path.join(
-            tempfile.gettempdir(), "prometheus_anomaly_detection_lstm_spark_pq", tag
-        )
         vec = _vec(spark, sf_dir)
-        # recipe stamp (r8 ADVICE precedent, widened by the r10 ADVICE):
-        # a cached index is reused only if it was built from the
-        # same-cardinality input AND the same build config/code version
-        # — otherwise a stale /tmp index would silently grade other
-        # data or an outdated trainer's codes.
-        recipe = {
-            "sf_dir": sf_dir.rstrip("/"),
-            "rows": vec.count(),
-            **pq_build_recipe(),
-        }
-        stamp = os.path.join(path, "recipe.json")
-        reusable = False
-        if os.path.isdir(os.path.join(path, "codes")) and os.path.exists(stamp):
-            try:
-                with open(stamp) as fh:
-                    reusable = json.load(fh) == recipe
-            except (json.JSONDecodeError, OSError):
-                reusable = False
-        if not reusable:
-            build_pq_index(vec, path)
-            with open(stamp, "w") as fh:
-                json.dump(recipe, fh)
+        path = _ensure_ann_index(
+            sf_dir,
+            "prometheus_anomaly_detection_lstm_spark_pq",
+            "codes",
+            vec.count(),
+            pq_build_recipe(),
+            lambda p: build_pq_index(vec, p),
+        )
         return pq_topk_prebuilt(spark, path)
 
-    from .operators.kmeans import _pq_topk_oracle
-
     return (q, _pq_topk_oracle())
+
+
+def _lsh_prebuilt_entry() -> tuple[QueryFn, str | None]:
+    """ann_cosine_topk_lsh through the persisted-index path
+    (build_lsh_index + cosine_topk_lsh_prebuilt at the LSH_RECALL08
+    production config) — same exact oracle as the inline query
+    (round-10 verdict task 4, mirroring the PQ precedent)."""
+    from .operators.similarity import (
+        LSH_RECALL08,
+        _emb,
+        _lsh_oracle,
+        build_lsh_index,
+        cosine_topk_lsh_prebuilt,
+        lsh_build_recipe,
+    )
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        emb = _emb(spark, sf_dir)
+        path = _ensure_ann_index(
+            sf_dir,
+            "prometheus_anomaly_detection_lstm_spark_lshq",
+            "buckets",
+            emb.count(),
+            lsh_build_recipe(LSH_RECALL08["planes"], LSH_RECALL08["tables"]),
+            lambda p: build_lsh_index(
+                emb,
+                p,
+                planes=LSH_RECALL08["planes"],
+                tables=LSH_RECALL08["tables"],
+            ),
+        )
+        return cosine_topk_lsh_prebuilt(
+            spark, path, probe_hamming=LSH_RECALL08["probe_hamming"]
+        )
+
+    return (q, _lsh_oracle(**LSH_RECALL08))
+
+
+def _ivf_prebuilt_entry() -> tuple[QueryFn, str | None]:
+    """ann_cosine_topk_ivf through the persisted-index path
+    (build_ivf_index + cosine_topk_ivf_prebuilt at the IVF_RECALL08
+    production config) — same exact oracle as the inline query."""
+    from .operators.similarity import (
+        IVF_RECALL08,
+        _emb,
+        _ivf_oracle,
+        build_ivf_index,
+        cosine_topk_ivf_prebuilt,
+        ivf_build_recipe,
+    )
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        emb = _emb(spark, sf_dir)
+        path = _ensure_ann_index(
+            sf_dir,
+            "prometheus_anomaly_detection_lstm_spark_ivfq",
+            "assignments",
+            emb.count(),
+            ivf_build_recipe(IVF_RECALL08["n_lists"]),
+            lambda p: build_ivf_index(emb, p, n_lists=IVF_RECALL08["n_lists"]),
+        )
+        return cosine_topk_ivf_prebuilt(
+            spark, path, n_probe=IVF_RECALL08["n_probe"]
+        )
+
+    return (q, _ivf_oracle(**IVF_RECALL08))
 
 
 PYTEST_ONLY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "anomaly_mse_mapinpandas": (q_mse_via_mapinpandas, oracles.ORACLE_ANOMALY_MSE),
     "corpus_bpe_encode_bounded": _bpe_bounded_entry(),
     "ann_cosine_topk_pq_prebuilt": _pq_prebuilt_entry(),
+    "ann_cosine_topk_lsh_prebuilt": _lsh_prebuilt_entry(),
+    "ann_cosine_topk_ivf_prebuilt": _ivf_prebuilt_entry(),
 }
 
 #: Ledger aliases: names that appeared on an official per-round
