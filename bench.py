@@ -311,6 +311,98 @@ def _ensure_sf1_documents(spark) -> dict:
     return out
 
 
+def _ensure_sf1_events(spark) -> dict:
+    """Create (or verify and reuse) the sf1 EVENTS artifact: 10
+    event_id-offset copies of the sf0.1 events table, each shifted by
+    k*30 days so the copies tile a contiguous ~300-day series — the
+    natural scale axis for the time-series flagship (10x the distinct
+    minutes, not 10 duplicates of every minute).  Same recipe-stamp
+    reuse contract as the documents artifact."""
+    import functools
+    import json
+
+    out: dict[str, float | int] = {}
+    path = f"{SF1_DIR}/events.parquet"
+    stamp_path = f"{SF1_DIR}/events.recipe.json"
+    base = load_table(spark, "/root/testdata/sf0.1", "events")
+    base_rows = base.count()
+    recipe = {
+        "recipe": "copyshift",
+        "copies": 10,
+        "event_id_offset": 1_000_000_000,
+        "ts_shift_days": 30,
+        "base": "/root/testdata/sf0.1/events.parquet",
+        "base_rows": base_rows,
+        "rows": base_rows * 10,
+    }
+    reusable = False
+    if os.path.exists(path) and os.path.exists(stamp_path):
+        try:
+            with open(stamp_path) as fh:
+                stamped = json.load(fh)
+            reusable = stamped == recipe and (
+                spark.read.parquet(path).count() == recipe["rows"]
+            )
+        except (json.JSONDecodeError, OSError):
+            reusable = False
+    if not reusable:
+        t0 = time.perf_counter()
+        os.makedirs(SF1_DIR, exist_ok=True)
+        copies = []
+        for k in range(10):
+            copies.append(
+                base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(k * 1_000_000_000)
+                ).withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {k * 30} DAYS")
+                )
+            )
+        functools.reduce(
+            lambda a, b: a.unionByName(b), copies
+        ).repartition(16).write.mode("overwrite").parquet(path)
+        with open(stamp_path, "w") as fh:
+            json.dump(recipe, fh)
+        out["sf1_events_gen_sec"] = round(time.perf_counter() - t0, 3)
+    out["sf1_events_rows"] = recipe["rows"]
+    return out
+
+
+def _sf1_anomaly(spark, queries) -> dict:
+    """sf1 point for THE flagship (round-10 verdict task 3):
+    anomaly_mse — the full prep chain (dedup+pivot align, calendar,
+    ffill/bfill, MinMax, stride-1 windows) plus the window MSE — at
+    10x the grading scale with the oracle timed in-run on the same
+    artifact.  The oracle SQL recomputes the same chain from the raw
+    events table, so this ratio covers pipeline_prep implicitly.
+    Median of 3 warm passes (the basket's construct-once protocol)."""
+    out: dict[str, float | list[float]] = {}
+    out.update(_ensure_sf1_events(spark))
+    df = queries["anomaly_mse"][0](spark, SF1_DIR)
+    df.write.format("noop").mode("overwrite").save()  # warm, untimed
+    con = _duck_connect(SF1_DIR)
+    sql = queries["anomaly_mse"][1]
+    passes: list[float] = []
+    duck: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        passes.append(round(time.perf_counter() - t0, 3))
+        if sql is not None:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            duck.append(round(time.perf_counter() - t0, 3))
+    out["sf1_anomaly_mse"] = sorted(passes)[1]
+    out["sf1_anomaly_mse_passes"] = passes
+    if duck:
+        out["sf1_anomaly_mse_duck_sec"] = sorted(duck)[1]
+        out["sf1_anomaly_mse_duck_passes"] = duck
+        out["sf1_anomaly_mse_inrun_ratio"] = round(
+            sorted(passes)[1] / sorted(duck)[1], 3
+        )
+    out["sf1_anomaly_mse_shuffle_mb"] = _executed_shuffle_mb(df)
+    return out
+
+
 def _sf1_minhash(spark, queries) -> dict:
     """sf1 point for the LLM-pipeline flagship (round-7 verdict task
     6): dedup_minhash_lsh wall + shuffle bytes at 10x the grading
@@ -889,6 +981,10 @@ def main() -> None:
             out.update(_sf1_langid(spark, queries))
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["sf1_langid_error"] = f"{type(exc).__name__}: {exc}"
+        try:
+            out.update(_sf1_anomaly(spark, queries))
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            out["sf1_anomaly_error"] = f"{type(exc).__name__}: {exc}"
 
     # grading-scale full-cost record (round-8 verdict task 7) — OUTSIDE
     # the sf1 gate (round-9 ADVICE: SPARK_GRAFT_SF1_SECTION=0 silently
@@ -940,6 +1036,11 @@ def main() -> None:
         "sf1_corpus_perplexity_filter",
         "sf1_corpus_perplexity_filter_duck_sec",
         "sf1_corpus_perplexity_filter_inrun_ratio",
+        "sf1_anomaly_mse",
+        "sf1_anomaly_mse_duck_sec",
+        "sf1_anomaly_mse_inrun_ratio",
+        "sf1_anomaly_mse_shuffle_mb",
+        "sf1_anomaly_error",
         "sf1_text_lang_id_full",
         "sf1_text_lang_id_warm",
         "sf1_text_lang_id_duck_sec",
