@@ -65,12 +65,20 @@ def window_mse(
     a: float = 0.9,
     b: float = 0.02,
     day_col: str | None = None,
+    day_counts: DataFrame | None = None,
 ) -> DataFrame:
-    """A6: (window_id, start_ts, mse) for every full stride-1 window."""
+    """A6: (window_id, start_ts, mse) for every full stride-1 window.
+
+    ``day_counts``: optional shallow (``__day``, ``__n``) source for
+    the bucketing summary (see ``windows.bucket_assign``) — callers on
+    a row-preserving chain over a pivot pass the pivot input's distinct
+    key counts so the summary subtrees skip re-executing the chain.
+    """
     scored = row_error(df, feature_cols, a, b)
     sel = [ts_col, "row_err"] + ([day_col] if day_col else [])
     out = sliding_mean_scalable(
-        scored.select(*sel), "row_err", length, ts_col, day_col=day_col
+        scored.select(*sel), "row_err", length, ts_col, day_col=day_col,
+        day_counts=day_counts,
     )
     return out.withColumnRenamed("row_err", "mse")
 

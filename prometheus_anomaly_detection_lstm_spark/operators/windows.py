@@ -61,6 +61,7 @@ def bucket_assign(
     ts_col: str = "ts",
     direction: str = "forward",
     day_col: str | None = None,
+    day_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Ship every row to each day-bucket whose L-windows can reach it.
 
@@ -88,7 +89,22 @@ def bucket_assign(
     else:
         with_day = df.withColumn("__day", F.to_date(F.col(ts_col)))
 
-    counts = with_day.groupBy("__day").agg(F.count("*").alias("__n"))
+    # The per-day summary feeds THREE subtrees (the __g offset join and
+    # both sides of the coverage mapping) — each recompiles its build
+    # side from df's full lineage, because column pruning specializes
+    # the scans and defeats ReuseExchange.  When df sits on a deep
+    # chain (the anomaly pipeline: pivot->fill->scale), that is 3 full
+    # re-executions of the chain per run.  ``day_counts`` lets such a
+    # caller inject the SAME (day -> row count) table computed from a
+    # shallow equivalent source (row-preserving chains over a pivot
+    # derive it from the pivot's input in one scan+agg).  CONTRACT:
+    # exactly one row per distinct __day of df, __n = that day's df row
+    # count — offsets, ranks and coverage all assume it (round-11
+    # interleaved A/B at sf1: hash-identical, warm 6.73 -> 4.61 s).
+    if day_counts is not None:
+        counts = day_counts.select("__day", "__n")
+    else:
+        counts = with_day.groupBy("__day").agg(F.count("*").alias("__n"))
     # metadata-scale (~#days rows): constant partition key is deliberate
     w_days = (
         Window.partitionBy(single_partition_key("__day"))
@@ -255,6 +271,7 @@ def sliding_mean_scalable(
     length: int,
     ts_col: str = "ts",
     day_col: str | None = None,
+    day_counts: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`sliding_mean` without the global single-partition sort.
 
@@ -267,7 +284,10 @@ def sliding_mean_scalable(
     cols = [F.col(ts_col), F.col(value_col)]
     if day_col is not None:
         cols.append(F.col(day_col))
-    both = bucket_assign(df.select(*cols), length, ts_col, day_col=day_col)
+    both = bucket_assign(
+        df.select(*cols), length, ts_col, day_col=day_col,
+        day_counts=day_counts,
+    )
     # frames order by __g (unique global index): consistent with window
     # ids even when timestamps repeat
     w_frame = (

@@ -91,6 +91,29 @@ def preprocessed(
     return df if keep_day else df.drop("__day")
 
 
+def pivot_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(``__day``, ``__n``): the preprocessed frame's per-day row
+    counts, computed from the RAW events scan in one shallow agg.
+
+    The prep chain is row-preserving after the pivot (fill and scale
+    are projections), so its per-day cardinality equals the pivot's
+    distinct (day, minute) keys — which this derives without executing
+    pivot->fill->scale.  Passed to ``window_mse(day_counts=...)`` so
+    bucket_assign's three summary subtrees read a one-scan aggregate
+    instead of re-executing the whole chain each (round-11 A/B at sf1:
+    hash-identical, warm 6.73 -> 4.61 s; at lake scale the three
+    rebuilds are three full lake reads, so the inequality only grows).
+    """
+    return (
+        events_long(spark, sf_dir)
+        .select(F.date_trunc("minute", "ts").alias("__ts"))
+        .withColumn("__day", F.to_date("__ts"))
+        .distinct()
+        .groupBy("__day")
+        .agg(F.count("*").alias("__n"))
+    )
+
+
 def anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: per stride-1 window, the stub-model reconstruction MSE.
 
@@ -99,7 +122,8 @@ def anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = preprocessed(spark, sf_dir, keep_day=True)
     out = score.window_mse(
-        df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B, day_col="__day"
+        df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B, day_col="__day",
+        day_counts=pivot_day_counts(spark, sf_dir),
     )
     return out.select(
         "window_id", "start_ts", F.round("mse", 8).alias("mse")
@@ -110,7 +134,8 @@ def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagged windows: mse + is_anomaly bit (P7)."""
     df = preprocessed(spark, sf_dir, keep_day=True)
     out = score.window_mse(
-        df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B, day_col="__day"
+        df, FEATURES, SEQUENCE_LENGTH, a=STUB_A, b=STUB_B, day_col="__day",
+        day_counts=pivot_day_counts(spark, sf_dir),
     )
     return out.select(
         "window_id",

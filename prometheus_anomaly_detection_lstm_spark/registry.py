@@ -463,7 +463,9 @@ PRIORITY: list[str] = [
     # out-of-repo before commit. ----
     "dedup_clusters", "dedup_apply", "corpus_neardup_keep_best",
     "text_related_docs_topk", "dedup_minhash_recall_eval",
-    "dedup_lsh_bucket_profile", "metric_seasonal_mad",
+    "dedup_lsh_bucket_profile", "anomaly_mse", "anomaly_flags",
+    "anomaly_intervals", "mse_histogram", "threshold_percentiles",
+    "approx_threshold_percentiles", "metric_seasonal_mad",
     "embedding_knn_label_audit", "ann_cosine_topk", "corpus_source_token_drift",
     "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
     "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",
@@ -479,10 +481,11 @@ PRIORITY: list[str] = [
     "text_readability_scores", "doc_type_token_ratio", "customer_order_gaps",
     "join_key_skew_profile", "embedding_hard_negatives",
     "metric_sax_symbols", "text_pmi_collocations",
+    # ================= past the 50-slot window =================
+    # (displaced by the round-11 day_counts re-grades; r12 window head)
     "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
     "promql_lang_predict_linear", "promql_lang_changes_sum",
     "promql_lang_unless_gate",
-    # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
     # staleness-ordered: the 38 remaining round-6-latest rows first
     # (they head the round-12 window), then r7..r10, newest-graded
@@ -505,7 +508,7 @@ PRIORITY: list[str] = [
     "semi_anti_join", "running_revenue", "distinct_users", "vocab_stats",
     "funnel", "embedding_mean_by_label", "events_hourly_pivot",
     "unpivot_metrics", "user_set_ops", "approx_distinct_users",
-    "approx_threshold_percentiles", "nan_counts", "tpch_q6",
+    "nan_counts", "tpch_q6",
     "min_cost_supplier", "multires_rollup", "ffill_bfill", "metrics_wide",
     "standard_scaled", "scaler_params", "calendar_features", "fill_mean",
     "fill_median", "tail_n", "inner_align", "dedup_keep_first",
@@ -516,8 +519,8 @@ PRIORITY: list[str] = [
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample", "corpus_hash_sample", "corpus_doc_chunks",
     "corpus_doc_packing", "corpus_dup_span_removal", "corpus_bpe_encode",
-    "corpus_bpe_packing", "corpus_clean_tokenize_pack", "mse_histogram",
-    "threshold_percentiles", "per_feature_mse", "anomaly_flags", "asof_join",
+    "corpus_bpe_packing", "corpus_clean_tokenize_pack",
+    "per_feature_mse", "asof_join",
     "rolling_features", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
     "text_frequent_tokens", "dedup_minhash_incremental",
@@ -526,7 +529,7 @@ PRIORITY: list[str] = [
     "promql_histogram_quantile", "promql_topk_series",
     "promql_rate_by_labelset", "promql_rate_anomaly", "promql_deriv_predict",
     "promql_absent", "metric_correlations", "corpus_clean_pipeline",
-    "minmax_scaled", "anomaly_mse", "threshold_split", "anomaly_mse_lstm",
+    "minmax_scaled", "threshold_split", "anomaly_mse_lstm",
     "corpus_stratified_sample", "embedding_covariance", "cube_agg",
     "table_profile", "text_ngram_novelty", "text_dup_ngram_spans",
     "text_lm_trigram_scores", "sessionize", "events_json_extract",
@@ -554,7 +557,7 @@ PRIORITY: list[str] = [
     "promql_label_ops", "customer_rfm_segments", "events_association_rules",
     "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
     "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
-    "corpus_mixture_sample", "corpus_upsert_latest", "anomaly_intervals",
+    "corpus_mixture_sample", "corpus_upsert_latest",
     "promql_subquery_max_rate", "promql_alert_episodes",
     "promql_rate_offset_delta", "promql_sum_by_rate",
     "promql_series_cardinality", "promql_time_weighted_avg",
