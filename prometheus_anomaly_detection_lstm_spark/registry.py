@@ -116,10 +116,18 @@ def q_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_threshold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8/A9: normal-vs-anomalous counts and percentages."""
+    """P8/A9: normal-vs-anomalous counts and percentages.
+
+    Same day_counts injection as the flagship (plans/pipeline.py):
+    the bucketing summary reads one shallow raw-events agg instead of
+    re-executing pivot->fill->scale per subtree.
+    """
     _utc(spark)
-    df = P.preprocessed(spark, sf_dir)
-    mse = score.window_mse(df, P.FEATURES, P.SEQUENCE_LENGTH)
+    df = P.preprocessed(spark, sf_dir, keep_day=True)
+    mse = score.window_mse(
+        df, P.FEATURES, P.SEQUENCE_LENGTH, day_col="__day",
+        day_counts=P.pivot_day_counts(spark, sf_dir),
+    )
     out = score.threshold_split(mse, P.ANOMALY_THRESHOLD)
     return out.select("is_anomaly", "n", F.round("pct", 6).alias("pct"))
 
@@ -480,9 +488,10 @@ PRIORITY: list[str] = [
     "shipping_delay_profile", "supplier_hhi_by_nation", "text_char_entropy",
     "text_readability_scores", "doc_type_token_ratio", "customer_order_gaps",
     "join_key_skew_profile", "embedding_hard_negatives",
-    "metric_sax_symbols", "text_pmi_collocations",
+    "metric_sax_symbols", "threshold_split",
     # ================= past the 50-slot window =================
     # (displaced by the round-11 day_counts re-grades; r12 window head)
+    "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
     "promql_lang_predict_linear", "promql_lang_changes_sum",
     "promql_lang_unless_gate",
@@ -529,7 +538,7 @@ PRIORITY: list[str] = [
     "promql_histogram_quantile", "promql_topk_series",
     "promql_rate_by_labelset", "promql_rate_anomaly", "promql_deriv_predict",
     "promql_absent", "metric_correlations", "corpus_clean_pipeline",
-    "minmax_scaled", "threshold_split", "anomaly_mse_lstm",
+    "minmax_scaled", "anomaly_mse_lstm",
     "corpus_stratified_sample", "embedding_covariance", "cube_agg",
     "table_profile", "text_ngram_novelty", "text_dup_ngram_spans",
     "text_lm_trigram_scores", "sessionize", "events_json_extract",
