@@ -781,24 +781,33 @@ def feature_hashing_topk(
     exactly the hashing-trick semantics), and the ``top`` heaviest
     buckets per doc are reported.
 
-    Plan: one corpus-proportional (doc, token) aggregate; the idf join
-    is vocabulary-scale; the ranking window partitions by doc_id over
-    at most ``n_buckets`` rows per doc.  Weights are rounded to 6 dp
-    BEFORE ranking so the two engines rank the identical set."""
+    Plan: one corpus-proportional (doc, token) aggregate; idf comes
+    from a count window OVER that same tf stream (partitioned by
+    token) rather than a separate tok-aggregate joined back — a
+    second aggregate makes tf a two-consumer subtree, and Catalyst
+    re-executes the whole scan+explode+agg per consumer (round-11
+    A/B: executed scans 3 -> 2, output hash-identical, local wall
+    neutral; at lake scale the removed consumer is a full second
+    corpus read while total shuffle volume is unchanged — the tf
+    stream moved twice either way).  The ranking window partitions by
+    doc_id over at most ``n_buckets`` rows per doc.  Weights are
+    rounded to 6 dp BEFORE ranking so the two engines rank the
+    identical set."""
     toks = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     tf = (
         docs.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    df_ = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
         .cast("bigint") % n_buckets
     )
     weighted = (
-        tf.join(df_, "tok")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("tok")).cast("double")
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
