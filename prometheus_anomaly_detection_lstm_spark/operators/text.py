@@ -219,41 +219,51 @@ def tfidf_top_terms(
     relevance/feature-weighting operator: explode -> two keyed aggs ->
     idf join -> per-doc top-k window.
 
-    ``broadcast_idf`` size-gates the idf join strategy: ``True`` forces
-    the broadcast hint (right when the caller KNOWS the vocab is small
-    — but a 100-TB web corpus's vocabulary can exceed executor memory,
-    where a forced broadcast OOMs); ``False`` forces a shuffle
-    sort-merge join; ``None`` (default) leaves the plan unhinted so
-    Catalyst/AQE pick broadcast exactly when the built idf side is
-    measured under ``spark.sql.autoBroadcastJoinThreshold`` at runtime
-    — the engine's own size gate, which is the scale-safe default.
+    ``broadcast_idf`` picks the idf strategy: ``None`` (default)
+    computes df as a count window over the tf stream partitioned by
+    term — ONE pass, no separate vocabulary aggregate, no join at all.
+    The aggregate+join form makes tf a two-consumer subtree that
+    Catalyst executes twice (scan+explode+agg per consumer — round-11
+    measured finding, same class as the feature-hashing fix), and its
+    broadcast variant additionally bets the executor heap on the
+    vocabulary fitting in memory, which a 100-TB web corpus does not
+    guarantee.  ``True`` forces the legacy broadcast-join form (right
+    when the caller KNOWS the vocab is small); ``False`` forces the
+    shuffle sort-merge join form — both kept as explicit overrides and
+    as the size-gate teaching example (tests/test_plan_shapes.py).
     """
     words = parallelize_if_underpartitioned(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_counts = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
     # the corpus doc count is ONE row — broadcast it onto the per-term
     # frame (the old form cross-joined it against a distinct() of the
     # whole vocabulary and re-joined: two extra vocabulary-wide
     # exchanges for the same scalar)
     n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
-    idf = (
-        df_counts.crossJoin(F.broadcast(n_docs))
-        .select("term", F.log(F.col("n") / F.col("df")).alias("idf"))
-    )
-    if broadcast_idf is True:
-        idf_side = F.broadcast(idf)
-    elif broadcast_idf is False:
-        idf_side = idf.hint("merge")
-    else:
-        idf_side = idf
-    scored = tf.join(idf_side, "term").withColumn(
-        "tfidf", F.col("tf") * F.col("idf")
-    )
     from pyspark.sql import Window as W
+
+    if broadcast_idf is None:
+        # (doc_id, term) rows are distinct post-agg, so the per-term
+        # row count IS countDistinct(doc_id)
+        scored = (
+            tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("idf", F.log(F.col("n") / F.col("df")))
+            .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        )
+    else:
+        df_counts = tf.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        idf = (
+            df_counts.crossJoin(F.broadcast(n_docs))
+            .select("term", F.log(F.col("n") / F.col("df")).alias("idf"))
+        )
+        idf_side = F.broadcast(idf) if broadcast_idf else idf.hint("merge")
+        scored = tf.join(idf_side, "term").withColumn(
+            "tfidf", F.col("tf") * F.col("idf")
+        )
 
     w = W.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
