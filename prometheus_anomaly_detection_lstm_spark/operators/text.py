@@ -986,18 +986,27 @@ def bm25_topk(
     tf = postings.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
-    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = df_counts.crossJoin(F.broadcast(stats)).select(
-        "term",
-        "n_docs",
-        "avgdl",
-        F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            + 1.0
-        ).alias("idf"),
-    )
+    # df as a count window over tf (one row per (doc, term), so the
+    # per-term row count IS the doc frequency): a separate df
+    # aggregate joined back makes tf a two-consumer subtree that
+    # Catalyst executes twice — and tf's lineage is the CORPUS
+    # scan+explode, so the second consumer re-reads the whole corpus
+    # (round-11 measured finding, same class as the tfidf/
+    # feature-hashing fixes; scans 3 -> 2, postings themselves are
+    # |query terms|-bounded so the window is metadata-scale)
+    from pyspark.sql import Window as _W
+
     scored = (
-        tf.join(F.broadcast(idf), "term")
+        tf.withColumn("df", F.count("*").over(_W.partitionBy("term")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
         .withColumn(
             "contrib",
             F.col("idf")
