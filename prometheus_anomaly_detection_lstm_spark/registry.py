@@ -490,7 +490,10 @@ PRIORITY: list[str] = [
     "join_key_skew_profile", "embedding_hard_negatives",
     "metric_sax_symbols", "threshold_split",
     # ================= past the 50-slot window =================
-    # (displaced by the round-11 day_counts re-grades; r12 window head)
+    # (r12 window head: the round-11 changed-code rows first — the
+    # df-as-window rewrites — then the rows displaced by the
+    # day_counts re-grades)
+    "text_tfidf_top_terms", "text_bm25_topk",
     "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
     "promql_lang_predict_linear", "promql_lang_changes_sum",
@@ -524,7 +527,7 @@ PRIORITY: list[str] = [
     "multi_series_first", "union_periods", "backfill_missing",
     "numeric_coercion", "text_token_counts", "text_lang_id",
     "text_fingerprints", "text_winnowing_fingerprints", "text_pii_redact",
-    "text_quality_scores", "text_tfidf_top_terms",
+    "text_quality_scores",
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample", "corpus_hash_sample", "corpus_doc_chunks",
     "corpus_doc_packing", "corpus_dup_span_removal", "corpus_bpe_encode",
@@ -555,7 +558,7 @@ PRIORITY: list[str] = [
     "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
     "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
-    "text_containment_pairs", "text_bm25_topk", "text_nb_classifier",
+    "text_containment_pairs", "text_nb_classifier",
     "text_nb_classifier_auc", "text_nb_confusion", "text_log_odds_keywords",
     "corpus_bloom_decontaminate", "corpus_bpe_encode_32k",
     "text_lang_id_ngram", "text_lang_id_confusion",
