@@ -493,7 +493,9 @@ PRIORITY: list[str] = [
     # (r12 window head: the round-11 changed-code rows first — the
     # df-as-window rewrites — then the rows displaced by the
     # day_counts re-grades)
-    "text_tfidf_top_terms", "text_bm25_topk",
+    "text_tfidf_top_terms", "text_bm25_topk", "metric_spot_threshold",
+    "metric_dspot_threshold", "metric_spot_anomaly_hours",
+    "metric_dspot_anomaly_hours",
     "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
     "promql_lang_predict_linear", "promql_lang_changes_sum",
@@ -515,8 +517,7 @@ PRIORITY: list[str] = [
     "metric_cointegration_pairs", "embedding_kcenter_coreset",
     "text_burstiness", "events_ab_srm_check", "metric_glr_variance_change",
     "corpus_sample_ngram_coverage", "text_source_overlap_matrix", "tpch_q1",
-    "tpch_q3", "tpch_q5", "windowed_events", "metric_spot_threshold",
-    "metric_spot_anomaly_hours", "rollup_agg", "topk_per_group",
+    "tpch_q3", "tpch_q5", "windowed_events", "rollup_agg", "topk_per_group",
     "semi_anti_join", "running_revenue", "distinct_users", "vocab_stats",
     "funnel", "embedding_mean_by_label", "events_hourly_pivot",
     "unpivot_metrics", "user_set_ops", "approx_distinct_users",
@@ -550,7 +551,6 @@ PRIORITY: list[str] = [
     "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22", "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
-    "metric_dspot_anomaly_hours", "metric_dspot_threshold",
     "corpus_decontaminate", "corpus_shuffle_shards",
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_quality_filter", "metric_rolling_median", "metric_change_points",
