@@ -599,10 +599,23 @@ def q_events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     users, not events), the pair join is per-user (bounded fan-out:
     #types per user), and the singles frame joins back twice unhinted —
     type-cardinality, AQE broadcasts it.  The user-count denominator is
-    a one-row broadcast."""
+    a one-row broadcast.
+
+    The baskets frame is lazily localCheckpoint'd: FIVE consumers read
+    it (n_users, singles via both join sides, and both self-join
+    sides), and Catalyst otherwise re-executes the corpus-wide
+    scan+DISTINCT per consumer (round-11 audit: the worst offender at
+    5 scans; post-checkpoint 1 — at lake scale that is 4 saved full
+    passes).  The materialized frame is (user x type)-scale, bounded
+    by users times the small type vocabulary — the perplexity/lang-id
+    checkpoint precedent, not a corpus-scale spill."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
-    baskets = ev.select("user_id", F.col("event_type").alias("t")).distinct()
+    baskets = (
+        ev.select("user_id", F.col("event_type").alias("t"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_users = baskets.select("user_id").distinct().agg(
         F.count("*").cast("double").alias("__nu")
     )

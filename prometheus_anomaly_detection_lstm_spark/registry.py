@@ -495,7 +495,7 @@ PRIORITY: list[str] = [
     # day_counts re-grades)
     "text_tfidf_top_terms", "text_bm25_topk", "metric_spot_threshold",
     "metric_dspot_threshold", "metric_spot_anomaly_hours",
-    "metric_dspot_anomaly_hours",
+    "metric_dspot_anomaly_hours", "events_association_rules",
     "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
     "promql_lang_predict_linear", "promql_lang_changes_sum",
@@ -566,7 +566,7 @@ PRIORITY: list[str] = [
     "text_repetition_scores", "vocab_bpe_merges", "ann_cosine_topk_pq",
     "metric_distribution_drift", "tpch_q1_incremental",
     "embedding_nearest_centroid_eval", "metric_forecast_backtest",
-    "promql_label_ops", "customer_rfm_segments", "events_association_rules",
+    "promql_label_ops", "customer_rfm_segments",
     "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
     "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
     "corpus_mixture_sample", "corpus_upsert_latest",
