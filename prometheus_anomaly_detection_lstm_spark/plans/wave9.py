@@ -209,10 +209,17 @@ def q_orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # lazily checkpointed: FIVE consumers read ob (n_orders, margins
+    # via both ma/mb, both self-join sides) and Catalyst otherwise
+    # re-executes the lineitem scan+join+DISTINCT per consumer
+    # (round-11 audit/A-B, the association-rules precedent: scans
+    # 10 -> 2, hash-identical; the frame is (order x brand)-scale,
+    # bounded by orders times the 25-brand vocabulary)
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = ob.agg(
         F.countDistinct("l_orderkey").cast("double").alias("n_orders")

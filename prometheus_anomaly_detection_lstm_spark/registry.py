@@ -496,6 +496,7 @@ PRIORITY: list[str] = [
     "text_tfidf_top_terms", "text_bm25_topk", "metric_spot_threshold",
     "metric_dspot_threshold", "metric_spot_anomaly_hours",
     "metric_dspot_anomaly_hours", "events_association_rules",
+    "orders_basket_affinity",
     "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
     "promql_lang_predict_linear", "promql_lang_changes_sum",
@@ -510,7 +511,7 @@ PRIORITY: list[str] = [
     "multimodal_audio_features", "metric_spectral_residual",
     "metric_holt_winters", "metric_pca_scores", "tpch_q3_bucketed",
     "semantic_dedup_scaled", "promql_holt_smoothing", "metric_ramp_detect",
-    "events_ab_sequential", "orders_basket_affinity",
+    "events_ab_sequential",
     "metric_glr_changepoint", "corpus_dedup_e2e_stats",
     "text_keyword_extract", "metric_esd_outliers", "metric_ar2_residuals",
     "events_anomaly_attribution", "orders_price_elasticity",
