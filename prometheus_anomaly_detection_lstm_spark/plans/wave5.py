@@ -238,9 +238,14 @@ def log_odds_keywords(
             F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), F.lit(0))
         ).alias("token"),
     )
+    # lazily checkpointed: FOUR consumers read lt (t, l, n and the
+    # join's left side) and Catalyst otherwise re-executes the
+    # corpus-wide explode+agg per consumer (round-11 audit; the
+    # association-rules precedent).  The materialized frame is
+    # (lang x token) vocabulary-scale — tiny next to the corpus.
     lt = toks.groupBy("lang", "token").agg(
         F.count("*").cast("double").alias("y_lt")
-    )
+    ).localCheckpoint(eager=False)
     t = lt.groupBy("token").agg(F.sum("y_lt").alias("y_t"))
     l = lt.groupBy("lang").agg(F.sum("y_lt").alias("n_l"))
     n = lt.agg(F.sum("y_lt").alias("n"))

@@ -496,7 +496,7 @@ PRIORITY: list[str] = [
     "text_tfidf_top_terms", "text_bm25_topk", "metric_spot_threshold",
     "metric_dspot_threshold", "metric_spot_anomaly_hours",
     "metric_dspot_anomaly_hours", "events_association_rules",
-    "orders_basket_affinity",
+    "orders_basket_affinity", "text_log_odds_keywords",
     "text_pmi_collocations",
     "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
     "promql_lang_predict_linear", "promql_lang_changes_sum",
@@ -560,7 +560,7 @@ PRIORITY: list[str] = [
     "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
     "text_containment_pairs", "text_nb_classifier",
-    "text_nb_classifier_auc", "text_nb_confusion", "text_log_odds_keywords",
+    "text_nb_classifier_auc", "text_nb_confusion",
     "corpus_bloom_decontaminate", "corpus_bpe_encode_32k",
     "text_lang_id_ngram", "text_lang_id_confusion",
     "corpus_perplexity_filter", "corpus_ccnet_partition",
