@@ -455,56 +455,29 @@ LEDGER_ALIASES: dict[str, str] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-11 window (position machine-checked by
-    # tests/test_registry_hygiene.py).  Composition per the round-10
-    # verdict: (a) the 6 changed-code rows of this round — the six
-    # minhash consumers flipped to pre_key=True (task 2; note the
-    # verdict's list named corpus_dedup_e2e_stats, but that query is
-    # exact-dedup based with no minhash call — the actual sixth
-    # consumer is text_related_docs_topk; the lang-id pair stays
-    # un-regraded — task 6 closed with a measured written analysis in
-    # BASELINE.md, code unchanged); (b) ALL 30 remaining
-    # round-5-latest rows (task 1: zero r5-latest rows may remain);
-    # (c) the 14 stalest round-6 rows by queue order — the r6 band
-    # continues next round.
+    # ---- round-12 window (position machine-checked by
+    # tests/test_registry_hygiene.py).  Composition per the round-11
+    # verdict: (a) the 13 changed-plan rows whose official rows predate
+    # the change — the tfidf/bm25/feature_hashing df-as-window
+    # rewrites, the 4-row SPOT/DSPOT fit fold, the association-rules /
+    # basket-affinity / log-odds checkpoint landings (task 1); (b) the
+    # 6 r6-latest rows displaced from the round-11 window by the
+    # day_counts swaps (text_pmi_collocations was swapped out for
+    # threshold_split; the other five named in the verdict); (c) ALL
+    # 34 remaining round-6-latest rows by queue order — 16 + 34 = 50,
+    # so the r6 stale cohort retires COMPLETELY this round (task 2;
+    # ledger recomputed from CORRECTNESS_r01..r11: the 42-row r6
+    # cohort = these 34 + 8 already in (a)/(b)).
     # All 50 green in the local parity sweep and driver-simmed
     # out-of-repo before commit. ----
-    "dedup_clusters", "dedup_apply", "corpus_neardup_keep_best",
-    "text_related_docs_topk", "dedup_minhash_recall_eval",
-    "dedup_lsh_bucket_profile", "anomaly_mse", "anomaly_flags",
-    "anomaly_intervals", "mse_histogram", "threshold_percentiles",
-    "approx_threshold_percentiles", "metric_seasonal_mad",
-    "embedding_knn_label_audit", "ann_cosine_topk", "corpus_source_token_drift",
-    "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
-    "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",
-    "events_bot_cadence", "events_dau_wau", "events_funnel_timing",
-    "events_heavy_hitters", "events_markov_next_eval",
-    "metric_cusum_anomalies", "metric_periodogram", "metric_theil_sen_trend",
-    "multimodal_phash_dedup", "parts_abc_by_brand",
-    "promql_lang_error_ratio", "promql_lang_histogram_quantile",
-    "promql_lang_increase_filter", "promql_lang_label_replace",
-    "promql_lang_quantile_over_time", "promql_lang_rate_sum",
-    "promql_lang_topk_gauge", "return_rate_by_brand",
-    "shipping_delay_profile", "supplier_hhi_by_nation", "text_char_entropy",
-    "text_readability_scores", "doc_type_token_ratio", "customer_order_gaps",
-    "join_key_skew_profile", "embedding_hard_negatives",
-    "metric_sax_symbols", "threshold_split",
-    # ================= past the 50-slot window =================
-    # (r12 window head: the round-11 changed-code rows first — the
-    # df-as-window rewrites — then the rows displaced by the
-    # day_counts re-grades)
-    "text_tfidf_top_terms", "text_bm25_topk", "metric_spot_threshold",
-    "metric_dspot_threshold", "metric_spot_anomaly_hours",
-    "metric_dspot_anomaly_hours", "events_association_rules",
-    "orders_basket_affinity", "text_log_odds_keywords",
-    "text_pmi_collocations",
-    "embedding_centroid_drift", "metric_sax_motifs", "text_feature_hashing",
-    "promql_lang_predict_linear", "promql_lang_changes_sum",
-    "promql_lang_unless_gate",
-    # (position enforced by tests/test_registry_hygiene.py)
-    # staleness-ordered: the 38 remaining round-6-latest rows first
-    # (they head the round-12 window), then r7..r10, newest-graded
-    # last:
+    "text_tfidf_top_terms", "text_bm25_topk", "text_feature_hashing",
+    "metric_spot_threshold", "metric_spot_anomaly_hours",
+    "metric_dspot_threshold", "metric_dspot_anomaly_hours",
+    "events_association_rules", "orders_basket_affinity",
+    "text_log_odds_keywords",
+    "text_pmi_collocations", "promql_lang_predict_linear",
+    "promql_lang_changes_sum", "promql_lang_unless_gate",
+    "embedding_centroid_drift", "metric_sax_motifs",
     "metric_sax_similar_days", "dedup_hot_shingles",
     "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
     "metric_df_stationarity", "metric_matrix_profile",
@@ -518,7 +491,12 @@ PRIORITY: list[str] = [
     "metric_cointegration_pairs", "embedding_kcenter_coreset",
     "text_burstiness", "events_ab_srm_check", "metric_glr_variance_change",
     "corpus_sample_ngram_coverage", "text_source_overlap_matrix", "tpch_q1",
-    "tpch_q3", "tpch_q5", "windowed_events", "rollup_agg", "topk_per_group",
+    "tpch_q3", "tpch_q5", "windowed_events",
+    # ================= past the 50-slot window =================
+    # (position enforced by tests/test_registry_hygiene.py)
+    # staleness-ordered: r7..r10 next (they head the round-13 window),
+    # the 50 round-11-graded rows last (freshest):
+    "rollup_agg", "topk_per_group",
     "semi_anti_join", "running_revenue", "distinct_users", "vocab_stats",
     "funnel", "embedding_mean_by_label", "events_hourly_pivot",
     "unpivot_metrics", "user_set_ops", "approx_distinct_users",
@@ -582,6 +560,28 @@ PRIORITY: list[str] = [
     "events_pointintime_features", "orders_churn_labels",
     "promql_vector_match_ratio", "events_props_key_profile",
     "dedup_minhash_lsh",
+    # the 50 rows graded in round 11 (CORRECTNESS_r11) — freshest,
+    # so they queue last:
+    "dedup_clusters", "dedup_apply", "corpus_neardup_keep_best",
+    "text_related_docs_topk", "dedup_minhash_recall_eval",
+    "dedup_lsh_bucket_profile", "anomaly_mse", "anomaly_flags",
+    "anomaly_intervals", "mse_histogram", "threshold_percentiles",
+    "approx_threshold_percentiles", "metric_seasonal_mad",
+    "embedding_knn_label_audit", "ann_cosine_topk", "corpus_source_token_drift",
+    "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
+    "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",
+    "events_bot_cadence", "events_dau_wau", "events_funnel_timing",
+    "events_heavy_hitters", "events_markov_next_eval",
+    "metric_cusum_anomalies", "metric_periodogram", "metric_theil_sen_trend",
+    "multimodal_phash_dedup", "parts_abc_by_brand",
+    "promql_lang_error_ratio", "promql_lang_histogram_quantile",
+    "promql_lang_increase_filter", "promql_lang_label_replace",
+    "promql_lang_quantile_over_time", "promql_lang_rate_sum",
+    "promql_lang_topk_gauge", "return_rate_by_brand",
+    "shipping_delay_profile", "supplier_hhi_by_nation", "text_char_entropy",
+    "text_readability_scores", "doc_type_token_ratio", "customer_order_gaps",
+    "join_key_skew_profile", "embedding_hard_negatives",
+    "metric_sax_symbols", "threshold_split",
 ]
 
 
