@@ -326,6 +326,16 @@ def _ensure_sf1_events(spark) -> dict:
     stamp_path = f"{SF1_DIR}/events.recipe.json"
     base = load_table(spark, "/root/testdata/sf0.1", "events")
     base_rows = base.count()
+    # the k*30-day shift tiles copies contiguously ONLY if the base
+    # spans < 30 days; a regenerated wider base would silently overlap
+    # copies and change the pivot's keep-first semantics (ADVICE r11)
+    span = base.agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("d")
+    ).collect()[0]["d"]
+    assert span is not None and span < 30, (
+        f"sf1 copyshift recipe assumes base events span < 30 days; "
+        f"measured {span} — widen ts_shift_days or re-derive the shift"
+    )
     recipe = {
         "recipe": "copyshift",
         "copies": 10,
@@ -333,6 +343,7 @@ def _ensure_sf1_events(spark) -> dict:
         "ts_shift_days": 30,
         "base": "/root/testdata/sf0.1/events.parquet",
         "base_rows": base_rows,
+        "base_span_days": span,
         "rows": base_rows * 10,
     }
     reusable = False

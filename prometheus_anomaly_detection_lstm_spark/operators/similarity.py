@@ -433,7 +433,10 @@ def cosine_topk_lsh_prebuilt(
     import json
     import os
 
-    with open(os.path.join(path, "meta.json")) as fh:
+    # build_lsh_index accepts a 'file:' URI and strips it for the
+    # sidecar write — strip symmetrically here so building and querying
+    # with the SAME path string round-trips (ADVICE r11).
+    with open(os.path.join(path.removeprefix("file:"), "meta.json")) as fh:
         meta = json.load(fh)
     vectors = spark.read.parquet(f"{path}/vectors")
     c_all = spark.read.parquet(f"{path}/buckets")

@@ -35,6 +35,23 @@ from pyspark.sql import functions as F
 from ..functions import single_partition_key
 
 
+def _day_counts_check_enabled(df: DataFrame) -> bool:
+    """Opt-in day_counts contract validation (see bucket_assign)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DEBUG_DAY_COUNTS", "") not in ("", "0"):
+        return True
+    try:
+        return (
+            df.sparkSession.conf.get(
+                "spark.prometheus_anomaly_detection_lstm_spark.debug.dayCounts", "false"
+            ).lower()
+            == "true"
+        )
+    except Exception:  # conf lookup must never break the operator
+        return False
+
+
 def sequence_windows(
     df: DataFrame, feature_cols: list[str], length: int, ts_col: str = "ts"
 ) -> DataFrame:
@@ -103,6 +120,30 @@ def bucket_assign(
     # interleaved A/B at sf1: hash-identical, warm 6.73 -> 4.61 s).
     if day_counts is not None:
         counts = day_counts.select("__day", "__n")
+        # Debug-mode contract check (ADVICE r11): a non-row-preserving
+        # step slipped into the caller's prep chain would silently
+        # corrupt every offset/window id.  Opt-in because it executes
+        # both chains — set spark.prometheus_anomaly_detection_lstm_spark.debug.dayCounts=true (or env
+        # SPARK_GRAFT_DEBUG_DAY_COUNTS=1) in a validation run.
+        if _day_counts_check_enabled(df):
+            derived = with_day.groupBy("__day").agg(
+                F.count("*").alias("__n_actual")
+            )
+            bad = (
+                counts.join(derived, "__day", "full_outer")
+                .filter(
+                    F.col("__n").isNull()
+                    | F.col("__n_actual").isNull()
+                    | (F.col("__n") != F.col("__n_actual"))
+                )
+                .limit(5)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    "day_counts contract broken (one row per distinct "
+                    f"__day, __n = that day's row count): {bad}"
+                )
     else:
         counts = with_day.groupBy("__day").agg(F.count("*").alias("__n"))
     # metadata-scale (~#days rows): constant partition key is deliberate

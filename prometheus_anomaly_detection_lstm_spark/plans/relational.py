@@ -608,7 +608,12 @@ def q_events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 scans; post-checkpoint 1 — at lake scale that is 4 saved full
     passes).  The materialized frame is (user x type)-scale, bounded
     by users times the small type vocabulary — the perplexity/lang-id
-    checkpoint precedent, not a corpus-scale spill."""
+    checkpoint precedent, not a corpus-scale spill.  Caveat (all
+    localCheckpoint sites repo-wide): blocks live only on executors
+    and lineage is truncated, so executor loss / dynamic-allocation
+    downscaling makes the frame unrecomputable — deployments on
+    preemptible executors should use reliable ``checkpoint()`` against
+    a checkpoint dir instead (same plan shape, durable storage)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     baskets = (

@@ -243,6 +243,8 @@ def log_odds_keywords(
     # corpus-wide explode+agg per consumer (round-11 audit; the
     # association-rules precedent).  The materialized frame is
     # (lang x token) vocabulary-scale — tiny next to the corpus.
+    # Executor-loss caveat: see events_association_rules (relational.py)
+    # — preemptible deployments should use reliable checkpoint().
     lt = toks.groupBy("lang", "token").agg(
         F.count("*").cast("double").alias("y_lt")
     ).localCheckpoint(eager=False)

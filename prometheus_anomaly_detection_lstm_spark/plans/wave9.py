@@ -214,7 +214,9 @@ def q_orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-executes the lineitem scan+join+DISTINCT per consumer
     # (round-11 audit/A-B, the association-rules precedent: scans
     # 10 -> 2, hash-identical; the frame is (order x brand)-scale,
-    # bounded by orders times the 25-brand vocabulary)
+    # bounded by orders times the 25-brand vocabulary).
+    # Executor-loss caveat: see events_association_rules (relational.py)
+    # — preemptible deployments should use reliable checkpoint().
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
