@@ -414,6 +414,91 @@ def _sf1_anomaly(spark, queries) -> dict:
     return out
 
 
+def _sf1_anomaly_waist(spark, queries) -> dict:
+    """Production shape for the flagship at lake scale (round-11
+    verdict task 3, measured): materialize the prep WAIST — the
+    calendar'd, filled, MinMax-scaled wide frame — ONCE as a table,
+    then score stride-1 windows FROM the table.  At 100 TB the
+    recompute shape pays the pivot->fill->scale chain (a full lake
+    read plus a global fill) on every scoring run; the waist table
+    turns that into one parquet scan (day-partitioned in a real lake;
+    16 plain files here).  Build cost is timed fresh each run (the q3
+    bucketed-write precedent); the query side is median-of-3 warm
+    passes with a DuckDB twin reading the SAME waist parquet
+    interleaved in-run, so both engines score identical stored
+    doubles.  A sum-of-row-hash guard asserts the from-waist result
+    equals the inline ``anomaly_mse`` frame in the same run."""
+    from prometheus_anomaly_detection_lstm_spark import oracles
+
+    out: dict[str, float | int | list[float]] = {}
+    out.update(_ensure_sf1_events(spark))
+    waist_path = f"{SF1_DIR}/anomaly_waist.parquet"
+
+    t0 = time.perf_counter()
+    (
+        P.preprocessed(spark, SF1_DIR, keep_day=True)
+        .select("ts", "__day", *P.FEATURES)
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(waist_path)
+    )
+    out["sf1_anomaly_waist_build_sec"] = round(time.perf_counter() - t0, 3)
+
+    waist = spark.read.parquet(waist_path)
+    # metadata-scale (one row per day): collected once so the three
+    # bucketing summary subtrees read a local frame, not table rescans
+    day_rows = (
+        waist.groupBy("__day").agg(F.count("*").alias("__n")).collect()
+    )
+    day_counts = spark.createDataFrame(day_rows)
+    scored = SC.window_mse(
+        waist,
+        P.FEATURES,
+        P.SEQUENCE_LENGTH,
+        a=P.STUB_A,
+        b=P.STUB_B,
+        day_col="__day",
+        day_counts=day_counts,
+    ).select("window_id", "start_ts", F.round("mse", 8).alias("mse"))
+    scored.write.format("noop").mode("overwrite").save()  # warm, untimed
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW waist AS SELECT * FROM '{waist_path}/*.parquet'"
+    )
+    passes: list[float] = []
+    duck: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scored.write.format("noop").mode("overwrite").save()
+        passes.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        con.execute(oracles.ORACLE_ANOMALY_MSE_FROM_WAIST).fetchall()
+        duck.append(round(time.perf_counter() - t0, 3))
+    out["sf1_anomaly_mse_waist"] = sorted(passes)[1]
+    out["sf1_anomaly_mse_waist_passes"] = passes
+    out["sf1_anomaly_mse_waist_duck_sec"] = sorted(duck)[1]
+    out["sf1_anomaly_mse_waist_inrun_ratio"] = round(
+        sorted(passes)[1] / sorted(duck)[1], 3
+    )
+    out["sf1_anomaly_mse_waist_shuffle_mb"] = _executed_shuffle_mb(scored)
+
+    def _digest(df):
+        r = df.agg(
+            F.sum(
+                F.hash("window_id", "start_ts", "mse").cast("bigint")
+            ).alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return (r["h"], r["n"])
+
+    inline = queries["anomaly_mse"][0](spark, SF1_DIR)
+    out["sf1_anomaly_waist_match"] = int(_digest(scored) == _digest(inline))
+    return out
+
+
 def _sf1_minhash(spark, queries) -> dict:
     """sf1 point for the LLM-pipeline flagship (round-7 verdict task
     6): dedup_minhash_lsh wall + shuffle bytes at 10x the grading
@@ -996,6 +1081,10 @@ def main() -> None:
             out.update(_sf1_anomaly(spark, queries))
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["sf1_anomaly_error"] = f"{type(exc).__name__}: {exc}"
+        try:
+            out.update(_sf1_anomaly_waist(spark, queries))
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            out["sf1_anomaly_waist_error"] = f"{type(exc).__name__}: {exc}"
 
     # grading-scale full-cost record (round-8 verdict task 7) — OUTSIDE
     # the sf1 gate (round-9 ADVICE: SPARK_GRAFT_SF1_SECTION=0 silently
@@ -1052,6 +1141,12 @@ def main() -> None:
         "sf1_anomaly_mse_inrun_ratio",
         "sf1_anomaly_mse_shuffle_mb",
         "sf1_anomaly_error",
+        "sf1_anomaly_waist_build_sec",
+        "sf1_anomaly_mse_waist",
+        "sf1_anomaly_mse_waist_duck_sec",
+        "sf1_anomaly_mse_waist_inrun_ratio",
+        "sf1_anomaly_waist_match",
+        "sf1_anomaly_waist_error",
         "sf1_text_lang_id_full",
         "sf1_text_lang_id_warm",
         "sf1_text_lang_id_duck_sec",

@@ -199,6 +199,23 @@ SELECT window_id, ts AS start_ts, round(mse, 8) AS mse,
 FROM win WHERE cnt = {L}"""
 )
 
+# Production-shape flagship (round-12): score stride-1 windows FROM a
+# MATERIALIZED waist table (the `scaled` frame persisted as parquet)
+# instead of recomputing pivot->fill->scale.  Expects a pre-registered
+# view `waist` over that parquet (ts + FEATURES, any extra columns
+# ignored); the tail is the exact ERR/WIN pair of ORACLE_ANOMALY_MSE,
+# so both engines read the SAME stored doubles.
+ORACLE_ANOMALY_MSE_FROM_WAIST = (
+    _with(
+        "scaled AS (\n  SELECT ts, "
+        + ", ".join(FEATURES)
+        + " FROM waist\n)",
+        ERR_CTE,
+        WIN_CTE,
+    )
+    + f"\nSELECT window_id, ts AS start_ts, round(mse, 8) AS mse FROM win WHERE cnt = {L}"
+)
+
 ORACLE_THRESHOLD_SPLIT = (
     pipeline_prefix("win")
     + f""",
