@@ -769,7 +769,45 @@ def _ann_prebuilt_section(spark, sf_dir: str) -> dict:
             vals.append(round(time.perf_counter() - t0, 3))
         out[key] = sorted(vals)[2]
         out[f"{key}_passes"] = vals
+
+    # recall floor asserted ON THE PREBUILT OUTPUTS in the same run
+    # (r11 verdict task 4): the inline configs' recalls are asserted in
+    # main(), but only a direct check on the index-backed results can
+    # catch a stale/corrupt persisted index that the recipe stamp
+    # somehow missed.
+    from prometheus_anomaly_detection_lstm_spark.operators.similarity import cosine_topk
+
+    truth = _topk_by_query(cosine_topk(emb).collect())
+
+    def _recall(df) -> float:
+        approx = _topk_by_query(df.select("q_id", "c_id").collect())
+        recalls = [
+            len(approx.get(q, set()) & cs) / len(cs)
+            for q, cs in truth.items()
+        ]
+        return round(sum(recalls) / len(recalls), 4)
+
+    prebuilt_recalls = {
+        "ivf": _recall(cosine_topk_ivf_prebuilt(spark, ivf_path)),
+        "pq": _recall(pq_topk_prebuilt(spark, pq_path)),
+        "lsh": _recall(
+            cosine_topk_lsh_prebuilt(
+                spark, lsh_path, probe_hamming=LSH_RECALL08["probe_hamming"]
+            )
+        ),
+    }
+    for kind, r in prebuilt_recalls.items():
+        assert r >= 0.8, f"prebuilt {kind} recall floor broken: {r}"
+    out["ann_prebuilt_recalls"] = prebuilt_recalls
+    out["ann_prebuilt_min_recall"] = min(prebuilt_recalls.values())
     return out
+
+
+def _topk_by_query(rows) -> dict:
+    grouped: dict = {}
+    for r in rows:
+        grouped.setdefault(r["q_id"], set()).add(r["c_id"])
+    return grouped
 
 
 def _perplexity_full_cost(spark, queries, sf_dir: str) -> dict:
@@ -1160,6 +1198,7 @@ def main() -> None:
         "ann_ivf_prebuilt_query_sec",
         "ann_pq_prebuilt_query_sec",
         "ann_lsh_prebuilt_query_sec",
+        "ann_prebuilt_min_recall",
         "ann_prebuilt_error",
         "sf1_section_error",
         "sf1_minhash_error",
