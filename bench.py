@@ -1142,46 +1142,42 @@ def main() -> None:
     # basket totals, pass-1 timings and ANN recall floors to tail
     # truncation).  A compact copy of every headline stat is therefore
     # serialized LAST, so any tail capture retains the full summary.
+    # The driver's tail capture is 2000 BYTES (measured on BENCH_r11:
+    # tail length exactly 2000, truncation eating the summary's FRONT)
+    # — the summary is therefore curated to fit: basket sub-totals, the
+    # per-plan shuffle-MB pins, the span-digest A/B rider and the
+    # derivable waist duck-sec stay in the full JSON body (recorded in
+    # the round docs on every official-shape run) but leave the tail;
+    # the three recall floors merge into one [lsh, ivf, pq] list.
     summary = {
         "value": out["value"],
         "queries": best,
         "queries_duck": duck_best,
-        "basket12_total": out["basket12_total"],
-        "basket13_total": out["basket13_total"],
         "comparable11_total": out["comparable11_total"],
         "comparable11_duck_total": out["comparable11_duck_total"],
         "comparable11_inrun_ratio": out["comparable11_inrun_ratio"],
         "tpch_q3_bucketed_write_sec": out["tpch_q3_bucketed_write_sec"],
         "dedup_minhash_lsh_median7": best["dedup_minhash_lsh"],
-        "ann_lsh_recall_at_10": lsh_recall,
-        "ann_ivf_recall_at_10": ivf_recall,
-        "ann_pq_recall_at_10": pq_recall,
+        "ann_recalls_lsh_ivf_pq": [lsh_recall, ivf_recall, pq_recall],
     }
     for k in (
         "sf1_tpch_q3",
         "sf1_tpch_q3_bucketed",
-        "sf1_tpch_q3_shuffle_mb",
-        "sf1_tpch_q3_bucketed_shuffle_mb",
         "sf1_dedup_minhash_lsh",
         "sf1_dedup_minhash_lsh_duck_sec",
         "sf1_dedup_minhash_lsh_inrun_ratio",
-        "sf1_dedup_minhash_lsh_shuffle_mb",
         "sf1_dup_span_removal",
         "sf1_dup_span_removal_duck_sec",
         "sf1_dup_span_removal_inrun_ratio",
-        "sf1_dup_span_removal_shuffle_mb",
-        "sf1_dup_span_removal_digest",
         "sf1_corpus_perplexity_filter",
         "sf1_corpus_perplexity_filter_duck_sec",
         "sf1_corpus_perplexity_filter_inrun_ratio",
         "sf1_anomaly_mse",
         "sf1_anomaly_mse_duck_sec",
         "sf1_anomaly_mse_inrun_ratio",
-        "sf1_anomaly_mse_shuffle_mb",
         "sf1_anomaly_error",
         "sf1_anomaly_waist_build_sec",
         "sf1_anomaly_mse_waist",
-        "sf1_anomaly_mse_waist_duck_sec",
         "sf1_anomaly_mse_waist_inrun_ratio",
         "sf1_anomaly_waist_match",
         "sf1_anomaly_waist_error",
