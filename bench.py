@@ -1121,6 +1121,15 @@ def main() -> None:
             out["sf1_anomaly_error"] = f"{type(exc).__name__}: {exc}"
         try:
             out.update(_sf1_anomaly_waist(spark, queries))
+            # the production-shape cross ratio, SAME-RUN: scoring from
+            # the waist table vs what a recompute-from-raw DuckDB user
+            # pays this minute (the full-chain oracle timed above)
+            if "sf1_anomaly_mse_duck_sec" in out:
+                out["sf1_waist_vs_fullduck"] = round(
+                    out["sf1_anomaly_mse_waist"]
+                    / out["sf1_anomaly_mse_duck_sec"],
+                    3,
+                )
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["sf1_anomaly_waist_error"] = f"{type(exc).__name__}: {exc}"
 
@@ -1179,6 +1188,7 @@ def main() -> None:
         "sf1_anomaly_waist_build_sec",
         "sf1_anomaly_mse_waist",
         "sf1_anomaly_mse_waist_inrun_ratio",
+        "sf1_waist_vs_fullduck",
         "sf1_anomaly_waist_match",
         "sf1_anomaly_waist_error",
         "sf1_text_lang_id_full",
