@@ -630,4 +630,28 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         if name in merged:
             out[name] = merged.pop(name)
     out.update(merged)  # anything not in PRIORITY keeps module order
-    return out
+    return {n: (_ships(fn), sql) for n, (fn, sql) in out.items()}
+
+
+def _ships(fn: QueryFn) -> QueryFn:
+    """Guarantee the package is importable on executor workers before
+    ANY registry query runs (round-12 preflight finding): closures sent
+    through applyInPandas/mapInPandas pickle package symbols BY MODULE
+    REFERENCE, so a UDF-bearing query run as the FIRST query of an
+    out-of-repo driver session raised ModuleNotFoundError on the
+    worker — it only ever passed because some earlier query in the
+    window had already called shipping.ensure_shipped for the session.
+    Wrapping here makes the driver contract order-independent;
+    ensure_shipped is memoized per SparkContext (one zip+addPyFile per
+    process, then a set lookup)."""
+
+    def q(spark, sf_dir):
+        from .shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    q.__name__ = getattr(fn, "__name__", "query")
+    q.__doc__ = fn.__doc__
+    q.__wrapped__ = fn
+    return q
