@@ -552,19 +552,35 @@ def _unpivot_oracle() -> str:
 
 def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations the reference never needed (SURVEY §2.4): users
-    who clicked AND purchased (intersect) vs clicked but NEVER purchased
-    (except), tagged and unioned."""
+    who clicked AND purchased (intersect semantics) vs clicked but
+    NEVER purchased (except semantics), tagged and unioned.
+
+    Physical shape (round-12 scan-audit fix): the textbook
+    intersect/subtract formulation scanned events FOUR times (each set
+    op re-reads both filtered branches) and shuffled each; the same
+    set semantics fold into ONE filtered scan + ONE partial-aggregating
+    groupBy — per user, did-click / did-buy flags, then the segment is
+    a projection.  INTERSECT/EXCEPT DISTINCT semantics are preserved
+    exactly: the aggregate is per-user (distinct by construction) and
+    a user whose click count merely exceeds their purchase count still
+    lands in click_and_buy, as EXCEPT DISTINCT requires."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    both = clickers.intersect(buyers).withColumn("segment", F.lit("click_and_buy"))
-    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep a
-    # user whose click count merely exceeds their purchase count
-    only_click = clickers.subtract(buyers).withColumn(
-        "segment", F.lit("click_no_buy")
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("b"),
+        )
+        .filter(F.col("c") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("b") == 1, F.lit("click_and_buy"))
+            .otherwise(F.lit("click_no_buy"))
+            .alias("segment"),
+        )
     )
-    return both.unionByName(only_click)
 
 
 ORACLE_USER_SET_OPS = """SELECT user_id, 'click_and_buy' AS segment

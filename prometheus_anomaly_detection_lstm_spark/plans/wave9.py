@@ -679,10 +679,23 @@ def q_metric_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    surviving = ev.groupBy(
-        F.col("event_type").alias("metric"),
-        F.date_trunc("hour", "ts").alias("hour"),
-    ).agg(F.avg("value").alias("y"))
+    # Each round's `surviving` feeds THREE consumers (the stats agg,
+    # the scored join, and the next round's chain) and Catalyst
+    # re-executes the whole upstream chain per consumer — compounding
+    # round over round to 62 executed scans of events (round-12 scan
+    # audit, the registry's worst offender).  The frame is per-metric
+    # HOURLY means — metadata-scale, the kmeans/perplexity checkpoint
+    # precedent — so lineage is truncated once at the rollup and once
+    # per round: scans 62 -> 1.  Executor-loss caveat: see
+    # events_association_rules (relational.py).
+    surviving = (
+        ev.groupBy(
+            F.col("event_type").alias("metric"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.avg("value").alias("y"))
+        .localCheckpoint(eager=False)
+    )
     rounds = []
     for i in range(1, ESD_ROUNDS + 1):
         stats = surviving.groupBy("metric").agg(
@@ -718,6 +731,7 @@ def q_metric_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") > 1)
             .select("metric", "hour", "y")
+            .localCheckpoint(eager=False)
         )
     return reduce(lambda a, b: a.unionByName(b), rounds)
 

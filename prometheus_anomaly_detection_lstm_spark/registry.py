@@ -494,12 +494,17 @@ PRIORITY: list[str] = [
     "tpch_q3", "tpch_q5", "windowed_events",
     # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
-    # staleness-ordered: r7..r10 next (they head the round-13 window),
-    # the 50 round-11-graded rows last (freshest):
+    # r13 window head: user_set_ops changed plans in round 12 (the
+    # intersect/subtract fold: scans 4 -> 1, warm 0.483 -> 0.202 s
+    # interleaved, hash-MATCH driver-simmed) AFTER the r12 window was
+    # frozen — its official row must be re-graded first next round.
+    "user_set_ops",
+    # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
+    # last (freshest):
     "rollup_agg", "topk_per_group",
     "semi_anti_join", "running_revenue", "distinct_users", "vocab_stats",
     "funnel", "embedding_mean_by_label", "events_hourly_pivot",
-    "unpivot_metrics", "user_set_ops", "approx_distinct_users",
+    "unpivot_metrics", "approx_distinct_users",
     "nan_counts", "tpch_q6",
     "min_cost_supplier", "multires_rollup", "ffill_bfill", "metrics_wide",
     "standard_scaled", "scaler_params", "calendar_features", "fill_mean",
