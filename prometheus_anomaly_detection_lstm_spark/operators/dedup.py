@@ -103,7 +103,19 @@ def ngram_jaccard_pairs(
     Inverted-index join: |pairs sharing a shingle| << n² for
     discriminative shingles.  Output (doc_a, doc_b, jaccard).
     """
-    sh = shingles(docs)
+    # The shingle stream feeds FIVE consumers (sizes, dfreq, the
+    # ranked join's left side, and both verify-join sides) and the
+    # prefix self-join doubles the ranked chain — Catalyst re-executes
+    # the scan+explode per consumer: 8 executed corpus scans (round-12
+    # scan audit).  One lazy localCheckpoint materializes the ~1×
+    # amplified (doc_id, shingle) frame once — the waist-table trade:
+    # at lake scale, one materialization vs seven corpus re-reads.
+    # Interleaved full-cost A/B at sf0.1: 12.62 -> 9.99 s median-of-5,
+    # hash-identical; also checkpointing `prefix` measured neutral
+    # (9.79 s) and was rejected — it doubles the executor spill for
+    # noise-level gain.  Executor-loss caveat: see
+    # events_association_rules (relational.py).
+    sh = shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # AllPairs/PPJoin prefix filtering (EXACT): under a global shingle
     # order (document frequency asc, then shingle — rarest first), any
