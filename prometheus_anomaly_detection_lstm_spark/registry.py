@@ -494,11 +494,13 @@ PRIORITY: list[str] = [
     "tpch_q3", "tpch_q5", "windowed_events",
     # ================= past the 50-slot window =================
     # (position enforced by tests/test_registry_hygiene.py)
-    # r13 window head: user_set_ops changed plans in round 12 (the
-    # intersect/subtract fold: scans 4 -> 1, warm 0.483 -> 0.202 s
-    # interleaved, hash-MATCH driver-simmed) AFTER the r12 window was
-    # frozen — its official row must be re-graded first next round.
-    "user_set_ops",
+    # r13 window head: these changed plans in round 12 AFTER the r12
+    # window was frozen — their official rows must be re-graded first
+    # next round.  user_set_ops: intersect/subtract fold (scans 4 -> 1,
+    # warm 0.483 -> 0.202 s interleaved).  dedup_ngram_jaccard: shingle
+    # stream checkpoint (scans 8 -> 1, full-cost 12.62 -> 9.99 s).
+    # Both hash-MATCH driver-simmed out-of-repo on arrival.
+    "user_set_ops", "dedup_ngram_jaccard",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -518,7 +520,7 @@ PRIORITY: list[str] = [
     "corpus_doc_packing", "corpus_dup_span_removal", "corpus_bpe_encode",
     "corpus_bpe_packing", "corpus_clean_tokenize_pack",
     "per_feature_mse", "asof_join",
-    "rolling_features", "dedup_exact", "dedup_ngram_jaccard",
+    "rolling_features", "dedup_exact",
     "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
     "text_frequent_tokens", "dedup_minhash_incremental",
     "dedup_embedding_cosine", "embedding_random_projection",
