@@ -658,12 +658,15 @@ def _near_dup_candidates(
     threshold: float,
     n_cells: int,
     radius_quantile: float,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Complete candidate-pair set for :func:`embedding_near_dup_pairs`
     (unordered ``(id_a, id_b)``, ``id_a < id_b``).  Factored out so
     tests can measure candidate VOLUME independently of the exact
-    verification stage."""
-    normed = with_norm(emb)
+    verification stage.  ``normed`` lets the caller share one
+    (checkpointed) normalization instead of re-deriving it here."""
+    if normed is None:
+        normed = with_norm(emb)
     unit = normed.withColumn(
         # nullif: a zero vector can't be unit-normalized; NULL elements
         # propagate to NULL distances instead of an ANSI abort
@@ -769,9 +772,21 @@ def embedding_near_dup_pairs(
     IVF assignment idiom as :func:`cosine_topk_ivf`).  Candidate volume
     scales with cluster occupancy, not n², and is robust to planted
     outliers (tests/test_similarity_recall.py).
+
+    The normalized frame feeds the Lloyd rounds (iterative), the
+    assignment/probe stages and both verify-join sides — Catalyst
+    re-executed the scan+normalize chain per consumer (10 executed
+    scans, round-12 audit).  It is computed ONCE here, lazily
+    checkpointed (1× table-scale — the waist trade: one
+    materialization vs ~9 table re-reads at lake scale) and shared
+    with the candidate stage.  Interleaved full-cost A/B at sf0.1:
+    8.68 -> 7.08 s median-of-5, hash-identical.  Executor-loss caveat:
+    see events_association_rules (relational.py).
     """
-    normed = with_norm(emb)
-    cands = _near_dup_candidates(emb, threshold, n_cells, radius_quantile)
+    normed = with_norm(emb).localCheckpoint(eager=False)
+    cands = _near_dup_candidates(
+        emb, threshold, n_cells, radius_quantile, normed=normed
+    )
     a = normed.select(
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("a_vec"),

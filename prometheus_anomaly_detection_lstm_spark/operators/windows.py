@@ -353,6 +353,7 @@ def rolling_features(
     value_cols: list[str],
     length: int,
     ts_col: str = "ts",
+    day_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Trailing-window feature engineering: mean/min/max over the last
     ``length`` rows (including current) per column.
@@ -361,12 +362,16 @@ def rolling_features(
     ``bucket_assign(direction="backward")`` so the trailing frame never
     needs a global sort; partial leading windows emit with whatever
     history exists (pandas ``rolling(min_periods=1)`` semantics).
+    ``day_counts`` passes through to ``bucket_assign`` (same contract)
+    so callers on a row-preserving chain over a pivot skip the three
+    summary-subtree chain rebuilds.
     """
     both = bucket_assign(
         df.select(F.col(ts_col), *value_cols),
         length,
         ts_col,
         direction="backward",
+        day_counts=day_counts,
     )
     w = (
         Window.partitionBy("__bucket")

@@ -268,7 +268,17 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = P.wide_frame(spark, sf_dir)
     df = fill.ffill_bfill_scalable(P.with_calendar(df), P.METRICS)
-    out = rolling_features(df.select("ts", *P.METRICS), P.METRICS, 10)
+    # day_counts injection (the anomaly-family lever, round-12): the
+    # chain over the pivot is row-preserving (calendar + fill are
+    # projections/windows), so bucket_assign's three summary subtrees
+    # read the shallow raw-events aggregate instead of re-executing
+    # pivot->fill three times (scans 8 -> 2 measured by the audit).
+    out = rolling_features(
+        df.select("ts", *P.METRICS),
+        P.METRICS,
+        10,
+        day_counts=P.pivot_day_counts(spark, sf_dir),
+    )
     cols = [F.col("ts")]
     for m in P.METRICS:
         cols += [
@@ -901,11 +911,17 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n")
     )
     w_out = Window.partitionBy("from_type")
+    # edges is VOCABULARY-scale (event_type x event_type) but derives
+    # from the corpus-wide lag+agg chain — each of the unrolled
+    # iterations' inflow joins re-executed that chain (19 executed
+    # scans of events, round-12 audit).  One lazy checkpoint of the
+    # tiny frame truncates all of them: scans 19 -> 1.  Executor-loss
+    # caveat: see events_association_rules (relational.py).
     edges = cnt.select(
         F.col("from_type").alias("f"),
         F.col("to_type").alias("t"),
         (F.col("n") / F.sum("n").over(w_out)).alias("p"),
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("f").alias("node"))
         .union(edges.select(F.col("t").alias("node")))

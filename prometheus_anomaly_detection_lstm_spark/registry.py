@@ -499,8 +499,15 @@ PRIORITY: list[str] = [
     # next round.  user_set_ops: intersect/subtract fold (scans 4 -> 1,
     # warm 0.483 -> 0.202 s interleaved).  dedup_ngram_jaccard: shingle
     # stream checkpoint (scans 8 -> 1, full-cost 12.62 -> 9.99 s).
-    # Both hash-MATCH driver-simmed out-of-repo on arrival.
-    "user_set_ops", "dedup_ngram_jaccard",
+    # dedup_embedding_cosine: shared checkpointed normalization
+    # (scans 10 -> 1, full-cost 8.68 -> 7.08 s).  event_pagerank:
+    # vocabulary-scale edges checkpoint (scans 19 -> 1, full-cost
+    # 1.83 -> 1.35 s).  rolling_features: day_counts injection
+    # (scans 8 -> 2, warm 1.76 -> 1.61 s locally; three avoided
+    # chain re-executions at lake scale).  All hash-MATCH
+    # driver-simmed out-of-repo on arrival.
+    "user_set_ops", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "event_pagerank", "rolling_features",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -520,10 +527,10 @@ PRIORITY: list[str] = [
     "corpus_doc_packing", "corpus_dup_span_removal", "corpus_bpe_encode",
     "corpus_bpe_packing", "corpus_clean_tokenize_pack",
     "per_feature_mse", "asof_join",
-    "rolling_features", "dedup_exact",
+    "dedup_exact",
     "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
     "text_frequent_tokens", "dedup_minhash_incremental",
-    "dedup_embedding_cosine", "embedding_random_projection",
+    "embedding_random_projection",
     "promql_counter_rate", "promql_gauge_over_time",
     "promql_histogram_quantile", "promql_topk_series",
     "promql_rate_by_labelset", "promql_rate_anomaly", "promql_deriv_predict",
@@ -561,7 +568,7 @@ PRIORITY: list[str] = [
     "promql_series_cardinality", "promql_time_weighted_avg",
     "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
     "metric_seasonal_anomaly", "events_grouping_sets",
-    "events_rank_functions", "event_pagerank", "scd2_user_bands",
+    "events_rank_functions", "scd2_user_bands",
     "metric_resample_interpolate", "events_attribution",
     "events_frequent_paths", "orders_backlog_daily", "table_quality_checks",
     "events_pointintime_features", "orders_churn_labels",
