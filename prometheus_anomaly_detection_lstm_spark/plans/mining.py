@@ -198,9 +198,15 @@ def q_event_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t"),
         F.lag("event_type").over(w).alias("f"),
     ).filter(F.col("f").isNotNull() & (F.col("f") != F.col("t")))
+    # und is VOCABULARY-scale (distinct event-type pairs) but derives
+    # from the corpus-wide lag chain; deg (twice via the union),
+    # withdeg and the three oriented join sides re-executed that chain
+    # per consumer — 15 executed scans of events (round-12 audit).
+    # One lazy checkpoint of the tiny frame: scans 15 -> 1.
+    # Executor-loss caveat: see events_association_rules (relational.py).
     und = seq.select(
         F.least("f", "t").alias("a"), F.greatest("f", "t").alias("b")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))

@@ -517,6 +517,7 @@ PRIORITY: list[str] = [
     # driver-simmed out-of-repo on arrival.
     "user_set_ops", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "event_pagerank", "rolling_features", "mse_histogram",
+    "event_graph_triangles",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -556,7 +557,7 @@ PRIORITY: list[str] = [
     "corpus_decontaminate", "corpus_shuffle_shards",
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_quality_filter", "metric_rolling_median", "metric_change_points",
-    "event_graph_triangles", "corpus_quality_curriculum",
+    "corpus_quality_curriculum",
     "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
     "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
