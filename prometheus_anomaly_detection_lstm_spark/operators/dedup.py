@@ -1086,7 +1086,15 @@ def related_docs_topk(
     the rank window partitions by doc, so parallelism follows corpus
     size and the only new shuffle is the pair-scale rank exchange.
     """
-    pairs = minhash_lsh_dedup(docs, threshold, pre_key=True)
+    # the symmetrization union consumes `pairs` TWICE and Catalyst
+    # re-executed the whole banded-LSH + verify chain for each side
+    # (12 executed corpus scans = 2x the flagship's 6, round-12
+    # audit).  The frame is PAIR-scale (near-dup volume), so one lazy
+    # checkpoint halves the chain executions: scans 12 -> 6.
+    # Executor-loss caveat: see events_association_rules (relational.py).
+    pairs = minhash_lsh_dedup(docs, threshold, pre_key=True).localCheckpoint(
+        eager=False
+    )
     sym = pairs.select(
         F.col("doc_a").alias("doc"),
         F.col("doc_b").alias("nbr"),

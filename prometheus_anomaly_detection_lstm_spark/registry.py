@@ -517,7 +517,7 @@ PRIORITY: list[str] = [
     # driver-simmed out-of-repo on arrival.
     "user_set_ops", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "event_pagerank", "rolling_features", "mse_histogram",
-    "event_graph_triangles",
+    "event_graph_triangles", "text_related_docs_topk",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -587,7 +587,7 @@ PRIORITY: list[str] = [
     # the 50 rows graded in round 11 (CORRECTNESS_r11) — freshest,
     # so they queue last:
     "dedup_clusters", "dedup_apply", "corpus_neardup_keep_best",
-    "text_related_docs_topk", "dedup_minhash_recall_eval",
+    "dedup_minhash_recall_eval",
     "dedup_lsh_bucket_profile", "anomaly_mse", "anomaly_flags",
     "anomaly_intervals", "threshold_percentiles",
     "approx_threshold_percentiles", "metric_seasonal_mad",
