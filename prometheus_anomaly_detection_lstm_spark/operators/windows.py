@@ -223,7 +223,12 @@ def bucket_assign(
 
 
 def sequence_windows_scalable(
-    df: DataFrame, feature_cols: list[str], length: int, ts_col: str = "ts"
+    df: DataFrame,
+    feature_cols: list[str],
+    length: int,
+    ts_col: str = "ts",
+    day_col: str | None = None,
+    day_counts: DataFrame | None = None,
 ) -> DataFrame:
     """W2 at scale: day-bucketed build with cross-day boundary overlap.
 
@@ -236,13 +241,19 @@ def sequence_windows_scalable(
     sparse days is handled (not just the adjacent day).  Window ids are
     the global 0-based start-row offsets; each stride-1 window is built
     exactly once, in the bucket where its start row is native.
+    ``day_col``/``day_counts`` pass through to ``bucket_assign`` (same
+    contract) so callers on a row-preserving chain over a pivot reuse
+    the chain's day exchange and skip the summary-subtree rebuilds.
     """
+    sel = [F.col(ts_col), *[F.col(c).cast("double") for c in feature_cols]]
+    if day_col is not None:
+        sel.append(F.col(day_col))
     both = bucket_assign(
-        df.select(
-            F.col(ts_col), *[F.col(c).cast("double") for c in feature_cols]
-        ),
+        df.select(*sel),
         length,
         ts_col,
+        day_col=day_col,
+        day_counts=day_counts,
     )
 
     schema = "window_id bigint, start_ts timestamp, features array<array<double>>"

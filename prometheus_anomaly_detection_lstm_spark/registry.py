@@ -517,7 +517,7 @@ PRIORITY: list[str] = [
     # driver-simmed out-of-repo on arrival.
     "user_set_ops", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "event_pagerank", "rolling_features", "mse_histogram",
-    "event_graph_triangles", "text_related_docs_topk",
+    "event_graph_triangles", "text_related_docs_topk", "anomaly_mse_lstm",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -545,7 +545,7 @@ PRIORITY: list[str] = [
     "promql_histogram_quantile", "promql_topk_series",
     "promql_rate_by_labelset", "promql_rate_anomaly", "promql_deriv_predict",
     "promql_absent", "metric_correlations", "corpus_clean_pipeline",
-    "minmax_scaled", "anomaly_mse_lstm",
+    "minmax_scaled",
     "corpus_stratified_sample", "embedding_covariance", "cube_agg",
     "table_profile", "text_ngram_novelty", "text_dup_ngram_spans",
     "text_lm_trigram_scores", "sessionize", "events_json_extract",
