@@ -28,11 +28,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: queries whose plan builds an eager-on-first-action checkpoint: time
 #: construction + execution together (the bench full-cost protocol).
+#: Round-12 additions: every query that gained a lazy localCheckpoint
+#: in the scan-audit sweep — a warm re-execution of the SAME frame
+#: times only the post-checkpoint tail.
 FULL_COST = {
     "corpus_perplexity_filter",
     "corpus_ccnet_partition",
     "text_lang_id_ngram",
     "text_lang_id_confusion",
+    "metric_esd_outliers",
+    "mse_histogram",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "event_pagerank",
+    "event_graph_triangles",
+    "text_related_docs_topk",
+    "corpus_dedup_e2e_stats",
+    "dedup_minhash_recall_eval",
+    "events_association_rules",
+    "orders_basket_affinity",
+    "text_log_odds_keywords",
 }
 
 DEFAULT_SET = [
