@@ -433,15 +433,26 @@ FROM p GROUP BY 1, 2"""
 
 
 def clean_tokenize_pack(docs: DataFrame) -> DataFrame:
-    """The production tail of an LLM-data pipeline composed in ONE
-    Catalyst plan: exact-substring span removal (Lee et al. 2022)
-    -> frozen-BPE tokenize -> greedy contiguous packing.  Everything
-    stays declarative, so Catalyst fuses the stages — no intermediate
-    materialization between cleaning and packing."""
+    """The production tail of an LLM-data pipeline: exact-substring
+    span removal (Lee et al. 2022) -> frozen-BPE tokenize -> greedy
+    contiguous packing.
+
+    The cleaned corpus is lazily checkpointed between cleaning and
+    packing: the packing stages consume it more than once and Catalyst
+    re-executes the whole span-removal chain per consumer (7 executed
+    corpus scans, round-12 audit — the earlier docstring's "Catalyst
+    fuses the stages" claim measured FALSE).  Materializing the
+    cleaned corpus is also what a production pipeline does anyway —
+    it IS the deliverable between the two phases.  Interleaved
+    full-cost A/B at sf0.1: 2.92 -> 2.59 s median-of-5,
+    hash-identical.  Executor-loss caveat: see
+    events_association_rules (relational.py)."""
     from .text import dup_span_removal
 
-    cleaned = dup_span_removal(docs).select(
-        "doc_id", F.col("text_clean").alias("text")
+    cleaned = (
+        dup_span_removal(docs)
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .localCheckpoint(eager=False)
     )
     return bpe_packing(cleaned)
 

@@ -518,6 +518,7 @@ PRIORITY: list[str] = [
     "user_set_ops", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "event_pagerank", "rolling_features", "mse_histogram",
     "event_graph_triangles", "text_related_docs_topk", "anomaly_mse_lstm",
+    "corpus_clean_tokenize_pack",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -535,7 +536,7 @@ PRIORITY: list[str] = [
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample", "corpus_hash_sample", "corpus_doc_chunks",
     "corpus_doc_packing", "corpus_dup_span_removal", "corpus_bpe_encode",
-    "corpus_bpe_packing", "corpus_clean_tokenize_pack",
+    "corpus_bpe_packing",
     "per_feature_mse", "asof_join",
     "dedup_exact",
     "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
