@@ -956,6 +956,13 @@ def q_events_anomaly_attribution(
     tagged = ev.crossJoin(F.broadcast(incident)).withColumn(
         "is_inc", (F.date_trunc("hour", "ts") == F.col("inc_hour"))
     )
+    # dims is DIMENSION-cardinality (one row per event_type) but its
+    # total agg and the scored projection both consumed it — Catalyst
+    # re-executed the corpus rollup chain per consumer (8 executed
+    # scans, round-12 audit).  One lazy checkpoint of the tiny frame:
+    # scans 8 -> ~4; interleaved full-cost A/B at sf0.1: 1.09 ->
+    # 0.86 s median-of-5, output-identical.  Executor-loss caveat: see
+    # events_association_rules (relational.py).
     dims = tagged.groupBy(F.col("event_type").alias("dim_value")).agg(
         F.coalesce(
             F.sum(F.when(F.col("is_inc"), F.col("value"))), F.lit(0.0)
@@ -964,7 +971,7 @@ def q_events_anomaly_attribution(
             F.sum(F.when(~F.col("is_inc"), F.col("value"))), F.lit(0.0)
         ).alias("base_sum"),
         F.max("inc_hour").alias("inc_hour"),
-    )
+    ).localCheckpoint(eager=False)
     # shares + JS surprise + explanatory power on the
     # dimension-cardinality frame
     t = dims.agg(
