@@ -272,7 +272,8 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain over the pivot is row-preserving (calendar + fill are
     # projections/windows), so bucket_assign's three summary subtrees
     # read the shallow raw-events aggregate instead of re-executing
-    # pivot->fill three times (scans 8 -> 2 measured by the audit).
+    # pivot->fill three times (scans 8 -> 5 measured by the audit —
+    # the fill's own summary consumers keep the remaining rescans).
     out = rolling_features(
         df.select("ts", *P.METRICS),
         P.METRICS,

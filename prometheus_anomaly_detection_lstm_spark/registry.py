@@ -512,7 +512,7 @@ PRIORITY: list[str] = [
     # (scans 10 -> 1, full-cost 8.68 -> 7.08 s).  event_pagerank:
     # vocabulary-scale edges checkpoint (scans 19 -> 1, full-cost
     # 1.83 -> 1.35 s).  rolling_features: day_counts injection
-    # (scans 8 -> 2, warm 1.76 -> 1.61 s locally; three avoided
+    # (scans 8 -> 5, warm 1.76 -> 1.61 s locally; three avoided
     # chain re-executions at lake scale).  All hash-MATCH
     # driver-simmed out-of-repo on arrival.
     "user_set_ops", "dedup_ngram_jaccard", "dedup_embedding_cosine",
