@@ -1167,8 +1167,12 @@ def sax_similar_days(s: DataFrame, top: int = SAX_SIM_TOP) -> DataFrame:
     The archive is the words frame (one row per series-day — metadata
     scale next to the raw samples), so the query-day join, the
     distance fold, and the top-k window all run on #series x #days
-    rows."""
-    words = sax_symbols(s)
+    rows.  The frame feeds THREE consumers (latest, the query-day
+    projection, the candidate side) and Catalyst re-executed the raw
+    SAX rollup chain per consumer (6 executed scans, round-12 audit) —
+    one lazy checkpoint of the tiny frame fixes it.  Executor-loss
+    caveat: see events_association_rules (relational.py)."""
+    words = sax_symbols(s).localCheckpoint(eager=False)
     latest = words.groupBy("metric").agg(F.max("day").alias("qday"))
     query = (
         words.join(F.broadcast(latest), "metric")

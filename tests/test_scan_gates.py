@@ -36,6 +36,7 @@ GATES = {
     "corpus_dedup_e2e_stats": 6,  # was 9
     "corpus_clean_tokenize_pack": 5,  # was 7
     "events_anomaly_attribution": 5,  # was 8
+    "metric_sax_similar_days": 3,  # was 6
 }
 
 
