@@ -98,10 +98,15 @@ def q_metric_cointegration_pairs(
     everything after the rollup is series-pair cardinality."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
+    # hourly is METADATA-scale (series x hours) but both self-join
+    # sides, the fit agg and the residual join all chained back to the
+    # corpus rollup — Catalyst re-executed it per consumer (6 executed
+    # scans, round-12 audit).  One lazy checkpoint of the tiny frame.
+    # Executor-loss caveat: see events_association_rules (relational.py).
     hourly = ev.groupBy(
         F.col("event_type").alias("metric"),
         F.date_trunc("hour", "ts").alias("hour"),
-    ).agg(F.avg("value").alias("y"))
+    ).agg(F.avg("value").alias("y")).localCheckpoint(eager=False)
     a = hourly.select(
         F.col("metric").alias("mx"), "hour", F.col("y").alias("x")
     )

@@ -37,6 +37,7 @@ GATES = {
     "corpus_clean_tokenize_pack": 5,  # was 7
     "events_anomaly_attribution": 5,  # was 8
     "metric_sax_similar_days": 3,  # was 6
+    "metric_cointegration_pairs": 2,  # was 6
 }
 
 
