@@ -846,7 +846,16 @@ def distribution_drift(s: DataFrame) -> DataFrame:
     # map-side pass, where an exact global median would buffer the full
     # stream per partition (measured 3.7x wall at 10x data before this
     # change — the one super-linear stage the growth harness caught).
-    cut = s.agg(((F.min(x) + F.max(x)) / 2).alias("__cut"))
+    # Both the cut (ONE row) and the edges (metric cardinality) are
+    # metadata-scale frames with two consumers each; unchecked,
+    # Catalyst re-executed the tagged subtree per consumer — 6 executed
+    # scans of the corpus (round-12 audit).  Two lazy checkpoints cut
+    # that to 1 (interleaved full-cost A/B 1.33 -> 1.30 s at sf0.1,
+    # hash-identical).  Executor-loss caveat: see
+    # events_association_rules (relational.py).
+    cut = s.agg(
+        ((F.min(x) + F.max(x)) / 2).alias("__cut")
+    ).localCheckpoint(eager=False)
     tagged = s.join(F.broadcast(cut)).withColumn(
         "__is_ref", x <= F.col("__cut")
     )
@@ -855,6 +864,7 @@ def distribution_drift(s: DataFrame) -> DataFrame:
         tagged.filter("__is_ref")
         .groupBy("metric")
         .agg(F.expr(f"percentile(value, array({qs}))").alias("__bs"))
+        .localCheckpoint(eager=False)
     )
     bucket = psi_bucket_expr("__bs")
     counts = (

@@ -519,6 +519,9 @@ PRIORITY: list[str] = [
     "event_pagerank", "rolling_features", "mse_histogram",
     "event_graph_triangles", "text_related_docs_topk", "anomaly_mse_lstm",
     "corpus_clean_tokenize_pack",
+    # metric_distribution_drift: cut + edges checkpoints (scans 6 -> 1,
+    # full-cost 1.33 -> 1.30 s interleaved, hash-MATCH driver-simmed).
+    "metric_distribution_drift",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -568,7 +571,7 @@ PRIORITY: list[str] = [
     "text_lang_id_ngram", "text_lang_id_confusion",
     "corpus_perplexity_filter", "corpus_ccnet_partition",
     "text_repetition_scores", "vocab_bpe_merges", "ann_cosine_topk_pq",
-    "metric_distribution_drift", "tpch_q1_incremental",
+    "tpch_q1_incremental",
     "embedding_nearest_centroid_eval", "metric_forecast_backtest",
     "promql_label_ops", "customer_rfm_segments",
     "events_ab_test", "corpus_length_gini", "metric_cross_correlation",

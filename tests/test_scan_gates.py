@@ -38,6 +38,7 @@ GATES = {
     "events_anomaly_attribution": 5,  # was 8
     "metric_sax_similar_days": 3,  # was 6
     "metric_cointegration_pairs": 2,  # was 6
+    "metric_distribution_drift": 1,  # was 6
 }
 
 
