@@ -897,7 +897,16 @@ def containment_pairs(
     Self-pairs and A=B excluded; both (A,B) and (B,A) can appear, each
     on its own threshold test.
     """
-    sh = shingles(docs)
+    # Same waist-table trade as ngram_jaccard_pairs above: the shingle
+    # stream feeds six consumers (sizes, dfreq, ranked's left side, the
+    # candidate join's full-index side, and both verify-join sides) and
+    # Catalyst re-executed the scan+explode per consumer (6 executed
+    # corpus scans, round-12 audit).  One lazy localCheckpoint
+    # materializes the ~1× amplified frame once.  Interleaved full-cost
+    # A/B at sf0.1: 25.3 -> 17.4 s median-of-5 (busy-box minute; every
+    # B pass under its paired A), hash-identical.  Executor-loss
+    # caveat: see events_association_rules (relational.py).
+    sh = shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     w_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")

@@ -521,7 +521,9 @@ PRIORITY: list[str] = [
     "corpus_clean_tokenize_pack",
     # metric_distribution_drift: cut + edges checkpoints (scans 6 -> 1,
     # full-cost 1.33 -> 1.30 s interleaved, hash-MATCH driver-simmed).
-    "metric_distribution_drift",
+    # text_containment_pairs: shingle-stream checkpoint (scans 6 -> 1,
+    # full-cost 25.3 -> 17.4 s interleaved busy-box, hash-MATCH simmed).
+    "metric_distribution_drift", "text_containment_pairs",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -565,7 +567,7 @@ PRIORITY: list[str] = [
     "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
     "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
-    "text_containment_pairs", "text_nb_classifier",
+    "text_nb_classifier",
     "text_nb_classifier_auc", "text_nb_confusion",
     "corpus_bloom_decontaminate", "corpus_bpe_encode_32k",
     "text_lang_id_ngram", "text_lang_id_confusion",

@@ -39,6 +39,7 @@ GATES = {
     "metric_sax_similar_days": 3,  # was 6
     "metric_cointegration_pairs": 2,  # was 6
     "metric_distribution_drift": 1,  # was 6
+    "text_containment_pairs": 1,  # was 6
 }
 
 
