@@ -523,7 +523,10 @@ PRIORITY: list[str] = [
     # full-cost 1.33 -> 1.30 s interleaved, hash-MATCH driver-simmed).
     # text_containment_pairs: shingle-stream checkpoint (scans 6 -> 1,
     # full-cost 25.3 -> 17.4 s interleaved busy-box, hash-MATCH simmed).
+    # corpus_upsert_latest: one-scan conditional-explode delta +
+    # checkpoint (scans 5 -> 1, 0.49 -> 0.47 s, hash-MATCH simmed).
     "metric_distribution_drift", "text_containment_pairs",
+    "corpus_upsert_latest",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -578,7 +581,7 @@ PRIORITY: list[str] = [
     "promql_label_ops", "customer_rfm_segments",
     "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
     "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
-    "corpus_mixture_sample", "corpus_upsert_latest",
+    "corpus_mixture_sample",
     "promql_subquery_max_rate", "promql_alert_episodes",
     "promql_rate_offset_delta", "promql_sum_by_rate",
     "promql_series_cardinality", "promql_time_weighted_avg",

@@ -40,6 +40,7 @@ GATES = {
     "metric_cointegration_pairs": 2,  # was 6
     "metric_distribution_drift": 1,  # was 6
     "text_containment_pairs": 1,  # was 6
+    "corpus_upsert_latest": 1,  # was 5
 }
 
 
