@@ -525,8 +525,11 @@ PRIORITY: list[str] = [
     # full-cost 25.3 -> 17.4 s interleaved busy-box, hash-MATCH simmed).
     # corpus_upsert_latest: one-scan conditional-explode delta +
     # checkpoint (scans 5 -> 1, 0.49 -> 0.47 s, hash-MATCH simmed).
+    # dedup_minhash_incremental: bucket-table + verify-shingle
+    # checkpoints (scans 6 -> 2 materializations, full-cost 4.14 ->
+    # 3.08 s interleaved, hash-MATCH simmed).
     "metric_distribution_drift", "text_containment_pairs",
-    "corpus_upsert_latest",
+    "corpus_upsert_latest", "dedup_minhash_incremental",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -548,7 +551,7 @@ PRIORITY: list[str] = [
     "per_feature_mse", "asof_join",
     "dedup_exact",
     "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
-    "text_frequent_tokens", "dedup_minhash_incremental",
+    "text_frequent_tokens",
     "embedding_random_projection",
     "promql_counter_rate", "promql_gauge_over_time",
     "promql_histogram_quantile", "promql_topk_series",

@@ -41,6 +41,7 @@ GATES = {
     "metric_distribution_drift": 1,  # was 6
     "text_containment_pairs": 1,  # was 6
     "corpus_upsert_latest": 1,  # was 5
+    "dedup_minhash_incremental": 1,  # was 6 (2 checkpoint materializations)
 }
 
 
