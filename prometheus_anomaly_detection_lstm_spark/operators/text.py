@@ -1111,15 +1111,25 @@ def nb_train_score(docs: DataFrame, pos_lang: str = NB_POS_LANG) -> DataFrame:
     ).filter(F.col("term") != "")
     train_toks = toks.filter(F.col("doc_id") % NB_FOLD_MOD != 0)
 
+    # counts is VOCABULARY-scale with two consumers (stats, model) and
+    # the model itself is consumed downstream — unchecked, Catalyst
+    # re-executed the corpus-wide token agg per consumer (6 executed
+    # scans, round-12 audit).  Checkpointing the vocab-scale counts
+    # (+ the one-row stats) cuts that to 3; interleaved full-cost A/B
+    # at sf0.1: 1.79 -> 1.57 s median-of-5, hash-identical.  (This is
+    # the CHECKPOINT lever — distinct from the round-11 stats REWRITE
+    # counter-example, where an ungrouped countDistinct planned a
+    # single-partition merge and measured slower.)  Executor-loss
+    # caveat: see events_association_rules (relational.py).
     counts = train_toks.groupBy("term").agg(
         F.sum("is_pos").alias("n_pos"),
         (F.count("*") - F.sum("is_pos")).alias("n_neg"),
-    )
+    ).localCheckpoint(eager=False)
     stats = counts.agg(
         F.sum("n_pos").alias("tot_pos"),
         F.sum("n_neg").alias("tot_neg"),
         F.count("*").alias("vocab"),
-    )
+    ).localCheckpoint(eager=False)
     model = counts.crossJoin(F.broadcast(stats)).select(
         "term",
         (
@@ -1350,16 +1360,22 @@ def nb_multiclass_confusion(docs: DataFrame) -> DataFrame:
     ).filter(F.col("term") != "")
     train = toks.filter(F.col("doc_id") % NB_FOLD_MOD != 0)
 
+    # Same checkpoint lever as the binary classifier above: the
+    # vocabulary-scale pivot has two consumers (stats, the scored
+    # broadcast join) — one lazy checkpoint each for counts and the
+    # one-row stats stops the corpus-wide token pivot re-executing per
+    # consumer (5 -> 3 executed scans, round-12 audit).
     counts = (
         train.groupBy("term")
         .pivot("lang", NB_LANGS)
         .agg(F.count(F.lit(1)))
         .na.fill(0)
+        .localCheckpoint(eager=False)
     )
     stats = counts.agg(
         *[F.sum(l).alias(f"tot_{l}") for l in NB_LANGS],
         F.count("*").alias("vocab"),
-    )
+    ).localCheckpoint(eager=False)
     priors = (
         train.select("doc_id", "lang")
         .distinct()

@@ -530,6 +530,10 @@ PRIORITY: list[str] = [
     # 3.08 s interleaved, hash-MATCH simmed).
     "metric_distribution_drift", "text_containment_pairs",
     "corpus_upsert_latest", "dedup_minhash_incremental",
+    # NB family: vocab-scale counts + one-row stats checkpoints
+    # (binary 6 -> 3 scans, 1.79 -> 1.57 s; multiclass 5 -> 3 scans,
+    # neutral timing; all three rows hash-MATCH driver-simmed).
+    "text_nb_classifier", "text_nb_classifier_auc", "text_nb_confusion",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -573,8 +577,7 @@ PRIORITY: list[str] = [
     "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
     "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
-    "text_nb_classifier",
-    "text_nb_classifier_auc", "text_nb_confusion",
+
     "corpus_bloom_decontaminate", "corpus_bpe_encode_32k",
     "text_lang_id_ngram", "text_lang_id_confusion",
     "corpus_perplexity_filter", "corpus_ccnet_partition",

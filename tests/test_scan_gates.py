@@ -42,6 +42,9 @@ GATES = {
     "text_containment_pairs": 1,  # was 6
     "corpus_upsert_latest": 1,  # was 5
     "dedup_minhash_incremental": 1,  # was 6 (2 checkpoint materializations)
+    "text_nb_classifier": 3,  # was 6
+    "text_nb_classifier_auc": 3,  # was 6
+    "text_nb_confusion": 3,  # was 5
 }
 
 
