@@ -48,6 +48,19 @@ FULL_COST = {
     "events_association_rules",
     "orders_basket_affinity",
     "text_log_odds_keywords",
+    # sweep extension 2 (post-closing session) checkpoint landings:
+    "metric_distribution_drift",
+    "text_containment_pairs",
+    "corpus_upsert_latest",
+    "dedup_minhash_incremental",
+    "text_nb_classifier",
+    "text_nb_classifier_auc",
+    "text_nb_confusion",
+    # earlier checkpointed plans that predate this list:
+    "metric_cointegration_pairs",
+    "metric_sax_similar_days",
+    "corpus_clean_tokenize_pack",
+    "events_anomaly_attribution",
 }
 
 DEFAULT_SET = [
