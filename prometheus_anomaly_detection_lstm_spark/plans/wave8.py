@@ -375,7 +375,15 @@ def pmi_collocations(
         .select(F.explode(bigrams).alias("bg"))
         .select("bg.w1", "bg.w2")
     )
-    cxy = b.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    # cxy is bigram-VOCABULARY scale with four consumers (cx, cy,
+    # total, scored) — unchecked, Catalyst re-executed the corpus-wide
+    # bigram explode per consumer (4 executed scans, round-12 audit).
+    # One lazy checkpoint cuts that to one pass; interleaved full-cost
+    # A/B at sf0.1: 1.91 -> 1.48 s median-of-5, hash-identical.
+    # Executor-loss caveat: see events_association_rules (relational.py).
+    cxy = b.groupBy("w1", "w2").agg(
+        F.count("*").alias("c_xy")
+    ).localCheckpoint(eager=False)
     # margins as DOUBLE: the c_x * c_y product at 100-TB corpus counts
     # would overflow BIGINT (the oracle's counts are DOUBLE throughout)
     cx = cxy.groupBy("w1").agg(F.sum("c_xy").cast("double").alias("c_x"))

@@ -56,6 +56,7 @@ FULL_COST = {
     "text_nb_classifier",
     "text_nb_classifier_auc",
     "text_nb_confusion",
+    "text_pmi_collocations",
     # earlier checkpointed plans that predate this list:
     "metric_cointegration_pairs",
     "metric_sax_similar_days",
