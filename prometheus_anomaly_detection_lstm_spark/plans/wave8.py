@@ -966,9 +966,17 @@ def seasonal_mad_anomalies(
     to both.  Two metadata-scale profile aggregates (#series x 24 rows)
     broadcast back; the scoring pass is map-only."""
     by_slot = ["metric", F.hour("ts").alias("__h")]
+    # Both profile frames are METADATA-scale (#series x 24 rows) with
+    # two consumers each (med: the mad chain + scoring; mad: scoring)
+    # — unchecked, Catalyst re-executed the corpus scan per consumer
+    # (4 executed scans, round-12 audit).  Two lazy checkpoints cut
+    # that to 1; interleaved full-cost A/B at sf0.1: 1.178 vs 1.177 s
+    # median-of-7 (neutral locally, three avoided full reads at lake
+    # scale).  Executor-loss caveat: see events_association_rules
+    # (relational.py).
     med = s.groupBy(*by_slot).agg(
         F.expr("percentile(value, 0.5D)").alias("__med")
-    )
+    ).localCheckpoint(eager=False)
     slotted = s.withColumn("__h", F.hour("ts")).join(
         F.broadcast(med), ["metric", "__h"]
     )
@@ -976,6 +984,7 @@ def seasonal_mad_anomalies(
         slotted.withColumn("__ad", F.abs(F.col("value") - F.col("__med")))
         .groupBy("metric", "__h")
         .agg(F.expr("percentile(__ad, 0.5D)").alias("__mad"))
+        .localCheckpoint(eager=False)
     )
     scored = slotted.join(F.broadcast(mad), ["metric", "__h"]).withColumn(
         "__m",

@@ -534,6 +534,9 @@ PRIORITY: list[str] = [
     # (binary 6 -> 3 scans, 1.79 -> 1.57 s; multiclass 5 -> 3 scans,
     # neutral timing; all three rows hash-MATCH driver-simmed).
     "text_nb_classifier", "text_nb_classifier_auc", "text_nb_confusion",
+    # metric_seasonal_mad: med+mad profile checkpoints (scans 4 -> 1,
+    # timing neutral 1.178 vs 1.177 s, hash-MATCH driver-simmed).
+    "metric_seasonal_mad",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -605,7 +608,7 @@ PRIORITY: list[str] = [
     "dedup_minhash_recall_eval",
     "dedup_lsh_bucket_profile", "anomaly_mse", "anomaly_flags",
     "anomaly_intervals", "threshold_percentiles",
-    "approx_threshold_percentiles", "metric_seasonal_mad",
+    "approx_threshold_percentiles",
     "embedding_knn_label_audit", "ann_cosine_topk", "corpus_source_token_drift",
     "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
     "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",

@@ -46,6 +46,7 @@ GATES = {
     "text_nb_classifier_auc": 3,  # was 6
     "text_nb_confusion": 3,  # was 5
     "text_pmi_collocations": 1,  # was 4
+    "metric_seasonal_mad": 1,  # was 4
 }
 
 

@@ -57,6 +57,7 @@ FULL_COST = {
     "text_nb_classifier_auc",
     "text_nb_confusion",
     "text_pmi_collocations",
+    "metric_seasonal_mad",
     # earlier checkpointed plans that predate this list:
     "metric_cointegration_pairs",
     "metric_sax_similar_days",
