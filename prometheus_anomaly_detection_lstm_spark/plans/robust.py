@@ -512,7 +512,16 @@ def source_token_drift(docs: DataFrame) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("token"),
     )
-    per_src = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    # per_src is (source x token) VOCABULARY scale with three
+    # consumers (src_tot, glob, the probability join) — unchecked,
+    # Catalyst re-executed the corpus-wide token explode per consumer
+    # (4 executed scans, round-12 audit).  One lazy checkpoint cuts
+    # that to one pass; interleaved full-cost A/B at sf0.1:
+    # 0.735 -> 0.712 s median-of-7, hash-identical.  Executor-loss
+    # caveat: see events_association_rules (relational.py).
+    per_src = tok.groupBy("source", "token").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n_src"))
     glob = per_src.groupBy("token").agg(F.sum("c").alias("g"))
     glob_tot = glob.agg(F.sum("g").alias("n_glob"))

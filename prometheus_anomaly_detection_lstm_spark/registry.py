@@ -536,7 +536,9 @@ PRIORITY: list[str] = [
     "text_nb_classifier", "text_nb_classifier_auc", "text_nb_confusion",
     # metric_seasonal_mad: med+mad profile checkpoints (scans 4 -> 1,
     # timing neutral 1.178 vs 1.177 s, hash-MATCH driver-simmed).
-    "metric_seasonal_mad",
+    # corpus_source_token_drift: per_src vocab checkpoint (scans
+    # 4 -> 1, 0.735 -> 0.712 s, hash-MATCH driver-simmed).
+    "metric_seasonal_mad", "corpus_source_token_drift",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -609,7 +611,7 @@ PRIORITY: list[str] = [
     "dedup_lsh_bucket_profile", "anomaly_mse", "anomaly_flags",
     "anomaly_intervals", "threshold_percentiles",
     "approx_threshold_percentiles",
-    "embedding_knn_label_audit", "ann_cosine_topk", "corpus_source_token_drift",
+    "embedding_knn_label_audit", "ann_cosine_topk", 
     "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
     "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",
     "events_bot_cadence", "events_dau_wau", "events_funnel_timing",

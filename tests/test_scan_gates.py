@@ -47,6 +47,7 @@ GATES = {
     "text_nb_confusion": 3,  # was 5
     "text_pmi_collocations": 1,  # was 4
     "metric_seasonal_mad": 1,  # was 4
+    "corpus_source_token_drift": 1,  # was 4
 }
 
 

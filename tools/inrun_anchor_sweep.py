@@ -58,6 +58,7 @@ FULL_COST = {
     "text_nb_confusion",
     "text_pmi_collocations",
     "metric_seasonal_mad",
+    "corpus_source_token_drift",
     # earlier checkpointed plans that predate this list:
     "metric_cointegration_pairs",
     "metric_sax_similar_days",
