@@ -418,15 +418,22 @@ def mad_outliers(s: DataFrame) -> DataFrame:
     median must exist before deviations can be ranked — inherently two
     passes); both summary frames join back by metric unhinted, so AQE
     broadcasts them at any realistic label cardinality."""
+    # Both summary frames are metric-cardinality with two consumers
+    # each — unchecked, Catalyst re-executed the corpus scan per
+    # consumer (4 executed scans, round-12 audit).  Two lazy
+    # checkpoints cut that to 1 (interleaved full-cost A/B at sf0.1:
+    # 0.956 vs 0.986 s median-of-7, noise-level; three avoided full
+    # reads at lake scale).  Executor-loss caveat: see
+    # events_association_rules (relational.py).
     med = s.groupBy("metric").agg(
         F.expr("percentile(value, 0.5)").alias("__med")
-    )
+    ).localCheckpoint(eager=False)
     dev = s.join(med, "metric").withColumn(
         "__ad", F.abs(F.col("value") - F.col("__med"))
     )
     mad = dev.groupBy("metric").agg(
         F.expr("percentile(__ad, 0.5)").alias("__mad")
-    )
+    ).localCheckpoint(eager=False)
     z = F.lit(0.6745) * (F.col("value") - F.col("__med")) / F.col("__mad")
     return (
         dev.join(mad, "metric")

@@ -728,10 +728,18 @@ def sax_motifs(s: DataFrame) -> DataFrame:
     plus every word seen exactly once (novel days — the symbolic
     discord signal).  The word-frequency frame is bounded by #days per
     series, so the per-series ranking window is metadata-scale."""
+    # freq is metadata-scale (#series x #day-words) with two consumers
+    # (motifs, novel) — unchecked, each re-executed the whole SAX
+    # chain from scan (4 executed scans, round-12 audit; the
+    # sax_similar_days words-archive precedent).  One lazy checkpoint
+    # cuts that to 1; interleaved full-cost A/B at sf0.1: 1.113 ->
+    # 1.088 s median-of-7, hash-identical.  Executor-loss caveat: see
+    # events_association_rules (relational.py).
     freq = (
         sax_symbols(s)
         .groupBy("metric", "word")
         .agg(F.count("*").cast("bigint").alias("n_days"))
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("metric").orderBy(
         F.desc("n_days"), F.asc("word")

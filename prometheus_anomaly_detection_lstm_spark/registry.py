@@ -538,7 +538,10 @@ PRIORITY: list[str] = [
     # timing neutral 1.178 vs 1.177 s, hash-MATCH driver-simmed).
     # corpus_source_token_drift: per_src vocab checkpoint (scans
     # 4 -> 1, 0.735 -> 0.712 s, hash-MATCH driver-simmed).
+    # metric_mad_outliers: med+mad checkpoints (scans 4 -> 1, noise-
+    # level timing, hash-MATCH driver-simmed).
     "metric_seasonal_mad", "corpus_source_token_drift",
+    "metric_mad_outliers",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -579,7 +582,7 @@ PRIORITY: list[str] = [
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_quality_filter", "metric_rolling_median", "metric_change_points",
     "corpus_quality_curriculum",
-    "metric_autocorrelation", "metric_mad_outliers", "metric_stl_decompose",
+    "metric_autocorrelation", "metric_stl_decompose",
     "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
 

@@ -48,6 +48,8 @@ GATES = {
     "text_pmi_collocations": 1,  # was 4
     "metric_seasonal_mad": 1,  # was 4
     "corpus_source_token_drift": 1,  # was 4
+    "metric_mad_outliers": 1,  # was 4
+    "metric_sax_motifs": 1,  # was 4
 }
 
 

@@ -59,6 +59,8 @@ FULL_COST = {
     "text_pmi_collocations",
     "metric_seasonal_mad",
     "corpus_source_token_drift",
+    "metric_mad_outliers",
+    "metric_sax_motifs",
     # earlier checkpointed plans that predate this list:
     "metric_cointegration_pairs",
     "metric_sax_similar_days",
