@@ -1158,6 +1158,14 @@ def main() -> None:
     # derivable waist duck-sec stay in the full JSON body (recorded in
     # the round docs on every official-shape run) but leave the tail;
     # the three recall floors merge into one [lsh, ivf, pq] list.
+    # Round-12 re-measure: a run with wider numbers printed a 2026-byte
+    # summary tail — 26 bytes over the capture, cutting "value" from
+    # the tail.  The curation therefore also drops the five sf1
+    # *_duck_sec keys (derivable: spark_sec / inrun_ratio), the three
+    # ann_*_build_sec pins, the two sf1 q3 pins and the bucketed write
+    # pin from the SUMMARY COPY ONLY (all stay in the full JSON body,
+    # none is a `queries` entry), leaving ~340 bytes of headroom for
+    # number-width wobble.
     summary = {
         "value": out["value"],
         "queries": best,
@@ -1165,24 +1173,17 @@ def main() -> None:
         "comparable11_total": out["comparable11_total"],
         "comparable11_duck_total": out["comparable11_duck_total"],
         "comparable11_inrun_ratio": out["comparable11_inrun_ratio"],
-        "tpch_q3_bucketed_write_sec": out["tpch_q3_bucketed_write_sec"],
         "dedup_minhash_lsh_median7": best["dedup_minhash_lsh"],
         "ann_recalls_lsh_ivf_pq": [lsh_recall, ivf_recall, pq_recall],
     }
     for k in (
-        "sf1_tpch_q3",
-        "sf1_tpch_q3_bucketed",
         "sf1_dedup_minhash_lsh",
-        "sf1_dedup_minhash_lsh_duck_sec",
         "sf1_dedup_minhash_lsh_inrun_ratio",
         "sf1_dup_span_removal",
-        "sf1_dup_span_removal_duck_sec",
         "sf1_dup_span_removal_inrun_ratio",
         "sf1_corpus_perplexity_filter",
-        "sf1_corpus_perplexity_filter_duck_sec",
         "sf1_corpus_perplexity_filter_inrun_ratio",
         "sf1_anomaly_mse",
-        "sf1_anomaly_mse_duck_sec",
         "sf1_anomaly_mse_inrun_ratio",
         "sf1_anomaly_error",
         "sf1_anomaly_waist_build_sec",
@@ -1193,14 +1194,10 @@ def main() -> None:
         "sf1_anomaly_waist_error",
         "sf1_text_lang_id_full",
         "sf1_text_lang_id_warm",
-        "sf1_text_lang_id_duck_sec",
         "sf1_text_lang_id_warm_vs_fullduck_ratio",
         "sf1_text_lang_id_full_inrun_ratio",
         "sf1_langid_error",
         "corpus_perplexity_filter_full",
-        "ann_ivf_build_sec",
-        "ann_pq_build_sec",
-        "ann_lsh_build_sec",
         "ann_ivf_prebuilt_query_sec",
         "ann_pq_prebuilt_query_sec",
         "ann_lsh_prebuilt_query_sec",
