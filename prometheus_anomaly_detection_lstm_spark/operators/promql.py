@@ -622,15 +622,34 @@ def absent_buckets(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
     itself), not the sample volume; the anti-join is a hash equi-join
     on (metric, w_start).
     """
+    # observed is grid-scale (distinct (metric, w_start)) and fully
+    # determines the other two inputs: the series list is its distinct
+    # metrics and the bounds are min/max over its w_start (the window
+    # start is monotone in ts, so min/max over distinct slots equal
+    # bucket_span's min/max over per-sample starts).  Unchecked, the
+    # three derivations re-scanned the sample table once each
+    # (3 executed scans, round-12 audit); one lazy checkpoint makes
+    # this a single pass.  Executor-local blocks — recompute
+    # impossible on executor loss; use reliable checkpointing when
+    # executors are preemptible.
     observed = (
         samples.select(
             "metric",
             F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    series = samples.select("metric").distinct()
-    grid = series.crossJoin(F.broadcast(bucket_span(samples, bucket_s)))
+    series = observed.select("metric").distinct()
+    span = (
+        observed.agg(F.min("w_start").alias("__lo"), F.max("w_start").alias("__hi"))
+        .select(
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval {bucket_s} seconds)")
+            ).alias("w_start")
+        )
+    )
+    grid = series.crossJoin(F.broadcast(span))
     return grid.join(observed, ["metric", "w_start"], "left_anti")
 
 

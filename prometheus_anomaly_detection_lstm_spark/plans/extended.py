@@ -395,12 +395,21 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     three resolutions tagged by grain."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
+    # minute is time-grid scale (|minutes x event_types|) with three
+    # consumers (its own union branch + the hour cascade feeding the
+    # day cascade) — unchecked, Catalyst re-executes the raw-events
+    # aggregation per consumer (3 executed scans, round-12 audit), so
+    # the docstring's "scanned exactly once" only holds with this lazy
+    # checkpoint.  Blocks live on executors only (executor loss =>
+    # recompute impossible); use reliable checkpointing on preemptible
+    # clusters.
     minute = (
         ev.groupBy(
             F.date_trunc("minute", "ts").alias("bucket"),
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .localCheckpoint(eager=False)
     )
     hour = (
         minute.groupBy(

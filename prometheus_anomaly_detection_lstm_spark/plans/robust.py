@@ -353,13 +353,19 @@ def funnel_timing(ev: DataFrame) -> DataFrame:
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t2"),
     )
+    # conv is converter-scale (three doubles per in-order user) with
+    # three consumers (one aggregate per step pair) — unchecked,
+    # Catalyst re-executes the per-user stages aggregation over raw
+    # events per consumer (3 executed scans, round-12 audit).  Lazy
+    # checkpoint: executor-local blocks, recompute impossible on
+    # executor loss; prefer reliable checkpointing with preemption.
     conv = stages.filter(
         (F.col("t0") <= F.col("t1")) & (F.col("t1") <= F.col("t2"))
     ).select(
         (ntz_epoch_seconds("t1") - ntz_epoch_seconds("t0")).alias("g01"),
         (ntz_epoch_seconds("t2") - ntz_epoch_seconds("t1")).alias("g12"),
         (ntz_epoch_seconds("t2") - ntz_epoch_seconds("t0")).alias("g02"),
-    )
+    ).localCheckpoint(eager=False)
     rows = []
     for col, step in (("g01", "signup->click"), ("g12", "click->purchase"), ("g02", "signup->purchase")):
         rows.append(

@@ -542,6 +542,15 @@ PRIORITY: list[str] = [
     # level timing, hash-MATCH driver-simmed).
     "metric_seasonal_mad", "corpus_source_token_drift",
     "metric_mad_outliers",
+    # multires_rollup: minute-grain checkpoint makes the cascade's
+    # "scanned exactly once" docstring true (scans 3 -> 1, median-of-9
+    # 0.799 -> 0.771 s interleaved, hash-MATCH driver-simmed).
+    # events_funnel_timing: converter-scale conv checkpoint (scans
+    # 3 -> 1, 0.595 -> 0.561 s, hash-MATCH driver-simmed).
+    # promql_absent: series list + bucket span derived from the
+    # checkpointed observed-slots frame (scans 3 -> 1, neutral timing
+    # across two 9-pass samples, hash-MATCH driver-simmed).
+    "multires_rollup", "events_funnel_timing", "promql_absent",
     # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
     # last (freshest):
     "rollup_agg", "topk_per_group",
@@ -549,7 +558,7 @@ PRIORITY: list[str] = [
     "funnel", "embedding_mean_by_label", "events_hourly_pivot",
     "unpivot_metrics", "approx_distinct_users",
     "nan_counts", "tpch_q6",
-    "min_cost_supplier", "multires_rollup", "ffill_bfill", "metrics_wide",
+    "min_cost_supplier", "ffill_bfill", "metrics_wide",
     "standard_scaled", "scaler_params", "calendar_features", "fill_mean",
     "fill_median", "tail_n", "inner_align", "dedup_keep_first",
     "multi_series_first", "union_periods", "backfill_missing",
@@ -568,7 +577,7 @@ PRIORITY: list[str] = [
     "promql_counter_rate", "promql_gauge_over_time",
     "promql_histogram_quantile", "promql_topk_series",
     "promql_rate_by_labelset", "promql_rate_anomaly", "promql_deriv_predict",
-    "promql_absent", "metric_correlations", "corpus_clean_pipeline",
+    "metric_correlations", "corpus_clean_pipeline",
     "minmax_scaled",
     "corpus_stratified_sample", "embedding_covariance", "cube_agg",
     "table_profile", "text_ngram_novelty", "text_dup_ngram_spans",
@@ -617,7 +626,7 @@ PRIORITY: list[str] = [
     "embedding_knn_label_audit", "ann_cosine_topk", 
     "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
     "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",
-    "events_bot_cadence", "events_dau_wau", "events_funnel_timing",
+    "events_bot_cadence", "events_dau_wau",
     "events_heavy_hitters", "events_markov_next_eval",
     "metric_cusum_anomalies", "metric_periodogram", "metric_theil_sen_trend",
     "multimodal_phash_dedup", "parts_abc_by_brand",

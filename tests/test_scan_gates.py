@@ -50,6 +50,9 @@ GATES = {
     "corpus_source_token_drift": 1,  # was 4
     "metric_mad_outliers": 1,  # was 4
     "metric_sax_motifs": 1,  # was 4
+    "multires_rollup": 1,  # was 3
+    "events_funnel_timing": 1,  # was 3
+    "promql_absent": 1,  # was 3
 }
 
 

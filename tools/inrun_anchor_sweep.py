@@ -66,6 +66,10 @@ FULL_COST = {
     "metric_sax_similar_days",
     "corpus_clean_tokenize_pack",
     "events_anomaly_attribution",
+    # second optimization-session landings:
+    "multires_rollup",
+    "events_funnel_timing",
+    "promql_absent",
 }
 
 DEFAULT_SET = [
