@@ -240,13 +240,15 @@ def _sf1_q3_pair(spark, queries) -> dict:
     pair = (("sf1_tpch_q3", plain), ("sf1_tpch_q3_bucketed", bucketed))
     for _name, df in pair:  # warm, untimed
         df.write.format("noop").mode("overwrite").save()
-    for _ in range(7):
-        for name, df in pair:
-            spark.sparkContext.setJobDescription(f"bench:{name}")
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples[name].append(round(time.perf_counter() - t0, 3))
-    spark.sparkContext.setJobDescription(None)
+    try:
+        for _ in range(7):
+            for name, df in pair:
+                spark.sparkContext.setJobDescription(f"bench:{name}")
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(round(time.perf_counter() - t0, 3))
+    finally:
+        spark.sparkContext.setJobDescription(None)
     for name, vals in samples.items():
         out[name] = min(vals)
         out[f"{name}_passes"] = vals
@@ -444,14 +446,17 @@ def _sf1_anomaly_waist(spark, queries) -> dict:
         .write.mode("overwrite")
         .parquet(waist_path)
     )
-    out["sf1_anomaly_waist_build_sec"] = round(time.perf_counter() - t0, 3)
-
     waist = spark.read.parquet(waist_path)
     # metadata-scale (one row per day): collected once so the three
-    # bucketing summary subtrees read a local frame, not table rescans
+    # bucketing summary subtrees read a local frame, not table rescans.
+    # The collect is INSIDE the timed build (r12 verdict item 9 — it
+    # previously ran between the timed build and the timed query, so
+    # neither timed region carried this small scan).
     day_rows = (
         waist.groupBy("__day").agg(F.count("*").alias("__n")).collect()
     )
+    out["sf1_anomaly_waist_build_sec"] = round(time.perf_counter() - t0, 3)
+
     day_counts = spark.createDataFrame(day_rows)
     scored = SC.window_mse(
         waist,
@@ -834,6 +839,80 @@ def _perplexity_full_cost(spark, queries, sf_dir: str) -> dict:
     }
 
 
+#: optional keys copied into the compact trailing summary when present
+#: (curated to fit the driver's 2000-byte tail capture — see the
+#: comment above build_summary's call site in main()).
+SUMMARY_OPTIONAL_KEYS = (
+    "sf1_dedup_minhash_lsh",
+    "sf1_dedup_minhash_lsh_inrun_ratio",
+    "sf1_dup_span_removal",
+    "sf1_dup_span_removal_inrun_ratio",
+    "sf1_corpus_perplexity_filter",
+    "sf1_corpus_perplexity_filter_inrun_ratio",
+    "sf1_anomaly_mse",
+    "sf1_anomaly_mse_inrun_ratio",
+    "sf1_anomaly_error",
+    "sf1_anomaly_waist_build_sec",
+    "sf1_anomaly_mse_waist",
+    "sf1_anomaly_mse_waist_inrun_ratio",
+    "sf1_waist_vs_fullduck",
+    "sf1_anomaly_waist_match",
+    "sf1_anomaly_waist_error",
+    "sf1_text_lang_id_full",
+    "sf1_text_lang_id_warm",
+    "sf1_text_lang_id_warm_vs_fullduck_ratio",
+    "sf1_text_lang_id_full_inrun_ratio",
+    "sf1_langid_error",
+    "corpus_perplexity_filter_full",
+    "ann_ivf_prebuilt_query_sec",
+    "ann_pq_prebuilt_query_sec",
+    "ann_lsh_prebuilt_query_sec",
+    "ann_prebuilt_min_recall",
+    "ann_prebuilt_error",
+    "sf1_section_error",
+    "sf1_minhash_error",
+    "sf1_span_error",
+    "sf1_perplexity_error",
+    "perplexity_full_error",
+)
+
+#: serialized budget for the trailing summary copy: the driver's tail
+#: capture is 2000 bytes (BENCH_r11's artifact was lost to it), so the
+#: summary plus its key prefix and the closing brace must stay under
+#: 1900 with ~100 B of margin for number-width wobble.  Pinned by
+#: tests/test_bench_summary_budget.py against worst-case widths.
+SUMMARY_BYTE_BUDGET = 1900
+
+
+def build_summary(out: dict) -> dict:
+    """The compact trailing copy of every headline stat (serialized as
+    the LAST json key so the driver's 2000-byte tail capture keeps it).
+    Exception strings are truncated to 60 chars in the copy only (the
+    full message stays in the JSON body) — an unbounded error message
+    must never push the summary over the tail budget."""
+    summary = {
+        "value": out["value"],
+        "queries": out["queries"],
+        "queries_duck": out["queries_duck"],
+        "comparable11_total": out["comparable11_total"],
+        "comparable11_duck_total": out["comparable11_duck_total"],
+        "comparable11_inrun_ratio": out["comparable11_inrun_ratio"],
+        "dedup_minhash_lsh_median7": out["queries"]["dedup_minhash_lsh"],
+        "ann_recalls_lsh_ivf_pq": [
+            out["ann_lsh_recall_at_10"],
+            out["ann_ivf_recall_at_10"],
+            out["ann_pq_recall_at_10"],
+        ],
+    }
+    for k in SUMMARY_OPTIONAL_KEYS:
+        if k in out:
+            v = out[k]
+            if k.endswith("_error") and isinstance(v, str):
+                v = v[:60]
+            summary[k] = v
+    return summary
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -932,12 +1011,16 @@ def main() -> None:
 
         def bench(name: str, df) -> None:
             # guide §1.5: label the jobs so the UI/event log maps back
-            # to queries; set BEFORE the timer so timings are unchanged
+            # to queries; set BEFORE the timer so timings are unchanged.
+            # try/finally (r12 ADVICE): a raising write must not leave
+            # the stale label attributed to every subsequent job.
             spark.sparkContext.setJobDescription(f"bench:{name}")
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            spark.sparkContext.setJobDescription(None)
+            try:
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            finally:
+                spark.sparkContext.setJobDescription(None)
 
         # -- shared pipeline: materialize once, consume three ways ----
         prep.persist()
@@ -997,13 +1080,15 @@ def main() -> None:
     # ride along in the output.
     extra_minhash: list[float] = []
     spark.sparkContext.setJobDescription("bench:dedup_minhash_lsh:median7")
-    for _ in range(7):
-        t0 = time.perf_counter()
-        standalone_dfs["dedup_minhash_lsh"].write.format("noop").mode(
-            "overwrite"
-        ).save()
-        extra_minhash.append(round(time.perf_counter() - t0, 3))
-    spark.sparkContext.setJobDescription(None)
+    try:
+        for _ in range(7):
+            t0 = time.perf_counter()
+            standalone_dfs["dedup_minhash_lsh"].write.format("noop").mode(
+                "overwrite"
+            ).save()
+            extra_minhash.append(round(time.perf_counter() - t0, 3))
+    finally:
+        spark.sparkContext.setJobDescription(None)
     best["dedup_minhash_lsh"] = sorted(extra_minhash)[3]
 
     # Recall floor for the timed approximate path (not timed itself):
@@ -1151,6 +1236,27 @@ def main() -> None:
             out["perplexity_full_error"] = f"{type(exc).__name__}: {exc}"
         try:
             out.update(_ann_prebuilt_section(spark, sf_dir))
+            # round-12 verdict task 7: the ANN deployment steady state
+            # (prebuilt-index querying) becomes a GRADED `queries` row,
+            # not only a side pin.  ADDED row (never renames/removes):
+            # warm median-of-5 over the recipe-stamped index, recall
+            # floor asserted in-run on these same outputs above.  The
+            # build-included inline row (ann_cosine_topk_lsh) stays
+            # unchanged; `value` keeps its sum-of-queries definition so
+            # it grows by this row, while the basket subtotals
+            # (basket12/13, comparable11) are untouched for
+            # round-over-round comparability.
+            best["ann_cosine_topk_lsh_prebuilt"] = out[
+                "ann_lsh_prebuilt_query_sec"
+            ]
+            out["value"] = round(sum(best.values()), 3)
+            out["ann_cosine_topk_lsh_prebuilt_reporting"] = (
+                "warm median-of-5 prebuilt-index query; one-time build "
+                "cost reported as ann_lsh_build_sec in the run that "
+                "pays it; recall floor ann_prebuilt_min_recall >= 0.8 "
+                "asserted in-run on the same outputs (registry parity "
+                "twin: ann_cosine_topk_lsh_prebuilt)"
+            )
         except Exception as exc:  # pragma: no cover - diagnostics only
             out["ann_prebuilt_error"] = f"{type(exc).__name__}: {exc}"
 
@@ -1174,52 +1280,7 @@ def main() -> None:
     # pin from the SUMMARY COPY ONLY (all stay in the full JSON body,
     # none is a `queries` entry), leaving ~340 bytes of headroom for
     # number-width wobble.
-    summary = {
-        "value": out["value"],
-        "queries": best,
-        "queries_duck": duck_best,
-        "comparable11_total": out["comparable11_total"],
-        "comparable11_duck_total": out["comparable11_duck_total"],
-        "comparable11_inrun_ratio": out["comparable11_inrun_ratio"],
-        "dedup_minhash_lsh_median7": best["dedup_minhash_lsh"],
-        "ann_recalls_lsh_ivf_pq": [lsh_recall, ivf_recall, pq_recall],
-    }
-    for k in (
-        "sf1_dedup_minhash_lsh",
-        "sf1_dedup_minhash_lsh_inrun_ratio",
-        "sf1_dup_span_removal",
-        "sf1_dup_span_removal_inrun_ratio",
-        "sf1_corpus_perplexity_filter",
-        "sf1_corpus_perplexity_filter_inrun_ratio",
-        "sf1_anomaly_mse",
-        "sf1_anomaly_mse_inrun_ratio",
-        "sf1_anomaly_error",
-        "sf1_anomaly_waist_build_sec",
-        "sf1_anomaly_mse_waist",
-        "sf1_anomaly_mse_waist_inrun_ratio",
-        "sf1_waist_vs_fullduck",
-        "sf1_anomaly_waist_match",
-        "sf1_anomaly_waist_error",
-        "sf1_text_lang_id_full",
-        "sf1_text_lang_id_warm",
-        "sf1_text_lang_id_warm_vs_fullduck_ratio",
-        "sf1_text_lang_id_full_inrun_ratio",
-        "sf1_langid_error",
-        "corpus_perplexity_filter_full",
-        "ann_ivf_prebuilt_query_sec",
-        "ann_pq_prebuilt_query_sec",
-        "ann_lsh_prebuilt_query_sec",
-        "ann_prebuilt_min_recall",
-        "ann_prebuilt_error",
-        "sf1_section_error",
-        "sf1_minhash_error",
-        "sf1_span_error",
-        "sf1_perplexity_error",
-        "perplexity_full_error",
-    ):
-        if k in out:
-            summary[k] = out[k]
-    out["summary"] = summary
+    out["summary"] = build_summary(out)
     print(json.dumps(out))
 
 

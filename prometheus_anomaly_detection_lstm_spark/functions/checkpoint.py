@@ -1,0 +1,108 @@
+"""Single-switch lineage truncation for every checkpoint site repo-wide.
+
+Round 12 landed ~40 lazy ``localCheckpoint(eager=False)`` sites (plus a
+few eager ones inside iterative k-means/Lloyd loops) to stop Catalyst
+re-executing shared vocabulary/metadata-scale subtrees once per
+consumer.  ``localCheckpoint`` stores the blocks on executors only: on
+a preemptible / dynamic-allocation cluster, losing an executor makes
+the frame unrecomputable mid-query (the lineage is gone).  The round-12
+verdict asked for one helper with a session switch instead of 40+
+hand-edited call sites — this module is that switch.
+
+Usage (call-site pattern, chain-preserving)::
+
+    frame = (
+        df.groupBy(...).agg(...)
+        .transform(cut_lineage)          # lazy; was .localCheckpoint(eager=False)
+    )
+    rounds = seed.transform(cut_lineage_eager)  # was .localCheckpoint()
+
+Default behaviour is byte-identical to before: ``localCheckpoint`` with
+the same eagerness.  On a cluster where executor loss is expected, set
+
+    spark.conf.set("spark.sparkgraft.checkpoint.reliable", "true")
+    spark.sparkContext.setCheckpointDir("hdfs://.../checkpoints")
+    # or: spark.conf.set("spark.sparkgraft.checkpoint.dir", "...")
+
+and every site switches to reliable ``DataFrame.checkpoint`` (blocks on
+the fault-tolerant store, survives executor loss) with no code edits.
+The switch is read per call, so a long-lived session can flip it
+between queries.  Misconfiguration (reliable=true but no checkpoint
+dir anywhere) raises immediately rather than silently degrading to the
+non-fault-tolerant path.
+
+Test capture: the scan-count gates (tests/test_scan_gates.py) count
+``Scan parquet`` nodes in executed plans, but a checkpoint truncates
+its subtree to ``Scan ExistingRDD`` — a regression *below* a checkpoint
+is invisible to the top-level plan.  ``capture_builders()`` records the
+pre-truncation DataFrame of every checkpoint taken inside the block so
+gates can count the builder subtrees' scans too.  Capture is off unless
+the context manager is active (zero cost and zero retention in
+production).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+RELIABLE_CONF = "spark.sparkgraft.checkpoint.reliable"
+DIR_CONF = "spark.sparkgraft.checkpoint.dir"
+
+#: When not None, every cut_lineage() appends its pre-truncation input
+#: frame here (test-only; see capture_builders).
+_capture: list[DataFrame] | None = None
+
+
+@contextlib.contextmanager
+def capture_builders() -> Iterator[list[DataFrame]]:
+    """Record the pre-truncation builder frame of every checkpoint.
+
+    Nested checkpoints are captured too (an inner cut_lineage fires
+    while the outer builder is being constructed), so walking the
+    returned list plus the query's own executed plan sees every scan
+    the query will run.  Not thread-safe — test harness use only.
+    """
+    global _capture
+    prev = _capture
+    _capture = [] if prev is None else prev
+    try:
+        yield _capture
+    finally:
+        _capture = prev
+
+
+def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Truncate ``df``'s lineage; local by default, reliable by conf.
+
+    Semantics are those of ``localCheckpoint(eager=eager)`` unless the
+    session sets ``spark.sparkgraft.checkpoint.reliable=true``, in
+    which case ``DataFrame.checkpoint(eager=eager)`` is used (requires
+    a checkpoint dir via ``setCheckpointDir`` or the
+    ``spark.sparkgraft.checkpoint.dir`` conf).  Results are identical
+    either way; only fault tolerance of the materialized blocks
+    changes.
+    """
+    if _capture is not None:
+        _capture.append(df)
+    spark = df.sparkSession
+    reliable = str(spark.conf.get(RELIABLE_CONF, "false")).lower() == "true"
+    if not reliable:
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        ckpt_dir = spark.conf.get(DIR_CONF, None)
+        if not ckpt_dir:
+            raise ValueError(
+                f"{RELIABLE_CONF}=true but no checkpoint dir: call "
+                f"setCheckpointDir(...) or set {DIR_CONF}"
+            )
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)
+
+
+def cut_lineage_eager(df: DataFrame) -> DataFrame:
+    """Eager variant for iterative loops (Lloyd rounds, pagerank seeds)."""
+    return cut_lineage(df, eager=True)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io_tables import load_table, parallelize_if_underpartitioned
+from ..functions.checkpoint import cut_lineage
 
 QUERIES: dict = {}
 
@@ -452,7 +453,7 @@ def clean_tokenize_pack(docs: DataFrame) -> DataFrame:
     cleaned = (
         dup_span_removal(docs)
         .select("doc_id", F.col("text_clean").alias("text"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     return bpe_packing(cleaned)
 

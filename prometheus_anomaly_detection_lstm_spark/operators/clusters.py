@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.checkpoint import cut_lineage_eager
 
 
 def connected_components(
@@ -40,13 +41,13 @@ def connected_components(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage_eager)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .transform(cut_lineage_eager)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -80,7 +81,7 @@ def connected_components(
                     F.coalesce(F.col("ccomp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage_eager)
         )
         changed = (
             updated.alias("n")

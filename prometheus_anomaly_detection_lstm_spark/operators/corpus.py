@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_tables import load_table, parallelize_if_underpartitioned
+from ..functions.checkpoint import cut_lineage
 
 SAMPLE_RATE_HEX = "0ccccd"  # first 6 md5 hex digits < this ~= 5.0%
 CHUNK_TOKENS = 64
@@ -693,7 +694,7 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
         .select("r.*")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     merged = upsert_latest(docs, delta, ("doc_id",))
     return merged.select(

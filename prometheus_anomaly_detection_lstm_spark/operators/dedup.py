@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_tables import load_table, parallelize_if_underpartitioned
+from ..functions.checkpoint import cut_lineage
 
 #: MinHash parameters: k = bands * rows_per_band.
 MINHASH_K = 8
@@ -115,7 +116,7 @@ def ngram_jaccard_pairs(
     # (9.79 s) and was rejected — it doubles the executor spill for
     # noise-level gain.  Executor-loss caveat: see
     # events_association_rules (relational.py).
-    sh = shingles(docs).localCheckpoint(eager=False)
+    sh = shingles(docs).transform(cut_lineage)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # AllPairs/PPJoin prefix filtering (EXACT): under a global shingle
     # order (document frequency asc, then shingle — rarest first), any
@@ -429,7 +430,7 @@ def minhash_lsh_dedup_incremental(
     # (relational.py).
     buckets = band_buckets(
         minhash_signatures(docs), bands, rows
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     new_buckets = buckets.filter(F.col("doc_id") >= new_min_id)
     cands = (
         buckets.alias("a")
@@ -445,7 +446,7 @@ def minhash_lsh_dedup_incremental(
         .distinct()
     )
     return _verify_jaccard(
-        shingles(docs).localCheckpoint(eager=False), cands, threshold
+        shingles(docs).transform(cut_lineage), cands, threshold
     )
 
 
@@ -921,7 +922,7 @@ def containment_pairs(
     # A/B at sf0.1: 25.3 -> 17.4 s median-of-5 (busy-box minute; every
     # B pass under its paired A), hash-identical.  Executor-loss
     # caveat: see events_association_rules (relational.py).
-    sh = shingles(docs).localCheckpoint(eager=False)
+    sh = shingles(docs).transform(cut_lineage)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     w_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")
@@ -1116,8 +1117,8 @@ def related_docs_topk(
     # audit).  The frame is PAIR-scale (near-dup volume), so one lazy
     # checkpoint halves the chain executions: scans 12 -> 6.
     # Executor-loss caveat: see events_association_rules (relational.py).
-    pairs = minhash_lsh_dedup(docs, threshold, pre_key=True).localCheckpoint(
-        eager=False
+    pairs = minhash_lsh_dedup(docs, threshold, pre_key=True).transform(
+        cut_lineage
     )
     sym = pairs.select(
         F.col("doc_a").alias("doc"),

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions import ntz_epoch_seconds
 from ..io_tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 #: tumbling bucket width for the registered queries (seconds).
 BUCKET_S = 600
@@ -638,7 +639,7 @@ def absent_buckets(samples: DataFrame, bucket_s: int = BUCKET_S) -> DataFrame:
             F.window("ts", f"{bucket_s} seconds").start.alias("w_start"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     series = observed.select("metric").distinct()
     span = (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import single_partition_key
 from ..io_tables import load_table, parallelize_if_underpartitioned
+from ..functions.checkpoint import cut_lineage, cut_lineage_eager
 
 TOP_K = 10
 N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
@@ -479,7 +480,7 @@ def kmeans_centroids(
             .alias("centroid_id"),
             F.col("vec").alias("cvec"),
         )
-        .localCheckpoint()
+        .transform(cut_lineage_eager)
     )
     cents = seeds
     for _ in range(iterations):
@@ -500,7 +501,7 @@ def kmeans_centroids(
                 "centroid_id",
                 F.transform(F.col("pairs"), lambda p: p["m"]).alias("cvec"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage_eager)
         )
     return cents
 
@@ -539,7 +540,7 @@ def cosine_topk_ivf(
     """
     normed = with_norm(emb)
     cents = kmeans_centroids(normed, k=n_lists)
-    assigned = _assign_nearest(normed, cents).localCheckpoint()
+    assigned = _assign_nearest(normed, cents).transform(cut_lineage_eager)
     return _ivf_query(cents, assigned, n_queries, k, n_probe)
 
 
@@ -783,7 +784,7 @@ def embedding_near_dup_pairs(
     8.68 -> 7.08 s median-of-5, hash-identical.  Executor-loss caveat:
     see events_association_rules (relational.py).
     """
-    normed = with_norm(emb).localCheckpoint(eager=False)
+    normed = with_norm(emb).transform(cut_lineage)
     cands = _near_dup_candidates(
         emb, threshold, n_cells, radius_quantile, normed=normed
     )

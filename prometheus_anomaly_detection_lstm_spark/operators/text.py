@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import single_partition_key
 from ..io_tables import load_table
 from ..io_tables import parallelize_if_underpartitioned
+from ..functions.checkpoint import cut_lineage
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic.
 LANG_STOPWORDS = {
@@ -1124,12 +1125,12 @@ def nb_train_score(docs: DataFrame, pos_lang: str = NB_POS_LANG) -> DataFrame:
     counts = train_toks.groupBy("term").agg(
         F.sum("is_pos").alias("n_pos"),
         (F.count("*") - F.sum("is_pos")).alias("n_neg"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     stats = counts.agg(
         F.sum("n_pos").alias("tot_pos"),
         F.sum("n_neg").alias("tot_neg"),
         F.count("*").alias("vocab"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     model = counts.crossJoin(F.broadcast(stats)).select(
         "term",
         (
@@ -1370,12 +1371,12 @@ def nb_multiclass_confusion(docs: DataFrame) -> DataFrame:
         .pivot("lang", NB_LANGS)
         .agg(F.count(F.lit(1)))
         .na.fill(0)
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     stats = counts.agg(
         *[F.sum(l).alias(f"tot_{l}") for l in NB_LANGS],
         F.count("*").alias("vocab"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     priors = (
         train.select("doc_id", "lang")
         .distinct()

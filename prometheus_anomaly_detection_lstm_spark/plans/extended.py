@@ -16,6 +16,7 @@ from ..functions import single_partition_key
 from ..io_tables import load_table
 from ..operators import fill
 from ..plans import pipeline as P
+from ..functions.checkpoint import cut_lineage
 
 SESSION_GAP_MIN = 30
 
@@ -409,7 +410,7 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     hour = (
         minute.groupBy(
@@ -931,7 +932,7 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("from_type").alias("f"),
         F.col("to_type").alias("t"),
         (F.col("n") / F.sum("n").over(w_out)).alias("p"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     nodes = (
         edges.select(F.col("f").alias("node"))
         .union(edges.select(F.col("t").alias("node")))

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 QUERIES: dict = {}
 
@@ -206,7 +207,7 @@ def q_event_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Executor-loss caveat: see events_association_rules (relational.py).
     und = seq.select(
         F.least("f", "t").alias("a"), F.greatest("f", "t").alias("b")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(cut_lineage)
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -427,13 +428,13 @@ def mad_outliers(s: DataFrame) -> DataFrame:
     # events_association_rules (relational.py).
     med = s.groupBy("metric").agg(
         F.expr("percentile(value, 0.5)").alias("__med")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     dev = s.join(med, "metric").withColumn(
         "__ad", F.abs(F.col("value") - F.col("__med"))
     )
     mad = dev.groupBy("metric").agg(
         F.expr("percentile(__ad, 0.5)").alias("__mad")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     z = F.lit(0.6745) * (F.col("value") - F.col("__med")) / F.col("__mad")
     return (
         dev.join(mad, "metric")
@@ -862,7 +863,7 @@ def distribution_drift(s: DataFrame) -> DataFrame:
     # events_association_rules (relational.py).
     cut = s.agg(
         ((F.min(x) + F.max(x)) / 2).alias("__cut")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     tagged = s.join(F.broadcast(cut)).withColumn(
         "__is_ref", x <= F.col("__cut")
     )
@@ -871,7 +872,7 @@ def distribution_drift(s: DataFrame) -> DataFrame:
         tagged.filter("__is_ref")
         .groupBy("metric")
         .agg(F.expr(f"percentile(value, array({qs}))").alias("__bs"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     bucket = psi_bucket_expr("__bs")
     counts = (

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..io_tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -619,7 +620,7 @@ def q_events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         ev.select("user_id", F.col("event_type").alias("t"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     n_users = baskets.select("user_id").distinct().agg(
         F.count("*").cast("double").alias("__nu")

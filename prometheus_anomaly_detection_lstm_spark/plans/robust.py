@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from ..functions import ntz_epoch_seconds, single_partition_key
 from ..io_tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 QUERIES: dict = {}
 
@@ -365,7 +366,7 @@ def funnel_timing(ev: DataFrame) -> DataFrame:
         (ntz_epoch_seconds("t1") - ntz_epoch_seconds("t0")).alias("g01"),
         (ntz_epoch_seconds("t2") - ntz_epoch_seconds("t1")).alias("g12"),
         (ntz_epoch_seconds("t2") - ntz_epoch_seconds("t0")).alias("g02"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     rows = []
     for col, step in (("g01", "signup->click"), ("g12", "click->purchase"), ("g02", "signup->purchase")):
         rows.append(
@@ -527,7 +528,7 @@ def source_token_drift(docs: DataFrame) -> DataFrame:
     # caveat: see events_association_rules (relational.py).
     per_src = tok.groupBy("source", "token").agg(
         F.count("*").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n_src"))
     glob = per_src.groupBy("token").agg(F.sum("c").alias("g"))
     glob_tot = glob.agg(F.sum("g").alias("n_glob"))

@@ -106,7 +106,7 @@ def q_metric_cointegration_pairs(
     hourly = ev.groupBy(
         F.col("event_type").alias("metric"),
         F.date_trunc("hour", "ts").alias("hour"),
-    ).agg(F.avg("value").alias("y")).localCheckpoint(eager=False)
+    ).agg(F.avg("value").alias("y")).transform(cut_lineage)
     a = hourly.select(
         F.col("metric").alias("mx"), "hour", F.col("y").alias("x")
     )
@@ -633,6 +633,7 @@ def q_corpus_sample_ngram_coverage(
 
 
 from ..operators.corpus import SAMPLE_RATE_HEX as _SRH
+from ..functions.checkpoint import cut_lineage
 
 ORACLE_SAMPLE_COVERAGE = f"""WITH toks AS (
   SELECT doc_id,

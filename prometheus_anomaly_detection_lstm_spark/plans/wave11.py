@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.checkpoint import cut_lineage
 from ..io_tables import (
     events_series,
     load_table,
@@ -130,7 +131,7 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
             ).alias(f"c_{l}")
             for l in LANGID_LANGS
         ]
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     stats = counts.agg(
         *[F.sum(f"c_{l}").alias(f"tot_{l}") for l in LANGID_LANGS],
         F.count("*").alias("v"),
@@ -316,7 +317,7 @@ def perplexity_filter(docs: DataFrame) -> DataFrame:
                 F.exp(-F.avg(F.log(F.col("c") / F.col("total")))), 6
             ).alias("ppl"),
         )
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     cuts = per_doc.agg(
         F.expr("percentile(ppl, CAST(1 AS DOUBLE)/3)").alias("q1"),
         F.expr("percentile(ppl, CAST(2 AS DOUBLE)/3)").alias("q2"),

@@ -247,7 +247,7 @@ def log_odds_keywords(
     # — preemptible deployments should use reliable checkpoint().
     lt = toks.groupBy("lang", "token").agg(
         F.count("*").cast("double").alias("y_lt")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     t = lt.groupBy("token").agg(F.sum("y_lt").alias("y_t"))
     l = lt.groupBy("lang").agg(F.sum("y_lt").alias("n_l"))
     n = lt.agg(F.sum("y_lt").alias("n"))
@@ -497,6 +497,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # answer-identical to the inverted-index plan -> identical oracle.
 from ..operators.corpus import ORACLE_DECONTAMINATE as _ORACLE_DECON
+from ..functions.checkpoint import cut_lineage
 
 QUERIES["corpus_bloom_decontaminate"] = (q_bloom_decontaminate, _ORACLE_DECON)
 

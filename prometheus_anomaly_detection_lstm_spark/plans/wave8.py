@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from ..functions import ntz_epoch_seconds
 from ..io_tables import events_series, load_table
+from ..functions.checkpoint import cut_lineage
 
 QUERIES: dict = {}
 
@@ -383,7 +384,7 @@ def pmi_collocations(
     # Executor-loss caveat: see events_association_rules (relational.py).
     cxy = b.groupBy("w1", "w2").agg(
         F.count("*").alias("c_xy")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     # margins as DOUBLE: the c_x * c_y product at 100-TB corpus counts
     # would overflow BIGINT (the oracle's counts are DOUBLE throughout)
     cx = cxy.groupBy("w1").agg(F.sum("c_xy").cast("double").alias("c_x"))
@@ -739,7 +740,7 @@ def sax_motifs(s: DataFrame) -> DataFrame:
         sax_symbols(s)
         .groupBy("metric", "word")
         .agg(F.count("*").cast("bigint").alias("n_days"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     w = Window.partitionBy("metric").orderBy(
         F.desc("n_days"), F.asc("word")
@@ -984,7 +985,7 @@ def seasonal_mad_anomalies(
     # (relational.py).
     med = s.groupBy(*by_slot).agg(
         F.expr("percentile(value, 0.5D)").alias("__med")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     slotted = s.withColumn("__h", F.hour("ts")).join(
         F.broadcast(med), ["metric", "__h"]
     )
@@ -992,7 +993,7 @@ def seasonal_mad_anomalies(
         slotted.withColumn("__ad", F.abs(F.col("value") - F.col("__med")))
         .groupBy("metric", "__h")
         .agg(F.expr("percentile(__ad, 0.5D)").alias("__mad"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     scored = slotted.join(F.broadcast(mad), ["metric", "__h"]).withColumn(
         "__m",
@@ -1197,7 +1198,7 @@ def sax_similar_days(s: DataFrame, top: int = SAX_SIM_TOP) -> DataFrame:
     SAX rollup chain per consumer (6 executed scans, round-12 audit) —
     one lazy checkpoint of the tiny frame fixes it.  Executor-loss
     caveat: see events_association_rules (relational.py)."""
-    words = sax_symbols(s).localCheckpoint(eager=False)
+    words = sax_symbols(s).transform(cut_lineage)
     latest = words.groupBy("metric").agg(F.max("day").alias("qday"))
     query = (
         words.join(F.broadcast(latest), "metric")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 QUERIES: dict = {}
 
@@ -221,7 +222,7 @@ def q_orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     n_orders = ob.agg(
         F.countDistinct("l_orderkey").cast("double").alias("n_orders")
@@ -460,7 +461,7 @@ def q_corpus_dedup_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.md5(F.col("text").cast("binary")).alias("digest"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     reps = (
         kept.groupBy("digest")
@@ -710,7 +711,7 @@ def q_metric_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("hour"),
         )
         .agg(F.avg("value").alias("y"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     rounds = []
     for i in range(1, ESD_ROUNDS + 1):
@@ -747,7 +748,7 @@ def q_metric_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") > 1)
             .select("metric", "hour", "y")
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return reduce(lambda a, b: a.unionByName(b), rounds)
 
@@ -971,7 +972,7 @@ def q_events_anomaly_attribution(
             F.sum(F.when(~F.col("is_inc"), F.col("value"))), F.lit(0.0)
         ).alias("base_sum"),
         F.max("inc_hour").alias("inc_hour"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     # shares + JS surprise + explanatory power on the
     # dimension-cardinality frame
     t = dims.agg(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from . import oracles
 from .operators import align, fill, scale, score
 from .plans import pipeline as P
+from .functions.checkpoint import cut_lineage
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -143,7 +144,7 @@ def q_mse_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.84 -> 2.55 s at sf0.1, hash-identical.  Executor-loss caveat:
     see events_association_rules (relational.py)."""
     _utc(spark)
-    mse = P.anomaly_scores(spark, sf_dir).localCheckpoint(eager=False)
+    mse = P.anomaly_scores(spark, sf_dir).transform(cut_lineage)
     return score.mse_histogram(mse.select("mse"), bins=50)
 
 
