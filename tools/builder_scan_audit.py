@@ -36,6 +36,9 @@ def combined_scans(spark, fn, sf: str) -> tuple[dict, int]:
     plans = [df] + list(builders)
     for frame in plans:
         plan = frame._jdf.queryExecution().executedPlan().toString()
+        # an EXECUTED AdaptiveSparkPlan prints "== Final Plan ==" AND
+        # "== Initial Plan ==" — counting both double-counts scans
+        plan = plan.split("== Initial Plan ==")[0]
         counts.update(SCAN_RE.findall(plan))
     return dict(counts), len(builders)
 
