@@ -421,13 +421,21 @@ def _mg_partial(batches: "Iterator", k: int):  # pragma: no cover - shipped
     counters survive; merging a batch then trimming to the top-k by
     subtracting the (k+1)-th largest residual preserves the MG
     guarantee (mergeable summaries): any item with partition count
-    > n_p/(k+1) keeps a positive residual."""
+    > n_p/(k+1) keeps a positive residual.
+
+    Output is (user_id, pn): candidate rows carry pn NULL, plus exactly
+    one row per partition with user_id NULL carrying the partition's
+    row count — the total the HAVING clause needs, folded into this
+    pass so it costs no second table scan (round-13, was a dedicated
+    count(*) scan of the user_id column)."""
     import pandas as pd
 
     counters: dict = {}
+    n = 0
     for pdf in batches:
         if pdf.empty:
             continue
+        n += len(pdf)
         for uid, c in pdf["user_id"].value_counts().items():
             counters[uid] = counters.get(uid, 0) + int(c)
         if len(counters) > k:
@@ -436,7 +444,12 @@ def _mg_partial(batches: "Iterator", k: int):  # pragma: no cover - shipped
                 u: c - cut for u, c in counters.items() if c - cut > 0
             }
     yield pd.DataFrame(
-        {"user_id": list(counters.keys()) or pd.Series([], dtype="int64")}
+        {
+            "user_id": pd.array(
+                list(counters.keys()) + [None], dtype="Int64"
+            ),
+            "pn": pd.array([None] * len(counters) + [n], dtype="Int64"),
+        }
     )
 
 
@@ -450,7 +463,18 @@ def heavy_hitters(
     global frequency >= n/(k+1) <= phi*n; pass 2 broadcast-semi-joins
     the candidate list back and counts exactly, so the output equals
     the plain GROUP BY ... HAVING answer without ever materializing a
-    full-cardinality aggregation."""
+    full-cardinality aggregation.
+
+    Round-13 fold (was 3 scans): the total the HAVING clause divides
+    by rides OUT OF the MG pass as one per-partition count row
+    (``_mg_partial``'s user_id-NULL rows, summed), instead of a
+    dedicated ``count(*)`` scan of the filtered user_id column.  The
+    packed candidates+counts frame is candidate-scale (<= k rows per
+    partition + 1), so one lazy checkpoint lets both consumers (the
+    candidate list and the total) read it without re-running the MG
+    pass.  Executor-loss caveat: see events_association_rules
+    (relational.py)."""
+    from ..functions.checkpoint import cut_lineage
     from ..shipping import ensure_shipped
 
     ensure_shipped(ev.sparkSession)
@@ -459,14 +483,19 @@ def heavy_hitters(
     # engines (the oracle filters identically) so the contract doesn't
     # depend on testdata never containing NULL user_ids
     ev = ev.filter(F.col("user_id").isNotNull())
-    cand = (
+    packed = (
         ev.select("user_id")
         .mapInPandas(
-            lambda it: _mg_partial(it, k), schema="user_id bigint"
+            lambda it: _mg_partial(it, k), schema="user_id bigint, pn bigint"
         )
-        .distinct()
+        .transform(cut_lineage)
     )
-    total = ev.agg(F.count("*").cast("double").alias("n_total"))
+    cand = (
+        packed.filter(F.col("pn").isNull()).select("user_id").distinct()
+    )
+    total = packed.agg(
+        F.coalesce(F.sum("pn"), F.lit(0)).cast("double").alias("n_total")
+    )
     exact = (
         ev.join(F.broadcast(cand), "user_id")
         .groupBy("user_id")

@@ -53,6 +53,7 @@ GATES = {
     "multires_rollup": 1,  # was 3
     "events_funnel_timing": 1,  # was 3
     "promql_absent": 1,  # was 3
+    "events_heavy_hitters": 1,  # r13 fold: was 3 (MG + count + rescan)
 }
 
 
@@ -102,6 +103,7 @@ GATES_COMBINED = {
     "multires_rollup": 1,
     "events_funnel_timing": 1,
     "promql_absent": 1,
+    "events_heavy_hitters": 2,  # r13 fold: MG pass + exact rescan
 }
 
 

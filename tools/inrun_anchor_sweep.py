@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: in the scan-audit sweep — a warm re-execution of the SAME frame
 #: times only the post-checkpoint tail.
 FULL_COST = {
+    "events_heavy_hitters",  # r13: packed MG candidates+count checkpoint
     "corpus_perplexity_filter",
     "corpus_ccnet_partition",
     "text_lang_id_ngram",
