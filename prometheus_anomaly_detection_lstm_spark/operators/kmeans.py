@@ -212,8 +212,24 @@ def semantic_dedup_scaled(
     literal-centroid codegen, which would compile k expressions into
     one projection.  Distance/dot folds are the same sequential left
     folds as the oracle's list_reduce, so the cut is bit-stable.
+
+    Round-13 narrow-projection checkpoint: the two self-join sides are
+    two CONSUMERS of the assignment frame — Catalyst ran the n×k
+    distance fold (the n^1.5 stage) once PER side.  r12 measured the
+    full member checkpoint a +19% loss (materialized bytes ≈ table
+    bytes: the embedding arrays).  This lands the narrow form instead:
+    checkpoint only (vec_id, norm, cluster) and re-attach ``vec`` per
+    side by joining the raw scan — the assignment fold computes once;
+    what each side re-pays is a plain scan+join, not n×k×dim FLOPs.
+    sf1 interleaved full-cost medians (two samples): 7.191→6.600 s and
+    11.267→10.415 s; sf0.1 pays 2.6→3.7 s — the documented small-scale
+    cost of the at-scale shape (OPTIMIZATION_r13.md §4).  Hash-equal at
+    both scales.  Executor-loss caveat: see events_association_rules
+    (relational.py).
     """
     import math
+
+    from ..functions.checkpoint import cut_lineage
 
     n = df.count()
     k = int(math.ceil(math.sqrt(n)))
@@ -227,20 +243,22 @@ def semantic_dedup_scaled(
         lambda acc, x: acc + x,
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-    member = (
+    member_narrow = (
         normed.crossJoin(F.broadcast(cents))
         .withColumn("d2", d2)
         .withColumn("__rk", F.row_number().over(w_assign))
         .filter(F.col("__rk") == 1)
-        .select("vec_id", "vec", "norm", "cluster")
+        .select("vec_id", "norm", "cluster")
+        .transform(cut_lineage)
     )
-    a = member.select(
+    raw = df.select("vec_id", "vec")
+    a = member_narrow.join(raw, "vec_id").select(
         F.col("vec_id").alias("i"),
         F.col("vec").alias("va"),
         F.col("norm").alias("na"),
         "cluster",
     )
-    b = member.select(
+    b = member_narrow.join(raw, "vec_id").select(
         F.col("vec_id").alias("j"),
         F.col("vec").alias("vb"),
         F.col("norm").alias("nb"),

@@ -54,6 +54,7 @@ GATES = {
     "events_funnel_timing": 1,  # was 3
     "promql_absent": 1,  # was 3
     "events_heavy_hitters": 1,  # r13 fold: was 3 (MG + count + rescan)
+    "semantic_dedup_scaled": 2,  # r13 narrow ckpt: was 4 (2 sides x chain)
 }
 
 
@@ -104,6 +105,7 @@ GATES_COMBINED = {
     "events_funnel_timing": 1,
     "promql_absent": 1,
     "events_heavy_hitters": 2,  # r13 fold: MG pass + exact rescan
+    "semantic_dedup_scaled": 4,  # r13: assignment builder 2 + 2 re-attach
 }
 
 

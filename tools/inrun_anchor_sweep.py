@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: times only the post-checkpoint tail.
 FULL_COST = {
     "events_heavy_hitters",  # r13: packed MG candidates+count checkpoint
+    "semantic_dedup_scaled",  # r13: narrow (id,norm,cluster) checkpoint
     "corpus_perplexity_filter",
     "corpus_ccnet_partition",
     "text_lang_id_ngram",
