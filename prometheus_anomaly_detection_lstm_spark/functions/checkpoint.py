@@ -55,6 +55,11 @@ DIR_CONF = "spark.sparkgraft.checkpoint.dir"
 #: frame here (test-only; see capture_builders).
 _capture: list[DataFrame] | None = None
 
+#: When not None, every cut_lineage() appends its RETURNED
+#: (checkpointed) frame here (measurement-loop use; see
+#: track_checkpoints / release_checkpoints).
+_capture_out: list[DataFrame] | None = None
+
 
 @contextlib.contextmanager
 def capture_builders() -> Iterator[list[DataFrame]]:
@@ -74,6 +79,49 @@ def capture_builders() -> Iterator[list[DataFrame]]:
         _capture = prev
 
 
+@contextlib.contextmanager
+def track_checkpoints() -> Iterator[list[DataFrame]]:
+    """Collect the CHECKPOINTED frames created inside the block.
+
+    Checkpointed blocks live on executors until session teardown (r12
+    ADVICE): a full-cost measurement loop that constructs a fresh plan
+    per pass accumulates one corpus-scale block set PER PASS — at sf1
+    the text_containment_pairs passes measurably degrade (555 → 823 s
+    by pass 5, r13 core-scaling run).  Wrap each pass and call
+    :func:`release_checkpoints` on the collected frames AFTER the
+    timed region.  Not thread-safe — measurement harness use only.
+    """
+    global _capture_out
+    prev = _capture_out
+    _capture_out = [] if prev is None else prev
+    try:
+        yield _capture_out
+    finally:
+        _capture_out = prev
+
+
+def release_checkpoints(frames: list[DataFrame]) -> int:
+    """Unpersist the executor blocks of checkpointed ``frames``.
+
+    DANGER: a localCheckpoint'd frame has no lineage — after release it
+    is UNRECOMPUTABLE and any further action on it (or a plan built on
+    it) fails.  Only call on frames whose pass is complete and whose
+    plan will be rebuilt from scratch (the full-cost loop shape).
+    Returns the number of frames whose blocks were released.
+    """
+    n = 0
+    for df in frames:
+        try:
+            # the checkpointed Dataset's analyzed plan is a LogicalRDD
+            # wrapping the persisted internal RDD
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            n += 1
+        except Exception:  # noqa: BLE001 - best-effort cleanup
+            continue
+    frames.clear()
+    return n
+
+
 def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
     """Truncate ``df``'s lineage; local by default, reliable by conf.
 
@@ -90,7 +138,10 @@ def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
     spark = df.sparkSession
     reliable = str(spark.conf.get(RELIABLE_CONF, "false")).lower() == "true"
     if not reliable:
-        return df.localCheckpoint(eager=eager)
+        out = df.localCheckpoint(eager=eager)
+        if _capture_out is not None:
+            _capture_out.append(out)
+        return out
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         ckpt_dir = spark.conf.get(DIR_CONF, None)
@@ -100,7 +151,10 @@ def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
                 f"setCheckpointDir(...) or set {DIR_CONF}"
             )
         sc.setCheckpointDir(ckpt_dir)
-    return df.checkpoint(eager=eager)
+    out = df.checkpoint(eager=eager)
+    if _capture_out is not None:
+        _capture_out.append(out)
+    return out
 
 
 def cut_lineage_eager(df: DataFrame) -> DataFrame:

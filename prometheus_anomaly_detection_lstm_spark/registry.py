@@ -464,122 +464,54 @@ LEDGER_ALIASES: dict[str, str] = {
 #: past the window.  Names missing from the merged dict are skipped;
 #: merged entries missing from this list append in module order.
 PRIORITY: list[str] = [
-    # ---- round-12 window (position machine-checked by
-    # tests/test_registry_hygiene.py).  Composition per the round-11
-    # verdict: (a) the 13 changed-plan rows whose official rows predate
-    # the change — the tfidf/bm25/feature_hashing df-as-window
-    # rewrites, the 4-row SPOT/DSPOT fit fold, the association-rules /
-    # basket-affinity / log-odds checkpoint landings (task 1); (b) the
-    # 6 r6-latest rows displaced from the round-11 window by the
-    # day_counts swaps (text_pmi_collocations was swapped out for
-    # threshold_split; the other five named in the verdict); (c) ALL
-    # 34 remaining round-6-latest rows by queue order — 16 + 34 = 50,
-    # so the r6 stale cohort retires COMPLETELY this round (task 2;
-    # ledger recomputed from CORRECTNESS_r01..r11: the 42-row r6
-    # cohort = these 34 + 8 already in (a)/(b)).
-    # All 50 green in the local parity sweep and driver-simmed
-    # out-of-repo before commit. ----
-    "text_tfidf_top_terms", "text_bm25_topk", "text_feature_hashing",
-    "metric_spot_threshold", "metric_spot_anomaly_hours",
-    "metric_dspot_threshold", "metric_dspot_anomaly_hours",
-    "events_association_rules", "orders_basket_affinity",
-    "text_log_odds_keywords",
-    "text_pmi_collocations", "promql_lang_predict_linear",
-    "promql_lang_changes_sum", "promql_lang_unless_gate",
-    "embedding_centroid_drift", "metric_sax_motifs",
-    "metric_sax_similar_days", "dedup_hot_shingles",
-    "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
-    "metric_df_stationarity", "metric_matrix_profile",
-    "multimodal_audio_features", "metric_spectral_residual",
-    "metric_holt_winters", "metric_pca_scores", "tpch_q3_bucketed",
-    "semantic_dedup_scaled", "promql_holt_smoothing", "metric_ramp_detect",
-    "events_ab_sequential",
-    "metric_glr_changepoint", "corpus_dedup_e2e_stats",
-    "text_keyword_extract", "metric_esd_outliers", "metric_ar2_residuals",
-    "events_anomaly_attribution", "orders_price_elasticity",
-    "metric_cointegration_pairs", "embedding_kcenter_coreset",
-    "text_burstiness", "events_ab_srm_check", "metric_glr_variance_change",
-    "corpus_sample_ngram_coverage", "text_source_overlap_matrix", "tpch_q1",
-    "tpch_q3", "tpch_q5", "windowed_events",
-    # ================= past the 50-slot window =================
-    # (position enforced by tests/test_registry_hygiene.py)
-    # r13 window head: these changed plans in round 12 AFTER the r12
-    # window was frozen — their official rows must be re-graded first
-    # next round.  user_set_ops: intersect/subtract fold (scans 4 -> 1,
-    # warm 0.483 -> 0.202 s interleaved).  dedup_ngram_jaccard: shingle
-    # stream checkpoint (scans 8 -> 1, full-cost 12.62 -> 9.99 s).
-    # mse_histogram: checkpointed time-grid mse frame (full-cost
-    # 2.84 -> 2.55 s).  dedup_embedding_cosine: shared checkpointed normalization
-    # (scans 10 -> 1, full-cost 8.68 -> 7.08 s).  event_pagerank:
-    # vocabulary-scale edges checkpoint (scans 19 -> 1, full-cost
-    # 1.83 -> 1.35 s).  rolling_features: day_counts injection
-    # (scans 8 -> 5, warm 1.76 -> 1.61 s locally; three avoided
-    # chain re-executions at lake scale).  All hash-MATCH
-    # driver-simmed out-of-repo on arrival.
+    # ---- round-13 window (position machine-checked by
+    # tests/test_registry_hygiene.py).  Composition per the round-12
+    # verdict task 1: (a) the 23 rows whose plans changed in round 12
+    # AFTER the r12 oracle window froze — their green official rows
+    # predate the change (every one driver-simmed hash-MATCH
+    # out-of-repo on arrival and again on this tree); (b) the 2 rows
+    # whose plans changed THIS round — events_heavy_hitters (MG
+    # candidates+count fold, 3 scans -> 2) and semantic_dedup_scaled
+    # (narrow-projection checkpoint, assignment stage computed once) —
+    # both hash-MATCH driver-simmed; (c) 25 stalest-cohort refills by
+    # queue order (r7-graded rows, unchanged semantics).
+    # 23 + 2 + 25 = 50. ----
     "user_set_ops", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "event_pagerank", "rolling_features", "mse_histogram",
     "event_graph_triangles", "text_related_docs_topk", "anomaly_mse_lstm",
-    "corpus_clean_tokenize_pack",
-    # metric_distribution_drift: cut + edges checkpoints (scans 6 -> 1,
-    # full-cost 1.33 -> 1.30 s interleaved, hash-MATCH driver-simmed).
-    # text_containment_pairs: shingle-stream checkpoint (scans 6 -> 1,
-    # full-cost 25.3 -> 17.4 s interleaved busy-box, hash-MATCH simmed).
-    # corpus_upsert_latest: one-scan conditional-explode delta +
-    # checkpoint (scans 5 -> 1, 0.49 -> 0.47 s, hash-MATCH simmed).
-    # dedup_minhash_incremental: bucket-table + verify-shingle
-    # checkpoints (scans 6 -> 2 materializations, full-cost 4.14 ->
-    # 3.08 s interleaved, hash-MATCH simmed).
-    "metric_distribution_drift", "text_containment_pairs",
-    "corpus_upsert_latest", "dedup_minhash_incremental",
-    # NB family: vocab-scale counts + one-row stats checkpoints
-    # (binary 6 -> 3 scans, 1.79 -> 1.57 s; multiclass 5 -> 3 scans,
-    # neutral timing; all three rows hash-MATCH driver-simmed).
-    "text_nb_classifier", "text_nb_classifier_auc", "text_nb_confusion",
-    # metric_seasonal_mad: med+mad profile checkpoints (scans 4 -> 1,
-    # timing neutral 1.178 vs 1.177 s, hash-MATCH driver-simmed).
-    # corpus_source_token_drift: per_src vocab checkpoint (scans
-    # 4 -> 1, 0.735 -> 0.712 s, hash-MATCH driver-simmed).
-    # metric_mad_outliers: med+mad checkpoints (scans 4 -> 1, noise-
-    # level timing, hash-MATCH driver-simmed).
-    "metric_seasonal_mad", "corpus_source_token_drift",
-    "metric_mad_outliers",
-    # multires_rollup: minute-grain checkpoint makes the cascade's
-    # "scanned exactly once" docstring true (scans 3 -> 1, median-of-9
-    # 0.799 -> 0.771 s interleaved, hash-MATCH driver-simmed).
-    # events_funnel_timing: converter-scale conv checkpoint (scans
-    # 3 -> 1, 0.595 -> 0.561 s, hash-MATCH driver-simmed).
-    # promql_absent: series list + bucket span derived from the
-    # checkpointed observed-slots frame (scans 3 -> 1, neutral timing
-    # across two 9-pass samples, hash-MATCH driver-simmed).
-    "multires_rollup", "events_funnel_timing", "promql_absent",
-    # staleness-ordered: r7..r10 next, the 50 round-11-graded rows
-    # last (freshest):
-    "rollup_agg", "topk_per_group",
-    "semi_anti_join", "running_revenue", "distinct_users", "vocab_stats",
-    "funnel", "embedding_mean_by_label", "events_hourly_pivot",
-    "unpivot_metrics", "approx_distinct_users",
-    "nan_counts", "tpch_q6",
-    "min_cost_supplier", "ffill_bfill", "metrics_wide",
-    "standard_scaled", "scaler_params", "calendar_features", "fill_mean",
-    "fill_median", "tail_n", "inner_align", "dedup_keep_first",
-    "multi_series_first", "union_periods", "backfill_missing",
-    "numeric_coercion", "text_token_counts", "text_lang_id",
-    "text_fingerprints", "text_winnowing_fingerprints", "text_pii_redact",
-    "text_quality_scores",
+    "corpus_clean_tokenize_pack", "metric_distribution_drift",
+    "text_containment_pairs", "corpus_upsert_latest",
+    "dedup_minhash_incremental", "text_nb_classifier",
+    "text_nb_classifier_auc", "text_nb_confusion", "metric_seasonal_mad",
+    "corpus_source_token_drift", "metric_mad_outliers", "multires_rollup",
+    "events_funnel_timing", "promql_absent", "events_heavy_hitters",
+    "semantic_dedup_scaled", "rollup_agg", "topk_per_group", "semi_anti_join",
+    "running_revenue", "distinct_users", "vocab_stats", "funnel",
+    "embedding_mean_by_label", "events_hourly_pivot", "unpivot_metrics",
+    "approx_distinct_users", "nan_counts", "tpch_q6", "min_cost_supplier",
+    "ffill_bfill", "metrics_wide", "standard_scaled", "scaler_params",
+    "calendar_features", "fill_mean", "fill_median", "tail_n", "inner_align",
+    "dedup_keep_first", "multi_series_first",
+    # ================= past the 50-slot window =================
+    # (position enforced by tests/test_registry_hygiene.py)
+    # staleness-ordered queue (unchanged relative order), then the 49
+    # rows graded in round 12 (CORRECTNESS_r12) displaced from the old
+    # window — freshest, last.  The full per-query change notes for the
+    # r12 landings live in OPTIMIZATION_r12.md and the r12 window
+    # comments (git history of this block).
+    "union_periods", "backfill_missing", "numeric_coercion",
+    "text_token_counts", "text_lang_id", "text_fingerprints",
+    "text_winnowing_fingerprints", "text_pii_redact", "text_quality_scores",
     "multimodal_binary_metadata", "multimodal_decode_stub",
     "multimodal_frame_sample", "corpus_hash_sample", "corpus_doc_chunks",
     "corpus_doc_packing", "corpus_dup_span_removal", "corpus_bpe_encode",
-    "corpus_bpe_packing",
-    "per_feature_mse", "asof_join",
-    "dedup_exact",
+    "corpus_bpe_packing", "per_feature_mse", "asof_join", "dedup_exact",
     "dedup_simhash", "dedup_simhash_pairs", "embedding_norms",
-    "text_frequent_tokens",
-    "embedding_random_projection",
+    "text_frequent_tokens", "embedding_random_projection",
     "promql_counter_rate", "promql_gauge_over_time",
     "promql_histogram_quantile", "promql_topk_series",
     "promql_rate_by_labelset", "promql_rate_anomaly", "promql_deriv_predict",
-    "metric_correlations", "corpus_clean_pipeline",
-    "minmax_scaled",
+    "metric_correlations", "corpus_clean_pipeline", "minmax_scaled",
     "corpus_stratified_sample", "embedding_covariance", "cube_agg",
     "table_profile", "text_ngram_novelty", "text_dup_ngram_spans",
     "text_lm_trigram_scores", "sessionize", "events_json_extract",
@@ -591,54 +523,64 @@ PRIORITY: list[str] = [
     "corpus_decontaminate", "corpus_shuffle_shards",
     "corpus_token_budget_sample", "embedding_quantize_int8",
     "text_quality_filter", "metric_rolling_median", "metric_change_points",
-    "corpus_quality_curriculum",
-    "metric_autocorrelation", "metric_stl_decompose",
-    "metric_m4_downsample", "metric_slo_burn_rate",
+    "corpus_quality_curriculum", "metric_autocorrelation",
+    "metric_stl_decompose", "metric_m4_downsample", "metric_slo_burn_rate",
     "corpus_importance_sample", "metric_anomaly_ensemble",
-
     "corpus_bloom_decontaminate", "corpus_bpe_encode_32k",
     "text_lang_id_ngram", "text_lang_id_confusion",
     "corpus_perplexity_filter", "corpus_ccnet_partition",
     "text_repetition_scores", "vocab_bpe_merges", "ann_cosine_topk_pq",
-    "tpch_q1_incremental",
-    "embedding_nearest_centroid_eval", "metric_forecast_backtest",
-    "promql_label_ops", "customer_rfm_segments",
+    "tpch_q1_incremental", "embedding_nearest_centroid_eval",
+    "metric_forecast_backtest", "promql_label_ops", "customer_rfm_segments",
     "events_ab_test", "corpus_length_gini", "metric_cross_correlation",
     "cohort_ltv_curve", "promql_changes_resets", "metric_ewma",
-    "corpus_mixture_sample",
-    "promql_subquery_max_rate", "promql_alert_episodes",
-    "promql_rate_offset_delta", "promql_sum_by_rate",
+    "corpus_mixture_sample", "promql_subquery_max_rate",
+    "promql_alert_episodes", "promql_rate_offset_delta", "promql_sum_by_rate",
     "promql_series_cardinality", "promql_time_weighted_avg",
     "embedding_kmeans", "semantic_dedup", "embedding_pq_codes",
     "metric_seasonal_anomaly", "events_grouping_sets",
-    "events_rank_functions", "scd2_user_bands",
-    "metric_resample_interpolate", "events_attribution",
-    "events_frequent_paths", "orders_backlog_daily", "table_quality_checks",
-    "events_pointintime_features", "orders_churn_labels",
-    "promql_vector_match_ratio", "events_props_key_profile",
-    "dedup_minhash_lsh",
-    # the 50 rows graded in round 11 (CORRECTNESS_r11) — freshest,
-    # so they queue last:
-    "dedup_clusters", "dedup_apply", "corpus_neardup_keep_best",
-    "dedup_minhash_recall_eval",
+    "events_rank_functions", "scd2_user_bands", "metric_resample_interpolate",
+    "events_attribution", "events_frequent_paths", "orders_backlog_daily",
+    "table_quality_checks", "events_pointintime_features",
+    "orders_churn_labels", "promql_vector_match_ratio",
+    "events_props_key_profile", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_apply", "corpus_neardup_keep_best", "dedup_minhash_recall_eval",
     "dedup_lsh_bucket_profile", "anomaly_mse", "anomaly_flags",
     "anomaly_intervals", "threshold_percentiles",
-    "approx_threshold_percentiles",
-    "embedding_knn_label_audit", "ann_cosine_topk", 
-    "corpus_zipf_fit", "dedup_edit_distance", "embedding_logreg_fit",
-    "embedding_matryoshka_eval", "embedding_ridge_fit", "embedding_whiten",
-    "events_bot_cadence", "events_dau_wau",
-    "events_heavy_hitters", "events_markov_next_eval",
-    "metric_cusum_anomalies", "metric_periodogram", "metric_theil_sen_trend",
-    "multimodal_phash_dedup", "parts_abc_by_brand",
-    "promql_lang_error_ratio", "promql_lang_histogram_quantile",
-    "promql_lang_increase_filter", "promql_lang_label_replace",
-    "promql_lang_quantile_over_time", "promql_lang_rate_sum",
-    "promql_lang_topk_gauge", "return_rate_by_brand",
+    "approx_threshold_percentiles", "embedding_knn_label_audit",
+    "ann_cosine_topk", "corpus_zipf_fit", "dedup_edit_distance",
+    "embedding_logreg_fit", "embedding_matryoshka_eval",
+    "embedding_ridge_fit", "embedding_whiten", "events_bot_cadence",
+    "events_dau_wau", "events_markov_next_eval", "metric_cusum_anomalies",
+    "metric_periodogram", "metric_theil_sen_trend", "multimodal_phash_dedup",
+    "parts_abc_by_brand", "promql_lang_error_ratio",
+    "promql_lang_histogram_quantile", "promql_lang_increase_filter",
+    "promql_lang_label_replace", "promql_lang_quantile_over_time",
+    "promql_lang_rate_sum", "promql_lang_topk_gauge", "return_rate_by_brand",
     "shipping_delay_profile", "supplier_hhi_by_nation", "text_char_entropy",
     "text_readability_scores", "doc_type_token_ratio", "customer_order_gaps",
-    "join_key_skew_profile", "embedding_hard_negatives",
-    "metric_sax_symbols", "threshold_split",
+    "join_key_skew_profile", "embedding_hard_negatives", "metric_sax_symbols",
+    "threshold_split", "text_tfidf_top_terms", "text_bm25_topk",
+    "text_feature_hashing", "metric_spot_threshold",
+    "metric_spot_anomaly_hours", "metric_dspot_threshold",
+    "metric_dspot_anomaly_hours", "events_association_rules",
+    "orders_basket_affinity", "text_log_odds_keywords",
+    "text_pmi_collocations", "promql_lang_predict_linear",
+    "promql_lang_changes_sum", "promql_lang_unless_gate",
+    "embedding_centroid_drift", "metric_sax_motifs",
+    "metric_sax_similar_days", "dedup_hot_shingles",
+    "orders_km_reorder_curve", "events_ab_cuped", "events_ab_power",
+    "metric_df_stationarity", "metric_matrix_profile",
+    "multimodal_audio_features", "metric_spectral_residual",
+    "metric_holt_winters", "metric_pca_scores", "tpch_q3_bucketed",
+    "promql_holt_smoothing", "metric_ramp_detect", "events_ab_sequential",
+    "metric_glr_changepoint", "corpus_dedup_e2e_stats",
+    "text_keyword_extract", "metric_esd_outliers", "metric_ar2_residuals",
+    "events_anomaly_attribution", "orders_price_elasticity",
+    "metric_cointegration_pairs", "embedding_kcenter_coreset",
+    "text_burstiness", "events_ab_srm_check", "metric_glr_variance_change",
+    "corpus_sample_ngram_coverage", "text_source_overlap_matrix", "tpch_q1",
+    "tpch_q3", "tpch_q5", "windowed_events",
 ]
 
 
