@@ -937,15 +937,41 @@ def containment_pairs(
         <= F.col("__n")
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
         + 1
-    ).select("doc_id", "shingle")
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("__rn").alias("__rn_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    # Candidate generation joins A-prefixes against the RANKED index so
+    # the PPJoin positional upper bound can prune pairs before the
+    # verify join (round 13; EXACT): under the shared rarest-first
+    # total order, every element of A∩B ranks at or behind the pair's
+    # FIRST common shingle in BOTH documents, so
+    # |A∩B| <= 1 + min(|A|-rn_a, |B|-rn_b) — pairs whose bound cannot
+    # reach ceil(t*|A|) are dropped with no false negatives (the first
+    # common shingle is always within A's prefix by the AllPairs
+    # pigeonhole, so the bound is evaluated at that match).  sf1
+    # copyvariant corpus: candidates 90.7M -> 64.8M, full pass
+    # 471 -> ~340 s at 32 cores (plan evidence plans/r13/).
+    bstream = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("__rn").alias("__rn_b"),
+        F.col("__n").alias("__n_b"),
+    )
     cands = (
-        prefix.alias("pa")
-        .join(sh.alias("pb"), "shingle")
-        .filter(F.col("pa.doc_id") != F.col("pb.doc_id"))
-        .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
+        prefix.join(bstream, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__n_a") - F.col("__rn_a"),
+                F.col("__n_b") - F.col("__rn_b"),
+            )
+            >= F.ceil(F.lit(threshold) * F.col("__n_a") - F.lit(1e-9))
         )
+        .select("doc_a", "doc_b")
         .distinct()
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -957,8 +983,13 @@ def containment_pairs(
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    # shuffle_hash: the planner picked sort-merge for this doc-scale
+    # side (the checkpointed stream carries no stats), sorting the
+    # pair-scale inter frame — 90.7M rows / 26 GB sort spill at sf1
+    # (r13 event-log evidence).  A per-partition hash build of the
+    # sizes side is scale-safe at any corpus size.
     return (
-        inter.join(sa, "doc_a")
+        inter.join(sa.hint("shuffle_hash"), "doc_a")
         .withColumn("containment", F.col("inter") / F.col("na"))
         .filter(F.col("containment") >= threshold)
         .select(
