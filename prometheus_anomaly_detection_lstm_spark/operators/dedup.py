@@ -141,15 +141,62 @@ def ngram_jaccard_pairs(
         <= F.col("__n")
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
         + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "__rn", "__n")
+    # PPJoin refinements on the prefix self-join (round 13; both EXACT,
+    # the containment_pairs precedent adapted to the symmetric measure):
+    # - length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t
+    #   (|A∩B| <= min and >= t*max of the two set sizes).
+    # - positional filter: under the shared rarest-first order every
+    #   element of A∩B ranks at or behind the pair's FIRST common
+    #   shingle in BOTH docs, so |A∩B| <= 1 + min(|A|-rn_a, |B|-rn_b);
+    #   J >= t needs |A∩B| >= ceil(t/(1+t)*(|A|+|B|)) (from
+    #   I/(|A|+|B|-I) >= t).  No false negatives: the first common
+    #   shingle lies in BOTH prefixes (AllPairs pigeonhole on each
+    #   side), so that join row exists and its bound dominates the true
+    #   intersection.  Same -1e-9 float-boundary guard as the prefix.
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("__rn").alias("__rn_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("__rn").alias("__rn_b"),
+        F.col("__n").alias("__n_b"),
+    )
     cands = (
-        prefix.alias("pa")
-        .join(prefix.alias("pb"), "shingle")
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
-        .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (
+                F.col("__n_b")
+                >= F.ceil(
+                    F.lit(threshold) * F.col("__n_a") - F.lit(1e-9)
+                )
+            )
+            & (
+                F.col("__n_a")
+                >= F.ceil(
+                    F.lit(threshold) * F.col("__n_b") - F.lit(1e-9)
+                )
+            )
         )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__n_a") - F.col("__rn_a"),
+                F.col("__n_b") - F.col("__rn_b"),
+            )
+            >= F.ceil(
+                F.lit(threshold)
+                / F.lit(1.0 + threshold)
+                * (F.col("__n_a") + F.col("__n_b"))
+                - F.lit(1e-9)
+            )
+        )
+        .select("doc_a", "doc_b")
         .distinct()
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
