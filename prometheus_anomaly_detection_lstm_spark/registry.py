@@ -473,7 +473,12 @@ PRIORITY: list[str] = [
     # whose plans changed THIS round — events_heavy_hitters (MG
     # candidates+count fold, 3 scans -> 2) and semantic_dedup_scaled
     # (narrow-projection checkpoint, assignment stage computed once) —
-    # both hash-MATCH driver-simmed; (c) 25 stalest-cohort refills by
+    # both hash-MATCH driver-simmed; two MORE (a)-cohort rows changed
+    # plans again this round and are already in-window:
+    # text_containment_pairs (PPJoin positional filter + shuffle-hash
+    # sizes join) and dedup_ngram_jaccard (PPJoin positional + length
+    # filters), each equality-guarded at >=2 scales + driver-simmed;
+    # (c) 25 stalest-cohort refills by
     # queue order (r7-graded rows, unchanged semantics).
     # 23 + 2 + 25 = 50. ----
     "user_set_ops", "dedup_ngram_jaccard", "dedup_embedding_cosine",

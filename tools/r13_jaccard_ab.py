@@ -9,6 +9,9 @@ over interleaved passes; sorted-rows equality asserted FIRST.
 Usage: SPARK_GRAFT_SF_DIR=... python tools/r13_jaccard_ab.py [passes]
   env JACCARD_AB_PLAN=1   -> also dump .explain('formatted') per arm
   env JACCARD_AB_EQ_ONLY=1 -> equality check only (no timing)
+  env JACCARD_AB_SKIP_EQ=1 -> timing only (equality proven in a prior
+    invocation at the same SF dir; the sf1 eq collect alone runs ~30
+    min, so the timing rerun must be able to skip it)
 """
 
 from __future__ import annotations
@@ -110,15 +113,19 @@ def main() -> None:
         return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
     # --- equality first (sorted rows, full frames) ---
-    ra = sorted(map(tuple, mk_old().collect()))
-    rb = sorted(map(tuple, mk_new().collect()))
-    eq = ra == rb
-    print(
-        json.dumps(
-            {"equal": eq, "rows_old": len(ra), "rows_new": len(rb)},
-        ),
-        flush=True,
-    )
+    if os.environ.get("JACCARD_AB_SKIP_EQ"):
+        ra = rb = []
+        eq = True
+    else:
+        ra = sorted(map(tuple, mk_old().collect()))
+        rb = sorted(map(tuple, mk_new().collect()))
+        eq = ra == rb
+        print(
+            json.dumps(
+                {"equal": eq, "rows_old": len(ra), "rows_new": len(rb)},
+            ),
+            flush=True,
+        )
     if not eq:
         only_a = set(ra) - set(rb)
         only_b = set(rb) - set(ra)
@@ -154,7 +161,9 @@ def main() -> None:
     ts_old, ts_new = [], []
     for i in range(passes):
         ts_old.append(full_cost(f"old_{i}", mk_old))
+        print(f"pass {i} old {ts_old[-1]:.3f}", flush=True)
         ts_new.append(full_cost(f"new_{i}", mk_new))
+        print(f"pass {i} new {ts_new[-1]:.3f}", flush=True)
     res = json.dumps(
         {
             "sf_dir": sf_dir,
